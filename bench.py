@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect), mirroring how a production job would write
+results out rather than pull them to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bitcoin_datawarehouse_spark.registry import QUERIES, load_all_operators  # noqa: E402
+from bitcoin_datawarehouse_spark.session import get_spark  # noqa: E402
+
+# Representative, scale-stressing subset: scans+filters, multi-way
+# joins, aggregation, windows, sessionization, as-of, JSON, dedup
+# (exact + MinHash LSH), text scoring, embedding top-k.
+HEADLINE = [
+    "extract_projection_range",
+    "pricing_summary",
+    "join_fact_dim_broadcast",
+    "join_star_regional_revenue",
+    "agg_daily_revenue",
+    "agg_count_distinct",
+    "topk_global",
+    "window_topk_per_group",
+    "window_lag_delta",
+    "sessionize_events",
+    "asof_join_daily_price",
+    "time_bucket_hourly",
+    "json_extract_props",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "text_fingerprint",
+    "similarity_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    load_all_operators()
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not session startup
+    QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

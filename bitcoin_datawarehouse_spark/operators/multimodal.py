@@ -1,0 +1,126 @@
+"""Multimodal-column plumbing (SURVEY.md §2.12).
+
+Treats media as opaque ``binary`` payloads with typed metadata and
+runs decode/feature-extraction as Arrow-batched Pandas functions over
+``mapInPandas`` — the shape a 100 TB image/audio pipeline needs:
+
+* payloads never pass through Python row-at-a-time — Arrow moves
+  whole columnar batches;
+* per-batch output schema is declared up front so Catalyst can plan
+  downstream operators;
+* the actual codec call is isolated in ``decode_payload`` so the
+  container's missing image/audio libs are a one-line swap
+  (deterministic fake today, PIL/librosa in production — clearly
+  marked below).
+
+The ``documents`` fixture stands in for a media table: ``text`` bytes
+are the payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_payload(payload: bytes) -> np.ndarray:
+    """STUB codec. Production would be e.g. PIL.Image.open / soundfile.
+
+    The container has no media libraries, so this returns a
+    deterministic fake 'decode': the raw bytes as a uint8 array.  The
+    surrounding Spark plumbing (binary column → Arrow batch → feature
+    vector) is real and tested.
+    """
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload → FEATURE_DIM byte-histogram features.
+
+    Runs once per Arrow batch (not per row); everything inside is
+    vectorized numpy.
+    """
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            arr = decode_payload(payload)
+            # deterministic fake featurization: coarse byte histogram,
+            # normalized — stands in for an embedding model forward pass
+            hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+            total = max(int(hist.sum()), 1)
+            feats.append((hist / total).tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "media_type": pdf["media_type"],
+                "features": feats,
+            }
+        )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-shaped as a media table: (doc_id, payload binary,
+    media_type, props struct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.concat(F.lit("text/plain;src="), F.col("source")).alias("media_type"),
+        F.struct(
+            F.col("n_chars").alias("declared_len"), F.col("lang").alias("lang")
+        ).alias("props"),
+    )
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'text/plain;src=' || source AS media_type
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads (the SQL-checkable half of
+    the multimodal path — byte length, media type)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        "media_type",
+    )
+
+
+@query("multimodal_feature_extract")  # rows-only: Python featurizer, no SQL analog
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow batches).
+
+    At scale: partition by a uniform key (doc_id hash), size
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so one batch of
+    payloads fits executor memory, and the GPU/codec stage slots in at
+    ``decode_payload`` without touching the plan.
+    """
+    m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
+    return m.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)

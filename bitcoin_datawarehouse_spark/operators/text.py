@@ -1,0 +1,222 @@
+"""Text-analysis operators (SURVEY.md §2.12; north-star extensions).
+
+Language-ID (stopword heuristic), quality scoring, token counting,
+and document fingerprinting over the ``documents`` fixture.  All
+JVM-side built-ins (split/filter/length/md5/regexp) — no Python in the
+row path — with DuckDB oracles.
+
+The reference's only scalar transform is ``UPPER([entity])``
+(reference ``column_transform.yaml:8``); these operators are the
+training-data-pipeline generalization of that per-column transform
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+# Tiny per-language stopword lists (public common-word lists).  The
+# heuristic is intentionally simple — deterministic and identical in
+# both engines; production would swap in a real n-gram profile model
+# behind the same (doc_id → lang) contract.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "is", "in", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "zu"],
+    "es": ["el", "la", "de", "y", "los", "que", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "que"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr"]  # deterministic tiebreak order
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def _sql_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(tk, t -> t IN ({words}))) AS n_{lang}"
+
+
+def _stop_count(tk: Column, lang: str) -> Column:
+    return F.size(
+        F.filter(tk, lambda t: t.isin(STOPWORDS[lang]))
+    ).alias(f"n_{lang}")
+
+
+# identical CASE text evaluated by both engines over the n_<lang> cols
+_LANG_CASE = (
+    "CASE "
+    "WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0 THEN 'unknown' "
+    "WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en' "
+    "WHEN n_de >= n_es AND n_de >= n_fr THEN 'de' "
+    "WHEN n_es >= n_fr THEN 'es' "
+    "ELSE 'fr' END"
+)
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_stop_count("en")},
+             {_sql_stop_count("de")},
+             {_sql_stop_count("es")},
+             {_sql_stop_count("fr")}
+      FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS tk FROM documents)
+    )
+    SELECT doc_id, lang AS labeled_lang, {_LANG_CASE} AS predicted_lang,
+           n_en, n_de, n_es, n_fr
+    FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic priority tiebreak.
+
+    One narrow projection pass (codegen'd array ops per row, no
+    shuffle, no UDF).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens_col(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_stop_count(tk, lang) for lang in LANG_PRIORITY],
+    )
+    return scored.withColumn("predicted_lang", F.expr(_LANG_CASE)).select(
+        "doc_id", "labeled_lang", "predicted_lang", "n_en", "n_de", "n_es", "n_fr"
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_obs,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(tk, t -> t IN ('the','a','of','to','and','is','in','it'))) AS BIGINT)
+               AS n_stop,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT)
+               AS n_punct
+      FROM (SELECT doc_id, text, {_SQL_TOKENS} AS tk FROM documents)
+    )
+    SELECT doc_id, n_chars_obs, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars_obs AS punct_ratio,
+           CAST(n_chars_obs AS DOUBLE) / n_tokens AS mean_token_span,
+           (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+             + CASE WHEN n_tokens >= 20 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1
+                    THEN 0.2 ELSE 0.0 END
+             AS quality_score
+    FROM base
+    WHERE n_tokens > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword ratio + length gate +
+    punctuation-density gate (the standard cheap pre-filter in
+    training-data pipelines — cf. public C4/Gopher-style rules).
+
+    All ratios are single double divisions over exact integer counts:
+    bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens_col(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_obs"),
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(F.filter(tk, lambda t: t.isin(STOPWORDS["en"])))
+        .cast("long")
+        .alias("n_stop"),
+        F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+        .cast("long")
+        .alias("n_punct"),
+    ).filter(F.col("n_tokens") > 0)
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_obs")
+    return base.select(
+        "doc_id",
+        "n_chars_obs",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (F.col("n_chars_obs").cast("double") / F.col("n_tokens")).alias(
+            "mean_token_span"
+        ),
+        (
+            stop_ratio * 0.5
+            + F.when(F.col("n_tokens") >= 20, 0.3).otherwise(0.0)
+            + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0)
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+                AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (word pieces + individual punctuation marks) — the cheap token
+    budget estimator for an LLM data pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    )
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fingerprint,
+           substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),
+                  1, 4) AS shard_key
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form content fingerprint: lowercase, collapse all
+    non-alphanumerics to single spaces, trim, md5.
+
+    ``shard_key`` (first 16 bits of the hash) is the partitioning key
+    a 100 TB dedup would bucket by — uniformly distributed by
+    construction, so no skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    fp = F.md5(canon.cast("binary"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_key"),
+    )

@@ -1,0 +1,105 @@
+"""Smoke + semantics tests for the registered analytical operators.
+
+The full DuckDB-oracle sweep lives in tools/check_oracle.py (and the
+driver's own gate); here we keep a fast representative subset plus
+semantic assertions that an oracle can't express (plan shape,
+approx-sketch error, ANN recall).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from bitcoin_datawarehouse_spark.registry import ORACLES, QUERIES
+from bitcoin_datawarehouse_spark.tables import TABLES
+
+from .conftest import SF_SMALL
+
+ORACLE_SUBSET = [
+    "pricing_summary",
+    "join_star_regional_revenue",
+    "window_topk_per_group",
+    "asof_join_daily_price",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_quality_score",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        tuple(repr(r[i]) for i in order) for r in rows
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", ORACLE_SUBSET)
+def test_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_SMALL)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _normalize(srows, sdf.columns) == _normalize(orows, ocols)
+
+
+def test_every_query_runs_and_has_stable_schema(spark):
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_SMALL)
+        assert df.columns, name
+        # schema must be resolvable without executing
+        df.schema  # noqa: B018
+
+
+def test_approx_count_distinct_error(spark):
+    exact = {
+        r["o_orderpriority"]: r["n_customers"]
+        for r in QUERIES["agg_count_distinct"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in QUERIES["agg_approx_count_distinct"](spark, SF_SMALL).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.05, (k, approx[k], v)
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    exact = QUERIES["similarity_bruteforce_topk"](spark, SF_SMALL).collect()
+    ann = QUERIES["similarity_ann_lsh"](spark, SF_SMALL).collect()
+    exact_pairs = {(r["query_id"], r["cand_id"]) for r in exact}
+    ann_pairs = {(r["query_id"], r["cand_id"]) for r in ann}
+    recall = len(exact_pairs & ann_pairs) / len(exact_pairs)
+    # deterministic (md5-derived hashing) — measured 0.54 on the
+    # fixture; margin guards regressions in the bucket/rerank
+    # composition without pinning the exact value
+    assert recall >= 0.4, recall
+
+
+def test_ngram_jaccard_symmetric_bounds(spark):
+    rows = QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+    assert rows, "fixture contains planted near-dups"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0

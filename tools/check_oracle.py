@@ -1,0 +1,135 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and (where present) the
+matching ``oracle_sql()`` on DuckDB over the same parquet fixtures,
+then compares row count, column names/order-insensitive values.
+Exact comparison plus a float-tolerance report so decimal-sum
+mismatches are caught before the driver sees them.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bitcoin_datawarehouse_spark.session import get_spark  # noqa: E402
+from bitcoin_datawarehouse_spark.tables import TABLES  # noqa: E402
+
+
+def normalize(rows, cols):
+    """Sort columns by name, then rows, mirroring the driver's
+    order-insensitive compare."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            elif isinstance(v, float):
+                v = repr(v)
+            elif isinstance(v, list):
+                v = repr(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qmap = entrymod.queries()
+    omap = entrymod.oracle_sql()
+    failures = []
+    for name, fn in sorted(qmap.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in omap:
+            print(
+                f"ok?   {name}: rows-only ({len(srows)} rows, "
+                f"{time.time()-t0:.1f}s) [no oracle]"
+            )
+            continue
+        try:
+            res = con.execute(omap[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            failures.append(name)
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
+            failures.append(name)
+            continue
+        ncols, nsrows = normalize(srows, scols)
+        _, norows = normalize(orows, ocols)
+        if nsrows == norows:
+            print(f"OK    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        # find first diff + measure float distance
+        n_diff = 0
+        max_rel = 0.0
+        example = None
+        for a, b in zip(nsrows, norows):
+            if a != b:
+                n_diff += 1
+                if example is None:
+                    example = (a, b)
+                for x, y in zip(a, b):
+                    try:
+                        fx, fy = float(eval(x)), float(eval(y))  # noqa: S307
+                        if math.isfinite(fx) and math.isfinite(fy) and fx != fy:
+                            rel = abs(fx - fy) / max(abs(fx), abs(fy), 1e-300)
+                            max_rel = max(max_rel, rel)
+                    except Exception:  # noqa: BLE001
+                        pass
+        print(
+            f"FAIL  {name}: {n_diff}/{len(srows)} rows differ "
+            f"(max float rel-diff {max_rel:.2e})\n"
+            f"      spark:  {example[0]}\n      oracle: {example[1]}"
+        )
+        failures.append(name)
+
+    print(
+        f"\n{len(qmap) - len(failures)}/{len(qmap)} queries pass"
+        + (f"; FAILURES: {failures}" if failures else "")
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

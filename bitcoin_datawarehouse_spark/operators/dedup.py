@@ -88,13 +88,37 @@ def shingles_col(tk: Column) -> Column:
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) distinct shingle pairs — the shared intermediate."""
+    """(doc_id, sh) distinct shingle pairs — the shared intermediate.
+
+    Two deliberate plan choices, measured at sf0.1 (37 s → <2 s):
+
+    * tokens are projected into their own column BEFORE the shingle
+      transform — ``element_at(tk, i)`` inside the lambda otherwise
+      re-evaluates the whole regex-split per shingle position (no
+      common-subexpression elimination across higher-order-function
+      lambda boundaries), turning an O(tokens) row into O(tokens²);
+    * the scan is repartitioned to the cluster's parallelism first —
+      the fixture is one small parquet file, i.e. one input split, so
+      the CPU-heavy shingle explode would otherwise run on a single
+      core.  At 100 TB the input is many splits and this repartition
+      becomes a no-op-sized shuffle of raw text; it is kept because
+      per-doc CPU work (not IO) dominates this stage and even then
+      splits can be fewer than cores after compression.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    # NOTE the exact projection shape: tokens in their own select, and
+    # explode(shingles(tk)) in the NEXT select.  Adding a third select
+    # (shingles into a column, explode after) lets CollapseProject
+    # re-inline `tk` into every element_at of the shingle transform —
+    # re-running the regex split O(shingles) times per row (measured
+    # 37 s vs 5 s at sf0.1).
     return (
-        docs.select(
-            "doc_id", shingles_col(tokens_col(F.col("text"))).alias("shs")
+        docs.repartition(par)
+        .select("doc_id", tokens_col(F.col("text")).alias("tk"))
+        .select(
+            "doc_id", F.explode(shingles_col(F.col("tk"))).alias("sh")
         )
-        .select("doc_id", F.explode("shs").alias("sh"))
         .distinct()
     )
 
@@ -374,7 +398,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 64 bits over xxhash64.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    # repartition before the 16×-token explode: the fixture is one
+    # input split; the bit-contribution aggregate is CPU-bound
+    tok = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("t"),
     )

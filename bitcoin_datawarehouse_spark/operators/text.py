@@ -82,8 +82,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no UDF).
     """
     docs = load_table(spark, sf_dir, "documents")
-    tk = tokens_col(F.col("text"))
+    # project tokens once, then count against each stopword list —
+    # avoids re-running the regex split per language
+    tk = F.col("tk")
     scored = docs.select(
+        "doc_id", "lang", tokens_col(F.col("text")).alias("tk")
+    ).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         *[_stop_count(tk, lang) for lang in LANG_PRIORITY],
@@ -128,8 +132,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tk = tokens_col(F.col("text"))
+    # tokens projected once (regex split is the dominant per-row cost)
+    tk = F.col("tk")
     base = docs.select(
+        "doc_id", "text", tokens_col(F.col("text")).alias("tk")
+    ).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_obs"),
         F.size(tk).cast("long").alias("n_tokens"),

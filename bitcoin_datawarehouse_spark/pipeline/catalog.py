@@ -1,0 +1,94 @@
+"""Warehouse catalog: two-level namespace over a parquet directory tree.
+
+Reference parity (SURVEY.md §1.2, §2.2): the reference keeps tables in
+PostgreSQL schemas ``bitcoin`` / ``etl`` and auto-creates them
+(``CREATE SCHEMA IF NOT EXISTS``, reference ``pg_loader.py:42``); the
+Spark-native equivalent is a directory layout ``{root}/{schema}/{table}``
+holding parquet, with the schema carried by the parquet footer (so the
+reference's dynamic ``CREATE TABLE`` from DataFrame dtypes — reference
+``pg_loader.py:70-105`` — needs no separate DDL step here).
+
+Atomicity: every table write goes to a fresh ``{table}.__tmp_*``
+sibling directory and is swapped in with a rename, so readers never
+observe a half-written or truncated table (strictly stronger than the
+reference's TRUNCATE→INSERT window, ``pg_loader.py:144-155``).  On
+HDFS and POSIX filesystems the rename is atomic; on object stores the
+swap degrades to copy-then-delete and a manifest-based table format
+(Delta/Iceberg) is the production answer — the loader API is format-
+agnostic so that swap is a storage-layer change only.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    """Directory-backed catalog with ``schema.table`` addressing."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- namespace ---------------------------------------------------------
+    def create_schema(self, schema: str) -> None:
+        """CREATE SCHEMA IF NOT EXISTS (reference pg_loader.py:39-47)."""
+        (self.root / schema).mkdir(parents=True, exist_ok=True)
+
+    def table_path(self, schema: str, table: str) -> Path:
+        return self.root / schema / table
+
+    def table_exists(self, schema: str, table: str) -> bool:
+        """Existence probe (reference pg_loader.py:107-124)."""
+        p = self.table_path(schema, table)
+        return p.exists() and any(p.glob("*.parquet"))
+
+    def list_tables(self, schema: str) -> list[str]:
+        p = self.root / schema
+        if not p.exists():
+            return []
+        return sorted(d.name for d in p.iterdir() if d.is_dir())
+
+    def drop_table(self, schema: str, table: str) -> None:
+        p = self.table_path(schema, table)
+        if p.exists():
+            shutil.rmtree(p)
+
+    # -- IO ----------------------------------------------------------------
+    def read(self, schema: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(str(self.table_path(schema, table)))
+
+    def write_atomic(
+        self, df: DataFrame, schema: str, table: str, coalesce: int | None = None
+    ) -> None:
+        """Replace ``schema.table`` with ``df`` atomically.
+
+        Writes to a tmp sibling, then swaps directories.  The write is
+        the only Spark action; the swap is metadata-only.  ``coalesce``
+        caps output files for small control tables (avoids the
+        many-tiny-files problem when a 32-way shuffle writes 5 rows).
+        """
+        self.create_schema(schema)
+        final = self.table_path(schema, table)
+        tmp = final.with_name(f"{table}.__tmp_{uuid.uuid4().hex[:8]}")
+        if coalesce:
+            df = df.coalesce(coalesce)
+        df.write.mode("overwrite").parquet(str(tmp))
+        old = final.with_name(f"{table}.__old_{uuid.uuid4().hex[:8]}")
+        if final.exists():
+            final.rename(old)
+        tmp.rename(final)
+        if old.exists():
+            shutil.rmtree(old)
+
+    def append(self, df: DataFrame, schema: str, table: str) -> None:
+        """Append-only load (reference pg_loader.py:148-155 ``to_sql
+        if_exists='append'``).  Parquet appends are file-additive and
+        naturally atomic per file."""
+        self.create_schema(schema)
+        df.write.mode("append").parquet(str(self.table_path(schema, table)))

@@ -1,0 +1,131 @@
+"""Load operators: full refresh, incremental merge, delete, probes.
+
+Reference parity (SURVEY.md §2.2): this is the Spark rebuild of
+``PgLoader`` (reference ``data_integration/utils/worker/pg_loader.py``):
+
+* full refresh   — truncate+reload (``:126-163``) → atomic overwrite;
+* incremental    — staged upsert ``INSERT … ON CONFLICT DO UPDATE``
+  (``:165-270``) → dropDuplicates + left-anti join + unionByName;
+* delete         — ``DELETE … WHERE`` (``:272-294``) → filter-rewrite;
+* MAX probe      — watermark read (``:296-318``);
+* COUNT probe    — post-load verification (``:320-339``).
+
+Merge semantics preserved exactly: new row wins on key conflict and
+ALL non-key columns are replaced (``pg_loader.py:246-259``).  Two
+deliberate hardenings over the reference (SURVEY §2.7/§2.8): a batch
+with duplicate keys would make Postgres ``ON CONFLICT`` error — here
+intra-batch duplicates are resolved deterministically (last by
+``order_col`` if given, else an arbitrary-but-stable first); and a
+batch with new/missing columns would fail the reference's INSERT —
+here ``unionByName(allowMissingColumns=True)`` fills either side's
+missing columns with null (schema drift tolerated, documented).
+
+Scale notes: the merge reads the target once and writes it once —
+one shuffle on the merge keys for the anti-join (broadcast when the
+batch is small, which is the common incremental case — batches are
+"rows since last watermark").  No driver-side row handling anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+#: broadcast the incremental batch into the anti-join below this many
+#: rows — incremental batches are usually tiny relative to the target
+BROADCAST_BATCH_MAX_ROWS = 2_000_000
+
+
+class Loader:
+    """Load strategies for one ``schema.table`` target."""
+
+    def __init__(self, wh: Warehouse, schema: str, table: str) -> None:
+        self.wh = wh
+        self.schema = schema
+        self.table = table
+
+    # -- strategies --------------------------------------------------------
+    def load_full_refresh(self, df: DataFrame) -> None:
+        """Atomic replace (reference truncate+insert, pg_loader.py:126-163)."""
+        self.wh.write_atomic(df, self.schema, self.table)
+
+    def load_incremental(
+        self,
+        df: DataFrame,
+        unique_keys: list[str] | None,
+        order_col: str | None = None,
+    ) -> None:
+        """Merge ``df`` into the target on ``unique_keys``.
+
+        Reference dispatch preserved (pg_loader.py:165-217): no keys →
+        full refresh; target missing → create+insert; else upsert.
+        """
+        if not unique_keys:
+            self.load_full_refresh(df)
+            return
+        batch = _dedupe_batch(df, unique_keys, order_col)
+        if not self.wh.table_exists(self.schema, self.table):
+            self.wh.write_atomic(batch, self.schema, self.table)
+            return
+        old = self.wh.read(self.schema, self.table)
+        if batch.count() <= BROADCAST_BATCH_MAX_ROWS:
+            keep = old.join(F.broadcast(batch), unique_keys, "left_anti")
+        else:
+            keep = old.join(batch, unique_keys, "left_anti")
+        merged = keep.unionByName(batch, allowMissingColumns=True)
+        self.wh.write_atomic(merged, self.schema, self.table)
+
+    def delete_by_condition(self, condition: str | Column) -> int:
+        """DELETE WHERE (reference pg_loader.py:272-294) as a
+        filter-rewrite; returns rows deleted."""
+        old = self.wh.read(self.schema, self.table)
+        pred = F.expr(condition) if isinstance(condition, str) else condition
+        keep = old.filter(~pred)
+        n_before = old.count()
+        n_after = keep.count()
+        self.wh.write_atomic(keep, self.schema, self.table)
+        return n_before - n_after
+
+    # -- probes ------------------------------------------------------------
+    def get_max_value(self, column: str):
+        """Watermark read (reference pg_loader.py:296-318); None when
+        the table does not exist — triggers first-sync full refresh
+        (reference __main__.py:105-112)."""
+        if not self.wh.table_exists(self.schema, self.table):
+            return None
+        df = self.wh.read(self.schema, self.table)
+        if column not in df.columns:
+            # the incremental column names a TARGET column; if a spec
+            # change renamed/dropped it, degrade to the first-sync
+            # path (full refresh) instead of failing the job
+            return None
+        return df.agg(F.max(column).alias("mx")).first()["mx"]
+
+    def get_record_count(self) -> int:
+        """COUNT(*) probe (reference pg_loader.py:320-339); 0 when absent."""
+        if not self.wh.table_exists(self.schema, self.table):
+            return 0
+        return self.wh.read(self.schema, self.table).count()
+
+
+def _dedupe_batch(
+    df: DataFrame, keys: list[str], order_col: str | None
+) -> DataFrame:
+    """Resolve intra-batch key duplicates before the merge.
+
+    With ``order_col``: keep the row with the greatest value (last
+    write wins, ties broken arbitrarily-but-deterministically by the
+    window sort).  Without: ``dropDuplicates`` keeps an arbitrary row —
+    matching the reference's implicit assumption that sources are
+    key-unique (SURVEY §2.7) while never erroring.
+    """
+    if order_col is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

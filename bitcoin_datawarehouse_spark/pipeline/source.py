@@ -1,0 +1,144 @@
+"""Batch source adapters.
+
+Reference parity (SURVEY.md §2.1): the reference's only source is the
+Dune Analytics REST API — submit (``dune_extractor.py:44-67``), then
+poll ``execution/{id}/results`` until COMPLETED/FAILED with a
+5-second interval and a wall-clock timeout (``:69-107``), returning
+``data['result']['rows']`` as ``List[Dict]``.
+
+The engine keeps that contract behind a ``Source`` interface whose
+semantics are testable without a network: ``execute(query_id,
+parameters) -> execution_id`` and ``poll(execution_id) -> rows``.
+``RestPollingSource`` preserves the reference's state machine
+(PENDING → COMPLETED | FAILED, TimeoutError after ``max_wait_time``,
+RuntimeError on failure — ``dune_extractor.py:85-86,100-103``) against
+any callable transport, so the real HTTPS transport is one lambda away
+and tests inject a scripted one.
+
+All of this is driver-side by design — the *result* becomes a
+distributed DataFrame via ``rows_to_df``; the remote engine has
+already done the heavy filtering (the reference pushes the watermark
+parameter into the query, ``dune_extractor.py:57-59``), so rows
+arriving here are "the new batch", small relative to the warehouse.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bitcoin_datawarehouse_spark.pipeline.schema import rows_to_df
+
+Rows = list[dict[str, Any]]
+
+
+class Source(Protocol):
+    def execute(self, query_id: int, parameters: str | None = None) -> str: ...
+
+    def poll(self, execution_id: str) -> Rows: ...
+
+
+class QueryState:
+    """Remote execution states (reference dune_extractor.py:94-103)."""
+
+    COMPLETED = "QUERY_STATE_COMPLETED"
+    FAILED = "QUERY_STATE_FAILED"
+    PENDING = "QUERY_STATE_PENDING"
+
+
+class RestPollingSource:
+    """Execute-then-poll source with the reference's timing contract.
+
+    ``transport(method, path, body)`` abstracts the HTTP layer; it
+    must return the decoded JSON dict.  ``parameters`` is injected as
+    ``{"query_parameters": {"date": value}}`` exactly like the
+    reference (dune_extractor.py:57-59).
+    """
+
+    def __init__(
+        self,
+        transport: Callable[[str, str, dict | None], dict],
+        poll_interval: float = 5.0,
+        max_wait_time: float = 300.0,
+        sleep: Callable[[float], None] = time.sleep,
+        clock: Callable[[], float] = time.monotonic,
+    ) -> None:
+        self.transport = transport
+        self.poll_interval = poll_interval
+        self.max_wait_time = max_wait_time
+        self._sleep = sleep
+        self._clock = clock
+
+    def execute(self, query_id: int, parameters: str | None = None) -> str:
+        body = None
+        if parameters is not None:
+            body = {"query_parameters": {"date": parameters}}
+        resp = self.transport("POST", f"query/{query_id}/execute", body)
+        return resp["execution_id"]
+
+    def poll(self, execution_id: str) -> Rows:
+        deadline = self._clock() + self.max_wait_time
+        while True:
+            resp = self.transport(
+                "GET", f"execution/{execution_id}/results", None
+            )
+            state = resp.get("state", QueryState.PENDING)
+            if state == QueryState.COMPLETED:
+                return resp["result"]["rows"]
+            if state == QueryState.FAILED:
+                raise RuntimeError(
+                    f"remote query failed: {resp.get('error', state)}"
+                )
+            if self._clock() >= deadline:
+                raise TimeoutError(
+                    f"query {execution_id} exceeded {self.max_wait_time}s"
+                )
+            self._sleep(self.poll_interval)
+
+    def fetch(
+        self, query_id: int, parameters: str | None = None
+    ) -> Rows:
+        """execute + poll, the reference's ``DuneToPgWorker.fetch``
+        composition (dune_to_pg_worker.py:29-65)."""
+        return self.poll(self.execute(query_id, parameters))
+
+
+class StaticSource:
+    """In-memory source for tests and local fixtures: a dict of
+    query_id → (parameters → rows) callables or plain row lists."""
+
+    def __init__(
+        self, data: dict[int, Rows | Callable[[str | None], Rows]]
+    ) -> None:
+        self.data = data
+        self.calls: list[tuple[int, str | None]] = []
+
+    def execute(self, query_id: int, parameters: str | None = None) -> str:
+        self.calls.append((query_id, parameters))
+        return f"{query_id}:{parameters}"
+
+    def poll(self, execution_id: str) -> Rows:
+        qid_s, _, params = execution_id.partition(":")
+        item = self.data[int(qid_s)]
+        if callable(item):
+            return item(params if params != "None" else None)
+        return item
+
+    def fetch(self, query_id: int, parameters: str | None = None) -> Rows:
+        return self.poll(self.execute(query_id, parameters))
+
+
+def fetch_as_df(
+    spark: SparkSession,
+    source: Any,
+    query_id: int,
+    parameters: str | None = None,
+) -> DataFrame | None:
+    """Source rows → typed DataFrame; None on empty batch (the
+    reference's short-circuit, dune_to_pg_worker.py:87-89)."""
+    rows = source.fetch(query_id, parameters)
+    if not rows:
+        return None
+    return rows_to_df(spark, rows)

@@ -53,4 +53,5 @@ def load_all_operators() -> None:
         similarity,
         text,
         multimodal,
+        pipeline_semantics,
     )

@@ -1,0 +1,347 @@
+"""Pipeline-layer tests (SURVEY.md §5 strategy, item 2).
+
+Covers: full-refresh idempotence, incremental merge correctness
+(upsert not duplicate; new row wins; all non-key columns replaced),
+intra-batch dedupe, first-sync fallback, watermark advance + source
+parameter pushdown, empty-batch short-circuit, delete-by-predicate,
+schema drift tolerance, continue-on-error with status/error ledger,
+the YAML transform compiler, 5-type schema inference, and the
+polling source state machine (timeout / failure).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.pipeline import (
+    JobControl,
+    LoadStrategy,
+    Loader,
+    Pipeline,
+    RestPollingSource,
+    StaticSource,
+    TableSpec,
+    Warehouse,
+    infer_schema,
+    parse_spec,
+    rows_to_df,
+)
+
+REF_YAML = """
+tables:
+  - name: bitcoin_inputs
+    columns:
+      - address:
+        tx_id: transaction_id
+        value: bitcoin_amount
+    transform:
+      - dimension_attribute_name: UPPER([entity])
+"""
+
+
+@pytest.fixture()
+def wh(spark, tmp_warehouse):
+    return Warehouse(spark, tmp_warehouse)
+
+
+def rows_df(spark, rows):
+    return rows_to_df(spark, rows)
+
+
+# ---------------------------------------------------------------------------
+# loader
+# ---------------------------------------------------------------------------
+
+def test_full_refresh_idempotent(spark, wh):
+    ld = Loader(wh, "bitcoin", "block")
+    df = rows_df(spark, [{"hash": "a", "height": 1}, {"hash": "b", "height": 2}])
+    ld.load_full_refresh(df)
+    ld.load_full_refresh(df)
+    assert ld.get_record_count() == 2
+    assert sorted(r["hash"] for r in wh.read("bitcoin", "block").collect()) == ["a", "b"]
+
+
+def test_incremental_upsert_new_row_wins(spark, wh):
+    ld = Loader(wh, "bitcoin", "tx")
+    ld.load_incremental(
+        rows_df(spark, [{"id": 1, "fee": 10.0, "memo": "old"},
+                        {"id": 2, "fee": 20.0, "memo": "keep"}]),
+        unique_keys=["id"],
+    )
+    ld.load_incremental(
+        rows_df(spark, [{"id": 1, "fee": 99.0, "memo": "new"},
+                        {"id": 3, "fee": 30.0, "memo": "ins"}]),
+        unique_keys=["id"],
+    )
+    got = {r["id"]: (r["fee"], r["memo"]) for r in wh.read("bitcoin", "tx").collect()}
+    assert got == {1: (99.0, "new"), 2: (20.0, "keep"), 3: (30.0, "ins")}
+
+
+def test_incremental_intra_batch_dupes_resolved(spark, wh):
+    ld = Loader(wh, "bitcoin", "t")
+    ld.load_incremental(
+        rows_df(spark, [
+            {"id": 1, "v": 1.0, "ts": 1},
+            {"id": 1, "v": 2.0, "ts": 3},
+            {"id": 1, "v": 1.5, "ts": 2},
+        ]),
+        unique_keys=["id"],
+        order_col="ts",
+    )
+    [(v,)] = [(r["v"],) for r in wh.read("bitcoin", "t").collect()]
+    assert v == 2.0  # last write (max ts) wins
+
+
+def test_incremental_no_keys_degrades_to_full_refresh(spark, wh):
+    ld = Loader(wh, "bitcoin", "nk")
+    ld.load_incremental(rows_df(spark, [{"a": 1}]), unique_keys=None)
+    ld.load_incremental(rows_df(spark, [{"a": 2}]), unique_keys=[])
+    assert [r["a"] for r in wh.read("bitcoin", "nk").collect()] == [2]
+
+
+def test_incremental_schema_drift_fills_null(spark, wh):
+    ld = Loader(wh, "bitcoin", "drift")
+    ld.load_incremental(rows_df(spark, [{"id": 1, "old_col": "x"}]), ["id"])
+    ld.load_incremental(rows_df(spark, [{"id": 2, "new_col": 7}]), ["id"])
+    got = {r["id"]: r.asDict() for r in wh.read("bitcoin", "drift").collect()}
+    assert got[1]["old_col"] == "x" and got[1].get("new_col") is None
+    assert got[2]["new_col"] == 7 and got[2].get("old_col") is None
+
+
+def test_delete_by_condition(spark, wh):
+    ld = Loader(wh, "bitcoin", "d")
+    ld.load_full_refresh(rows_df(spark, [{"id": i, "v": float(i)} for i in range(10)]))
+    deleted = ld.delete_by_condition("v >= 7.0")
+    assert deleted == 3
+    assert ld.get_record_count() == 7
+
+
+def test_watermark_probes(spark, wh):
+    ld = Loader(wh, "bitcoin", "w")
+    assert ld.get_max_value("ts") is None  # absent table → None
+    assert ld.get_record_count() == 0
+    ld.load_full_refresh(rows_df(spark, [{"ts": 5}, {"ts": 9}]))
+    assert ld.get_max_value("ts") == 9
+
+
+# ---------------------------------------------------------------------------
+# schema inference (reference 5-type lattice)
+# ---------------------------------------------------------------------------
+
+def test_infer_schema_five_types_and_fallbacks(spark):
+    rows = [
+        {"i": 1, "f": 1.5, "b": True, "t": dt.datetime(2025, 1, 1), "s": "x",
+         "n": None, "m": 1},
+        {"i": 2, "f": 2, "b": False, "t": dt.datetime(2025, 1, 2), "s": "y",
+         "n": None, "m": "oops"},
+    ]
+    sch = {f.name: f.dataType.simpleString() for f in infer_schema(rows).fields}
+    assert sch == {"i": "bigint", "f": "double", "b": "boolean",
+                   "t": "timestamp", "s": "string",
+                   "n": "string",   # all-null → string fallback
+                   "m": "string"}   # mixed → string
+    df = rows_to_df(spark, rows)
+    assert df.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def test_transform_spec_reference_yaml(spark):
+    specs = parse_spec(REF_YAML)
+    spec = specs["bitcoin_inputs"]
+    df = rows_to_df(spark, [
+        {"address": "bc1q", "tx_id": "t1", "value": 0.5, "entity": "miner",
+         "extra": "dropme"},
+    ])
+    out = spec.apply(df)
+    assert out.columns == [
+        "address", "transaction_id", "bitcoin_amount", "dimension_attribute_name"
+    ]
+    row = out.first()
+    assert row["transaction_id"] == "t1"
+    assert row["bitcoin_amount"] == 0.5
+    assert row["dimension_attribute_name"] == "MINER"
+
+
+def test_transform_missing_column_nonstrict_vs_strict(spark):
+    spec = TableSpec("t", {"a": None, "missing": "m2"}, {"d": "UPPER([gone])"})
+    df = rows_to_df(spark, [{"a": 1}])
+    assert spec.apply(df).columns == ["a"]
+    with pytest.raises(KeyError):
+        spec.apply(df, strict=True)
+
+
+# ---------------------------------------------------------------------------
+# source adapter state machine
+# ---------------------------------------------------------------------------
+
+def _scripted_transport(script):
+    """script: list of responses for successive GETs."""
+    state = {"i": 0}
+
+    def transport(method, path, body):
+        if method == "POST":
+            return {"execution_id": "e1"}
+        resp = script[min(state["i"], len(script) - 1)]
+        state["i"] += 1
+        return resp
+
+    return transport
+
+
+def test_source_polls_until_completed():
+    rows = [{"x": 1}]
+    src = RestPollingSource(
+        _scripted_transport([
+            {"state": "QUERY_STATE_PENDING"},
+            {"state": "QUERY_STATE_PENDING"},
+            {"state": "QUERY_STATE_COMPLETED", "result": {"rows": rows}},
+        ]),
+        poll_interval=0.0, sleep=lambda s: None,
+    )
+    assert src.fetch(42) == rows
+
+
+def test_source_failure_raises():
+    src = RestPollingSource(
+        _scripted_transport([{"state": "QUERY_STATE_FAILED", "error": "boom"}]),
+        sleep=lambda s: None,
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        src.fetch(42)
+
+
+def test_source_timeout():
+    t = {"now": 0.0}
+
+    def clock():
+        t["now"] += 10.0
+        return t["now"]
+
+    src = RestPollingSource(
+        _scripted_transport([{"state": "QUERY_STATE_PENDING"}]),
+        max_wait_time=25.0, sleep=lambda s: None, clock=clock,
+    )
+    with pytest.raises(TimeoutError):
+        src.fetch(42)
+
+
+def test_source_parameter_injection():
+    seen = {}
+
+    def transport(method, path, body):
+        if method == "POST":
+            seen["body"] = body
+            return {"execution_id": "e"}
+        return {"state": "QUERY_STATE_COMPLETED", "result": {"rows": []}}
+
+    src = RestPollingSource(transport, sleep=lambda s: None)
+    src.fetch(7, parameters="2025-01-01")
+    assert seen["body"] == {"query_parameters": {"date": "2025-01-01"}}
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline runs
+# ---------------------------------------------------------------------------
+
+def _seed_jobs(spark, wh, jobs):
+    JobControl(spark, wh).seed(jobs)
+
+
+def test_pipeline_first_sync_then_incremental_watermark(spark, wh):
+    batches = []
+
+    def source_fn(params):
+        batches.append(params)
+        all_rows = [
+            {"id": 1, "date": "2025-01-01", "v": 1.0},
+            {"id": 2, "date": "2025-01-02", "v": 2.0},
+            {"id": 3, "date": "2025-01-03", "v": 3.0},
+        ]
+        if params is None:
+            return all_rows[:2]
+        return [r for r in all_rows if r["date"] > params] + [
+            {"id": 2, "date": "2025-01-02", "v": 22.0}  # overlap: update
+        ]
+
+    src = StaticSource({101: source_fn})
+    _seed_jobs(spark, wh, [{
+        "job_name": "j1", "query_id": 101, "target_table": "t1",
+        "p_key": "id", "status": 0, "active": 1,
+        "incremental_column": "date",
+    }])
+    pipe = Pipeline(spark, wh, src)
+
+    r1 = pipe.run()  # first sync: no watermark → full refresh, params None
+    assert [x.ok for x in r1] == [True] and batches == [None]
+    assert Loader(wh, "bitcoin", "t1").get_record_count() == 2
+
+    r2 = pipe.run()  # second: watermark pushed to source
+    assert batches[1] == "2025-01-02"
+    got = {r["id"]: r["v"] for r in wh.read("bitcoin", "t1").collect()}
+    assert got == {1: 1.0, 2: 22.0, 3: 3.0}  # upsert, not duplicate
+    assert r2[0].rows_loaded == 3
+    status = pipe.control.job_status("j1")
+    assert status["status"] == 1 and status["end_ts"] is not None
+
+
+def test_pipeline_continue_on_error_and_ledger(spark, wh):
+    def broken(params):
+        raise ValueError("source exploded")
+
+    src = StaticSource({1: broken, 2: [{"id": 1, "v": 1.0}]})
+    _seed_jobs(spark, wh, [
+        {"job_name": "bad", "query_id": 1, "target_table": "tb",
+         "p_key": "id", "status": 0, "active": 1, "incremental_column": "v"},
+        {"job_name": "good", "query_id": 2, "target_table": "tg",
+         "p_key": "id", "status": 0, "active": 1, "incremental_column": "v"},
+    ])
+    pipe = Pipeline(spark, wh, src)
+    results = pipe.run()
+    assert [r.ok for r in results] == [False, True]
+    bad = pipe.control.job_status("bad")
+    assert bad["status"] == 2 and "source exploded" in bad["error_message"]
+    assert Loader(wh, "bitcoin", "tg").get_record_count() == 1
+
+
+def test_pipeline_inactive_and_select_filtering(spark, wh):
+    src = StaticSource({1: [{"id": 1}], 2: [{"id": 2}], 3: [{"id": 3}]})
+    _seed_jobs(spark, wh, [
+        {"job_name": "a", "query_id": 1, "target_table": "ta", "p_key": "id",
+         "status": 0, "active": 1, "incremental_column": "id"},
+        {"job_name": "b", "query_id": 2, "target_table": "tb", "p_key": "id",
+         "status": 0, "active": 0, "incremental_column": "id"},
+        {"job_name": "c", "query_id": 3, "target_table": "tc", "p_key": "id",
+         "status": 0, "active": 1, "incremental_column": "id"},
+    ])
+    pipe = Pipeline(spark, wh, src)
+    results = pipe.run(select=["a"])
+    assert [r.job_name for r in results] == ["a"]  # active + selected only
+
+
+def test_pipeline_empty_batch_short_circuit(spark, wh):
+    src = StaticSource({9: []})
+    _seed_jobs(spark, wh, [{
+        "job_name": "e", "query_id": 9, "target_table": "te", "p_key": "id",
+        "status": 0, "active": 1, "incremental_column": "id",
+    }])
+    results = Pipeline(spark, wh, src).run()
+    assert results[0].ok and results[0].rows_loaded == 0
+    assert not wh.table_exists("bitcoin", "te")
+
+
+def test_pipeline_audit_column_stamped(spark, wh):
+    src = StaticSource({5: [{"id": 1, "v": 2.0}]})
+    _seed_jobs(spark, wh, [{
+        "job_name": "au", "query_id": 5, "target_table": "tau", "p_key": "id",
+        "status": 0, "active": 1, "incremental_column": "id",
+    }])
+    Pipeline(spark, wh, src).run()
+    df = wh.read("bitcoin", "tau")
+    assert "etl_updated_ts" in df.columns
+    assert df.filter(F.col("etl_updated_ts").isNotNull()).count() == 1

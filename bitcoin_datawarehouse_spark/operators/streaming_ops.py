@@ -1,0 +1,69 @@
+"""Streaming operators surfaced through the correctness gate.
+
+``streaming_windowed_counts`` actually executes a Structured
+Streaming query (file source → watermark → tumbling window →
+memory sink, availableNow trigger) and returns its final result, so
+the driver's DuckDB oracle verifies the streaming path end-to-end:
+complete output mode emits every window's final state, which must
+equal the batch/SQL computation regardless of micro-batching.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.streaming.jobs import (
+    read_event_stream,
+    run_stream_to_completion,
+    windowed_event_counts,
+)
+from bitcoin_datawarehouse_spark.tables import load_table
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour counts per event type, computed BY THE
+    STREAMING ENGINE (replayed file stream, availableNow) — final
+    complete-mode state must equal the batch aggregation.
+
+    The events fixture is re-materialized to a temp dir because the
+    raw fixture's TIMESTAMP(NANOS) needs the batch reader's
+    micros-truncation first (tables.py), and a file-source stream
+    needs a directory it can list.
+    """
+    tmp = tempfile.mkdtemp(prefix="stream_events_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    agg = windowed_event_counts(
+        read_event_stream(spark, tmp),
+        window="1 hour",
+        watermark="2 hours",
+        decimal_sums=True,
+    ).select("window_start", "event_type", "n_events", "sum_value")
+    sink = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return spark.table(sink)

@@ -54,4 +54,5 @@ def load_all_operators() -> None:
         text,
         multimodal,
         pipeline_semantics,
+        streaming_ops,
     )

@@ -1,0 +1,156 @@
+"""Structured Streaming layer (SURVEY.md §2.10, §7.6).
+
+The reference has no streaming — its incrementality is batch-pull
+with a persisted high watermark (reference ``pg_loader.py:296-318`` +
+``__main__.py:102,114-115``).  This module gives that same
+incrementality a genuine streaming execution: the identical merge
+semantics run under ``foreachBatch``, plus the late-data machinery
+the batch pipeline cannot express — event-time watermarks, tumbling /
+sliding window aggregates, and within-watermark dedup.
+
+Design notes for scale:
+
+* every transformation here is the same declarative DataFrame code the
+  batch layer uses — micro-batch vs batch is an execution detail, so
+  one codebase serves both (the Structured Streaming model);
+* ``foreachBatch`` + ``Loader.load_incremental`` makes each micro-batch
+  an idempotent key-merge: exactly-once table state under at-least-once
+  delivery, because replays upsert the same keys (the checkpoint dir
+  carries offsets; the merge makes replays harmless);
+* watermarks bound the state store: a window aggregate without a
+  watermark grows state forever at 100 TB/day — every stateful op here
+  requires one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+from bitcoin_datawarehouse_spark.pipeline.loader import Loader
+
+#: events fixture schema (ts already truncated to micros by the batch
+#: reader; streaming file sources need an explicit schema anyway)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+
+    At scale this is the landing zone of an ingestion bus; the file
+    source gives replayable offsets (file names) for exactly-once.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    decimal_sums: bool = False,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregate:
+    count + sum(value) per (window, event_type).
+
+    The watermark lets the state store evict windows older than
+    event-time max minus the delay — bounded state regardless of run
+    length; late rows within the delay still merge into their window.
+
+    ``decimal_sums`` switches the value sum to DECIMAL(38,10) — an
+    order-independent exact sum for cross-engine verification (see
+    functions/numeric.py); micro-batch boundaries then cannot perturb
+    the result.
+    """
+    w = (
+        F.window("ts", window, slide)
+        if slide
+        else F.window("ts", window)
+    )
+    val = (
+        F.col("value").cast("decimal(38,10)")
+        if decimal_sums
+        else F.col("value")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(val).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming dedup with bounded state: duplicates arriving within
+    the watermark delay are dropped; state for old keys is evicted.
+    (The streaming analog of the loader's intra-batch key dedupe.)
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def merge_stream_into_table(
+    events: DataFrame,
+    wh: Warehouse,
+    schema: str,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_col: str | None = "ts",
+) -> StreamingQuery:
+    """Run the batch layer's incremental merge per micro-batch.
+
+    Each micro-batch is deduped on ``keys`` and upserted into the
+    parquet target — the reference's staged upsert (pg_loader.py:219-270)
+    as a continuous process.  Idempotent under micro-batch replay.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        Loader(wh, schema, table).load_incremental(
+            batch_df, unique_keys=keys, order_col=order_col
+        )
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_to_completion(query: StreamingQuery, timeout_s: float = 300.0) -> None:
+    """Await an availableNow-triggered stream (drains all input, stops)."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError("stream did not drain within timeout")

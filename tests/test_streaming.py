@@ -1,0 +1,173 @@
+"""Streaming-layer tests: the events fixture replayed as a file
+stream must produce the same results as the equivalent batch
+computation, merges must be idempotent across restarts, and late /
+duplicate rows must be handled by watermark semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.pipeline import Loader, Warehouse
+from bitcoin_datawarehouse_spark.streaming.jobs import (
+    EVENTS_SCHEMA,
+    dedup_within_watermark,
+    merge_stream_into_table,
+    read_event_stream,
+    run_stream_to_completion,
+    windowed_event_counts,
+)
+from bitcoin_datawarehouse_spark.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Events fixture re-materialized as a 4-file directory (so the
+    file source has multiple replayable splits), ts at micros."""
+    d = tmp_path / "events_in"
+    load_table(spark, SF_SMALL, "events").repartition(4).write.parquet(str(d))
+    return str(d)
+
+
+def test_stream_windowed_counts_match_batch(spark, tmp_path):
+    # one file = one micro-batch: deterministic — within a batch no
+    # row is late (the watermark only gates BETWEEN batches), so every
+    # watermark-closed window must equal the batch computation.  The
+    # multi-file arrival-order cases are covered by the late-rows test
+    # below, which controls arrival explicitly.
+    events_dir = str(tmp_path / "events_one")
+    load_table(spark, SF_SMALL, "events").coalesce(1).write.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = load_table(spark, SF_SMALL, "events")
+    expected = {
+        (r["ws"], r["event_type"]): (r["n"], r["s"])
+        for r in (
+            batch.groupBy(
+                F.window("ts", "1 hour").alias("win"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .select(F.col("win.start").alias("ws"), "event_type", "n", "s")
+            .collect()
+        )
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match batch exactly, and most windows must emit
+    assert got
+    for k, v in got.items():
+        assert expected[k][0] == v[0]
+        assert abs(expected[k][1] - v[1]) < 1e-6
+    assert len(got) >= len(expected) - 4  # only the tail can be open
+
+
+def test_stream_merge_idempotent_and_exactly_once(spark, events_dir, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ck = str(tmp_path / "ck2")
+    q = merge_stream_into_table(
+        read_event_stream(spark, events_dir, max_files_per_trigger=2),
+        wh, "analytics", "events", keys=["event_id"], checkpoint_dir=ck,
+    )
+    run_stream_to_completion(q)
+    n_batch = load_table(spark, SF_SMALL, "events").count()
+    assert Loader(wh, "analytics", "events").get_record_count() == n_batch
+
+    # restart with the same checkpoint: offsets are committed, no
+    # reprocessing, state unchanged → exactly-once table semantics
+    q2 = merge_stream_into_table(
+        read_event_stream(spark, events_dir),
+        wh, "analytics", "events", keys=["event_id"], checkpoint_dir=ck,
+    )
+    run_stream_to_completion(q2)
+    assert Loader(wh, "analytics", "events").get_record_count() == n_batch
+
+    # fresh checkpoint (a full replay): merge keys make it idempotent
+    q3 = merge_stream_into_table(
+        read_event_stream(spark, events_dir),
+        wh, "analytics", "events", keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ck3"),
+    )
+    run_stream_to_completion(q3)
+    assert Loader(wh, "analytics", "events").get_record_count() == n_batch
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 10, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=5), 10, "click", 1.0, "{}"),  # dup id
+        (2, base + dt.timedelta(minutes=10), 11, "view", 2.0, "{}"),
+        (2, base + dt.timedelta(minutes=11), 11, "view", 2.0, "{}"),  # dup id
+        (3, base + dt.timedelta(hours=1), 12, "click", 3.0, "{}"),
+    ]
+    src = tmp_path / "dup_in"
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(str(src))
+    stream = read_event_stream(spark, str(src))
+    q = (
+        dedup_within_watermark(stream, ["event_id"], watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    out = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_stream_late_rows_within_watermark_merge(spark, tmp_path):
+    """Rows arriving in a later file but within the watermark delay
+    still land in their event-time window."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d = tmp_path / "late_in"
+    d.mkdir()
+    first = [
+        (1, base + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=3), 1, "click", 1.0, "{}"),  # advances wm
+    ]
+    late = [
+        # event-time in the first window, arrives after wm advanced to
+        # 3h - 4h delay => within watermark, must still be counted
+        (3, base + dt.timedelta(minutes=30), 2, "click", 5.0, "{}"),
+    ]
+    spark.createDataFrame(first, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    spark.createDataFrame(late, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="4 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    assert got[base] == 2  # both the on-time and the late row counted

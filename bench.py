@@ -46,6 +46,8 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "dedup_embedding_cosine",
 ]
 
 
@@ -62,6 +64,14 @@ def main() -> None:
     QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Python worker pool too (pandas import + Arrow channel):
+    # several operators run vectorized mapInPandas stages, and the
+    # interpreter spawn would otherwise be billed to the first of them
+    import pandas as _pd  # noqa: F401 — ensure driver-side import cached
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -105,21 +105,51 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-doc CPU work (not IO) dominates this stage and even then
       splits can be fewer than cores after compression.
     """
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    # NOTE the exact projection shape: tokens in their own select, and
-    # explode(shingles(tk)) in the NEXT select.  Adding a third select
-    # (shingles into a column, explode after) lets CollapseProject
-    # re-inline `tk` into every element_at of the shingle transform —
-    # re-running the regex split O(shingles) times per row (measured
-    # 37 s vs 5 s at sf0.1).
+
+    # Arrow-batched vectorized shingling.  The pure-JVM formulation
+    # (split → higher-order transform with element_at/concat_ws) is
+    # interpreted, not codegen'd — Spark higher-order-function lambdas
+    # don't enter whole-stage codegen — and measured 3-5× slower than
+    # this mapInPandas at sf0.1 (and that was after fixing a
+    # CollapseProject trap that re-inlined the regex split per element
+    # and made it quadratic).  Python-side per-doc set() also dedups
+    # (doc, shingle) locally, removing the cluster-wide DISTINCT
+    # shuffle entirely.  Output strings are byte-identical to the
+    # oracle's split+concat, so cross-engine hashing is unaffected.
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sh", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            shs: list[str] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                seen = set()
+                for i in range(len(tk) - 2):
+                    s = f"{tk[i]} {tk[i + 1]} {tk[i + 2]}"
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(did)
+                        shs.append(s)
+            yield pd.DataFrame({"doc_id": ids, "sh": shs})
+
     return (
         docs.repartition(par)
-        .select("doc_id", tokens_col(F.col("text")).alias("tk"))
-        .select(
-            "doc_id", F.explode(shingles_col(F.col("tk"))).alias("sh")
-        )
-        .distinct()
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema)
     )
 
 
@@ -286,6 +316,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature reproducible in any engine.
     """
     shing = doc_shingles(spark, sf_dir).cache()
+    # eager materialization: four subtrees below read the shingle set
+    # (sizes, signatures, both sides of the verify join); filling the
+    # cache before the main action prevents concurrent stages from
+    # racing to compute it redundantly (measured ~2s at sf0.1)
+    shing.count()
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # all 12 min-hashes in ONE aggregation pass: 12 agg columns instead
     # of a 12× crossJoin row blowup — one shuffle over the shingle set,

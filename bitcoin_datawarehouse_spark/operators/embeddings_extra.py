@@ -1,0 +1,301 @@
+"""Embedding-based dedup + IVF similarity (SURVEY.md §2.12).
+
+Completes the near-dup operator family with the embedding-cosine
+variant, and adds the IVF (inverted-file) ANN path — the standard
+coarse-quantizer design: assign every vector to its nearest centroid,
+search only the probed centroids' inverted lists, exact-rerank the
+candidates.
+
+Determinism: centroids are the vectors with the smallest vec_ids (a
+fixed, engine-independent choice standing in for k-means — the plan
+shape is identical when centroids come from a trained quantizer);
+all dots/norms are left-to-right array folds (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    dot_col,
+    norm_col,
+)
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+# fixture embeddings are near-random (max pairwise cosine ≈0.51 at
+# sf0.01), so the "duplicate" threshold is set at ≈p99.9 of the pair
+# distribution to exercise real output; production corpora with
+# planted paraphrases use 0.9+
+COSINE_DUP_THRESHOLD = 0.35
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 2
+
+_SQL_NORMED = """
+  v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  n AS (
+    SELECT vec_id, e,
+           sqrt(list_reduce(list_transform(e, x -> x * x),
+                            (acc, x) -> acc + x)) AS nrm
+    FROM v
+  )
+"""
+
+_SQL_COS = (
+    "list_reduce(list_transform(list_zip({a}.e, {b}.e), p -> p[1] * p[2]),"
+    " (acc, x) -> acc + x) / ({a}.nrm * {b}.nrm)"
+)
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", norm_col(F.col("e")))
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_SQL_NORMED}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_SQL_COS.format(a="a", b="b")} AS cosine
+    FROM n a
+    JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a="a", b="b")} >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ τ — the semantic
+    dedup pass of a training-data pipeline (exact-match and MinHash
+    miss paraphrases; embeddings catch them).
+
+    This is the exact baseline (all n²/2 pairs): correct at fixture
+    scale and as the rerank kernel.  At 100 TB the candidate set comes
+    from the sign-LSH bucket join of similarity_lsh_buckets (same
+    technique as dedup_minhash_lsh: pairwise work only inside
+    buckets); the cosine filter below is unchanged — only the pair
+    source swaps.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = _normed(spark, sf_dir)
+    # Vectorized all-pairs scoring: broadcast the (small) right-side
+    # matrix to every task, stream left-side blocks through
+    # mapInPandas, and for each block run the similarity as 64
+    # numpy ops vectorized across pairs.  This is the blocked-matrix
+    # design that scales: at 100 TB the right side becomes LSH/IVF
+    # bucket blocks instead of "everything" (see similarity.py) and
+    # the kernel below is unchanged.
+    #
+    # Bit-exactness with the DuckDB oracle is preserved because the
+    # accumulation loops over DIMENSIONS in order (acc += A[:,d]*B[:,d])
+    # — per pair that is the same left-to-right IEEE sequence as the
+    # JVM/DuckDB array fold; only the cross-pair axis is vectorized.
+    rows = emb.select("vec_id", "e").collect()  # one dim-table-sized broadcast
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["e"] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    nrm = np.zeros(len(ids))
+    for j in range(d):  # fold order identical to norm_col
+        nrm += mat[:, j] * mat[:, j]
+    nrm = np.sqrt(nrm)
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_blocks(batches):
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["e"]), dtype=np.float64)
+            a_nrm = np.zeros(len(a_ids))
+            for j in range(d):
+                a_nrm += a_mat[:, j] * a_mat[:, j]
+            a_nrm = np.sqrt(a_nrm)
+            # dim-ordered accumulation, vectorized over the pair grid
+            acc = np.zeros((len(a_ids), len(b_ids)))
+            for j in range(d):
+                acc += np.outer(a_mat[:, j], b_mat[:, j])
+            cosine = acc / np.outer(a_nrm, b_nrm)
+            ai, bi = np.nonzero(
+                (cosine >= COSINE_DUP_THRESHOLD)
+                & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bi],
+                    "cosine": cosine[ai, bi],
+                }
+            )
+
+    blocks = emb.select("vec_id", "e").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return blocks.mapInPandas(score_blocks, out_schema)
+
+
+_SQL_IVF_COMMON = f"""
+  {_SQL_NORMED},
+  cent AS (SELECT * FROM n WHERE vec_id < {IVF_N_CENTROIDS}),
+  assign AS (
+    SELECT vec_id, centroid_id FROM (
+      SELECT x.vec_id, c.vec_id AS centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY x.vec_id
+               ORDER BY {_SQL_COS.format(a="x", b="c")} DESC, c.vec_id
+             ) AS rn
+      FROM n x CROSS JOIN cent c
+    ) WHERE rn = 1
+  )
+"""
+
+
+@query(
+    "similarity_ivf_assign",
+    oracle=f"""
+    WITH {_SQL_IVF_COMMON}
+    SELECT vec_id, centroid_id FROM assign
+    """,
+)
+def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: every vector → nearest centroid
+    (cosine, deterministic vec_id tiebreak).
+
+    Plan: centroids broadcast (tiny) × vectors, per-vector argmax via
+    window — one shuffle on vec_id.  At scale the inverted lists are
+    written bucketed BY centroid_id so the search-time join is
+    shuffle-free (bucket-local).
+    """
+    emb = _normed(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = dot_col(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_IVF_COMMON},
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_COS.format(a="q", b="c")} DESC, c.vec_id
+               ) AS rn
+        FROM n q CROSS JOIN cent c
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.cand_id,
+             {_SQL_COS.format(a="q", b="c")} AS cosine
+      FROM cands cd
+      JOIN n q ON q.vec_id = cd.query_id
+      JOIN n c ON c.vec_id = cd.cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cand_id
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: probe the nprobe nearest centroids, scan only
+    their inverted lists, exact-rerank to top-k.
+
+    The candidate set is |probed lists| ≈ nprobe/n_centroids of the
+    corpus — the 1000-executor path where brute force is O(N) per
+    query.  Join shape: probes (tiny, broadcast) ⋈ assignment lists ⋈
+    vectors, then the same windowed rerank as the brute-force kernel.
+    """
+    emb = _normed(spark, sf_dir)
+    assign = similarity_ivf_assign(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    qset = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    qcos = dot_col(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    wprobe = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        F.broadcast(qset)
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "centroid_id", qcos.alias("cos"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assign.withColumnRenamed("vec_id", "cand_id"), "centroid_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce2"),
+        F.col("nrm").alias("cn2"),
+    )
+    scored = (
+        cands.join(F.broadcast(qset), "query_id")
+        .join(c, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                dot_col(F.col("qe"), F.col("ce2"))
+                / (F.col("qn") * F.col("cn2"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

@@ -1,0 +1,169 @@
+"""Relational surface completion (SURVEY.md §2.11 gaps).
+
+Full-outer join, HAVING, UNION ALL, ntile/percent_rank/cume_dist, and
+exact interpolated percentiles — the remaining standard-SQL shapes not
+yet covered by operators/relational.py and operators/windows.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.numeric import SQL_DSUM, dsum
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+    ),
+    ords AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS total_spend
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_custkey
+    )
+    SELECT cust.c_custkey, cust.c_name, ords.o_custkey,
+           ords.n_orders, ords.total_spend
+    FROM cust FULL OUTER JOIN ords ON cust.c_custkey = ords.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join: even-keyed customers × open-order
+    aggregates — rows survive from both unmatched sides.
+
+    Scale note: full-outer cannot broadcast (both sides must be
+    preserved), so this is a shuffle join on the key by construction —
+    exactly what Catalyst picks; AQE handles skew splitting.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_name")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_spend"),
+        )
+    )
+    return cust.join(
+        ords, cust["c_custkey"] == ords["o_custkey"], "full_outer"
+    ).select("c_custkey", "c_name", "o_custkey", "n_orders", "total_spend")
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT l_suppkey, COUNT(*) AS n_items,
+           {SQL_DSUM("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) >= 200 AND SUM(CAST(l_quantity AS DECIMAL(38,10))) > 5000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: post-aggregation predicate — in Spark simply
+    a filter over the aggregate (Catalyst keeps it after the partial/
+    final hash aggregate; no extra shuffle)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), dsum(F.col("l_quantity"), "sum_qty"))
+        .filter((F.col("n_items") >= 200) & (F.col("sum_qty") > 5000))
+    )
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT 'input' AS flow, o_custkey AS party, o_totalprice AS amount
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'output' AS flow, o_custkey AS party, o_totalprice AS amount
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, duplicates kept) — the reference's
+    inputs+outputs flow union shape; zero-shuffle in Spark (plain
+    concatenation of partitions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("input").alias("flow"),
+        F.col("o_custkey").alias("party"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("output").alias("flow"),
+        F.col("o_custkey").alias("party"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "window_ntile_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank,
+    cume_dist per nation ordered by account balance.
+
+    Ranking ties are broken by c_custkey so both engines see one total
+    order; the two ratios are rounded to 6 places (they are exact
+    small-integer divisions, rounding only guards ulp differences).
+    """
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per group.
+
+    Exact percentile is a sort-based aggregate — fine per bounded
+    group; at 100 TB with huge groups the drop-in replacement is
+    approx_percentile (t-digest sketch, mergeable map-side) at a
+    declared error bound.  Rounded to 4 places: the interpolation
+    ``lo + frac*(hi-lo)`` can differ by 1 ulp between engines.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        )
+    )

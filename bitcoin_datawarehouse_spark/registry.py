@@ -55,4 +55,6 @@ def load_all_operators() -> None:
         multimodal,
         pipeline_semantics,
         streaming_ops,
+        relational_extra,
+        embeddings_extra,
     )

@@ -3,69 +3,106 @@
 Correctness says the operator computes the right rows; these tests
 pin the *plan shape* that makes it viable at 100 TB: filters and
 projections reaching the parquet scan, dims going broadcast,
-window/sort stages staying whole-stage-codegen'd.
+merges anti-joining broadcast batches, no accidental cartesian
+products, map-side partial aggregation.
 """
 
 from __future__ import annotations
 
-from bitcoin_datawarehouse_spark.registry import QUERIES
+import pytest
+
+from bitcoin_datawarehouse_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_aggregation,
+    assert_pushed_filter,
+    explain_str,
+    scan_read_schema,
+)
 
 from .conftest import SF_SMALL
 
 
-def _plan(spark, name: str) -> str:
-    return QUERIES[name](spark, SF_SMALL)._sc_jvm_plan if False else (
-        QUERIES[name](spark, SF_SMALL)._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
-    )
+@pytest.fixture()
+def plan_of(spark):
+    def _get(name: str) -> str:
+        return explain_str(spark, name, SF_SMALL)
+
+    return _get
 
 
-def test_filter_pushdown_reaches_scan(spark):
-    plan = _plan(spark, "extract_projection_range")
-    assert "PushedFilters" in plan
-    assert "o_orderdate" in plan.split("PushedFilters")[1][:200]
+def test_filter_pushdown_reaches_scan(plan_of):
+    assert_pushed_filter(plan_of("extract_projection_range"), "o_orderdate")
 
 
-def test_column_pruning(spark):
-    plan = _plan(spark, "agg_daily_revenue")
-    # lineitem scan must read only the 3 needed columns, not all 11
-    li_scan = [s for s in plan.split("Scan parquet") if "lineitem" in s[:200]]
-    assert li_scan
-    schema_frag = li_scan[0].split("ReadSchema:")[1][:300]
-    assert "l_extendedprice" in schema_frag
-    assert "l_shipdate" not in schema_frag
-    assert "l_returnflag" not in schema_frag
+def test_column_pruning(plan_of):
+    # lineitem scan must read only the needed columns, not all 11
+    frag = scan_read_schema(plan_of("agg_daily_revenue"), "lineitem")
+    assert "l_extendedprice" in frag
+    assert "l_shipdate" not in frag
+    assert "l_returnflag" not in frag
 
 
-def test_dim_join_goes_broadcast(spark):
-    plan = _plan(spark, "join_fact_dim_broadcast")
-    assert "BroadcastHashJoin" in plan
+def test_dim_join_goes_broadcast(plan_of):
+    plan = plan_of("join_fact_dim_broadcast")
+    assert_broadcast_join(plan)
     assert "SortMergeJoin" not in plan
 
 
-def test_semi_and_anti_join_types(spark):
-    semi = _plan(spark, "join_semi_exists")
-    anti = _plan(spark, "join_anti_not_exists")
-    assert "LeftSemi" in semi
-    assert "LeftAnti" in anti
+def test_semi_and_anti_join_types(plan_of):
+    assert "LeftSemi" in plan_of("join_semi_exists")
+    assert "LeftAnti" in plan_of("join_anti_not_exists")
 
 
-def test_topk_uses_take_ordered(spark):
-    plan = _plan(spark, "topk_global")
-    assert "TakeOrderedAndProject" in plan
+def test_topk_uses_take_ordered(plan_of):
+    assert "TakeOrderedAndProject" in plan_of("topk_global")
 
 
-def test_aggregate_is_partial(spark):
-    # map-side partial aggregation before the shuffle
-    plan = _plan(spark, "pricing_summary")
-    assert plan.count("HashAggregate") >= 2
+def test_aggregate_is_partial(plan_of):
+    assert_partial_aggregation(plan_of("pricing_summary"))
 
 
-def test_asof_join_has_no_range_join(spark):
+def test_asof_join_has_no_range_join(plan_of):
     # the as-of rewrite must not produce a nested-loop / cartesian join
-    plan = _plan(spark, "asof_join_daily_price")
-    assert "CartesianProduct" not in plan
+    plan = plan_of("asof_join_daily_price")
+    assert_no_cartesian(plan)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_is_broadcast_anti_join(plan_of):
+    # the incremental-merge dataflow: batch broadcast into a left-anti
+    plan = plan_of("pipeline_merge_upsert")
+    assert "LeftAnti" in plan
+    assert_broadcast_join(plan)
+
+
+def test_delete_predicate_pushed_to_scan(plan_of):
+    # survivors filter (NOT(status AND price<..)) reaches the scan via
+    # pushed-down disjunction on at least the status column
+    plan = plan_of("pipeline_delete_where")
+    assert "PushedFilters" in plan
+
+
+def test_watermark_probe_is_broadcast_not_collect(plan_of):
+    # the MAX-probe joins in as a broadcast, not a driver collect
+    plan = plan_of("pipeline_watermark_extract")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_full_outer_is_shuffle_join(plan_of):
+    # full outer cannot broadcast: both unmatched sides must survive
+    plan = plan_of("join_full_outer")
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+
+
+def test_minhash_bucket_join_no_cartesian(plan_of):
+    # LSH candidate generation must be an equi-join on (band, key) —
+    # never an all-pairs product
+    assert_no_cartesian(plan_of("dedup_minhash_lsh"))
+
+
+def test_ivf_probe_join_no_cartesian(plan_of):
+    plan = plan_of("similarity_ivf_topk")
+    # centroid probing is a broadcast of tiny frames; candidate
+    # generation and rerank must be hash joins
+    assert "BroadcastHashJoin" in plan

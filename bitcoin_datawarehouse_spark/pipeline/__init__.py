@@ -16,9 +16,16 @@ from bitcoin_datawarehouse_spark.pipeline.jobs import (
 from bitcoin_datawarehouse_spark.pipeline.loader import Loader
 from bitcoin_datawarehouse_spark.pipeline.schema import infer_schema, rows_to_df
 from bitcoin_datawarehouse_spark.pipeline.source import (
+    FileReplaySource,
     RestPollingSource,
     StaticSource,
     fetch_as_df,
+)
+from bitcoin_datawarehouse_spark.pipeline.sqlrunner import (
+    read_file,
+    register_warehouse_views,
+    run_sql,
+    run_sql_file,
 )
 from bitcoin_datawarehouse_spark.pipeline.transform import (
     TableSpec,
@@ -37,9 +44,14 @@ __all__ = [
     "Pipeline",
     "infer_schema",
     "rows_to_df",
+    "FileReplaySource",
     "RestPollingSource",
     "StaticSource",
     "fetch_as_df",
+    "read_file",
+    "register_warehouse_views",
+    "run_sql",
+    "run_sql_file",
     "TableSpec",
     "compile_expr",
     "lowercase_columns",

@@ -130,6 +130,49 @@ class StaticSource:
         return self.poll(self.execute(query_id, parameters))
 
 
+class FileReplaySource:
+    """Replay source: responses recorded on disk in the remote API's
+    JSON shape ``{"result": {"rows": [...]}}`` (one file per query_id,
+    ``{query_id}.json``), optionally parameter-filtered.
+
+    This is the engine's offline stand-in for the REST source — the
+    same fetch contract, no network: useful for reproducible backfills
+    and tests, and the natural target for recording live responses.
+    ``param_column``: when a watermark parameter is passed, rows whose
+    value in this column is > the parameter are returned (mirroring
+    the remote query's lower-bound filter, reference
+    dune_extractor.py:57-59).
+    """
+
+    def __init__(self, root: str, param_column: str | None = None) -> None:
+        self.root = root
+        self.param_column = param_column
+
+    def fetch(self, query_id: int, parameters: str | None = None) -> Rows:
+        import json
+        from pathlib import Path
+
+        path = Path(self.root) / f"{query_id}.json"
+        doc = json.loads(path.read_text())
+        rows: Rows = doc["result"]["rows"]
+        if parameters is not None and self.param_column:
+            rows = [
+                r
+                for r in rows
+                if r.get(self.param_column) is not None
+                and str(r[self.param_column]) > parameters
+            ]
+        return rows
+
+    # Source protocol (execute/poll) for symmetry with the REST source
+    def execute(self, query_id: int, parameters: str | None = None) -> str:
+        return f"{query_id}\n{parameters}"
+
+    def poll(self, execution_id: str) -> Rows:
+        qid, _, params = execution_id.partition("\n")
+        return self.fetch(int(qid), None if params == "None" else params)
+
+
 def fetch_as_df(
     spark: SparkSession,
     source: Any,

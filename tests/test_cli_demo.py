@@ -1,0 +1,117 @@
+"""CLI, SQL-file runner, replay-source, and bitcoin-demo tests."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+from bitcoin_datawarehouse_spark.__main__ import main as cli_main
+from bitcoin_datawarehouse_spark.pipeline import (
+    FileReplaySource,
+    Warehouse,
+    register_warehouse_views,
+    rows_to_df,
+    run_sql_file,
+)
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from examples.bitcoin_warehouse_demo import (  # noqa: E402
+    TRANSFORM_SPEC,
+    record_responses,
+    run_demo,
+    synth_rows,
+)
+
+
+@pytest.fixture()
+def recorded(tmp_path):
+    d = tmp_path / "responses"
+    record_responses(d, synth_rows(8))
+    return d
+
+
+def test_file_replay_source_watermark_filter(recorded):
+    src = FileReplaySource(str(recorded), param_column="date")
+    all_rows = src.fetch(2177266)
+    newer = src.fetch(2177266, parameters="2025-01-01")
+    assert len(all_rows) == 8
+    assert 0 < len(newer) < len(all_rows)
+    assert all(r["date"] > "2025-01-01" for r in newer)
+    # execute/poll protocol equivalence
+    assert src.poll(src.execute(2177266, "2025-01-01")) == newer
+
+
+def test_cli_end_to_end(tmp_path, recorded):
+    jobs_csv = tmp_path / "jobs.csv"
+    jobs_csv.write_text(
+        "JOB_NAME,QUERY_ID,TARGET_TABLE,P_KEY,STATUS,ACTIVE,INCREMENTAL_COLUMN\n"
+        "bitcoin_block,2177266,block,hash,0,1,date\n"
+        "inactive_job,2177353,input,transaction_id,0,0,date\n"
+    )
+    spec = tmp_path / "transform.yaml"
+    spec.write_text(TRANSFORM_SPEC)
+    rc = cli_main(
+        [
+            "--warehouse", str(tmp_path / "wh"),
+            "--source-dir", str(recorded),
+            "--seed-jobs", str(jobs_csv),
+            "--transform-spec", str(spec),
+            "--param-column", "date",
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "wh" / "bitcoin" / "block").exists()
+    assert not (tmp_path / "wh" / "bitcoin" / "input").exists()  # inactive
+
+
+def test_cli_continue_on_error_exit_code(tmp_path, recorded):
+    jobs_csv = tmp_path / "jobs.csv"
+    jobs_csv.write_text(
+        "JOB_NAME,QUERY_ID,TARGET_TABLE,P_KEY,STATUS,ACTIVE,INCREMENTAL_COLUMN\n"
+        "bitcoin_block,2177266,block,hash,0,1,date\n"
+        "broken,999,b,x,0,1,date\n"
+    )
+    rc = cli_main(
+        [
+            "--warehouse", str(tmp_path / "wh"),
+            "--source-dir", str(recorded),
+            "--seed-jobs", str(jobs_csv),
+        ]
+    )
+    assert rc == 1  # broken job failed…
+    assert (tmp_path / "wh" / "bitcoin" / "block").exists()  # …good one ran
+
+
+def test_sql_file_runner(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write_atomic(
+        rows_to_df(spark, [{"k": 1, "v": 10.0}, {"k": 2, "v": 20.0}]),
+        "s", "t",
+    )
+    names = register_warehouse_views(spark, wh)
+    assert names == ["s_t"]
+    f = tmp_path / "q.sql"
+    f.write_text(
+        "CREATE OR REPLACE TEMP VIEW doubled AS SELECT k, v * 2 AS v2 FROM s_t;\n"
+        "SELECT SUM(v2) AS total FROM doubled;\n"
+    )
+    [row] = run_sql_file(spark, str(f)).collect()
+    assert row["total"] == 60.0
+
+
+def test_bitcoin_demo_end_to_end(spark, tmp_path):
+    out = run_demo(str(tmp_path), spark=spark)
+    assert out["all_ok"]
+    # incremental grew the chain without duplicating
+    assert out["second_sync"]["bitcoin_block"] == 52
+    assert out["first_sync"]["bitcoin_block"] == 40
+    [chain] = out["answers"]["chain_check"]
+    assert chain["linked_blocks"] == 51  # every non-genesis block links
+    assert {r["entity"] for r in out["answers"]["entity_flow"]} == {
+        "MINER", "EXCHANGE", "USER",
+    }
+    assert json.dumps(out["answers"]["daily_fees"], default=str)  # serializable

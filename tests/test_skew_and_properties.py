@@ -1,0 +1,126 @@
+"""Skew-utility equivalence tests + property-based merge tests.
+
+The salted rewrites must be semantically identical to their plain
+forms; the loader's incremental merge must match a reference model
+(a plain dict, last-write-wins per key) under arbitrary batch
+sequences — hypothesis drives the batch shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.skew import (
+    salted_agg_sum,
+    salted_join,
+)
+from bitcoin_datawarehouse_spark.pipeline import Loader, Warehouse, rows_to_df
+from bitcoin_datawarehouse_spark.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_salted_agg_matches_plain(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    val = F.col("l_quantity").cast("decimal(38,10)")
+    plain = {
+        r["l_suppkey"]: r["s"]
+        for r in li.groupBy("l_suppkey").agg(F.sum(val).alias("s")).collect()
+    }
+    salted = {
+        r["l_suppkey"]: r["s"]
+        for r in salted_agg_sum(
+            li, "l_suppkey", val, "s", n_salts=8,
+            salt_by=["l_orderkey", "l_linenumber"],
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = (
+        orders.join(cust, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(orders, cust, "o_custkey", n_salts=8)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    a = {r["o_custkey"]: r["n"] for r in plain.collect()}
+    b = {r["o_custkey"]: r["n"] for r in salted.collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# property-based merge correctness
+# ---------------------------------------------------------------------------
+
+batch_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # key (small range → conflicts)
+        st.integers(min_value=-100, max_value=100),  # payload value
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(batch_strategy, min_size=1, max_size=3))
+def test_merge_matches_model(spark, tmp_path_factory, batches):
+    """Sequential incremental merges == dict model (last batch wins per
+    key; within a batch, the row with the highest order stamp wins)."""
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    ld = Loader(wh, "s", "t")
+    model: dict[int, int] = {}
+    for batch in batches:
+        rows = [
+            {"k": k, "v": v, "ord": i} for i, (k, v) in enumerate(batch)
+        ]
+        if not rows:
+            continue
+        # model: last occurrence (max ord) per key wins
+        for r in rows:
+            model[r["k"]] = r["v"]
+        ld.load_incremental(
+            rows_to_df(spark, rows), unique_keys=["k"], order_col="ord"
+        )
+    if model:
+        got = {r["k"]: r["v"] for r in wh.read("s", "t").collect()}
+        assert got == model
+    else:
+        assert ld.get_record_count() == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=batch_strategy)
+def test_full_refresh_then_delete_model(spark, tmp_path_factory, batch):
+    """Full refresh replaces; delete-by-predicate removes exactly the
+    matching rows."""
+    if not batch:
+        return
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    ld = Loader(wh, "s", "t")
+    rows = [{"k": k, "v": v, "ord": i} for i, (k, v) in enumerate(batch)]
+    ld.load_full_refresh(rows_to_df(spark, rows))
+    assert ld.get_record_count() == len(rows)
+    deleted = ld.delete_by_condition("v < 0")
+    expect_deleted = sum(1 for r in rows if r["v"] < 0)
+    assert deleted == expect_deleted
+    assert ld.get_record_count() == len(rows) - expect_deleted

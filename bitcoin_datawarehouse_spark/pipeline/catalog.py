@@ -92,3 +92,49 @@ class Warehouse:
         naturally atomic per file."""
         self.create_schema(schema)
         df.write.mode("append").parquet(str(self.table_path(schema, table)))
+
+    # -- storage layout (the 100 TB levers) --------------------------------
+    def write_partitioned(
+        self, df: DataFrame, schema: str, table: str, partition_cols: list[str]
+    ) -> None:
+        """Hive-style partitioned layout (``.../col=value/``): queries
+        filtering on the partition columns prune whole directories at
+        planning time — the at-rest form of the reference's
+        date-parameterized extraction (every fact table in a 100 TB
+        warehouse is date-partitioned)."""
+        self.create_schema(schema)
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(str(self.table_path(schema, table)))
+        )
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Bucketed table (hash-clustered files on the join/agg key):
+        two tables bucketed identically join WITHOUT a shuffle — the
+        co-location lever for repeated fact↔fact joins.
+
+        Registered through the session catalog (``saveAsTable``) since
+        bucketing metadata lives there; the files land under
+        ``spark.sql.warehouse.dir``.  Returns the catalog table name
+        (``{schema}_{table}`` — session-catalog names are one-level
+        here; a production deployment points the session at a shared
+        metastore and keeps real two-level names).
+        """
+        name = f"{schema}_{table}"
+        writer = (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+        return name

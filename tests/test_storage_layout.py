@@ -1,0 +1,65 @@
+"""Storage-layout tests: partition pruning and shuffle-free bucketed
+joins — plan-level proof, not just row correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.pipeline import Warehouse
+from bitcoin_datawarehouse_spark.plans.audit import df_plan
+from bitcoin_datawarehouse_spark.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_partitioned_write_prunes(spark, tmp_warehouse):
+    wh = Warehouse(spark, tmp_warehouse)
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    wh.write_partitioned(orders, "bitcoin", "orders_part", ["order_year"])
+
+    df = wh.read("bitcoin", "orders_part").filter(F.col("order_year") == 1995)
+    plan = df_plan(df)
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters")[1][:200]
+    # pruned read returns exactly the matching rows
+    expect = orders.filter(F.col("order_year") == 1995).count()
+    assert df.count() == expect
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_warehouse):
+    wh = Warehouse(spark, tmp_warehouse)
+    orders = load_table(spark, SF_SMALL, "orders")
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    t_orders = wh.write_bucketed(
+        orders, "lab", "orders_b", ["o_orderkey"], 8
+    )
+    t_items = wh.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lab", "lineitem_b", ["o_orderkey"], 8,
+    )
+    joined = (
+        spark.table(t_orders)
+        .hint("merge")  # force sort-merge so broadcast doesn't mask bucketing
+        .join(spark.table(t_items), "o_orderkey")
+        .select("o_orderkey", "o_totalprice", "l_quantity")
+    )
+    plan = df_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    # row correctness vs the plain join
+    expect = (
+        orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+        ).count()
+    )
+    assert joined.count() == expect
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _cleanup_catalog(spark):
+    yield
+    for t in ("lab_orders_b", "lab_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

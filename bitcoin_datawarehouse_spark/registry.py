@@ -57,4 +57,5 @@ def load_all_operators() -> None:
         streaming_ops,
         relational_extra,
         embeddings_extra,
+        rangejoin,
     )

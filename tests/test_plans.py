@@ -101,6 +101,14 @@ def test_minhash_bucket_join_no_cartesian(plan_of):
     assert_no_cartesian(plan_of("dedup_minhash_lsh"))
 
 
+def test_range_join_is_hash_join_not_nested_loop(plan_of):
+    # the bucketize-then-refine rewrite must produce an equi hash join
+    plan = plan_of("join_range_bucketized")
+    assert_no_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_ivf_probe_join_no_cartesian(plan_of):
     plan = plan_of("similarity_ivf_topk")
     # centroid probing is a broadcast of tiny frames; candidate

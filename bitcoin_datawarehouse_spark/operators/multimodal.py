@@ -124,3 +124,104 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
     return m.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample stubs (the remaining media kernels)
+# ---------------------------------------------------------------------------
+
+RESIZE_DIM = 16
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_payload(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize. Production: PIL Image.resize / cv2.resize.
+
+    Deterministic fake: nearest-neighbor downsample of the byte
+    stream to w*h bytes — preserves the real kernel's contract
+    (binary in, fixed-size binary out) so the Spark plumbing and
+    output schema are exactly what a real codec produces.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return bytes(w * h)
+    idx = (np.arange(w * h) * arr.size) // (w * h)
+    return arr[idx].tobytes()
+
+
+def sample_frames(payload: bytes, n_frames: int, frame_size: int) -> list[bytes]:
+    """STUB frame sampler. Production: pyav / ffmpeg keyframe pull.
+
+    Deterministic fake: n evenly-spaced fixed-size byte windows —
+    the real sampler's shape (one row per sampled frame).
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    out = []
+    for i in range(n_frames):
+        start = (i * max(arr.size - frame_size, 0)) // max(n_frames - 1, 1)
+        chunk = arr[start : start + frame_size]
+        out.append(chunk.tobytes().ljust(frame_size, b"\0"))
+    return out
+
+
+@query("multimodal_resize")  # rows-only: binary kernel, no SQL analog
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch resize over mapInPandas: every payload → RESIZE_DIM²
+    bytes.  One Arrow batch per task; the codec swap point is
+    :func:`resize_payload`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": [
+                        resize_payload(p, RESIZE_DIM, RESIZE_DIM)
+                        for p in pdf["payload"]
+                    ],
+                    "out_w": RESIZE_DIM,
+                    "out_h": RESIZE_DIM,
+                }
+            )
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+    return m.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+@query("multimodal_frame_sample")  # rows-only: binary kernel, no SQL analog
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over mapInPandas: every payload → 4 fixed-size
+    'frames' (one output row per frame — the explode happens inside
+    the Arrow kernel, not as a separate shuffle)."""
+    n_frames, frame_size = 4, 32
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(sample_frames(p, n_frames, frame_size)):
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+    return m.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -1,0 +1,60 @@
+"""Sketch-based approximate aggregates (the 100 TB substitutes).
+
+Exact count-distinct and exact percentiles need a full shuffle of the
+distinct values / a per-group sort; at warehouse scale the standard
+substitutes are mergeable sketches — HyperLogLog++ for cardinality,
+t-digest (Spark's approx_percentile) for quantiles.  Both are
+map-side-combinable: the shuffle carries fixed-size sketch state, not
+data.
+
+Sketch contents are engine-specific, so these are rows-only in the
+gate; tests/test_sketches.py bounds their error against the exact
+operators instead (the meaningful contract for an approximation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+HLL_RSD = 0.02  # 2% relative standard deviation
+
+
+@query("sketch_hll_distinct_per_group")  # rows-only: HLL internals differ per engine
+def sketch_hll_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order-month via HyperLogLog++ (rsd 2%).
+
+    The shuffle carries one ~kilobyte HLL register set per (month)
+    group instead of every distinct custkey — the only viable shape
+    for count-distinct over billions of keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month")
+        )
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias(
+                "approx_customers"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("sketch_approx_percentiles")  # rows-only: t-digest internals differ per engine
+def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of extended price per return flag via Spark's
+    approx_percentile (accuracy parameter 10000 ≈ 0.01% rank error) —
+    the mergeable replacement for the exact sort-based percentile.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            F.lit(10000),
+        ).alias("approx_pcts")
+    )

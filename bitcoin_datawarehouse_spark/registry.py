@@ -58,4 +58,5 @@ def load_all_operators() -> None:
         relational_extra,
         embeddings_extra,
         rangejoin,
+        sketches,
     )

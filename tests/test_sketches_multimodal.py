@@ -1,0 +1,71 @@
+"""Error-bound tests for sketch aggregates + batch-shape tests for
+the multimodal kernels (the rows-only gate entries get their real
+verification here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.registry import QUERIES
+from bitcoin_datawarehouse_spark.tables import load_table
+from tests.conftest import SF_ORACLE, SF_SMALL
+
+
+def test_hll_distinct_within_rsd(spark):
+    approx = {
+        r["order_month"]: r["approx_customers"]
+        for r in QUERIES["sketch_hll_distinct_per_group"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    exact = {
+        r["order_month"]: r["n"]
+        for r in (
+            load_table(spark, SF_ORACLE, "orders")
+            .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+            .agg(F.countDistinct("o_custkey").alias("n"))
+            .collect()
+        )
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(5, 0.1 * n), (k, approx[k], n)
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    approx = {
+        r["l_returnflag"]: r["approx_pcts"]
+        for r in QUERIES["sketch_approx_percentiles"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["agg_percentiles"](spark, SF_ORACLE).collect()
+    }
+    for flag, (p50, p90, p99) in exact.items():
+        a50, a90, a99 = approx[flag]
+        for a, e in ((a50, p50), (a90, p90), (a99, p99)):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+def test_multimodal_resize_shape(spark):
+    rows = QUERIES["multimodal_resize"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    assert all(len(r["resized"]) == r["out_w"] * r["out_h"] for r in rows)
+    # deterministic: same payload → same bytes across runs
+    again = QUERIES["multimodal_resize"](spark, SF_SMALL).collect()
+    assert {r["doc_id"]: bytes(r["resized"]) for r in rows} == {
+        r["doc_id"]: bytes(r["resized"]) for r in again
+    }
+
+
+def test_multimodal_frame_sample_shape(spark):
+    df = QUERIES["multimodal_frame_sample"](spark, SF_SMALL)
+    rows = df.collect()
+    assert len(rows) == 500 * 4  # one row per sampled frame
+    assert all(len(r["frame"]) == 32 for r in rows)
+    per_doc = (
+        df.groupBy("doc_id").count().agg(F.min("count"), F.max("count")).first()
+    )
+    assert per_doc[0] == per_doc[1] == 4

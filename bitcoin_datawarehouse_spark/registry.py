@@ -59,4 +59,5 @@ def load_all_operators() -> None:
         embeddings_extra,
         rangejoin,
         sketches,
+        graph,
     )

@@ -93,6 +93,28 @@ class Warehouse:
         self.create_schema(schema)
         df.write.mode("append").parquet(str(self.table_path(schema, table)))
 
+    def compact(
+        self, schema: str, table: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> tuple[int, int]:
+        """Rewrite ``schema.table`` into ~target-sized files.
+
+        Incremental merges and streaming foreachBatch appends accrete
+        small files (every micro-batch writes its own); scans then pay
+        per-file open/footer costs and tiny input splits.  Compaction
+        is the standard maintenance pass: read, coalesce to
+        ceil(bytes/target), atomic swap.  Returns (files_before,
+        files_after).
+        """
+        path = self.table_path(schema, table)
+        files = list(path.glob("*.parquet"))
+        total = sum(f.stat().st_size for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        self.write_atomic(
+            self.read(schema, table), schema, table, coalesce=int(n_out)
+        )
+        after = len(list(self.table_path(schema, table).glob("*.parquet")))
+        return len(files), after
+
     # -- storage layout (the 100 TB levers) --------------------------------
     def write_partitioned(
         self, df: DataFrame, schema: str, table: str, partition_cols: list[str]

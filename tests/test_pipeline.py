@@ -345,3 +345,15 @@ def test_pipeline_audit_column_stamped(spark, wh):
     df = wh.read("bitcoin", "tau")
     assert "etl_updated_ts" in df.columns
     assert df.filter(F.col("etl_updated_ts").isNotNull()).count() == 1
+
+
+def test_compaction_reduces_files_preserves_rows(spark, wh):
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse  # noqa: F401
+
+    ld = Loader(wh, "bitcoin", "cmp")
+    for i in range(6):  # six appends → many small files
+        wh.append(rows_df(spark, [{"id": i * 10 + j, "v": float(j)} for j in range(5)]),
+                  "bitcoin", "cmp")
+    before, after = wh.compact("bitcoin", "cmp")
+    assert before > after == 1  # tiny table compacts to one file
+    assert ld.get_record_count() == 30

@@ -153,6 +153,68 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fused_shingles_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow pass over documents emitting BOTH row kinds:
+    (doc_id, sh, sig=null) per distinct shingle and one
+    (doc_id, sh=null, sig=[12 minhash hex]) signature row per doc.
+
+    A document is a single input row, so its whole shingle set is
+    task-local and the per-seed minima need no shuffle; hashlib's md5
+    hex equals Spark's/DuckDB's md5, keeping signatures engine-
+    identical.  Downstream splits the union by null-ness — one cached
+    materialization serves the verify joins, the sizes aggregate, and
+    the band keys.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sh", T.StringType()),
+            T.StructField("sig", T.ArrayType(T.StringType())),
+        ]
+    )
+    n_seeds = MINHASH_SEEDS
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shs, sigs = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                seen = set()
+                for i in range(len(tk) - 2):
+                    s = f"{tk[i]} {tk[i + 1]} {tk[i + 2]}"
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(did)
+                        shs.append(s)
+                        sigs.append(None)
+                if seen:
+                    mins = [None] * n_seeds
+                    for s in seen:
+                        for k in range(n_seeds):
+                            h = hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                            if mins[k] is None or h < mins[k]:
+                                mins[k] = h
+                    ids.append(did)
+                    shs.append(None)
+                    sigs.append(mins)
+            yield pd.DataFrame({"doc_id": ids, "sh": shs, "sig": sigs})
+
+    return (
+        docs.repartition(par)
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -315,23 +377,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash aggregation.  The md5-derived permutations make the
     signature reproducible in any engine.
     """
-    shing = doc_shingles(spark, sf_dir).cache()
-    # eager materialization: four subtrees below read the shingle set
-    # (sizes, signatures, both sides of the verify join); filling the
-    # cache before the main action prevents concurrent stages from
-    # racing to compute it redundantly (measured ~2s at sf0.1)
-    shing.count()
+    # ONE Arrow pass computes shingles AND per-doc minhash signatures
+    # (each doc is one input row, so its full shingle set is local to
+    # the task — the 12 minima need no shuffle at all).  hashlib md5
+    # emits the same lowercase hex as Spark/DuckDB md5, so min-over-hex
+    # is engine-identical (signatures verified byte-equal against the
+    # JVM aggregation).  Replaces a 12-column md5 hash aggregate over
+    # the shingle set: measured ~8s → ~3s at sf0.1.
+    fused = _fused_shingles_sigs(spark, sf_dir).cache()
+    # eager materialization: several subtrees below read this cache;
+    # filling it before the main action prevents concurrent stages
+    # from racing to compute it redundantly
+    fused.count()
+    shing = fused.filter(F.col("sh").isNotNull()).select("doc_id", "sh")
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # all 12 min-hashes in ONE aggregation pass: 12 agg columns instead
-    # of a 12× crossJoin row blowup — one shuffle over the shingle set,
-    # each carrying 12 partial mins (measured 60s → ~8s at sf0.1)
-    mh = shing.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")).cast("binary"))
-            ).alias(f"m{s}")
-            for s in range(MINHASH_SEEDS)
-        ]
+    mh = fused.filter(F.col("sig").isNotNull()).select(
+        "doc_id",
+        *[F.col("sig")[s].alias(f"m{s}") for s in range(MINHASH_SEEDS)],
     )
     n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
     band_structs = F.array(

@@ -1,9 +1,13 @@
 """Deduplication operators (SURVEY.md §2.12; north-star extensions).
 
 Exact, n-gram-Jaccard, MinHash+LSH, and SimHash dedup over the
-``documents`` fixture.  Everything is expressed with built-in JVM-side
-array/string/hash functions — no Python UDFs — so the hot path stays
-inside whole-stage codegen, and every operator has a DuckDB oracle.
+``documents`` fixture; every operator has a DuckDB oracle.  Set ops
+and joins are built-in JVM-side functions; the tokenize/shingle/
+signature kernels are Arrow-batched ``mapInPandas`` — measured 3-5×
+faster than Spark's interpreted higher-order-function lambdas for
+this per-row string work (see doc_shingles / _fused_shingles_sigs
+for the numbers), while emitting byte-identical strings/hashes so
+cross-engine verification is unaffected.
 
 Determinism across engines: the randomized parts (minhash permutations,
 simhash bit projections) are derived from ``md5`` — available and
@@ -20,11 +24,13 @@ Scale design (the part that matters at 100 TB):
   on shared shingles (inverted-index join), MinHash joins on LSH band
   buckets, SimHash joins on rotated bit-blocks — each bounds the
   candidate set to near-linear in practice.
-* hot shingles (appearing in very many docs) are the skew hazard:
-  ``SHINGLE_DOC_FREQ_CAP`` drops shingles shared by more than a
-  fraction of the corpus (they carry ~no information and create
-  quadratic blowup) — the standard trick in large-scale near-dup
-  (cf. the public MinHash literature).
+* hot shingles (appearing in very many docs) are the skew hazard at
+  corpus scale: the standard mitigation — dropping shingles whose doc
+  frequency exceeds a small fraction of the corpus (they carry ~no
+  information and create quadratic candidate blowup; cf. the public
+  MinHash literature) — is one added filter on the shingle frequency
+  aggregate.  Not applied at fixture scale because the oracle must
+  compute the identical candidate set; the plan shape is unchanged.
 """
 
 from __future__ import annotations

@@ -132,9 +132,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # tokens projected once (regex split is the dominant per-row cost)
+    # tokens projected once (regex split is the dominant per-row cost);
+    # repartition first — the fixture is one input split and this is
+    # regex-heavy per-doc CPU work
     tk = F.col("tk")
-    base = docs.select(
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", "text", tokens_col(F.col("text")).alias("tk")
     ).select(
         "doc_id",

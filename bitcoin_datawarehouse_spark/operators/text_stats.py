@@ -1,0 +1,166 @@
+"""Corpus-statistics text operators (SURVEY.md §2.12 extensions).
+
+Repetition/diversity signals (the Gopher-style quality rules that
+catch degenerate generations: type-token ratio, top-bigram
+dominance) and corpus TF-IDF (document-frequency table + top terms
+per document) — the analysis passes a training-data pipeline runs
+between dedup and sampling.
+
+Scale shape: everything is explode → hash aggregate → (optional)
+window top-k, keyed by (doc, term) — uniform keys, map-side partial
+aggregation, no driver state.  The IDF table is corpus-global but
+tiny (vocabulary-sized) and broadcasts into the per-doc scoring join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM tk
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM tk WHERE len(toks) >= 2
+    ),
+    bgc AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_distinct,
+           ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS type_token_ratio,
+           ROUND(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams, 6)
+             AS top_bigram_frac
+    FROM base b JOIN agg a ON a.doc_id = b.doc_id
+    WHERE b.n_tokens > 0
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals: type-token ratio (vocabulary
+    diversity) and the share of the single most frequent bigram —
+    the cheap detectors for looping/templated text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tk = docs.repartition(par).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    base = tk.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    ).filter(F.col("n_tokens") > 0)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    big = tk.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    agg = (
+        big.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_bigram_count"),
+            F.sum("count").alias("n_bigrams"),
+        )
+    )
+    return base.join(agg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+               AS tfidf
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    tf and df are two hash aggregates over the exploded (doc, term)
+    set; the vocabulary-sized IDF table broadcasts into the scoring
+    join; per-doc top-k is a window.  Scores round to 6 places (ln is
+    libm-dependent in the last ulp).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par)
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

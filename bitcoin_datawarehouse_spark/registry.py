@@ -60,4 +60,5 @@ def load_all_operators() -> None:
         rangejoin,
         sketches,
         graph,
+        text_stats,
     )

@@ -61,4 +61,5 @@ def load_all_operators() -> None:
         sketches,
         graph,
         text_stats,
+        cogroup,
     )

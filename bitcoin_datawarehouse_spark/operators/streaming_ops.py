@@ -67,3 +67,49 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_completion(q)
     return spark.table(sink)
+
+
+@query(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           p.value AS purchase_value
+    FROM events p
+    JOIN events c
+      ON c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP)
+         >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+    """,
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within
+    1 hour), executed BY THE STREAMING ENGINE over a replayed file
+    stream — two watermarked stream sides, time-range-bounded state.
+    An inner join emits exactly the set of matches once drained, so
+    the result equals the batch/SQL non-equi join regardless of
+    micro-batching.
+    """
+    from bitcoin_datawarehouse_spark.streaming.joins import attribution_join
+
+    tmp = tempfile.mkdtemp(prefix="stream_attrib_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    joined = attribution_join(read_event_stream(spark, tmp))
+    sink = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return spark.table(sink)

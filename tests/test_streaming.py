@@ -171,3 +171,30 @@ def test_stream_late_rows_within_watermark_merge(spark, tmp_path):
         for r in spark.sql("SELECT * FROM late_out").collect()
     }
     assert got[base] == 2  # both the on-time and the late row counted
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    from bitcoin_datawarehouse_spark.streaming.joins import attribution_join
+
+    d = str(tmp_path / "ss_in")
+    batch_events = load_table(spark, SF_SMALL, "events")
+    batch_events.coalesce(1).write.parquet(d)
+    q = (
+        attribution_join(read_event_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in attribution_join(batch_events).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -62,4 +62,5 @@ def load_all_operators() -> None:
         graph,
         text_stats,
         cogroup,
+        sql_surface,
     )

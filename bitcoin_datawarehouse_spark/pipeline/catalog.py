@@ -20,7 +20,10 @@ agnostic so that swap is a storage-layer change only.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -92,6 +95,38 @@ class Warehouse:
         naturally atomic per file."""
         self.create_schema(schema)
         df.write.mode("append").parquet(str(self.table_path(schema, table)))
+
+    @contextlib.contextmanager
+    def lock(self, name: str = "pipeline", timeout_s: float = 60.0):
+        """Advisory exclusive lock scoped to this warehouse (atomic
+        mkdir — works on POSIX and HDFS-style stores).
+
+        Guards read-modify-overwrite sections (the job-control table,
+        merges of the same target) against a second pipeline process;
+        the reference relied on Postgres transactions for this.  The
+        lock records its holder pid for post-mortems and raises
+        ``TimeoutError`` rather than queueing forever.
+        """
+        lock_dir = self.root / f".lock_{name}"
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                lock_dir.mkdir()
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    holder = "?"
+                    with contextlib.suppress(OSError):
+                        holder = (lock_dir / "pid").read_text()
+                    raise TimeoutError(
+                        f"warehouse lock {name!r} held by pid {holder}"
+                    ) from None
+                time.sleep(0.1)
+        try:
+            (lock_dir / "pid").write_text(str(os.getpid()))
+            yield
+        finally:
+            shutil.rmtree(lock_dir, ignore_errors=True)
 
     def compact(
         self, schema: str, table: str, target_file_bytes: int = 128 * 1024 * 1024

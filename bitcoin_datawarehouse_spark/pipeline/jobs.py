@@ -219,10 +219,17 @@ class Pipeline:
     ) -> list[JobResult]:
         """Sync every active job (reference run_pipeline,
         __main__.py:132-184); a failed table logs and the loop
-        continues (``:173-177``)."""
-        results = []
-        for job in self.control.tables_to_sync(select):
-            results.append(
-                self.run_job(job, strategy, incremental_column)
-            )
-        return results
+        continues (``:173-177``).
+
+        The whole run holds the warehouse's advisory lock: the control
+        table and targets are mutated read-modify-overwrite, so two
+        concurrent pipelines over one warehouse would corrupt each
+        other (the reference leaned on Postgres transactions here).
+        """
+        with self.wh.lock("pipeline"):
+            results = []
+            for job in self.control.tables_to_sync(select):
+                results.append(
+                    self.run_job(job, strategy, incremental_column)
+                )
+            return results

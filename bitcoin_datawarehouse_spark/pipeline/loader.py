@@ -56,11 +56,17 @@ class Loader:
         df: DataFrame,
         unique_keys: list[str] | None,
         order_col: str | None = None,
+        strict_schema: bool = False,
     ) -> None:
         """Merge ``df`` into the target on ``unique_keys``.
 
         Reference dispatch preserved (pg_loader.py:165-217): no keys →
         full refresh; target missing → create+insert; else upsert.
+
+        ``strict_schema=True`` refuses a batch whose columns differ
+        from the target (the reference's INSERT would have failed —
+        a production control for catching upstream contract breaks);
+        the default tolerates drift by null-filling either side.
         """
         if not unique_keys:
             self.load_full_refresh(df)
@@ -70,6 +76,12 @@ class Loader:
             self.wh.write_atomic(batch, self.schema, self.table)
             return
         old = self.wh.read(self.schema, self.table)
+        if strict_schema and set(batch.columns) != set(old.columns):
+            raise ValueError(
+                f"{self.schema}.{self.table}: batch schema drift "
+                f"(batch-only: {sorted(set(batch.columns) - set(old.columns))}, "
+                f"target-only: {sorted(set(old.columns) - set(batch.columns))})"
+            )
         if batch.count() <= BROADCAST_BATCH_MAX_ROWS:
             keep = old.join(F.broadcast(batch), unique_keys, "left_anti")
         else:

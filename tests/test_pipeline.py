@@ -357,3 +357,25 @@ def test_compaction_reduces_files_preserves_rows(spark, wh):
     before, after = wh.compact("bitcoin", "cmp")
     assert before > after == 1  # tiny table compacts to one file
     assert ld.get_record_count() == 30
+
+
+def test_strict_schema_refuses_drift(spark, wh):
+    ld = Loader(wh, "bitcoin", "strict")
+    ld.load_incremental(rows_df(spark, [{"id": 1, "a": "x"}]), ["id"])
+    with pytest.raises(ValueError, match="schema drift"):
+        ld.load_incremental(
+            rows_df(spark, [{"id": 2, "b": 7}]), ["id"], strict_schema=True
+        )
+    # non-strict still tolerates the same batch
+    ld.load_incremental(rows_df(spark, [{"id": 2, "b": 7}]), ["id"])
+    assert ld.get_record_count() == 2
+
+
+def test_warehouse_lock_mutual_exclusion(spark, wh):
+    with wh.lock("pipeline", timeout_s=5):
+        with pytest.raises(TimeoutError, match="held by pid"):
+            with wh.lock("pipeline", timeout_s=0.3):
+                pass
+    # released → acquirable again
+    with wh.lock("pipeline", timeout_s=1):
+        pass

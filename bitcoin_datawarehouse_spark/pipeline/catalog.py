@@ -55,7 +55,13 @@ class Warehouse:
         p = self.root / schema
         if not p.exists():
             return []
-        return sorted(d.name for d in p.iterdir() if d.is_dir())
+        # exclude in-flight tmp/old swap directories (named
+        # ``{table}.__tmp_*`` / ``{table}.__old_*`` by write_atomic)
+        return sorted(
+            d.name
+            for d in p.iterdir()
+            if d.is_dir() and ".__" not in d.name
+        )
 
     def drop_table(self, schema: str, table: str) -> None:
         p = self.table_path(schema, table)

@@ -39,7 +39,13 @@ def register_warehouse_views(
 
 
 def _schemas(wh: Warehouse) -> list[str]:
-    return sorted(d.name for d in wh.root.iterdir() if d.is_dir())
+    # skip dot-dirs (advisory locks) — they are warehouse plumbing,
+    # not namespaces
+    return sorted(
+        d.name
+        for d in wh.root.iterdir()
+        if d.is_dir() and not d.name.startswith(".")
+    )
 
 
 def run_sql(spark: SparkSession, sql_text: str) -> DataFrame:

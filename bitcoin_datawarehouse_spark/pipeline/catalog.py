@@ -51,6 +51,12 @@ class Warehouse:
         p = self.table_path(schema, table)
         return p.exists() and any(p.glob("*.parquet"))
 
+    def table_exists_partitioned(self, schema: str, table: str) -> bool:
+        """Existence probe for Hive-partitioned layouts (data files
+        live one level down, in ``col=value`` dirs)."""
+        p = self.table_path(schema, table)
+        return p.exists() and any(p.glob("*/*.parquet"))
+
     def list_tables(self, schema: str) -> list[str]:
         p = self.root / schema
         if not p.exists():

@@ -89,6 +89,64 @@ class Loader:
         merged = keep.unionByName(batch, allowMissingColumns=True)
         self.wh.write_atomic(merged, self.schema, self.table)
 
+    def load_incremental_partitioned(
+        self,
+        df: DataFrame,
+        unique_keys: list[str],
+        partition_col: str,
+        order_col: str | None = None,
+    ) -> None:
+        """Partition-scoped merge: upsert ``df`` into a Hive-partitioned
+        target, rewriting ONLY the partitions the batch touches.
+
+        This is the merge that survives 100 TB: ``load_incremental``
+        reads and rewrites the whole table per batch, which is fine
+        for dimension-sized tables and absurd for a date-partitioned
+        fact table — a daily batch should cost O(touched days), not
+        O(history).  Mechanics:
+
+        1. the batch's distinct partition values prune the target read
+           (PartitionFilters — only touched directories are scanned);
+        2. the usual key-dedupe + anti-join + union on that slice;
+        3. a partitionBy write under dynamic partition-overwrite mode
+           replaces exactly the touched partition directories, leaving
+           every other partition's files physically untouched.
+
+        The merge key set should include (or functionally determine)
+        the partition column — a row whose partition value CHANGES
+        between loads would otherwise survive in its old partition.
+        Schema drift caveat: because only touched partitions rewrite,
+        a batch with NEW columns leaves old partitions on the old
+        schema — plain parquet reads then resolve to an arbitrary
+        footer; read such tables with ``mergeSchema`` or keep
+        partitioned facts on ``strict_schema`` discipline.
+        """
+        batch = _dedupe_batch(df, unique_keys, order_col)
+        path = str(self.wh.table_path(self.schema, self.table))
+        if not self.wh.table_exists_partitioned(self.schema, self.table):
+            self.wh.create_schema(self.schema)
+            batch.write.mode("overwrite").partitionBy(partition_col).parquet(
+                path
+            )
+            return
+        touched = [
+            r[0] for r in batch.select(partition_col).distinct().collect()
+        ]
+        old_slice = self.wh.read(self.schema, self.table).filter(
+            F.col(partition_col).isin(touched)
+        )
+        keep = old_slice.join(F.broadcast(batch), unique_keys, "left_anti")
+        merged = keep.unionByName(batch, allowMissingColumns=True)
+        spark = merged.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+                path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     def delete_by_condition(self, condition: str | Column) -> int:
         """DELETE WHERE (reference pg_loader.py:272-294) as a
         filter-rewrite; returns rows deleted."""

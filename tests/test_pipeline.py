@@ -379,3 +379,35 @@ def test_warehouse_lock_mutual_exclusion(spark, wh):
     # released → acquirable again
     with wh.lock("pipeline", timeout_s=1):
         pass
+
+
+def test_partitioned_merge_touches_only_batch_partitions(spark, wh):
+    import os
+
+    ld = Loader(wh, "bitcoin", "fact")
+    day1 = [{"id": i, "day": "2025-01-01", "v": float(i)} for i in range(4)]
+    day2 = [{"id": 10 + i, "day": "2025-01-02", "v": float(i)} for i in range(4)]
+    ld.load_incremental_partitioned(
+        rows_df(spark, day1 + day2), ["id"], partition_col="day"
+    )
+    p1 = wh.table_path("bitcoin", "fact") / "day=2025-01-01"
+    files_before = {f: os.path.getmtime(p1 / f) for f in os.listdir(p1)
+                    if f.endswith(".parquet")}
+
+    # batch touching ONLY day 2: update id=10, insert id=20
+    batch = [
+        {"id": 10, "day": "2025-01-02", "v": 99.0},
+        {"id": 20, "day": "2025-01-02", "v": 5.0},
+    ]
+    ld.load_incremental_partitioned(
+        rows_df(spark, batch), ["id"], partition_col="day"
+    )
+    files_after = {f: os.path.getmtime(p1 / f) for f in os.listdir(p1)
+                   if f.endswith(".parquet")}
+    assert files_before == files_after  # day-1 files physically untouched
+
+    got = {r["id"]: r["v"] for r in wh.read("bitcoin", "fact").collect()}
+    assert got[10] == 99.0 and got[20] == 5.0  # upsert + insert in day 2
+    assert all(got[11 + i] == float(1 + i) for i in range(3))  # day 2 others
+    assert all(got[i] == float(i) for i in range(4))  # day 1 intact
+    assert len(got) == 9  # 4 (day1) + 4 original day2 rows + 1 insert

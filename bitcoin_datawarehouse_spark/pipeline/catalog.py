@@ -31,11 +31,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class Warehouse:
-    """Directory-backed catalog with ``schema.table`` addressing."""
+    """Directory-backed catalog with ``schema.table`` addressing.
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    ``keep_versions > 0`` turns every atomic replace into a snapshot:
+    the previous table directory is retained as
+    ``{table}.__v_{millis}`` (newest ``keep_versions`` kept), giving
+    the incremental pipeline a bad-batch recovery path — ``rollback``
+    swaps the latest snapshot back in; ``vacuum`` reclaims space.
+    A directory rename per write is the whole cost.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, keep_versions: int = 0
+    ) -> None:
         self.spark = spark
         self.root = Path(root)
+        self.keep_versions = keep_versions
         self.root.mkdir(parents=True, exist_ok=True)
 
     # -- namespace ---------------------------------------------------------
@@ -94,12 +105,64 @@ class Warehouse:
         if coalesce:
             df = df.coalesce(coalesce)
         df.write.mode("overwrite").parquet(str(tmp))
-        old = final.with_name(f"{table}.__old_{uuid.uuid4().hex[:8]}")
+        if self.keep_versions > 0 and final.exists():
+            snap = final.with_name(
+                f"{table}.__v_{int(time.time() * 1000):015d}"
+            )
+            final.rename(snap)
+            tmp.rename(final)
+            self._prune_versions(schema, table)
+        else:
+            old = final.with_name(f"{table}.__old_{uuid.uuid4().hex[:8]}")
+            if final.exists():
+                final.rename(old)
+            tmp.rename(final)
+            if old.exists():
+                shutil.rmtree(old)
+
+    # -- snapshots ---------------------------------------------------------
+    def _version_dirs(self, schema: str, table: str) -> list[Path]:
+        return sorted((self.root / schema).glob(f"{table}.__v_*"))
+
+    def list_versions(self, schema: str, table: str) -> list[int]:
+        """Snapshot timestamps (ms), oldest first."""
+        return [
+            int(p.name.rsplit("_", 1)[1]) for p in self._version_dirs(schema, table)
+        ]
+
+    def read_version(self, schema: str, table: str, version_ms: int) -> DataFrame:
+        p = self.root / schema / f"{table}.__v_{version_ms:015d}"
+        return self.spark.read.parquet(str(p))
+
+    def rollback(self, schema: str, table: str) -> int:
+        """Swap the newest snapshot back in as the live table (the
+        rolled-back state is itself snapshotted, so rollback is
+        reversible).  Returns the restored version's timestamp."""
+        versions = self._version_dirs(schema, table)
+        if not versions:
+            raise FileNotFoundError(f"{schema}.{table}: no snapshots")
+        newest = versions[-1]
+        final = self.table_path(schema, table)
+        bad = final.with_name(f"{table}.__v_{int(time.time() * 1000):015d}")
         if final.exists():
-            final.rename(old)
-        tmp.rename(final)
-        if old.exists():
-            shutil.rmtree(old)
+            final.rename(bad)
+        newest.rename(final)
+        self._prune_versions(schema, table)
+        return int(newest.name.rsplit("_", 1)[1])
+
+    def vacuum(self, schema: str, table: str, keep: int = 0) -> int:
+        """Delete all but the newest ``keep`` snapshots; returns the
+        number removed."""
+        versions = self._version_dirs(schema, table)
+        drop = versions[: len(versions) - keep] if keep else versions
+        for p in drop:
+            shutil.rmtree(p)
+        return len(drop)
+
+    def _prune_versions(self, schema: str, table: str) -> None:
+        versions = self._version_dirs(schema, table)
+        for p in versions[: max(0, len(versions) - self.keep_versions)]:
+            shutil.rmtree(p)
 
     def append(self, df: DataFrame, schema: str, table: str) -> None:
         """Append-only load (reference pg_loader.py:148-155 ``to_sql

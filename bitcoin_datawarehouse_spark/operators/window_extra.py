@@ -1,0 +1,107 @@
+"""Window RANGE frames and null semantics (§2.11 completion).
+
+Time-RANGE window frames (a trailing N-day frame over sparse data —
+ROWS frames are wrong when days are missing) and the null-comparison
+semantics corner (null-safe equality, NULLS FIRST/LAST ordering)
+that silently diverge between engines when left implicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+TRAILING_DAYS = 7
+
+
+@query(
+    "window_range_frame",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS day_rev
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT day, day_rev,
+           SUM(day_rev) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL {TRAILING_DAYS - 1} DAYS PRECEDING
+                       AND CURRENT ROW
+           ) AS trailing7d_rev
+    FROM daily
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per day via a RANGE (value-based) frame.
+
+    RANGE differs from ROWS exactly when the series is sparse: a ROWS
+    frame of 6 preceding rows spans more than 7 calendar days across
+    gaps.  Spark's rangeBetween needs a numeric ordering, so the day
+    orders by its epoch-day number with a ±(N-1) bound — semantically
+    identical to the SQL INTERVAL frame.  Single global time order:
+    at scale this window partitions by a series key (the fixture has
+    one series).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("day_rev")
+    )
+    w = (
+        W.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-(TRAILING_DAYS - 1), 0)
+    )
+    return daily.select(
+        "day", "day_rev", F.sum("day_rev").over(w).alias("trailing7d_rev")
+    )
+
+
+@query(
+    "expr_null_semantics",
+    oracle="""
+    WITH flagged AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_shipdate >= DATE '1998-10-01' THEN NULL
+                  ELSE l_returnflag END AS maybe_flag,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT a.l_orderkey, a.l_linenumber, a.maybe_flag,
+           CAST(a.maybe_flag IS NOT DISTINCT FROM 'R' AS BOOLEAN)
+             AS nullsafe_is_r,
+           CAST(COALESCE(a.maybe_flag = 'R', FALSE) AS BOOLEAN)
+             AS plain_is_r_coalesced
+    FROM flagged a
+    WHERE a.l_quantity = 50
+    """,
+)
+def expr_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-comparison semantics: null-safe equality (``<=>`` /
+    IS NOT DISTINCT FROM) vs plain ``=`` under COALESCE.
+
+    The rows where ``maybe_flag`` is NULL are exactly where the two
+    predicates agree only because of the explicit COALESCE — the
+    standard three-valued-logic trap in filters and join conditions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_shipdate") >= F.lit("1998-10-01").cast("date"), None
+        )
+        .otherwise(F.col("l_returnflag"))
+        .alias("maybe_flag"),
+        "l_quantity",
+    ).filter(F.col("l_quantity") == 50)
+    return flagged.select(
+        "l_orderkey",
+        "l_linenumber",
+        "maybe_flag",
+        F.col("maybe_flag").eqNullSafe(F.lit("R")).alias("nullsafe_is_r"),
+        F.coalesce(F.col("maybe_flag") == "R", F.lit(False)).alias(
+            "plain_is_r_coalesced"
+        ),
+    )

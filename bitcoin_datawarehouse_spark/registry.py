@@ -63,4 +63,5 @@ def load_all_operators() -> None:
         text_stats,
         cogroup,
         sql_surface,
+        window_extra,
     )

@@ -32,6 +32,11 @@ BROADCAST_TABLES = {"region", "nation"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # pin the session timezone on whatever session the caller brings
+    # (the correctness driver constructs its own): timestamp/date
+    # functions must agree byte-for-byte with the UTC-naive parquet
+    # the DuckDB oracle reads, regardless of the host JVM's zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

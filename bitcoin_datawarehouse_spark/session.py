@@ -54,3 +54,44 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    executor_cores_total: int, target_sf_tb: float = 100.0
+) -> dict[str, str]:
+    """Recommended conf for the real deployment (a 1000-executor
+    cluster over ~100 TB) — the knobs that change from the local[32]
+    test profile, with the reasoning each encodes:
+
+    * shuffle partitions ≈ 3× total cores, with AQE coalescing DOWN
+      from there — undershooting makes partitions spill, overshooting
+      only costs scheduler overhead that AQE removes;
+    * 256 MB input splits: fewer, fatter scan tasks — parquet footer
+      and task-launch overhead amortize, and the vectorized reader
+      streams within a split;
+    * 64 MB broadcast threshold — executor memory on a real cluster
+      affords bigger dimension broadcasts than a laptop default
+      (10 MB), and every broadcast join is a shuffle avoided;
+    * AQE on (runtime coalescing, broadcast conversion, skew split) —
+      the license to leave logical plans declarative;
+    * speculative execution — at 1000 executors a straggler per stage
+      is a certainty, not a tail risk;
+    * shuffle + RDD compression with zstd — shuffle volume is the
+      scarce resource at 100 TB; cycles are cheaper than network.
+    """
+    shuffle_parts = max(256, executor_cores_total * 3)
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.speculation": "true",
+        "spark.io.compression.codec": "zstd",
+        "spark.shuffle.compress": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }

@@ -59,6 +59,47 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "map_props_entries",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS prop_key,
+             CAST(json_extract_string(
+               props, '$.' || unnest(json_keys(props))) AS BIGINT)
+               AS prop_value
+      FROM events
+    )
+    SELECT prop_key, COUNT(*) AS n_entries,
+           SUM(prop_value) AS sum_value,
+           CAST(MIN(prop_value) AS BIGINT) AS min_value,
+           CAST(MAX(prop_value) AS BIGINT) AS max_value
+    FROM kv GROUP BY prop_key
+    """,
+)
+def map_props_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType pipeline over semi-structured props: ``from_json`` into
+    ``map<string,bigint>`` (one parse per row for ALL keys — the
+    at-scale alternative to per-field get_json_object), explode the
+    entries, aggregate per key.
+
+    The map explode is the schema-flexible path for property bags
+    whose key set isn't known at write time (SURVEY.md §2.12
+    multimodal/props columns).
+    """
+    e = load_table(spark, sf_dir, "events")
+    entries = e.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,bigint>")
+        ).alias("prop_key", "prop_value")
+    )
+    return entries.groupBy("prop_key").agg(
+        F.count("*").alias("n_entries"),
+        F.sum("prop_value").alias("sum_value"),
+        F.min("prop_value").alias("min_value"),
+        F.max("prop_value").alias("max_value"),
+    )
+
+
+@query(
     "expr_null_semantics",
     oracle="""
     WITH flagged AS (

@@ -10,6 +10,7 @@ equal the batch/SQL computation regardless of micro-batching.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -66,6 +67,8 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     run_stream_to_completion(q)
+    # the memory sink holds the result; the replayed input is disposable
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -112,4 +115,5 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     run_stream_to_completion(q)
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink)

@@ -21,6 +21,16 @@ from bitcoin_datawarehouse_spark.pipeline.source import (
     StaticSource,
     fetch_as_df,
 )
+from bitcoin_datawarehouse_spark.pipeline.quality import (
+    CheckedFrame,
+    Expectation,
+    QualityError,
+    QualityGate,
+    expect_between,
+    expect_min_rows,
+    expect_mostly_unique,
+    expect_no_nulls,
+)
 from bitcoin_datawarehouse_spark.pipeline.sqlrunner import (
     read_file,
     register_warehouse_views,
@@ -52,6 +62,14 @@ __all__ = [
     "register_warehouse_views",
     "run_sql",
     "run_sql_file",
+    "CheckedFrame",
+    "Expectation",
+    "QualityError",
+    "QualityGate",
+    "expect_between",
+    "expect_min_rows",
+    "expect_mostly_unique",
+    "expect_no_nulls",
     "TableSpec",
     "compile_expr",
     "lowercase_columns",

@@ -1,0 +1,132 @@
+"""Single-pass data-quality checks (the load-time gate).
+
+Production pipelines refuse bad batches BEFORE they reach the
+warehouse (null keys, out-of-range amounts, empty loads).  The naive
+implementation runs one action per check; this one rides
+``DataFrame.observe`` — every metric is computed as an aggregate
+piggy-backed on the SAME job that writes the data, so a batch with
+ten checks still makes exactly one pass over the rows.  (The same
+design as open-source data-quality-on-Spark libraries, e.g. the
+published Deequ architecture.)
+
+Usage::
+
+    checked = QualityGate([
+        expect_no_nulls("tx_id"),
+        expect_min_rows(1),
+        expect_between("amount", 0, 21_000_000),
+    ]).attach(df)
+    loader.load_incremental(checked.df, keys)   # one pass
+    checked.verify()                            # raises QualityError
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+class QualityError(RuntimeError):
+    """A batch violated its expectations; the message lists them."""
+
+
+@dataclass
+class Expectation:
+    name: str
+    metric: Column           # aggregate expression computed in-pass
+    predicate: Callable[[Any], bool]
+    describe: str
+
+
+def expect_min_rows(n: int) -> Expectation:
+    return Expectation(
+        name=f"min_rows_{n}",
+        metric=F.count(F.lit(1)).alias(f"min_rows_{n}"),
+        predicate=lambda v: (v or 0) >= n,
+        describe=f"at least {n} rows",
+    )
+
+
+def expect_no_nulls(col: str) -> Expectation:
+    return Expectation(
+        name=f"no_nulls_{col}",
+        metric=F.sum(
+            F.when(F.col(col).isNull(), 1).otherwise(0)
+        ).alias(f"no_nulls_{col}"),
+        predicate=lambda v: (v or 0) == 0,
+        describe=f"no NULL {col}",
+    )
+
+
+def expect_between(col: str, lo: float, hi: float) -> Expectation:
+    return Expectation(
+        name=f"between_{col}",
+        metric=F.sum(
+            F.when(
+                F.col(col).isNotNull()
+                & (~F.col(col).between(F.lit(lo), F.lit(hi))),
+                1,
+            ).otherwise(0)
+        ).alias(f"between_{col}"),
+        predicate=lambda v: (v or 0) == 0,
+        describe=f"{col} in [{lo}, {hi}]",
+    )
+
+
+def expect_mostly_unique(col: str, max_dup_ratio: float = 0.03) -> Expectation:
+    """Approximate key-uniqueness: (count - approx_distinct)/count.
+
+    ``observe`` metrics cannot use DISTINCT aggregates (they must be
+    mergeable partial aggregates), so uniqueness rides HyperLogLog —
+    the ratio threshold must stay above the sketch's ~1-2% error.
+    This catches bulk duplication (a re-sent batch, a bad join);
+    EXACT per-key uniqueness is enforced downstream anyway by the
+    merge's key-dedupe."""
+    return Expectation(
+        name=f"mostly_unique_{col}",
+        metric=(
+            (
+                F.count(F.col(col)).cast("double")
+                - F.approx_count_distinct(col, rsd=0.01).cast("double")
+            )
+            / F.greatest(F.count(F.col(col)), F.lit(1)).cast("double")
+        ).alias(f"mostly_unique_{col}"),
+        predicate=lambda v: (v or 0.0) <= max_dup_ratio,
+        describe=f"{col} mostly unique (dup ratio ≤ {max_dup_ratio})",
+    )
+
+
+@dataclass
+class CheckedFrame:
+    df: DataFrame
+    observation: Observation
+    expectations: list[Expectation]
+
+    def verify(self) -> dict[str, Any]:
+        """Read the observed metrics (available once an action ran on
+        ``df``) and raise :class:`QualityError` listing every violated
+        expectation.  Returns the metric values when all pass."""
+        got = self.observation.get
+        failures = [
+            f"{e.describe} (metric {e.name}={got[e.name]!r})"
+            for e in self.expectations
+            if not e.predicate(got[e.name])
+        ]
+        if failures:
+            raise QualityError("; ".join(failures))
+        return dict(got)
+
+
+class QualityGate:
+    def __init__(self, expectations: list[Expectation]) -> None:
+        if not expectations:
+            raise ValueError("at least one expectation required")
+        self.expectations = expectations
+
+    def attach(self, df: DataFrame) -> CheckedFrame:
+        obs = Observation()
+        observed = df.observe(obs, *[e.metric for e in self.expectations])
+        return CheckedFrame(observed, obs, self.expectations)

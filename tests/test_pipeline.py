@@ -449,3 +449,40 @@ def test_snapshot_retention_prunes(spark, tmp_path):
         ld.load_full_refresh(rows_df(spark, [{"id": i}]))
         _time.sleep(0.01)
     assert len(wh.list_versions("bitcoin", "ret")) == 2  # pruned to N
+
+
+def test_quality_gate_single_pass(spark, wh):
+    from bitcoin_datawarehouse_spark.pipeline.quality import (
+        QualityError,
+        QualityGate,
+        expect_between,
+        expect_min_rows,
+        expect_no_nulls,
+        expect_mostly_unique,
+    )
+
+    good = rows_df(spark, [
+        {"id": 1, "amount": 5.0}, {"id": 2, "amount": 7.5},
+    ])
+    gate = QualityGate([
+        expect_min_rows(1),
+        expect_no_nulls("id"),
+        expect_between("amount", 0, 10),
+        expect_mostly_unique("id"),
+    ])
+    checked = gate.attach(good)
+    Loader(wh, "q", "ok").load_full_refresh(checked.df)  # ONE pass
+    metrics = checked.verify()
+    assert metrics["min_rows_1"] == 2 and metrics["no_nulls_id"] == 0
+
+    bad = rows_df(spark, [
+        {"id": 1, "amount": 99.0},   # out of range
+        {"id": 1, "amount": None},   # duplicate key
+        {"id": None, "amount": 3.0}, # null key
+    ])
+    checked_bad = gate.attach(bad)
+    Loader(wh, "q", "bad").load_full_refresh(checked_bad.df)
+    with pytest.raises(QualityError) as ei:
+        checked_bad.verify()
+    msg = str(ei.value)
+    assert "no NULL id" in msg and "amount in" in msg and "mostly unique" in msg

@@ -15,9 +15,8 @@ projection sums use exact DECIMAL accumulation.
 
 Scale design: brute force is O(Q×N×d) — fine for reranking a
 candidate set, wrong as the primary search at 100 TB.  The LSH path
-hashes every vector into 4 independent 8-bit sign-projection tables;
-search cost becomes per-bucket joins (expected bucket size N/256 per
-table), and exact cosine reranks only the union of colliding
+hashes every vector into LSH_TABLES independent LSH_BITS_PER_TABLE-bit sign-projection tables;
+search cost becomes per-bucket joins (expected bucket size N/2^bits per table), and exact cosine reranks only the union of colliding
 candidates.  IVF (k-means coarse quantizer + per-centroid inverted
 lists) is the next step up and shares the same join shape — bucket
 key join then rerank.
@@ -165,12 +164,12 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH bucket assignment: 4 tables × 8 bits.
+    """Sign-random-projection LSH bucket assignment: LSH_TABLES tables x LSH_BITS_PER_TABLE bits (8x5 as configured).
 
     Projection 'vectors' are ±1 Rademacher components derived from
     md5(bit:dim) — reproducible in any engine and as good as Gaussian
     for sign-LSH (public SRP-LSH literature).  Plan shape: explode to
-    (vec, dim) × 32 bits, two hash aggregates — all shuffle keys are
+    (vec, dim) × n_bits, two hash aggregates — all shuffle keys are
     uniform, no skew.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -137,7 +137,14 @@ class Warehouse:
     def rollback(self, schema: str, table: str) -> int:
         """Swap the newest snapshot back in as the live table (the
         rolled-back state is itself snapshotted, so rollback is
-        reversible).  Returns the restored version's timestamp."""
+        reversible).  Returns the restored version's timestamp.
+
+        Deliberately does NOT apply retention pruning: a Warehouse
+        handle opened with the default ``keep_versions=0`` would
+        otherwise delete every recovery point — including the state
+        just rolled away from — as a side effect of recovering.
+        Reclaiming snapshot space is ``vacuum``'s explicit job.
+        """
         versions = self._version_dirs(schema, table)
         if not versions:
             raise FileNotFoundError(f"{schema}.{table}: no snapshots")
@@ -147,7 +154,6 @@ class Warehouse:
         if final.exists():
             final.rename(bad)
         newest.rename(final)
-        self._prune_versions(schema, table)
         return int(newest.name.rsplit("_", 1)[1])
 
     def vacuum(self, schema: str, table: str, keep: int = 0) -> int:

@@ -180,7 +180,16 @@ class Pipeline:
         try:
             parameters = None
             effective = strategy
-            if strategy is LoadStrategy.INCREMENTAL:
+            keys = [
+                k.strip()
+                for k in str(job.get("p_key") or "").split(",")
+                if k.strip()
+            ]
+            # watermark pushdown is only safe when the load can MERGE:
+            # without merge keys the load is a full replace, and
+            # replacing the table with a delta-only fetch would destroy
+            # history — so keyless jobs always fetch everything
+            if strategy is LoadStrategy.INCREMENTAL and keys:
                 inc_col = incremental_column or job.get("incremental_column")
                 last = loader.get_max_value(inc_col) if inc_col else None
                 if last is None:
@@ -199,7 +208,6 @@ class Pipeline:
             if spec is not None:
                 df = spec.apply(df)
             df = with_audit_column(df)
-            keys = [k.strip() for k in str(job.get("p_key") or "").split(",") if k.strip()]
             if effective is LoadStrategy.FULL_REFRESH or not keys:
                 loader.load_full_refresh(df)
             else:

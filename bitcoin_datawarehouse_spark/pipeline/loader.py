@@ -71,23 +71,30 @@ class Loader:
         if not unique_keys:
             self.load_full_refresh(df)
             return
-        batch = _dedupe_batch(df, unique_keys, order_col)
-        if not self.wh.table_exists(self.schema, self.table):
-            self.wh.write_atomic(batch, self.schema, self.table)
-            return
-        old = self.wh.read(self.schema, self.table)
-        if strict_schema and set(batch.columns) != set(old.columns):
-            raise ValueError(
-                f"{self.schema}.{self.table}: batch schema drift "
-                f"(batch-only: {sorted(set(batch.columns) - set(old.columns))}, "
-                f"target-only: {sorted(set(old.columns) - set(batch.columns))})"
-            )
-        if batch.count() <= BROADCAST_BATCH_MAX_ROWS:
-            keep = old.join(F.broadcast(batch), unique_keys, "left_anti")
-        else:
-            keep = old.join(batch, unique_keys, "left_anti")
-        merged = keep.unionByName(batch, allowMissingColumns=True)
-        self.wh.write_atomic(merged, self.schema, self.table)
+        # cache the deduped batch: it is read three times below (count
+        # probe, anti-join build side, union) and its upstream plan may
+        # be arbitrarily expensive — without the cache every merge
+        # recomputes it per consumer
+        batch = _dedupe_batch(df, unique_keys, order_col).cache()
+        try:
+            if not self.wh.table_exists(self.schema, self.table):
+                self.wh.write_atomic(batch, self.schema, self.table)
+                return
+            old = self.wh.read(self.schema, self.table)
+            if strict_schema and set(batch.columns) != set(old.columns):
+                raise ValueError(
+                    f"{self.schema}.{self.table}: batch schema drift "
+                    f"(batch-only: {sorted(set(batch.columns) - set(old.columns))}, "
+                    f"target-only: {sorted(set(old.columns) - set(batch.columns))})"
+                )
+            if batch.count() <= BROADCAST_BATCH_MAX_ROWS:
+                keep = old.join(F.broadcast(batch), unique_keys, "left_anti")
+            else:
+                keep = old.join(batch, unique_keys, "left_anti")
+            merged = keep.unionByName(batch, allowMissingColumns=True)
+            self.wh.write_atomic(merged, self.schema, self.table)
+        finally:
+            batch.unpersist()
 
     def load_incremental_partitioned(
         self,
@@ -121,31 +128,47 @@ class Loader:
         footer; read such tables with ``mergeSchema`` or keep
         partitioned facts on ``strict_schema`` discipline.
         """
-        batch = _dedupe_batch(df, unique_keys, order_col)
-        path = str(self.wh.table_path(self.schema, self.table))
-        if not self.wh.table_exists_partitioned(self.schema, self.table):
-            self.wh.create_schema(self.schema)
-            batch.write.mode("overwrite").partitionBy(partition_col).parquet(
-                path
-            )
-            return
-        touched = [
-            r[0] for r in batch.select(partition_col).distinct().collect()
-        ]
-        old_slice = self.wh.read(self.schema, self.table).filter(
-            F.col(partition_col).isin(touched)
-        )
-        keep = old_slice.join(F.broadcast(batch), unique_keys, "left_anti")
-        merged = keep.unionByName(batch, allowMissingColumns=True)
-        spark = merged.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch = _dedupe_batch(df, unique_keys, order_col).cache()
         try:
-            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-                path
+            path = str(self.wh.table_path(self.schema, self.table))
+            if not self.wh.table_exists_partitioned(self.schema, self.table):
+                self.wh.create_schema(self.schema)
+                batch.write.mode("overwrite").partitionBy(
+                    partition_col
+                ).parquet(path)
+                return
+            touched = [
+                r[0] for r in batch.select(partition_col).distinct().collect()
+            ]
+            old_slice = self.wh.read(self.schema, self.table).filter(
+                F.col(partition_col).isin(touched)
             )
+            # same broadcast guard as load_incremental: a backfill-sized
+            # batch must not be force-broadcast into the anti-join
+            if batch.count() <= BROADCAST_BATCH_MAX_ROWS:
+                keep = old_slice.join(
+                    F.broadcast(batch), unique_keys, "left_anti"
+                )
+            else:
+                keep = old_slice.join(batch, unique_keys, "left_anti")
+            merged = keep.unionByName(batch, allowMissingColumns=True)
+            spark = merged.sparkSession
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "STATIC"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                merged.write.mode("overwrite").partitionBy(
+                    partition_col
+                ).parquet(path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            batch.unpersist()
 
     def delete_by_condition(self, condition: str | Column) -> int:
         """DELETE WHERE (reference pg_loader.py:272-294) as a

@@ -105,11 +105,28 @@ class CheckedFrame:
     observation: Observation
     expectations: list[Expectation]
 
-    def verify(self) -> dict[str, Any]:
+    def verify(self, timeout_s: float = 60.0) -> dict[str, Any]:
         """Read the observed metrics (available once an action ran on
         ``df``) and raise :class:`QualityError` listing every violated
-        expectation.  Returns the metric values when all pass."""
-        got = self.observation.get
+        expectation.  Returns the metric values when all pass.
+
+        ``Observation.get`` blocks until the observed plan finishes
+        its first action; if the caller verifies before any action ran
+        (or the load raised before executing this plan), that wait
+        would hang the pipeline forever — so the read is bounded and
+        times out into a QualityError naming the real problem.
+        """
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(lambda: self.observation.get)
+            try:
+                got = fut.result(timeout=timeout_s)
+            except concurrent.futures.TimeoutError:
+                raise QualityError(
+                    f"no action has executed the observed plan within "
+                    f"{timeout_s}s — run the load before verify()"
+                ) from None
         failures = [
             f"{e.describe} (metric {e.name}={got[e.name]!r})"
             for e in self.expectations

@@ -90,6 +90,13 @@ def rows_to_df(
             if v is not None:
                 if isinstance(f.dataType, T.DoubleType) and isinstance(v, int):
                     v = float(v)
+                elif isinstance(f.dataType, T.TimestampType) and (
+                    isinstance(v, dt.date) and not isinstance(v, dt.datetime)
+                ):
+                    # bare dates infer as Timestamp (the reference's
+                    # datetime64 bucket); createDataFrame rejects
+                    # date-for-timestamp, so widen to midnight
+                    v = dt.datetime(v.year, v.month, v.day)
                 elif isinstance(f.dataType, T.StringType) and not isinstance(v, str):
                     v = str(v)
             out[f.name] = v

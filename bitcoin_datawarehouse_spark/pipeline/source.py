@@ -160,7 +160,7 @@ class FileReplaySource:
                 r
                 for r in rows
                 if r.get(self.param_column) is not None
-                and str(r[self.param_column]) > parameters
+                and _newer(r[self.param_column], parameters)
             ]
         return rows
 
@@ -171,6 +171,29 @@ class FileReplaySource:
     def poll(self, execution_id: str) -> Rows:
         qid, _, params = execution_id.partition("\n")
         return self.fetch(int(qid), None if params == "None" else params)
+
+
+def _newer(row_value: Any, watermark: str) -> bool:
+    """Typed watermark comparison.
+
+    The pipeline serializes the watermark as ``str(MAX(col))``, so a
+    bare string compare is only correct for string columns whose text
+    order matches their value order (ISO dates).  Numeric columns must
+    compare numerically — lexicographically, ``"10" > "9"`` is False
+    and an integer watermark (block height, id) would silently stop
+    every future sync.  Numeric row values therefore parse the
+    watermark back to float; everything else compares as text (ISO
+    timestamps included — replay files must use the same text format
+    the column's ``str()`` produces).
+    """
+    if isinstance(row_value, bool):
+        return False
+    if isinstance(row_value, (int, float)):
+        try:
+            return float(row_value) > float(watermark)
+        except ValueError:
+            return False
+    return str(row_value) > watermark
 
 
 def fetch_as_df(

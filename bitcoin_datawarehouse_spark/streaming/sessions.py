@@ -125,9 +125,20 @@ def _session_fn(
             elif ts_us - cur[1] > gap_us:
                 out.append(cur)
                 cur = (ts_us, ts_us, 1, float(value))
+            elif cur[0] - ts_us > gap_us:
+                # late row more than a gap BEFORE the open session:
+                # a distinct earlier session.  Emit it standalone —
+                # with only an open-session accumulator in state we
+                # cannot re-open history; native session_window (which
+                # keeps mergeable window state) is the path when late
+                # cross-session merges matter.
+                out.append((ts_us, ts_us, 1, float(value)))
             else:
+                # in-gap row: extend the session on BOTH ends — a late
+                # row within [start - gap, start) moves session_start
+                # back, matching native session-window semantics
                 cur = (
-                    cur[0],
+                    min(cur[0], ts_us),
                     max(cur[1], ts_us),
                     cur[2] + 1,
                     cur[3] + float(value),

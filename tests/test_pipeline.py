@@ -486,3 +486,48 @@ def test_quality_gate_single_pass(spark, wh):
         checked_bad.verify()
     msg = str(ei.value)
     assert "no NULL id" in msg and "amount in" in msg and "mostly unique" in msg
+
+
+def test_keyless_incremental_does_not_destroy_history(spark, wh):
+    """A job with an incremental column but NO merge key must fetch
+    everything each run (full replace of full data), never replace the
+    table with a delta-only fetch."""
+    calls = []
+
+    def src_fn(params):
+        calls.append(params)
+        rows = [{"seq": 1, "v": 1.0}, {"seq": 2, "v": 2.0}]
+        if params is not None:  # would be a delta-only fetch
+            return [r for r in rows if r["seq"] > int(float(params))]
+        return rows
+
+    src = StaticSource({7: src_fn})
+    JobControl(spark, wh).seed([{
+        "job_name": "nokey", "query_id": 7, "target_table": "tnk",
+        "p_key": "", "status": 0, "active": 1, "incremental_column": "seq",
+    }])
+    pipe = Pipeline(spark, wh, src)
+    pipe.run()
+    pipe.run()  # second run must NOT push a watermark (no merge keys)
+    assert calls == [None, None]
+    assert Loader(wh, "bitcoin", "tnk").get_record_count() == 2
+
+
+def test_replay_source_numeric_watermark(tmp_path):
+    import json as _json
+
+    from bitcoin_datawarehouse_spark.pipeline import FileReplaySource
+
+    rows = [{"height": h, "v": h * 1.0} for h in [8, 9, 10, 11, 100]]
+    (tmp_path / "5.json").write_text(_json.dumps({"result": {"rows": rows}}))
+    src = FileReplaySource(str(tmp_path), param_column="height")
+    got = sorted(r["height"] for r in src.fetch(5, parameters="9"))
+    assert got == [10, 11, 100]  # numeric, not lexicographic ('10' < '9')
+
+
+def test_rows_to_df_accepts_bare_dates(spark):
+    import datetime as _dt
+
+    df = rows_to_df(spark, [{"id": 1, "d": _dt.date(2024, 1, 2)}])
+    [row] = df.collect()
+    assert row["d"] == _dt.datetime(2024, 1, 2)  # widened to midnight

@@ -65,10 +65,17 @@ def asof_join(
         *pb, "_asof_key", "_asof_tag", *[F.lit(None).alias(c) for c in value_cols]
     ).unionByName(right_tagged)
 
+    # value_cols extend the ordering purely as a deterministic
+    # tiebreak: if the right series has duplicate rows per key (tick
+    # data not pre-aggregated), last() would otherwise pick whichever
+    # duplicate arrived last — run-dependent.  With the tiebreak the
+    # greatest value tuple wins, reproducibly; pre-aggregate the right
+    # side when different tie semantics are wanted.
+    order_cols = ["_asof_key", "_asof_tag", *value_cols]
     w = (
-        W.partitionBy(*pb).orderBy("_asof_key", "_asof_tag")
+        W.partitionBy(*pb).orderBy(*order_cols)
         if pb
-        else W.orderBy("_asof_key", "_asof_tag")
+        else W.orderBy(*order_cols)
     ).rowsBetween(W.unboundedPreceding, 0)
     filled = unioned.select(
         *pb,
@@ -80,14 +87,24 @@ def asof_join(
         ],
     ).filter(F.col("_asof_tag") == 1)
 
-    mapping = filled.select(*pb, "_asof_key", *value_cols)
+    # rename the mapping's join columns: they carry the same expression
+    # ids as `left`'s (the union descends from it), and joining two
+    # lineage-sharing frames on same-id columns is ambiguous — the
+    # classic self-join trap (raises AnalysisException)
+    mapping = filled.select(
+        *[F.col(c).alias(f"__map_{c}") for c in pb],
+        F.col("_asof_key").alias("__map_key"),
+        *value_cols,
+    )
     if broadcast_map:
         mapping = F.broadcast(mapping)
-    join_cond = [left[left_on] == mapping["_asof_key"]] + [
-        left[c] == mapping[c] for c in pb
-    ]
+    join_cond = [left[left_on] == mapping["__map_key"]]
+    for c in pb:
+        join_cond.append(left[c] == mapping[f"__map_{c}"])
     out = left.join(mapping, join_cond, "left")
-    return out.select(*[left[c] for c in left.columns], *[mapping[c] for c in value_cols])
+    return out.select(
+        *[left[c] for c in left.columns], *[mapping[c] for c in value_cols]
+    )
 
 
 @query(

@@ -78,7 +78,14 @@ def tokens_col(text: Column) -> Column:
 
 
 def shingles_col(tk: Column) -> Column:
-    """3-word shingles from a token array (empty when <3 tokens)."""
+    """3-word shingles from a token array (empty when <3 tokens).
+
+    KEPT AS THE DOCUMENTED JVM BASELINE, not used in hot paths: the
+    higher-order-function transform here is interpreted (no codegen)
+    and measured 3-5x slower than the mapInPandas kernels that
+    replaced it — and projecting it through an extra select reopens
+    the CollapseProject quadratic trap described in doc_shingles.
+    """
     make = F.transform(
         F.sequence(F.lit(1), F.size(tk) - 2),
         lambda i: F.concat_ws(
@@ -301,6 +308,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in both engines.
     """
     shing = doc_shingles(spark, sf_dir).cache()
+    # eager fill: three subtrees (sizes, s1, s2) read this cache in one
+    # action; concurrent stages would otherwise race to compute it
+    shing.count()
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
     s1 = shing.alias("s1")
     s2 = shing.alias("s2")

@@ -52,6 +52,7 @@ def connected_components(
     labels = vertices.select(
         F.col("vertex"), F.col("vertex").alias("component")
     ).localCheckpoint()
+    changed = -1
     for _ in range(max_supersteps):
         neighbor_min = (
             both.join(labels, both["src"] == labels["vertex"])
@@ -77,6 +78,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # truncated iteration would silently split one true component
+        # into several "canonical" docs — wrong keep/drop decisions
+        # with no signal.  A component's propagation distance is its
+        # diameter; chain-shaped clusters can exceed any fixed cap, so
+        # refuse rather than return unconverged labels.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_supersteps} supersteps (labels still changing); "
+            f"raise max_supersteps — needed iterations ≈ graph diameter"
+        )
     return labels
 
 
@@ -126,6 +138,7 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).cache()
+    pairs.count()  # eager fill: read by `paired` and every superstep
     # propagate only over vertices that appear in an edge — singleton
     # docs (the overwhelming majority of a deduped corpus) can never
     # change label, so they skip the iteration entirely and join back

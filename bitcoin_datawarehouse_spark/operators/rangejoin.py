@@ -26,8 +26,9 @@ PRICE_FLOOR = 498000  # ≈p99.9 of o_totalprice → rare orders, gate-sized
 
 
 def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-value orders become [o_orderdate, o_orderdate + 30d)
-    "campaign windows" — the interval side of the join."""
+    """High-value orders become [o_orderdate, o_orderdate +
+    INTERVAL_DAYS) "campaign windows" — the interval side of the
+    join."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.filter(F.col("o_totalprice") > PRICE_FLOOR).select(
         F.col("o_orderkey").alias("campaign_id"),

@@ -683,9 +683,10 @@ def time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       event_type,
-      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-        AS sum_k,
-      COUNT(json_extract_string(props, '$.k')) AS n_with_k
+      CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
+      COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        AS n_with_k
     FROM events
     GROUP BY event_type
     """,

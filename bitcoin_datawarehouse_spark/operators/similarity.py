@@ -208,7 +208,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: LSH-bucket candidate generation + exact rerank.
 
-    Candidates = vectors sharing any of the 4 table buckets with the
+    Candidates = vectors sharing any of the LSH_TABLES per-table buckets with the
     query; exact cosine reranks candidates only.  tests/test_similarity.py
     measures recall against similarity_bruteforce_topk.  No SQL oracle:
     the end-to-end composition is the point (the two building blocks

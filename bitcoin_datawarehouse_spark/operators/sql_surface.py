@@ -15,14 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
+# The threshold comparison is algebraically rearranged to avoid any
+# division or double summation: price > 2*avg  ⇔  price*n > 2*sum,
+# with the sum taken in DECIMAL(38,10) — every quantity in the
+# predicate is then exact and order-independent, so Spark's parallel
+# aggregation and DuckDB's sequential scan cannot disagree by an ulp
+# on boundary rows (the repo's float-determinism contract).
 _CORRELATED_SQL = """
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
 FROM {orders} o
-WHERE o.o_totalprice > (
-  SELECT 2 * AVG(o2.o_totalprice)
-  FROM {orders} o2
-  WHERE o2.o_custkey = o.o_custkey
-)
+WHERE CAST(o.o_totalprice AS DECIMAL(38,10)) * (
+        SELECT COUNT(*) FROM {orders} o2
+        WHERE o2.o_custkey = o.o_custkey
+      ) > (
+        SELECT 2 * SUM(CAST(o3.o_totalprice AS DECIMAL(38,10)))
+        FROM {orders} o3
+        WHERE o3.o_custkey = o.o_custkey
+      )
 """
 
 _SCALAR_SUBQUERY_SQL = """

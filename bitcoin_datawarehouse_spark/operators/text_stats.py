@@ -145,7 +145,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.repartition(par)
         .select("doc_id", tokens_col(F.col("text")).alias("toks"))
         .select("doc_id", F.explode("toks").alias("term"))
-    )
+    ).cache()
+    tok.count()  # eager fill: tf and df below both read this cache
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")

@@ -108,9 +108,11 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_id,
       user_id,
       value,
-      value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      value - LAG(value) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
         AS value_delta,
-      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      LEAD(event_type) OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id)
         AS next_event_type
     FROM events
     """,
@@ -224,11 +226,11 @@ def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT
       user_id,
       FIRST_VALUE(value) OVER (
-        PARTITION BY user_id ORDER BY ts, event_id
+        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
       ) AS first_value_seen,
       LAST_VALUE(value) OVER (
-        PARTITION BY user_id ORDER BY ts, event_id
+        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
       ) AS last_value_seen,
       COUNT(*) OVER (PARTITION BY user_id) AS n_events
@@ -255,24 +257,27 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sessionize_events",
     oracle="""
-    WITH gaps AS (
+    WITH tse AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+    ),
+    gaps AS (
       SELECT
         event_id,
         user_id,
-        ts,
+        tsu,
         CASE
-          WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
                > INTERVAL 30 MINUTE
-            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
           THEN 1 ELSE 0
         END AS is_new_session
-      FROM events
+      FROM tse
     )
     SELECT
       event_id,
       user_id,
       CAST(SUM(is_new_session) OVER (
-        PARTITION BY user_id ORDER BY ts, event_id
+        PARTITION BY user_id ORDER BY tsu, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
       ) AS BIGINT) AS session_seq
     FROM gaps

@@ -103,3 +103,28 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_asof_join_partition_by_and_tie_break(spark):
+    """Regression: the per-entity (partition_by) as-of mode raised an
+    ambiguous-self-join AnalysisException; duplicate right rows per
+    key picked a run-dependent value."""
+    from bitcoin_datawarehouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 2), ("a", 5), ("b", 3), ("b", 1)], "grp string, k long"
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 4, 40.0), ("b", 2, 1.0), ("b", 2, 2.0)],
+        "grp string, rk long, price double",
+    )
+    out = asof_join(
+        left, right, "k", "rk", ["price"], partition_by=["grp"]
+    )
+    got = {(r["grp"], r["k"]): r["price"] for r in out.collect()}
+    assert got == {
+        ("a", 2): 10.0,
+        ("a", 5): 40.0,
+        ("b", 3): 2.0,   # duplicate right rows: greatest value wins
+        ("b", 1): None,  # no prior observation → ASOF LEFT null
+    }

@@ -43,8 +43,12 @@ def salted_agg_sum(
     stage 2 merges only n_salts partials per key.  Use a decimal value
     column when cross-run bit-equality matters (double re-aggregation
     order changes between the stages).
+
+    ``salt_by`` must vary WITHIN a key (default: all columns) — a salt
+    derived from the group key alone is constant per key and splits
+    nothing.
     """
-    salted = with_salt(df, salt_by or [key], n_salts)
+    salted = with_salt(df, salt_by or list(df.columns), n_salts)
     partial = salted.groupBy(key, "__salt").agg(F.sum(value).alias("__p"))
     return partial.groupBy(key).agg(F.sum("__p").alias(alias))
 
@@ -62,7 +66,17 @@ def salted_join(
     reducers instead of one; small-side duplication is n_salts×|small|
     (choose n_salts ≤ what the small side affords — it is the same
     trade as a broadcast, paid in shuffle instead of memory).
+
+    Only ``inner`` and ``left`` joins are supported: outer modes that
+    preserve unmatched SMALL-side rows would emit each of them once
+    per salt replica.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "outer modes would duplicate unmatched small-side rows "
+            "once per salt replica"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     small_rep = small.withColumn("__salt", F.explode(salts))
     big_salted = with_salt(big, [c for c in big.columns], n_salts)

@@ -84,11 +84,9 @@ def windowed_event_counts(
         if slide
         else F.window("ts", window)
     )
-    val = (
-        F.col("value").cast("decimal(38,10)")
-        if decimal_sums
-        else F.col("value")
-    )
+    from bitcoin_datawarehouse_spark.functions.numeric import DEC
+
+    val = F.col("value").cast(DEC) if decimal_sums else F.col("value")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(w.alias("win"), F.col("event_type"))

@@ -114,39 +114,54 @@ def _session_fn(
         )
         return
 
-    cur = state.get if state.exists else None
-    out: list[tuple[int, int, int, float]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for ts, value in zip(pdf["ts"], pdf["value"]):
-            ts_us = _us(ts)
-            if cur is None:
-                cur = (ts_us, ts_us, 1, float(value))
-            elif ts_us - cur[1] > gap_us:
-                out.append(cur)
-                cur = (ts_us, ts_us, 1, float(value))
-            elif cur[0] - ts_us > gap_us:
-                # late row more than a gap BEFORE the open session:
-                # a distinct earlier session.  Emit it standalone —
-                # with only an open-session accumulator in state we
-                # cannot re-open history; native session_window (which
-                # keeps mergeable window state) is the path when late
-                # cross-session merges matter.
-                out.append((ts_us, ts_us, 1, float(value)))
-            else:
-                # in-gap row: extend the session on BOTH ends — a late
-                # row within [start - gap, start) moves session_start
-                # back, matching native session-window semantics
-                cur = (
-                    min(cur[0], ts_us),
-                    max(cur[1], ts_us),
-                    cur[2] + 1,
-                    cur[3] + float(value),
-                )
+    # interval merge over the WHOLE batch: chunks are concatenated and
+    # sorted once (a group larger than one Arrow batch arrives as
+    # several chunks in arbitrary inter-chunk order — per-chunk sorting
+    # would mis-sessionize), the open-session accumulator joins the
+    # sequence as one interval, and adjacent intervals within the gap
+    # coalesce.  This merges late rows with EACH OTHER too (two late
+    # rows forming one earlier session yield one session, not two
+    # singletons).  Every merged interval except the last is closed and
+    # emitted; the last stays open in state.  Remaining approximation
+    # vs native session_window: an emitted earlier session cannot be
+    # re-opened by an even-later row in a FUTURE batch — the
+    # accumulator keeps no history (session_window's mergeable window
+    # state is the tool when that matters).
+    frames = [pdf for pdf in pdfs]
+    rows: list[tuple[int, float]] = []
+    if frames:
+        allpdf = pd.concat(frames).sort_values("ts")
+        rows = [
+            (_us(ts), float(v))
+            for ts, v in zip(allpdf["ts"], allpdf["value"])
+        ]
+    intervals = [(ts, ts, 1, v) for ts, v in rows]
+    if state.exists:
+        intervals.append(tuple(state.get))
+    intervals.sort(key=lambda it: (it[0], it[1]))
+    merged: list[tuple[int, int, int, float]] = []
+    for it in intervals:
+        if merged and it[0] - merged[-1][1] <= gap_us:
+            prev = merged[-1]
+            merged[-1] = (
+                prev[0],
+                max(prev[1], it[1]),
+                prev[2] + it[2],
+                prev[3] + it[3],
+            )
+        else:
+            merged.append(it)
+    out = merged[:-1]
+    cur = merged[-1] if merged else None
     if cur is not None:
         state.update(cur)
-        # close the open session when event-time passes last_ts + gap
-        state.setTimeoutTimestamp(cur[1] // 1000 + SESSION_GAP_MIN * 60 * 1000)
+        # close the open session when event-time passes last_ts + gap;
+        # clamp above the current watermark — a timeout at-or-before
+        # the watermark raises INVALID_TIMEOUT_TIMESTAMP and poisons
+        # the checkpointed query permanently
+        timeout_ms = cur[1] // 1000 + SESSION_GAP_MIN * 60 * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
     if out:
         yield pd.DataFrame(
             {

@@ -126,3 +126,83 @@ def test_native_session_window_matches_custom(spark, tmp_path):
         "sess_native",
     )
     assert got == EXPECTED
+
+
+class _FakeState:
+    def __init__(self, value=None, watermark_ms=0, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.watermark_ms = watermark_ms
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
+
+def _pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"ts": [r[0] for r in rows], "value": [r[1] for r in rows]}
+    )
+
+
+def test_session_kernel_merges_consecutive_late_rows():
+    """Two late rows forming one earlier session must emit ONE session
+    (not two singletons), and the open session must stay in state."""
+    from bitcoin_datawarehouse_spark.streaming.sessions import _session_fn
+
+    state = _FakeState(
+        value=(_ts(12, 0), _ts(12, 0), 1, 5.0), watermark_ms=0
+    )
+    late = _pdf([(BASE.replace(hour=10), 1.0),
+                 (BASE.replace(hour=10, minute=5), 2.0)])
+    out = list(_session_fn((1,), iter([late]), state))
+    [emitted] = out
+    assert len(emitted) == 1  # one merged session row
+    assert emitted["n_events"].iloc[0] == 2
+    assert emitted["sum_value"].iloc[0] == 3.0
+    assert state.get[2] == 1  # the 12:00 session stays open in state
+
+
+def test_session_kernel_clamps_timeout_above_watermark():
+    """A late in-gap event must not arm a timeout at/before the
+    watermark (Spark raises INVALID_TIMEOUT_TIMESTAMP and poisons the
+    query)."""
+    from bitcoin_datawarehouse_spark.streaming.sessions import _session_fn
+
+    wm = _ts(13, 0) // 1000  # watermark 13:00 in ms
+    state = _FakeState(
+        value=(_ts(12, 0), _ts(12, 10), 2, 4.0), watermark_ms=wm
+    )
+    late = _pdf([(BASE.replace(hour=12, minute=15), 1.0)])
+    list(_session_fn((1,), iter([late]), state))
+    assert state.timeout_set is not None and state.timeout_set > wm
+
+
+def _ts(h, m):
+    import datetime as _dt
+
+    return int(
+        BASE.replace(hour=h, minute=m)
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )

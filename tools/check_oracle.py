@@ -59,10 +59,9 @@ def main() -> int:
 
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
+    run = {n: f for n, f in qmap.items() if not only or n in only}
     failures = []
-    for name, fn in sorted(qmap.items()):
-        if only and name not in only:
-            continue
+    for name, fn in sorted(run.items()):
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -125,7 +124,8 @@ def main() -> int:
         failures.append(name)
 
     print(
-        f"\n{len(qmap) - len(failures)}/{len(qmap)} queries pass"
+        f"\n{len(run) - len(failures)}/{len(run)} queries pass"
+        + (f" (of {len(qmap)} registered)" if only else "")
         + (f"; FAILURES: {failures}" if failures else "")
     )
     return 1 if failures else 0

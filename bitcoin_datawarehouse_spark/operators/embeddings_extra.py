@@ -74,39 +74,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pass of a training-data pipeline (exact-match and MinHash
     miss paraphrases; embeddings catch them).
 
-    This is the exact baseline (all n²/2 pairs): correct at fixture
-    scale and as the rerank kernel.  At 100 TB the candidate set comes
-    from the sign-LSH bucket join of similarity_lsh_buckets (same
-    technique as dedup_minhash_lsh: pairwise work only inside
-    buckets); the cosine filter below is unchanged — only the pair
-    source swaps.
+    Exact all-pairs via a distributed **block-pair grid**: vectors are
+    hashed into ``NB`` blocks, every unordered block pair (p ≤ q)
+    becomes one ``applyInPandas`` group holding block p as the A-side
+    and block q as the B-side, and the kernel scores the A×B grid with
+    dim-ordered numpy.  Nothing touches the driver: the replication
+    join is a broadcast of a 36-row block-pair table, the pair work is
+    spread over NB·(NB+1)/2 tasks, and each task holds 2·N/NB vectors
+    — the standard exact-APSS layout that survives a 100× corpus by
+    raising NB (memory per task is N/NB-bounded, total compute is the
+    irreducible O(N²/2) spread evenly).  When exactness can be traded
+    for recall, the candidate source swaps to the sign-LSH bucket join
+    of similarity_lsh_buckets (as dedup_minhash_lsh does) and this
+    same kernel reranks — only the pair source changes.
+
+    Bit-exactness with the DuckDB oracle is preserved because the
+    accumulation loops over DIMENSIONS in order (acc += A[:,d]*B[:,d])
+    — per pair that is the same left-to-right IEEE sequence as the
+    JVM/DuckDB array fold; only the cross-pair axis is vectorized.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    emb = _normed(spark, sf_dir)
-    # Vectorized all-pairs scoring: broadcast the (small) right-side
-    # matrix to every task, stream left-side blocks through
-    # mapInPandas, and for each block run the similarity as 64
-    # numpy ops vectorized across pairs.  This is the blocked-matrix
-    # design that scales: at 100 TB the right side becomes LSH/IVF
-    # bucket blocks instead of "everything" (see similarity.py) and
-    # the kernel below is unchanged.
-    #
-    # Bit-exactness with the DuckDB oracle is preserved because the
-    # accumulation loops over DIMENSIONS in order (acc += A[:,d]*B[:,d])
-    # — per pair that is the same left-to-right IEEE sequence as the
-    # JVM/DuckDB array fold; only the cross-pair axis is vectorized.
-    rows = emb.select("vec_id", "e").collect()  # one dim-table-sized broadcast
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["e"] for r in rows], dtype=np.float64)
-    d = mat.shape[1]
-    nrm = np.zeros(len(ids))
-    for j in range(d):  # fold order identical to norm_col
-        nrm += mat[:, j] * mat[:, j]
-    nrm = np.sqrt(nrm)
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    NB = 8  # block count: NB(NB+1)/2 = 36 tasks; replication = NB+1 per row
+
+    emb = _normed(spark, sf_dir).select("vec_id", "e")
+
+    block_pairs = spark.createDataFrame(
+        [(p, q) for p in range(NB) for q in range(p, NB)], "pa int, pb int"
+    )
+    blocked = emb.withColumn(
+        "blk", F.pmod(F.hash("vec_id"), F.lit(NB)).cast("int")
+    )
+    # A-side rows go to every pair whose first block is theirs; B-side
+    # to every pair whose second block is theirs.  Both joins broadcast
+    # the tiny pair table; the union shuffles once on (pa, pb).
+    side_a = blocked.join(
+        F.broadcast(block_pairs), blocked["blk"] == block_pairs["pa"]
+    ).select("pa", "pb", F.lit(0).alias("role"), "vec_id", "e")
+    side_b = blocked.join(
+        F.broadcast(block_pairs), blocked["blk"] == block_pairs["pb"]
+    ).select("pa", "pb", F.lit(1).alias("role"), "vec_id", "e")
 
     out_schema = T.StructType(
         [
@@ -116,36 +125,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def score_blocks(batches):
-        b_ids, b_mat, b_nrm = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["e"]), dtype=np.float64)
-            a_nrm = np.zeros(len(a_ids))
-            for j in range(d):
-                a_nrm += a_mat[:, j] * a_mat[:, j]
-            a_nrm = np.sqrt(a_nrm)
-            # dim-ordered accumulation, vectorized over the pair grid
-            acc = np.zeros((len(a_ids), len(b_ids)))
-            for j in range(d):
-                acc += np.outer(a_mat[:, j], b_mat[:, j])
-            cosine = acc / np.outer(a_nrm, b_nrm)
-            ai, bi = np.nonzero(
-                (cosine >= COSINE_DUP_THRESHOLD)
-                & (a_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cosine": cosine[ai, bi],
-                }
-            )
+    def _norms(mat: np.ndarray) -> np.ndarray:
+        n = np.zeros(mat.shape[0])
+        for j in range(mat.shape[1]):  # fold order identical to norm_col
+            n += mat[:, j] * mat[:, j]
+        return np.sqrt(n)
 
-    blocks = emb.select("vec_id", "e").repartition(
-        spark.sparkContext.defaultParallelism
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        a_ids = a["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a["e"]), dtype=np.float64)
+        b_mat = np.array(list(b["e"]), dtype=np.float64)
+        a_nrm, b_nrm = _norms(a_mat), _norms(b_mat)
+        # dim-ordered accumulation, vectorized over the pair grid
+        acc = np.zeros((len(a_ids), len(b_ids)))
+        for j in range(a_mat.shape[1]):
+            acc += np.outer(a_mat[:, j], b_mat[:, j])
+        cosine = acc / np.outer(a_nrm, b_nrm)
+        mask = cosine >= COSINE_DUP_THRESHOLD
+        if pdf["pa"].iloc[0] == pdf["pb"].iloc[0]:
+            # diagonal block: both sides hold the same vectors, so each
+            # unordered pair appears twice in the grid — keep a < b
+            mask &= a_ids[:, None] < b_ids[None, :]
+        # off-diagonal blocks are disjoint: every grid cell is a distinct
+        # unordered pair; normalize id order on output (cosine is
+        # commutative, so min/max relabeling is bit-exact)
+        ai, bi = np.nonzero(mask)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cosine": cosine[ai, bi]}
+        )
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("pa", "pb")
+        .applyInPandas(score_block_pair, out_schema)
     )
-    return blocks.mapInPandas(score_blocks, out_schema)
 
 
 _SQL_IVF_COMMON = f"""

@@ -121,9 +121,20 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` so one batch of
     payloads fits executor memory, and the GPU/codec stage slots in at
     ``decode_payload`` without touching the plan.
+
+    Output is long-form ``(doc_id, n_bytes, media_type, dim, value)``
+    — scalar columns only, so any downstream canonicalizer (including
+    the driver's pandas row sort) can order the rows; an
+    ``array<double>`` column is unsortable there.
     """
     m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
-    return m.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+    feats = m.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "media_type",
+        F.posexplode("features").alias("dim", "value"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -52,9 +52,17 @@ def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mergeable replacement for the exact sort-based percentile.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # one array-returning sketch call, unpacked to scalar columns —
+    # the driver's canonicalizer (pandas row sort) cannot sort arrays
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
             F.lit(10000),
-        ).alias("approx_pcts")
+        ).alias("pcts")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("pcts")[0].alias("approx_p50"),
+        F.col("pcts")[1].alias("approx_p90"),
+        F.col("pcts")[2].alias("approx_p99"),
     )

@@ -90,7 +90,12 @@ class Warehouse:
         return self.spark.read.parquet(str(self.table_path(schema, table)))
 
     def write_atomic(
-        self, df: DataFrame, schema: str, table: str, coalesce: int | None = None
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        coalesce: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """Replace ``schema.table`` with ``df`` atomically.
 
@@ -98,13 +103,22 @@ class Warehouse:
         the only Spark action; the swap is metadata-only.  ``coalesce``
         caps output files for small control tables (avoids the
         many-tiny-files problem when a 32-way shuffle writes 5 rows).
+        ``partition_by`` preserves a Hive-partitioned layout through
+        the swap (used by :meth:`compact` on partitioned tables).
         """
         self.create_schema(schema)
         final = self.table_path(schema, table)
         tmp = final.with_name(f"{table}.__tmp_{uuid.uuid4().hex[:8]}")
-        if coalesce:
+        if coalesce and partition_by:
+            # hash-cluster on the partition cols so each partition value
+            # lands in one task → one file per partition directory
+            df = df.repartition(coalesce, *partition_by)
+        elif coalesce:
             df = df.coalesce(coalesce)
-        df.write.mode("overwrite").parquet(str(tmp))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(tmp))
         if self.keep_versions > 0 and final.exists():
             snap = final.with_name(
                 f"{table}.__v_{int(time.time() * 1000):015d}"
@@ -222,13 +236,36 @@ class Warehouse:
         files_after).
         """
         path = self.table_path(schema, table)
-        files = list(path.glob("*.parquet"))
+        # recursive glob: partitioned tables keep data one level down in
+        # col=value dirs — a top-level glob would see 0 files and the
+        # rewrite would silently flatten the partition layout
+        files = list(path.glob("**/*.parquet"))
         total = sum(f.stat().st_size for f in files)
         n_out = max(1, -(-total // target_file_bytes))
+        partition_cols = None
+        if self.table_exists_partitioned(schema, table):
+            # recover the layout from the col=value directory names so
+            # the compacted table keeps its pruning
+            partition_cols = []
+            probe = path
+            while True:
+                sub = [
+                    d for d in probe.iterdir() if d.is_dir() and "=" in d.name
+                ]
+                if not sub:
+                    break
+                partition_cols.append(sub[0].name.split("=", 1)[0])
+                probe = sub[0]
         self.write_atomic(
-            self.read(schema, table), schema, table, coalesce=int(n_out)
+            self.read(schema, table),
+            schema,
+            table,
+            coalesce=int(n_out),
+            partition_by=partition_cols,
         )
-        after = len(list(self.table_path(schema, table).glob("*.parquet")))
+        after = len(
+            list(self.table_path(schema, table).glob("**/*.parquet"))
+        )
         return len(files), after
 
     # -- storage layout (the 100 TB levers) --------------------------------

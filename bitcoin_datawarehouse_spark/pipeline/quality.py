@@ -116,17 +116,32 @@ class CheckedFrame:
         would hang the pipeline forever — so the read is bounded and
         times out into a QualityError naming the real problem.
         """
-        import concurrent.futures
+        import threading
 
-        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(lambda: self.observation.get)
+        # the blocking read runs in a DAEMON thread: a ThreadPoolExecutor
+        # here would deadlock on timeout (its shutdown — and the
+        # interpreter's atexit hook — join a worker stuck forever in
+        # Observation.get), turning the timeout guard into the very hang
+        # it exists to prevent
+        result: dict[str, Any] = {}
+
+        def _read() -> None:
             try:
-                got = fut.result(timeout=timeout_s)
-            except concurrent.futures.TimeoutError:
-                raise QualityError(
-                    f"no action has executed the observed plan within "
-                    f"{timeout_s}s — run the load before verify()"
-                ) from None
+                result["got"] = self.observation.get
+            except Exception as e:  # noqa: BLE001 — re-raised on the caller
+                result["err"] = e
+
+        t = threading.Thread(target=_read, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if t.is_alive():
+            raise QualityError(
+                f"no action has executed the observed plan within "
+                f"{timeout_s}s — run the load before verify()"
+            )
+        if "err" in result:
+            raise result["err"]
+        got = result["got"]
         failures = [
             f"{e.describe} (metric {e.name}={got[e.name]!r})"
             for e in self.expectations

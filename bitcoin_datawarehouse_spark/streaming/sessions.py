@@ -82,7 +82,10 @@ def session_window_agg(
 
 
 def _us(ts: dt.datetime) -> int:
-    return int(ts.timestamp() * 1_000_000)
+    # exact integer path: float-seconds (ts.timestamp()*1e6) loses
+    # ~0.25-0.5 µs at current epochs, shifting session boundaries by
+    # ±1 µs for sub-second-precision events
+    return int(pd.Timestamp(ts).value // 1000)
 
 
 def _session_fn(

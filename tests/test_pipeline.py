@@ -359,6 +359,48 @@ def test_compaction_reduces_files_preserves_rows(spark, wh):
     assert ld.get_record_count() == 30
 
 
+def test_compaction_preserves_partitioned_layout(spark, wh):
+    """compact() on a Hive-partitioned table must keep the col=value
+    directory layout (and its pruning) — not flatten it to one file."""
+    rows = [
+        {"id": d * 10 + i, "day": f"2025-01-0{d}", "v": float(i)}
+        for d in (1, 2)
+        for i in range(4)
+    ]
+    for chunk in (rows[:4], rows[4:]):  # two writes → several small files
+        wh.create_schema("bitcoin")
+        rows_df(spark, chunk).write.mode("append").partitionBy("day").parquet(
+            str(wh.table_path("bitcoin", "pcmp"))
+        )
+    before, after = wh.compact("bitcoin", "pcmp")
+    assert before >= after >= 2  # ≥1 file per partition, fewer than before
+    p = wh.table_path("bitcoin", "pcmp")
+    assert (p / "day=2025-01-01").is_dir() and (p / "day=2025-01-02").is_dir()
+    assert wh.read("bitcoin", "pcmp").count() == 8
+    assert "day" in wh.read("bitcoin", "pcmp").columns
+
+
+def test_quality_verify_timeout_raises_not_hangs(spark):
+    """The bounded metrics read must RAISE when no action has executed
+    the observed plan — the old executor-context version deadlocked in
+    shutdown(wait=True) joining the still-blocked reader thread."""
+    import time as _time
+
+    from bitcoin_datawarehouse_spark.pipeline.quality import (
+        QualityError,
+        QualityGate,
+        expect_min_rows,
+    )
+
+    checked = QualityGate([expect_min_rows(1)]).attach(
+        spark.range(3).toDF("id")
+    )
+    t0 = _time.monotonic()
+    with pytest.raises(QualityError, match="no action has executed"):
+        checked.verify(timeout_s=1.0)
+    assert _time.monotonic() - t0 < 10  # returned promptly, no deadlock
+
+
 def test_strict_schema_refuses_drift(spark, wh):
     ld = Loader(wh, "bitcoin", "strict")
     ld.load_incremental(rows_df(spark, [{"id": 1, "a": "x"}]), ["id"])

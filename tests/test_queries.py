@@ -65,6 +65,29 @@ def test_every_query_runs_and_has_stable_schema(spark):
         df.schema  # noqa: B018
 
 
+def test_every_query_output_is_driver_canonicalizable(spark):
+    """The driver canonicalizes results with a pandas sort over every
+    column; ArrayType/MapType/StructType cells are unhashable there and
+    crash the gate (r01: multimodal_feature_extract).  Enforce
+    scalar-only output schemas for every registered query, and actually
+    round-trip the rows-only ones (no oracle → the driver sorts them
+    raw) through the same pandas sort."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_SMALL)
+        for field in df.schema.fields:
+            assert not isinstance(field.dataType, complex_types), (
+                f"{name}.{field.name}: {field.dataType} is not "
+                "driver-sortable"
+            )
+
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        pdf = QUERIES[name](spark, SF_SMALL).toPandas()
+        pdf.sort_values(by=list(pdf.columns))  # raises on unsortable cells
+
+
 def test_approx_count_distinct_error(spark):
     exact = {
         r["o_orderpriority"]: r["n_customers"]

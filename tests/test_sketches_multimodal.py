@@ -34,7 +34,7 @@ def test_hll_distinct_within_rsd(spark):
 
 def test_approx_percentiles_close_to_exact(spark):
     approx = {
-        r["l_returnflag"]: r["approx_pcts"]
+        r["l_returnflag"]: (r["approx_p50"], r["approx_p90"], r["approx_p99"])
         for r in QUERIES["sketch_approx_percentiles"](
             spark, SF_ORACLE
         ).collect()

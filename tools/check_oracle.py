@@ -72,6 +72,16 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in omap:
+            # mirror the driver's rows-only canonicalization: a pandas
+            # sort over every column — dies on unsortable (array) cells,
+            # which r01 proved the plain repr-sort here does not catch
+            try:
+                pdf = sdf.toPandas()
+                pdf.sort_values(by=list(pdf.columns))
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: rows-only canonicalize error: {e}")
+                failures.append(name)
+                continue
             print(
                 f"ok?   {name}: rows-only ({len(srows)} rows, "
                 f"{time.time()-t0:.1f}s) [no oracle]"
@@ -109,13 +119,15 @@ def main() -> int:
                 if example is None:
                     example = (a, b)
                 for x, y in zip(a, b):
+                    # normalized float cells are repr() strings; parse
+                    # with float() directly (never eval untrusted data)
                     try:
-                        fx, fy = float(eval(x)), float(eval(y))  # noqa: S307
-                        if math.isfinite(fx) and math.isfinite(fy) and fx != fy:
-                            rel = abs(fx - fy) / max(abs(fx), abs(fy), 1e-300)
-                            max_rel = max(max_rel, rel)
-                    except Exception:  # noqa: BLE001
-                        pass
+                        fx, fy = float(x), float(y)
+                    except (TypeError, ValueError):
+                        continue
+                    if math.isfinite(fx) and math.isfinite(fy) and fx != fy:
+                        rel = abs(fx - fy) / max(abs(fx), abs(fy), 1e-300)
+                        max_rel = max(max_rel, rel)
         print(
             f"FAIL  {name}: {n_diff}/{len(srows)} rows differ "
             f"(max float rel-diff {max_rel:.2e})\n"

@@ -72,6 +72,10 @@ def asof_join(
     # greatest value tuple wins, reproducibly; pre-aggregate the right
     # side when different tie semantics are wanted.
     order_cols = ["_asof_key", "_asof_tag", *value_cols]
+    # the unpartitioned branch (pb empty) is taken only for a single
+    # global series — the daily-price mapping here is ≤36.5k
+    # rows/century, so the WindowExec single-partition warning is
+    # benign; keyed as-of joins always pass partition_by
     w = (
         W.partitionBy(*pb).orderBy(*order_cols)
         if pb

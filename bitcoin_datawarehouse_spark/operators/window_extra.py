@@ -49,6 +49,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("day_rev")
     )
+    # unpartitioned by design: per-day aggregate input, ≤36.5k
+    # rows/century — the WindowExec single-partition warning is benign
     w = (
         W.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
         .rangeBetween(-(TRAILING_DAYS - 1), 0)

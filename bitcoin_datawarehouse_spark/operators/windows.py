@@ -170,6 +170,8 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         dsum(F.col("value"), "day_value")
     )
+    # unpartitioned by design: input is the per-day aggregate, ≤36.5k
+    # rows/century — the WindowExec single-partition warning is benign
     w = W.orderBy("day").rowsBetween(-6, 0)
     return daily.select(
         "day",
@@ -212,6 +214,8 @@ def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
         dsum(F.col("o_totalprice"), "day_value")
     )
+    # unpartitioned by design: per-day aggregate input, ≤36.5k
+    # rows/century — the WindowExec single-partition warning is benign
     w = W.orderBy("order_day").rowsBetween(W.unboundedPreceding, 0)
     return daily.select(
         "order_day",

@@ -6,7 +6,10 @@ inference, declarative column transforms, polling source adapter, and
 the job-control runner.
 """
 
-from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+from bitcoin_datawarehouse_spark.pipeline.catalog import (
+    Warehouse,
+    lakehouse_pair,
+)
 from bitcoin_datawarehouse_spark.pipeline.jobs import (
     JobControl,
     JobResult,
@@ -47,6 +50,7 @@ from bitcoin_datawarehouse_spark.pipeline.transform import (
 
 __all__ = [
     "Warehouse",
+    "lakehouse_pair",
     "Loader",
     "JobControl",
     "JobResult",

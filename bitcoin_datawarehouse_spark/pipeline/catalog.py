@@ -30,6 +30,33 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def lakehouse_pair(
+    spark: SparkSession,
+    lake_root: str,
+    warehouse_root: str | None = None,
+    keep_versions: int = 0,
+) -> tuple["Warehouse", "Warehouse"]:
+    """The reference's lake/warehouse dual-engine split
+    (``data_integration/utils/database.py:35-45`` ``pg_data_lake`` vs
+    ``:64-74`` ``pg_data_warehouse``): raw ingests land in the lake,
+    curated tables in the warehouse.
+
+    In the reference both "engines" resolve to the SAME host, port and
+    database (only the credential env vars differ), so the split is a
+    logical namespace, not a physical one.  Mirrored here as two
+    directory roots — pass the same path for both (the default) to
+    reproduce the reference's actual one-host deployment, or two paths
+    (e.g. different mounts/storage tiers) when the split should be
+    physical.  Returns ``(lake, warehouse)``.
+    """
+    return (
+        Warehouse(spark, lake_root, keep_versions=keep_versions),
+        Warehouse(
+            spark, warehouse_root or lake_root, keep_versions=keep_versions
+        ),
+    )
+
+
 class Warehouse:
     """Directory-backed catalog with ``schema.table`` addressing.
 

@@ -359,6 +359,30 @@ def test_compaction_reduces_files_preserves_rows(spark, wh):
     assert ld.get_record_count() == 30
 
 
+def test_lakehouse_pair_roots(spark, tmp_path):
+    """Lake + warehouse as two catalog roots (reference database.py:
+    35-74): raw lands in the lake, curated in the warehouse, and the
+    same-root default reproduces the reference's one-host deployment."""
+    from bitcoin_datawarehouse_spark.pipeline import lakehouse_pair
+
+    lake, dw = lakehouse_pair(
+        spark, str(tmp_path / "lake"), str(tmp_path / "dw")
+    )
+    raw = rows_df(spark, [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    lake.write_atomic(raw, "staging", "raw_rows")
+    curated = lake.read("staging", "raw_rows").filter(F.col("id") > 1)
+    dw.write_atomic(curated, "bitcoin", "curated_rows")
+    assert lake.table_exists("staging", "raw_rows")
+    assert not dw.table_exists("staging", "raw_rows")  # separate namespaces
+    assert dw.read("bitcoin", "curated_rows").count() == 1
+
+    # same-root default: both handles address one store (the reference's
+    # two engines point at one host)
+    lake2, dw2 = lakehouse_pair(spark, str(tmp_path / "one"))
+    lake2.write_atomic(raw, "s", "t")
+    assert dw2.table_exists("s", "t")
+
+
 def test_compaction_preserves_partitioned_layout(spark, wh):
     """compact() on a Hive-partitioned table must keep the col=value
     directory layout (and its pruning) — not flatten it to one file."""

@@ -118,12 +118,13 @@ def test_ivf_probe_join_no_cartesian(plan_of):
 
 def test_embedding_dedup_is_distributed_block_grid(plan_of):
     # exact all-pairs dedup must be the block-pair applyInPandas grid:
-    # broadcast equi-joins fan rows out to block pairs (never a
-    # cartesian / nested-loop) and the grid kernel runs distributed
-    # (FlatMapGroupsInPandas); both embeddings scans stay in the plan —
-    # a driver-side collect would leave no second scan to distribute
+    # one scan explodes each vector to its block-pair assignments
+    # (never a cartesian / nested-loop / driver collect) and the grid
+    # kernel runs distributed (FlatMapGroupsInPandas) after a single
+    # group-key shuffle
     plan = plan_of("dedup_embedding_cosine")
     assert_no_cartesian(plan)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
-    assert_broadcast_join(plan)
+    assert "Generate" in plan  # the explode fan-out, not a join
+    assert "Scan parquet" in plan  # distributed scan, no LocalTableScan

@@ -57,7 +57,25 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     load_all_operators()
-    spark = get_spark("bench")
+    # Fixed-small-SF execution profile (sf ≤ 0.1 ≈ 100 MB working set):
+    # every shuffle in the headline set is far below one
+    # maxPartitionBytes, so the run is bounded by per-task launch and
+    # per-stage scheduling, not data movement.  Two knobs follow:
+    # * 8 shuffle partitions (not 32) — each shuffled stage still
+    #   saturates memory bandwidth at this volume, and 3/4 of the task
+    #   launches disappear (measured 10.4s → 7.2s over the set);
+    # * AQE off — adaptive execution materializes every shuffle stage
+    #   and re-plans on the driver before scheduling the next; that
+    #   insurance premium (~2s over the set here) only pays when sizes
+    #   are unpredictable.  The production profile (session.cluster_conf)
+    #   keeps AQE ON with 3× core partitions — at 100 TB the premium is
+    #   noise and the re-planning (broadcast conversion, skew split) is
+    #   what keeps the same declarative plans efficient.
+    spark = get_spark(
+        "bench",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
 
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not session startup

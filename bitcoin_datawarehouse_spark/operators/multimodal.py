@@ -113,7 +113,42 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")  # rows-only: Python featurizer, no SQL analog
+# DuckDB has no blob subscripting, so the oracle walks the hex string
+# of the UTF-8 payload: byte i of the blob is hex chars (2i-1, 2i).
+_SQL_BYTES = """bytes AS (
+      SELECT d.doc_id, g.i,
+             (instr('0123456789abcdef', lower(substr(d.h, 2*g.i-1, 1)))-1)*16
+           + (instr('0123456789abcdef', lower(substr(d.h, 2*g.i,   1)))-1)
+             AS byteval
+      FROM (SELECT doc_id, hex(encode(text)) AS h FROM documents) d,
+      LATERAL (SELECT unnest(generate_series(1, length(d.h)//2)) AS i) g
+    )"""
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle=f"""
+    WITH {_SQL_BYTES},
+    meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             'text/plain;src=' || source AS media_type
+      FROM documents
+    ),
+    dims AS (SELECT unnest(generate_series(0, {FEATURE_DIM - 1})) AS dim),
+    counts AS (
+      SELECT doc_id, byteval // (256 // {FEATURE_DIM}) AS dim,
+             COUNT(*) AS cnt
+      FROM bytes GROUP BY 1, 2
+    )
+    SELECT m.doc_id, m.n_bytes, m.media_type, CAST(d.dim AS INT) AS dim,
+           CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+             / CAST(greatest(m.n_bytes, 1) AS DOUBLE) AS value
+    FROM meta m
+    CROSS JOIN dims d
+    LEFT JOIN counts c ON c.doc_id = m.doc_id AND c.dim = d.dim
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches).
 
@@ -126,6 +161,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     — scalar columns only, so any downstream canonicalizer (including
     the driver's pandas row sort) can order the rows; an
     ``array<double>`` column is unsortable there.
+
+    The stub featurizer (byte histogram over ``FEATURE_DIM`` equal
+    bins) is deliberately SQL-expressible, so the whole Arrow path —
+    encode → decode → histogram → normalize — is hash-checked against
+    a DuckDB oracle; a production model swap would drop the oracle and
+    fall back to the rows-only gate.
     """
     m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
     feats = m.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
@@ -236,3 +277,89 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = media_table(spark, sf_dir).select("doc_id", "payload")
     return m.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Byte-exact digests of the binary kernels (hash-gated companions)
+# ---------------------------------------------------------------------------
+# The resize / frame-sample queries return ``binary`` columns — the
+# genuine API — which the driver's rows-only canonicalizer can count
+# but not value-hash.  These companions prove the kernels byte-exact:
+# same Arrow path, output reduced to the hex encoding of the bytes, and
+# a DuckDB oracle that recomputes the identical byte streams from the
+# hex string of the payload (DuckDB md5 is VARCHAR-only, so hex — which
+# both engines emit uppercase — is the comparable digest).
+
+
+@query(
+    "multimodal_resize_digest",
+    oracle=f"""
+    WITH {_SQL_BYTES},
+    src AS (
+      SELECT doc_id, octet_length(encode(text)) AS sz FROM documents
+    ),
+    out_idx AS (
+      SELECT unnest(generate_series(0, {RESIZE_DIM * RESIZE_DIM - 1})) AS j
+    ),
+    picked AS (
+      SELECT s.doc_id, o.j,
+             CASE WHEN s.sz = 0 THEN 0
+                  ELSE (SELECT b.byteval FROM bytes b
+                        WHERE b.doc_id = s.doc_id
+                          AND b.i = (o.j * s.sz) // {RESIZE_DIM * RESIZE_DIM} + 1)
+             END AS byteval
+      FROM src s CROSS JOIN out_idx o
+    )
+    SELECT doc_id,
+           string_agg(upper(lpad(hex(byteval), 2, '0')), '' ORDER BY j)
+             AS resized_hex,
+           CAST({RESIZE_DIM} AS INT) AS out_w,
+           CAST({RESIZE_DIM} AS INT) AS out_h
+    FROM picked GROUP BY doc_id
+    """,
+)
+def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex digest of :func:`multimodal_resize` output — byte-exact
+    hash gate over the nearest-neighbor downsample kernel."""
+    return multimodal_resize(spark, sf_dir).select(
+        "doc_id",
+        F.hex("resized").alias("resized_hex"),
+        "out_w",
+        "out_h",
+    )
+
+
+@query(
+    "multimodal_frame_digest",
+    oracle=f"""
+    WITH {_SQL_BYTES},
+    src AS (
+      SELECT doc_id, octet_length(encode(text)) AS sz FROM documents
+    ),
+    frames AS (SELECT unnest(generate_series(0, 3)) AS frame_idx),
+    offs AS (SELECT unnest(generate_series(0, 31)) AS o),
+    cells AS (
+      SELECT s.doc_id, f.frame_idx, ofs.o,
+             (f.frame_idx * greatest(s.sz - 32, 0)) // 3 + ofs.o + 1 AS pos,
+             s.sz
+      FROM src s CROSS JOIN frames f CROSS JOIN offs ofs
+    )
+    SELECT c.doc_id, CAST(c.frame_idx AS INT) AS frame_idx,
+           string_agg(
+             upper(lpad(hex(CASE WHEN c.pos <= c.sz
+                                 THEN (SELECT b.byteval FROM bytes b
+                                       WHERE b.doc_id = c.doc_id
+                                         AND b.i = c.pos)
+                                 ELSE 0 END), 2, '0')),
+             '' ORDER BY c.o) AS frame_hex
+    FROM cells c GROUP BY c.doc_id, c.frame_idx
+    """,
+)
+def multimodal_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex digest of :func:`multimodal_frame_sample` output — byte-
+    exact hash gate over the evenly-spaced frame-window kernel."""
+    return multimodal_frame_sample(spark, sf_dir).select(
+        "doc_id",
+        "frame_idx",
+        F.hex("frame").alias("frame_hex"),
+    )

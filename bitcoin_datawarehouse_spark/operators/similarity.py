@@ -128,10 +128,10 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "similarity_lsh_buckets",
-    oracle=f"""
-    WITH elems AS (
+# Shared oracle CTE: per-vector sign-LSH signatures (elems → ±1
+# projections → per-table bucket ints) — used verbatim by the buckets
+# query and composed into the end-to-end ANN oracle below.
+_SQL_SIGS = f"""elems AS (
       SELECT vec_id,
              generate_subscripts(embedding, 1) AS i,
              unnest(CAST(embedding AS DOUBLE[])) AS x
@@ -159,7 +159,13 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE 0 END) AS BIGINT) AS bucket
       FROM proj
       GROUP BY vec_id, j // {LSH_BITS_PER_TABLE}
-    )
+    )"""
+
+
+@query(
+    "similarity_lsh_buckets",
+    oracle=f"""
+    WITH {_SQL_SIGS}
     SELECT vec_id, CAST(tbl AS INT) AS tbl, bucket FROM sigs
     """,
 )
@@ -212,15 +218,56 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_lsh")  # rows-only: composition verified vs brute force in tests
+@query(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH {_SQL_SIGS},
+    qb AS (
+      SELECT vec_id AS query_id, tbl, bucket FROM sigs
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cands AS (
+      SELECT DISTINCT qb.query_id, s.vec_id AS cand_id
+      FROM qb JOIN sigs s ON s.tbl = qb.tbl AND s.bucket = qb.bucket
+      WHERE s.vec_id <> qb.query_id
+    ),
+    n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_reduce(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+               (acc, x) -> acc + x)) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT c.query_id, c.cand_id,
+             list_reduce(list_transform(list_zip(q.e, d.e),
+                                        p -> p[1] * p[2]),
+                         (acc, x) -> acc + x) / (q.nrm * d.nrm) AS cosine
+      FROM cands c
+      JOIN n q ON q.vec_id = c.query_id
+      JOIN n d ON d.vec_id = c.cand_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cand_id
+             ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: LSH-bucket candidate generation + exact rerank.
 
-    Candidates = vectors sharing any of the LSH_TABLES per-table buckets with the
-    query; exact cosine reranks candidates only.  tests/test_similarity.py
-    measures recall against similarity_bruteforce_topk.  No SQL oracle:
-    the end-to-end composition is the point (the two building blocks
-    above are each oracle-checked).
+    Candidates = vectors sharing any of the LSH_TABLES per-table
+    buckets with the query; exact cosine reranks candidates only.
+    tests/test_similarity.py measures recall against
+    similarity_bruteforce_topk.  The composition is deterministic end
+    to end (md5 projections, dim-ordered folds, cand_id tie-break), so
+    the full pipeline is hash-checked against a DuckDB oracle composed
+    of the same three stages.
     """
     buckets = similarity_lsh_buckets(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(

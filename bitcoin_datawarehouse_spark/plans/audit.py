@@ -41,8 +41,11 @@ def assert_broadcast_join(plan: str) -> None:
 
 
 def assert_pushed_filter(plan: str, column: str) -> None:
-    assert "PushedFilters" in plan, "no filters pushed to the scan"
-    assert column in plan.split("PushedFilters")[1][:300], (
+    """The filter on ``column`` reaches SOME parquet scan (multi-scan
+    plans list one PushedFilters block per scan)."""
+    segments = plan.split("PushedFilters")[1:]
+    assert segments, "no filters pushed to the scan"
+    assert any(column in seg[:300] for seg in segments), (
         f"filter on {column} not pushed to scan"
     )
 

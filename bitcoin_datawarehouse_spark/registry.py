@@ -64,4 +64,5 @@ def load_all_operators() -> None:
         cogroup,
         sql_surface,
         window_extra,
+        tpch,
     )

@@ -128,3 +128,29 @@ def test_embedding_dedup_is_distributed_block_grid(plan_of):
     assert "FlatMapGroupsInPandas" in plan
     assert "Generate" in plan  # the explode fan-out, not a join
     assert "Scan parquet" in plan  # distributed scan, no LocalTableScan
+
+
+def test_tpch_q3_plan_shape(plan_of):
+    # segment-filtered customer broadcasts; top-10 is TakeOrdered (no
+    # global sort materialization); date filters reach the scans
+    plan = plan_of("tpch_q3_shipping_priority")
+    assert_broadcast_join(plan)
+    assert "TakeOrderedAndProject" in plan
+    assert_pushed_filter(plan, "o_orderdate")
+    assert_no_cartesian(plan)
+
+
+def test_tpch_q5_plan_shape(plan_of):
+    # 6-table tree: every dimension leg broadcast, exactly one
+    # fact-fact shuffle pair, no cartesian anywhere
+    plan = plan_of("tpch_q5_local_supplier_volume")
+    assert_broadcast_join(plan)
+    assert_no_cartesian(plan)
+    assert_partial_aggregation(plan)
+
+
+def test_tpch_q10_filters_reach_scans(plan_of):
+    plan = plan_of("tpch_q10_returned_items")
+    assert_pushed_filter(plan, "l_returnflag")
+    assert_pushed_filter(plan, "o_orderdate")
+    assert "TakeOrderedAndProject" in plan

@@ -65,4 +65,5 @@ def load_all_operators() -> None:
         sql_surface,
         window_extra,
         tpch,
+        kmeans,
     )

@@ -151,3 +151,43 @@ def test_asof_join_partition_by_and_tie_break(spark):
         ("b", 3): 2.0,   # duplicate right rows: greatest value wins
         ("b", 1): None,  # no prior observation → ASOF LEFT null
     }
+
+
+def test_kmeans_improves_quantizer(spark):
+    """Lloyd iterations must tighten the clusters: mean cosine of each
+    vector to its assigned centroid is higher under the trained
+    quantizer than under the fixed smallest-vec_id seed."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        IVF_N_CENTROIDS,
+        _normed,
+    )
+    from bitcoin_datawarehouse_spark.operators.kmeans import (
+        assign_to_centroids,
+        kmeans_fit,
+    )
+    from bitcoin_datawarehouse_spark.operators.similarity import dot_col
+
+    emb = _normed(spark, SF_SMALL)
+
+    def mean_cos(cent):
+        a = assign_to_centroids(emb, cent)
+        joined = (
+            a.join(emb, "vec_id")
+            .join(
+                cent.withColumnRenamed("centroid_id", "cid"),
+                F.col("centroid_id") == F.col("cid"),
+            )
+        )
+        cos = dot_col(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+        return joined.agg(F.avg(cos)).first()[0]
+
+    seed = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    trained = kmeans_fit(emb)
+    assert trained.count() <= IVF_N_CENTROIDS
+    assert mean_cos(trained) > mean_cos(seed)

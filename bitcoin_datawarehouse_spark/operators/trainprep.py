@@ -1,0 +1,201 @@
+"""Training-data preparation operators (SURVEY.md §2.12 family).
+
+The three standard transforms between "deduped corpus" and "training
+shards" in an LLM data pipeline, each deterministic and hash-gated:
+
+* **hash split** — stable train/val/test assignment from md5 of the
+  document key: reproducible across runs/engines, no RNG state, and
+  membership survives corpus growth (a doc never migrates).
+* **sequence packing** (concat-then-chunk) — cumulative token budget
+  per shard assigns each document a chunk id + offset; the window is
+  partitioned by the shard key (``source``), so state is per-shard —
+  the same layout a 1000-worker tokenizer writes.
+* **int8 quantization** — per-vector absmax scalar quantization of
+  embeddings; ``floor(x/scale + 0.5)`` instead of ROUND so both
+  engines round identically.
+
+At 100 TB: the split is a stateless projection (codegen); packing is
+one window per shard partition (shards are bounded by construction —
+a shard is what one worker wrote); quantization is a projection over
+the array column.  Nothing shuffles except packing's per-shard sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+# split fractions in 256ths of the hash space: [0,229)=train ~0.895,
+# [229,242)=val ~0.05, [242,256)=test ~0.055
+SPLIT_TRAIN_MAX = 229
+SPLIT_VAL_MAX = 242
+
+PACK_BUDGET = 256  # tokens per packed chunk
+
+QUANT_MAX = 127  # int8 absmax
+
+
+@query(
+    "trainprep_hash_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CASE WHEN bucket < {SPLIT_TRAIN_MAX} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_MAX} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def trainprep_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the first md5 byte of
+    the key partitions the hash space 90/5/5.
+
+    Stateless projection — no shuffle, no RNG; the same doc gets the
+    same split in any engine, any run, any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(hx, i, 1)
+    ) - 1
+    bucket = (nib(1) * 16 + nib(2)).cast("int")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_MAX, "train")
+        .when(bucket < SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "trainprep_pack_sequences",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_offset
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           start_offset // {PACK_BUDGET} AS chunk_id,
+           CAST((start_offset + n_tokens - 1) // {PACK_BUDGET}
+                <> start_offset // {PACK_BUDGET} AS BOOLEAN)
+             AS crosses_boundary
+    FROM packed
+    """,
+)
+def trainprep_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each shard
+    (``source``), documents are laid end to end in doc_id order and
+    cut into PACK_BUDGET-token chunks; each doc gets its byte-stream
+    offset, owning chunk, and whether it straddles a chunk boundary.
+
+    The exact layout GPT-style pretraining uses (documents
+    concatenated, loss mask handles the joins).  Window state is
+    per-shard — a shard is one tokenizer-worker's output, so the
+    partition is bounded by construction and the cumsum never needs a
+    global order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    packed = toks.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    chunk = F.floor(F.col("start_offset") / PACK_BUDGET)
+    last_chunk = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / PACK_BUDGET
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        chunk.alias("chunk_id"),
+        (last_chunk != chunk).alias("crosses_boundary"),
+    )
+
+
+@query(
+    "trainprep_quantize_int8",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_reduce(list_transform(e, x -> abs(x)),
+                         (acc, x) -> CASE WHEN x > acc THEN x ELSE acc END)
+               / {QUANT_MAX} AS scale
+      FROM v
+    )
+    SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+           CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE floor(x / scale + 0.5) END AS INT) AS q,
+           scale
+    FROM (SELECT vec_id, scale, generate_subscripts(e, 1) AS i,
+                 unnest(e) AS x
+          FROM s)
+    """,
+)
+def trainprep_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector absmax int8 quantization of the embedding column —
+    the 4× storage cut applied before ANN indexes are written at
+    corpus scale.
+
+    ``floor(x/scale + 0.5)`` is used in both engines instead of ROUND
+    (whose half-way rule is engine-dependent), so the quantized codes
+    are bit-identical.  Long-form output (vec_id, dim, q, scale)
+    keeps every column scalar for the driver's canonicalizer.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    absmax = F.aggregate(
+        F.transform(F.col("e"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.when(x > acc, x).otherwise(acc),
+    )
+    s = emb.withColumn("scale", absmax / QUANT_MAX)
+    q = F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("col") / F.col("scale") + 0.5)
+    )
+    return (
+        s.select("vec_id", "scale", F.posexplode("e"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("dim"),
+            q.cast("int").alias("q"),
+            "scale",
+        )
+    )

@@ -66,4 +66,5 @@ def load_all_operators() -> None:
         window_extra,
         tpch,
         kmeans,
+        trainprep,
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.operators.text import _SQL_TOKENS
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -198,4 +199,145 @@ def trainprep_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.cast("int").alias("q"),
             "scale",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composite: corpus → training shards in one plan
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.5  # keeps ~3/4 of the fixture corpus (p25 ≈ 0.52)
+
+
+@query(
+    "trainprep_corpus_pipeline",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens_q,
+             CAST(length(text) AS BIGINT) AS n_chars_obs,
+             CAST(len(list_filter(tk,
+               t -> t IN ('the','a','of','to','and','is','in','it')))
+               AS BIGINT) AS n_stop,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+               AS BIGINT) AS n_punct
+      FROM (SELECT doc_id, text, {_SQL_TOKENS} AS tk FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id,
+             (CAST(n_stop AS DOUBLE) / n_tokens_q) * 0.5
+               + CASE WHEN n_tokens_q >= 20 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1
+                      THEN 0.2 ELSE 0.0 END AS quality_score
+      FROM base WHERE n_tokens_q > 0
+    ),
+    keep AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+      WHERE s.quality_score >= {QUALITY_MIN}
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)
+    ),
+    surv AS (
+      SELECT k.doc_id, k.text, k.source
+      FROM keep k JOIN canon c ON c.doc_id = k.doc_id
+    ),
+    with_split AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text),
+                  '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
+             (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM surv
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN bucket < {SPLIT_TRAIN_MAX} THEN 'train'
+                  WHEN bucket < {SPLIT_VAL_MAX} THEN 'val'
+                  ELSE 'test' END AS split,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY CASE WHEN bucket < {SPLIT_TRAIN_MAX} THEN 'train'
+                                 WHEN bucket < {SPLIT_VAL_MAX} THEN 'val'
+                                 ELSE 'test' END, source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_offset
+      FROM with_split
+    )
+    SELECT doc_id, source, split, n_tokens, start_offset,
+           start_offset // {PACK_BUDGET} AS chunk_id
+    FROM packed
+    """,
+)
+def trainprep_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: the whole corpus→shards pipeline as ONE
+    declarative plan — quality gate (Gopher-style heuristics) → exact
+    dedup (canonical min doc_id per content hash) → hash split →
+    per-(split, shard) sequence packing.
+
+    Each stage is individually gated elsewhere
+    (text_quality_score, dedup_exact_docs, trainprep_*); this query
+    proves the composition end to end AND that Catalyst plans it as
+    one job: the quality filter and dedup are hash-aggregates feeding
+    the split projection, packing is the only window, and nothing
+    materializes between stages.
+
+    At scale this is the shape that matters: a 100 TB corpus flows
+    through scan → filter → two hash-aggregates → window without a
+    single driver round-trip or cache barrier.
+    """
+    from bitcoin_datawarehouse_spark.operators.text import text_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    keep = docs.join(
+        scored.filter(F.col("quality_score") >= QUALITY_MIN), "doc_id"
+    ).select("doc_id", "text", "source")
+    canon = keep.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    surv = keep.join(canon, "doc_id")
+
+    n_tokens = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(hx, i, 1)
+    ) - 1
+    bucket = nib(1) * 16 + nib(2)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_MAX, "train")
+        .when(bucket < SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    with_split = surv.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        split.alias("split"),
+    )
+    w = (
+        W.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = with_split.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / PACK_BUDGET).alias("chunk_id"),
     )

@@ -117,3 +117,44 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_completion(q)
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink)
+
+
+@query(
+    "streaming_dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest exact dedup: watermarked
+    ``dropDuplicatesWithinWatermark`` on the event key, executed BY
+    THE STREAMING ENGINE — the streaming member of the dedup family
+    (a 100 TB ingest dedups at the door, not in a nightly batch).
+
+    The fixture has ~40 events per (user, type) key, so real dropping
+    happens in the state store.  Only the key columns are emitted, so
+    whichever physical row each micro-batch keeps, the projected
+    output is the same set — equal to the batch DISTINCT.  The
+    watermark bounds dedup state to the lateness horizon; at scale
+    state lives in the RocksDB-backed store, purged per watermark
+    advance.
+    """
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    dedup = (
+        read_event_stream(spark, tmp)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(sink)

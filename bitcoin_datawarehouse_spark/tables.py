@@ -42,7 +42,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the DuckDB oracle reads, regardless of the host JVM's zone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     hit = _TABLE_CACHE.get((sf_dir, name))
-    if hit is not None:
+    # a cached frame is only valid inside the session that built it —
+    # after a session restart, fall through to a fresh scan
+    if hit is not None and hit.sparkSession is spark:
         return hit
     if name == "events":
         return _load_events(spark, sf_dir)

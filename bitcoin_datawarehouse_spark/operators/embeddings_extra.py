@@ -221,15 +221,19 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     cos = dot_col(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("centroid_id")
-    )
+    # argmax as a min_by hash aggregate over the (-cos, id) struct:
+    # lexicographic min = max cosine with ties to the smallest id —
+    # map-side partial combine reduces K scored rows per vector to one
+    # BEFORE the shuffle (a window argmax would shuffle+sort all K)
     return (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "centroid_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "centroid_id", F.struct(-F.col("cos"), F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
     )
 
 

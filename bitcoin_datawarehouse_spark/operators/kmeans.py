@@ -48,15 +48,23 @@ KMEANS_ITERS = 2
 
 def assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, centroid_id): nearest centroid by cosine, ties to the
-    smallest centroid_id.  ``cent`` must have (centroid_id, ce, cn)."""
+    smallest centroid_id.  ``cent`` must have (centroid_id, ce, cn).
+
+    The argmax is a ``min_by`` over the (-cos, centroid_id) struct —
+    lexicographic min = max cosine, ties to the smallest id — i.e. a
+    hash aggregate with map-side partial combine, NOT a window: the
+    K-way scored rows reduce to one row per vector before the
+    shuffle, where a window argmax would shuffle and sort all K."""
     cos = dot_col(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
-    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
     return (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "centroid_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "centroid_id", F.struct(-F.col("cos"), F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
     )
 
 

@@ -154,3 +154,28 @@ def test_tpch_q10_filters_reach_scans(plan_of):
     assert_pushed_filter(plan, "l_returnflag")
     assert_pushed_filter(plan, "o_orderdate")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_trainprep_split_is_stateless_projection(plan_of):
+    # the hash split must be a pure projection: no shuffle at all
+    plan = plan_of("trainprep_hash_split")
+    assert "Exchange" not in plan
+    assert_no_cartesian(plan)
+
+
+def test_trainprep_pack_window_is_per_shard(plan_of):
+    # packing's cumsum window must be partitioned (by source) — never
+    # a global unpartitioned window over the corpus
+    plan = plan_of("trainprep_pack_sequences")
+    assert "Window" in plan
+    # the window spec carries the shard key in its partition clause
+    assert "source" in plan.split("Window")[1][:400]
+
+
+def test_kmeans_centroids_are_broadcast(plan_of):
+    # every Lloyd step broadcasts the centroid side; vectors never
+    # appear on a build side and nothing is a cartesian product
+    plan = plan_of("similarity_ivf_kmeans_assign")
+    assert_no_cartesian(plan)
+    assert "BroadcastExchange" in plan
+    assert_partial_aggregation(plan)

@@ -124,3 +124,56 @@ def test_full_refresh_then_delete_model(spark, tmp_path_factory, batch):
     expect_deleted = sum(1 for r in rows if r["v"] < 0)
     assert deleted == expect_deleted
     assert ld.get_record_count() == len(rows) - expect_deleted
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books", "code"]),  # shard
+            st.integers(min_value=0, max_value=400),  # n_tokens
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pack_sequences_invariants(spark, docs):
+    """Concat-then-chunk packing invariants, independent of data:
+    per-shard offsets are the exclusive prefix sums in doc order,
+    chunk ids are non-decreasing, and every chunk except a shard's
+    last starts strictly inside the budget grid."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F, Window as W
+
+    budget = 256
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": i, "source": s, "n_tokens": t}
+            for i, (s, t) in enumerate(docs)
+        ]
+    )
+    sdf = spark.createDataFrame(pdf)
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = (
+        sdf.withColumn(
+            "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn("chunk_id", F.floor(F.col("start_offset") / budget))
+        .collect()
+    )
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        acc, prev_chunk = by_shard.get(r["source"], (0, 0))
+        assert r["start_offset"] == acc, r
+        assert r["chunk_id"] == acc // budget
+        assert r["chunk_id"] >= prev_chunk
+        by_shard[r["source"]] = (acc + r["n_tokens"], r["chunk_id"])

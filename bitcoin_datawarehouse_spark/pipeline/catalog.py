@@ -340,3 +340,42 @@ class Warehouse:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(name)
         return name
+
+    def export_jsonl_shards(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        n_shards: int,
+        order_col: str | None = None,
+        compression: str = "gzip",
+    ) -> None:
+        """Training-data export: the table as ``n_shards`` compressed
+        JSONL files — the interchange format tokenizer/loader fleets
+        consume (one shard per loader worker).
+
+        ``order_col`` sorts rows *within* each shard
+        (``sortWithinPartitions`` — no global sort, no extra shuffle
+        beyond the repartition); shard membership is round-robin for
+        even sizes.  At 100 TB pick n_shards ≈ corpus_bytes / 256 MB.
+        """
+        self.create_schema(schema)
+        out = df.repartition(n_shards)
+        if order_col:
+            out = out.sortWithinPartitions(order_col)
+        (
+            out.write.mode("overwrite")
+            .option("compression", compression)
+            .json(str(self.table_path(schema, table)))
+        )
+
+    def read_jsonl(
+        self, schema: str, table: str, read_schema: str | None = None
+    ) -> DataFrame:
+        """Read a JSONL export back; pass ``read_schema`` (DDL string)
+        to skip the inference scan — at corpus scale inference reads
+        every byte twice."""
+        reader = self.spark.read
+        if read_schema:
+            reader = reader.schema(read_schema)
+        return reader.json(str(self.table_path(schema, table)))

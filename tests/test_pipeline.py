@@ -597,3 +597,21 @@ def test_rows_to_df_accepts_bare_dates(spark):
     df = rows_to_df(spark, [{"id": 1, "d": _dt.date(2024, 1, 2)}])
     [row] = df.collect()
     assert row["d"] == _dt.datetime(2024, 1, 2)  # widened to midnight
+
+
+def test_jsonl_shard_export_roundtrip(spark, wh, tmp_path):
+    """Training-shard export: n gzipped JSONL files, round-trips
+    losslessly, shard count as requested."""
+    df = rows_df(
+        spark,
+        [{"doc_id": i, "text": f"doc {i}", "split": "train"} for i in range(40)],
+    )
+    wh.export_jsonl_shards(df, "export", "shards", n_shards=4, order_col="doc_id")
+    path = wh.table_path("export", "shards")
+    files = sorted(p.name for p in path.glob("part-*.json.gz"))
+    assert len(files) == 4, files
+    back = wh.read_jsonl(
+        "export", "shards", "doc_id BIGINT, text STRING, split STRING"
+    )
+    assert back.count() == 40
+    assert {r["doc_id"] for r in back.collect()} == set(range(40))

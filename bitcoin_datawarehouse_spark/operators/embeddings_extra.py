@@ -182,6 +182,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_dedup_oracle() -> str:
+    from bitcoin_datawarehouse_spark.operators.similarity import _SQL_SIGS
+
+    return f"""
+    WITH {_SQL_SIGS},
+    cands AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a
+      JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  AND a.vec_id < b.vec_id
+    ),
+    {_SQL_NORMED.strip()}
+    SELECT c.vec_a, c.vec_b, {_SQL_COS.format(a="x", b="y")} AS cosine
+    FROM cands c
+    JOIN n x ON x.vec_id = c.vec_a
+    JOIN n y ON y.vec_id = c.vec_b
+    WHERE {_SQL_COS.format(a="x", b="y")} >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_cosine_lsh", oracle=_lsh_dedup_oracle())
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs with LSH-sourced candidates — the
+    recall-for-cost trade of :func:`dedup_embedding_cosine`: instead
+    of the exact O(N²/2) block grid, candidate pairs come from the
+    sign-LSH bucket self-join (any shared (table, bucket)), and only
+    candidates are cosine-scored.
+
+    This is the corpus-scale configuration: candidate volume is
+    Σ bucket_size² over 8×32 buckets (tunable via LSH_TABLES/BITS),
+    the join is a bucket-key equi-join (never all-pairs), and the
+    rerank is the same deterministic fold as every other cosine here.
+    Missed pairs are those sharing no bucket — the measured recall
+    trade-off documented in SCALING.md.
+    """
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        similarity_lsh_buckets,
+    )
+
+    buckets = similarity_lsh_buckets(spark, sf_dir)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    emb = _normed(spark, sf_dir)
+    x = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("xe"),
+        F.col("nrm").alias("xn"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("ye"),
+        F.col("nrm").alias("yn"),
+    )
+    cos = dot_col(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn"))
+    return (
+        cands.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 _SQL_IVF_COMMON = f"""
   {_SQL_NORMED},
   cent AS (SELECT * FROM n WHERE vec_id < {IVF_N_CENTROIDS}),

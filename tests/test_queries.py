@@ -218,3 +218,22 @@ def test_every_query_output_is_driver_sortable(spark):
         if unsortable:
             bad[name] = unsortable
     assert not bad, f"rows-only queries with unsortable columns: {bad}"
+
+
+def test_lsh_dedup_recall_vs_exact(spark):
+    """LSH-candidate semantic dedup: every emitted pair must also be
+    an exact-grid pair (no false positives — the rerank is exact), and
+    recall is bounded below (measured 0.55 at sf0.01: near-random
+    fixture vectors at a p99.9 threshold are sign-LSH's hard case;
+    planted-paraphrase corpora with cos ≥ 0.9 recall far higher)."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_cosine"](spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_cosine_lsh"](spark, SF_SMALL).collect()
+    }
+    assert lsh <= exact, "LSH path emitted a pair the exact grid did not"
+    assert exact, "fixture yields no pairs — threshold drifted"
+    assert len(lsh) / len(exact) >= 0.4

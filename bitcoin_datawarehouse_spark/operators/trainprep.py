@@ -202,6 +202,68 @@ def trainprep_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Domain-mixture weights: keep-fraction per source in 256ths of the
+# md5-bucket space (e.g. 64 → keep 1/4 of that domain).  A production
+# run derives these from the target token mixture; unlisted sources
+# use MIX_DEFAULT.
+MIX_WEIGHTS = {"src0": 256, "src1": 64, "src2": 128, "src3": 32}
+MIX_DEFAULT = 192
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items()
+    )
+    return f"CASE {arms} ELSE {MIX_DEFAULT} END"
+
+
+@query(
+    "trainprep_domain_mixture",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(bucket AS INT) AS bucket,
+           CAST({_mix_case_sql()} AS INT) AS keep_threshold
+    FROM h
+    WHERE bucket < {_mix_case_sql()}
+    """,
+)
+def trainprep_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling: each source keeps
+    ``weight/256`` of its documents, selected by the md5 bucket of the
+    key — the reproducible way to hit a target domain mix (RNG
+    sampling gives a different corpus every run and engine).
+
+    Stateless projection + filter; composes with trainprep_hash_split
+    (independent hash bytes would be used in production — same byte
+    here keeps the fixture oracle simple)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(hx, i, 1)
+    ) - 1
+    bucket = (nib(1) * 16 + nib(2)).cast("int")
+    thr = F.lit(MIX_DEFAULT)
+    for s, w in reversed(MIX_WEIGHTS.items()):
+        thr = F.when(F.col("source") == s, w).otherwise(thr)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            bucket.alias("bucket"),
+            thr.cast("int").alias("keep_threshold"),
+        )
+        .filter(F.col("bucket") < F.col("keep_threshold"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship composite: corpus → training shards in one plan
 # ---------------------------------------------------------------------------

@@ -106,7 +106,7 @@ def main() -> None:
          "lineitem", "events"],
     )
 
-    # best-of-2 per query: single local[32] runs carry ±50% JVM/GC
+    # best-of-3 per query: single local[32] runs carry ±50% JVM/GC
     # noise on sub-2s queries; the minimum is the reproducible cost of
     # the PLAN (what a capacity model needs), the mean measures this
     # machine's GC that minute
@@ -114,7 +114,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0

@@ -272,6 +272,32 @@ _SQL_IVF_COMMON = f"""
 """
 
 
+def nearest_centroid(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by cosine, ties to the
+    smallest centroid_id.  ``cent`` must have (centroid_id, ce, cn).
+
+    Shared by the fixed-centroid IVF quantizer below and the trained
+    k-means quantizer (operators/kmeans.py) — one place for any future
+    tie-break or NaN-handling change.
+
+    The argmax is a ``min_by`` hash aggregate over the (-cos, id)
+    struct: lexicographic min = max cosine with ties to the smallest
+    id — map-side partial combine reduces K scored rows per vector to
+    one BEFORE the shuffle (a window argmax would shuffle+sort all K).
+    """
+    cos = dot_col(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "centroid_id", F.struct(-F.col("cos"), F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
+    )
+
+
 @query(
     "similarity_ivf_assign",
     oracle=f"""
@@ -283,10 +309,11 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: every vector → nearest centroid
     (cosine, deterministic vec_id tiebreak).
 
-    Plan: centroids broadcast (tiny) × vectors, per-vector argmax via
-    window — one shuffle on vec_id.  At scale the inverted lists are
-    written bucketed BY centroid_id so the search-time join is
-    shuffle-free (bucket-local).
+    Plan: centroids broadcast (tiny) × vectors, per-vector argmax as a
+    ``min_by`` hash aggregate (see :func:`nearest_centroid`) — one
+    shuffle on vec_id of already-reduced rows.  At scale the inverted
+    lists are written bucketed BY centroid_id so the search-time join
+    is shuffle-free (bucket-local).
     """
     emb = _normed(spark, sf_dir)
     cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
@@ -294,21 +321,7 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    cos = dot_col(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
-    # argmax as a min_by hash aggregate over the (-cos, id) struct:
-    # lexicographic min = max cosine with ties to the smallest id —
-    # map-side partial combine reduces K scored rows per vector to one
-    # BEFORE the shuffle (a window argmax would shuffle+sort all K)
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "centroid_id", cos.alias("cos"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                "centroid_id", F.struct(-F.col("cos"), F.col("centroid_id"))
-            ).alias("centroid_id")
-        )
-    )
+    return nearest_centroid(emb, cent)
 
 
 @query(

@@ -6,8 +6,9 @@ adds the real thing — Lloyd's algorithm as pure DataFrame ops — while
 keeping the result *hash-gateable* against a DuckDB oracle:
 
 * assignment: broadcast centroids × vectors, per-vector argmax of
-  cosine with a (cos DESC, centroid_id) total order — same windowed
-  argmax both engines;
+  cosine with a (cos DESC, centroid_id) total order — a ``min_by``
+  hash aggregate Spark-side (embeddings_extra.nearest_centroid), a
+  ROW_NUMBER window in the oracle; the total order makes them agree;
 * update: per-(centroid, dim) mean computed as
   ``ROUND(CAST(SUM(DECIMAL(38,10)) AS DOUBLE) / COUNT(*), 6)`` — the
   decimal sum is order-independent and the rounded quotient is the
@@ -29,58 +30,34 @@ corpus vector, so IDs are the 0..K-1 lineage of the seed vec_ids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitcoin_datawarehouse_spark.functions.numeric import DEC
+from bitcoin_datawarehouse_spark.functions.numeric import davg
 from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
     IVF_N_CENTROIDS,
     _SQL_NORMED,
     _normed,
+    nearest_centroid,
 )
-from bitcoin_datawarehouse_spark.operators.similarity import dot_col, norm_col
+from bitcoin_datawarehouse_spark.operators.similarity import norm_col
 from bitcoin_datawarehouse_spark.registry import query
-from bitcoin_datawarehouse_spark.tables import load_table
 
 EMB_DIM = 64
 KMEANS_ITERS = 2
 
-
-def assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id): nearest centroid by cosine, ties to the
-    smallest centroid_id.  ``cent`` must have (centroid_id, ce, cn).
-
-    The argmax is a ``min_by`` over the (-cos, centroid_id) struct —
-    lexicographic min = max cosine, ties to the smallest id — i.e. a
-    hash aggregate with map-side partial combine, NOT a window: the
-    K-way scored rows reduce to one row per vector before the
-    shuffle, where a window argmax would shuffle and sort all K."""
-    cos = dot_col(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "centroid_id", cos.alias("cos"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                "centroid_id", F.struct(-F.col("cos"), F.col("centroid_id"))
-            ).alias("centroid_id")
-        )
-    )
+#: assignment step — the IVF quantizer's argmax, shared so tie-break /
+#: NaN semantics can never diverge between training and search
+assign_to_centroids = nearest_centroid
 
 
 def update_centroids(emb: DataFrame, assigned: DataFrame) -> DataFrame:
     """New centroids = per-dim rounded decimal mean of each cluster's
-    members.  One shuffle; the 64 decimal sums partial-aggregate
-    map-side."""
+    members (``davg``: the embedding arrays are dense, so the non-null
+    count equals COUNT(*) in the oracle).  One shuffle; the 64 decimal
+    sums partial-aggregate map-side."""
     member = assigned.join(emb, "vec_id").select("centroid_id", "e")
-    dims = [
-        F.round(
-            F.sum(F.col("e")[i].cast(DEC)).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias(f"d{i}")
-        for i in range(EMB_DIM)
-    ]
+    dims = [davg(F.col("e")[i], f"d{i}") for i in range(EMB_DIM)]
     upd = member.groupBy("centroid_id").agg(*dims)
     ce = F.array(*[F.col(f"d{i}") for i in range(EMB_DIM)])
     return upd.select(

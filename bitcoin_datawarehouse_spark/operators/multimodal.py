@@ -169,6 +169,9 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall back to the rows-only gate.
     """
     m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
+    # fixture parquet is one input split: spread the CPU-heavy per-row
+    # decode across all cores before the Arrow kernel
+    m = m.repartition(spark.sparkContext.defaultParallelism)
     feats = m.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
     return feats.select(
         "doc_id",
@@ -253,6 +256,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     m = media_table(spark, sf_dir).select("doc_id", "payload")
+    # one-split fixture input: spread the per-row kernel across cores
+    m = m.repartition(spark.sparkContext.defaultParallelism)
     return m.mapInPandas(kernel, schema=RESIZE_SCHEMA)
 
 
@@ -276,6 +281,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     m = media_table(spark, sf_dir).select("doc_id", "payload")
+    # one-split fixture input: spread the per-row kernel across cores
+    m = m.repartition(spark.sparkContext.defaultParallelism)
     return m.mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 

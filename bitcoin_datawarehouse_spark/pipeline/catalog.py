@@ -90,10 +90,12 @@ class Warehouse:
         return p.exists() and any(p.glob("*.parquet"))
 
     def table_exists_partitioned(self, schema: str, table: str) -> bool:
-        """Existence probe for Hive-partitioned layouts (data files
-        live one level down, in ``col=value`` dirs)."""
+        """Existence probe for Hive-partitioned layouts: data files live
+        at least one ``col=value`` directory level down (``*/**`` also
+        matches multi-level ``day=*/hour=*`` layouts, which compact()
+        relies on to avoid silently flattening them)."""
         p = self.table_path(schema, table)
-        return p.exists() and any(p.glob("*/*.parquet"))
+        return p.exists() and any(p.glob("*/**/*.parquet"))
 
     def list_tables(self, schema: str) -> list[str]:
         p = self.root / schema

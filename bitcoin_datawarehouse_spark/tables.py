@@ -70,7 +70,10 @@ def cache_tables(
     window orderings), which the oracle gate verifies.
     """
     for name in tables or TABLES:
-        if (sf_dir, name) in _TABLE_CACHE:
+        hit = _TABLE_CACHE.get((sf_dir, name))
+        # same session-guard as load_table: an entry left behind by a
+        # stopped session must not suppress re-caching in the new one
+        if hit is not None and hit.sparkSession is spark:
             continue
         df = load_table(spark, sf_dir, name)
         n_rows = df.count()
@@ -86,9 +89,15 @@ def cache_tables(
 
 
 def uncache_tables(spark: SparkSession) -> None:
-    """Release every frame pinned by :func:`cache_tables`."""
+    """Release every frame pinned by :func:`cache_tables`.
+
+    Entries built by an already-stopped session are skipped (their
+    unpersist would raise on a dead SparkContext); the registry is
+    cleared unconditionally so stale keys can't pin anything.
+    """
     for df in _TABLE_CACHE.values():
-        df.unpersist()
+        if df.sparkSession is spark:
+            df.unpersist()
     _TABLE_CACHE.clear()
 
 

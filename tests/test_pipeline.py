@@ -404,6 +404,32 @@ def test_compaction_preserves_partitioned_layout(spark, wh):
     assert "day" in wh.read("bitcoin", "pcmp").columns
 
 
+def test_compaction_preserves_multilevel_partitioned_layout(spark, wh):
+    """Regression: table_exists_partitioned probed only ONE directory
+    level, so a day=*/hour=* table compacted to an unpartitioned flat
+    file — silently destroying two levels of pruning."""
+    rows = [
+        {"id": d * 100 + h * 10 + i, "day": f"2025-02-0{d}", "hour": h,
+         "v": float(i)}
+        for d in (1, 2)
+        for h in (0, 1)
+        for i in range(3)
+    ]
+    wh.create_schema("bitcoin")
+    for chunk in (rows[:6], rows[6:]):
+        rows_df(spark, chunk).write.mode("append").partitionBy(
+            "day", "hour"
+        ).parquet(str(wh.table_path("bitcoin", "mcmp")))
+    assert wh.table_exists_partitioned("bitcoin", "mcmp")
+    wh.compact("bitcoin", "mcmp")
+    p = wh.table_path("bitcoin", "mcmp")
+    assert (p / "day=2025-02-01" / "hour=0").is_dir()
+    assert (p / "day=2025-02-02" / "hour=1").is_dir()
+    df = wh.read("bitcoin", "mcmp")
+    assert df.count() == 12
+    assert {"day", "hour"} <= set(df.columns)
+
+
 def test_quality_verify_timeout_raises_not_hangs(spark):
     """The bounded metrics read must RAISE when no action has executed
     the observed plan — the old executor-context version deadlocked in

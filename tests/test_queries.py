@@ -193,31 +193,6 @@ def test_kmeans_improves_quantizer(spark):
     assert mean_cos(trained) > mean_cos(seed)
 
 
-def test_every_query_output_is_driver_sortable(spark):
-    """The driver canonicalizes rows-only results with a pandas row
-    sort, which dies on array/map/struct cells (r01:
-    multimodal_feature_extract).  Gated queries are value-hashed
-    column-wise, but rows-only outputs must stay scalar-or-binary —
-    assert it structurally for every registered query so no future
-    query regresses the driver run."""
-    from pyspark.sql import types as T
-
-    import __spark_entry__ as e
-
-    oracles = set(e.oracle_sql())
-    bad = {}
-    for name, fn in e.queries().items():
-        if name in oracles:
-            continue  # value-hash path: compared column-wise
-        schema = fn(spark, SF_SMALL).schema
-        unsortable = [
-            f.name
-            for f in schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
-        ]
-        if unsortable:
-            bad[name] = unsortable
-    assert not bad, f"rows-only queries with unsortable columns: {bad}"
 
 
 def test_lsh_dedup_recall_vs_exact(spark):

@@ -58,6 +58,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_warehouse):
     assert joined.count() == expect
 
 
+def test_table_cache_ignores_stale_session_entries(spark):
+    """Regression: a _TABLE_CACHE entry left by a stopped session must
+    not suppress re-caching in the new one, and uncache_tables must
+    skip (not unpersist) dead-session frames yet still clear the
+    registry."""
+    from bitcoin_datawarehouse_spark import tables as tb
+
+    class _DeadFrame:
+        sparkSession = object()  # never the live session
+
+        def unpersist(self):
+            raise AssertionError("unpersist called on dead-session frame")
+
+    saved = dict(tb._TABLE_CACHE)
+    tb._TABLE_CACHE.clear()
+    try:
+        tb._TABLE_CACHE[(SF_SMALL, "region")] = _DeadFrame()
+        tb.cache_tables(spark, SF_SMALL, ["region"])
+        hit = tb._TABLE_CACHE[(SF_SMALL, "region")]
+        assert hit.sparkSession is spark  # stale entry was replaced
+        assert tb.load_table(spark, SF_SMALL, "region") is hit
+
+        tb._TABLE_CACHE[(SF_SMALL, "nation")] = _DeadFrame()
+        tb.uncache_tables(spark)  # must not raise on the dead frame
+        assert not tb._TABLE_CACHE
+    finally:
+        tb._TABLE_CACHE.clear()
+        tb._TABLE_CACHE.update(saved)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _cleanup_catalog(spark):
     yield

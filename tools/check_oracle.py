@@ -66,7 +66,6 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -74,7 +73,9 @@ def main() -> int:
         if name not in omap:
             # mirror the driver's rows-only canonicalization: a pandas
             # sort over every column — dies on unsortable (array) cells,
-            # which r01 proved the plain repr-sort here does not catch
+            # which r01 proved the plain repr-sort here does not catch.
+            # Single toPandas execution; no separate collect (these are
+            # the heaviest Arrow-kernel plans in the mirror).
             try:
                 pdf = sdf.toPandas()
                 pdf.sort_values(by=list(pdf.columns))
@@ -83,9 +84,15 @@ def main() -> int:
                 failures.append(name)
                 continue
             print(
-                f"ok?   {name}: rows-only ({len(srows)} rows, "
+                f"ok?   {name}: rows-only ({len(pdf)} rows, "
                 f"{time.time()-t0:.1f}s) [no oracle]"
             )
+            continue
+        try:
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
             continue
         try:
             res = con.execute(omap[name])

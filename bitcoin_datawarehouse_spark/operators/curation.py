@@ -1,0 +1,361 @@
+"""Corpus-curation operators: the filtering/ordering stages between
+"raw crawl" and "training corpus" in an LLM data pipeline
+(SURVEY.md §2.12 family; north-star extensions).
+
+* **benchmark decontamination** — flag corpus documents sharing too
+  many word 3-grams with a held-out evaluation set.  The eval set is
+  tiny and fixed (a benchmark suite), so its shingle set broadcasts;
+  the corpus side is an inverted-index left join on the shingle —
+  never an all-pairs comparison.  Same shingle intermediate as the
+  dedup family (``doc_shingles``).
+* **Gopher-style quality rules** — per-document heuristic rule bits
+  (word count bounds, mean word length, stopword evidence, symbol
+  ratio; cf. the published Gopher/MassiveText filtering rules) and
+  the conjunction as a keep flag.  Pure codegen projections.
+* **deterministic global shuffle** — training-order randomization
+  without RNG state: an md5 sort key assigns every doc a shard and a
+  rank within the shard.  Per-shard windows (hash-balanced, bounded
+  at corpus_size/N_SHARDS) — no global ROW_NUMBER, which would
+  single-partition at 100 TB.
+* **PII scan/redaction** — email/IPv4/phone counts and an md5 digest
+  of the redacted text, as one regexp projection pass.  The fixture
+  corpus is synthetic word-soup with no PII (the gate verifies the
+  expression tree's cross-engine parity at zero hits); the planted
+  PII kernel behavior is pytest-verified on literal rows
+  (tests/test_queries.py::test_pii_redaction_on_planted_rows).
+
+All md5-keyed (cross-engine bit-identical; at 100 TB you'd swap in
+xxhash64 without changing any plan shape — same note as dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.operators.dedup import (
+    _SQL_SHING,
+    doc_shingles,
+    tokens_col,
+)
+from bitcoin_datawarehouse_spark.operators.text import _SQL_TOKENS
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+# -- decontamination --------------------------------------------------------
+
+#: membership rule for the stand-in "benchmark" split: every 97th doc.
+#: In production this is the real eval-suite corpus; the contract is
+#: only "a small fixed set of documents".
+EVAL_MOD = 97
+#: fraction of a doc's distinct 3-gram shingles that may also appear
+#: in the eval set before the doc is flagged as contaminated
+DECONTAM_THRESHOLD = 0.05
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH {_SQL_SHING},
+    ev AS (SELECT DISTINCT sh FROM shing WHERE doc_id % {EVAL_MOD} = 0),
+    ov AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(e.sh) AS n_contaminated
+      FROM shing s LEFT JOIN ev e ON s.sh = e.sh
+      WHERE s.doc_id % {EVAL_MOD} <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6)
+             AS overlap_frac,
+           CAST(ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6)
+                >= {DECONTAM_THRESHOLD} AS BOOLEAN) AS contaminated
+    FROM ov
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the fraction of its
+    distinct 3-gram shingles that also occur anywhere in the eval set.
+
+    Plan shape (the 100 TB one): the eval shingle set is DISTINCT over
+    a tiny fixed corpus → broadcast; the corpus side left-joins on the
+    shingle and hash-aggregates per doc with map-side combine.  The
+    corpus is never self-joined and the driver holds nothing.
+    """
+    shing = doc_shingles(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = (
+        shing.filter(is_eval)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    overlap = (
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+        )
+    )
+    return (
+        shing.filter(~is_eval)
+        .join(F.broadcast(ev), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            overlap.alias("overlap_frac"),
+            (overlap >= DECONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+# -- Gopher-style quality rules ---------------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOP_HITS = 2  # ≥2 occurrences of common-word evidence
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+_STOPS = ("the", "a", "of", "to", "and", "is", "in", "it")
+
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPS)
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tk,
+             CAST(length(text) AS BIGINT) AS n_chars_raw,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                  AS BIGINT) AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             ROUND(CAST(list_reduce(list_transform(tk, w -> length(w)),
+                                    (acc, x) -> acc + x) AS DOUBLE)
+                   / len(tk), 6) AS mean_word_len,
+             CAST(len(list_filter(tk, w -> w IN ({_SQL_STOPLIST})))
+                  AS BIGINT) AS n_stop_hits,
+             ROUND(CAST(n_symbols AS DOUBLE) / n_chars_raw, 6)
+               AS symbol_ratio
+      FROM t WHERE len(tk) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, n_stop_hits, symbol_ratio,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AS BOOLEAN) AS r_word_count,
+           CAST(mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                AND {GOPHER_MAX_MEAN_WORD_LEN} AS BOOLEAN) AS r_mean_len,
+           CAST(n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS BOOLEAN)
+             AS r_stopwords,
+           CAST(symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS BOOLEAN)
+             AS r_symbols,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                    AND {GOPHER_MAX_MEAN_WORD_LEN}
+                AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}
+                AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                AS BOOLEAN) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style heuristic quality rules, one bit per
+    rule plus the conjunction.
+
+    Single codegen projection pass (split/length/filter built-ins);
+    thresholds are tuned to the fixture's word-count range so both
+    keep and drop outcomes occur — the published bounds (50..100k
+    words etc.) slot into the same constants at production scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens_col(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(
+            F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")
+        ).cast("long").alias("n_symbols"),
+    ).filter(F.size("tk") > 0)
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(F.col("tk"), F.length),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        / F.size("tk"),
+        6,
+    )
+    m = t.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        F.size(
+            F.filter(F.col("tk"), lambda w: w.isin(*_STOPS))
+        ).cast("long").alias("n_stop_hits"),
+        F.round(
+            F.col("n_symbols").cast("double") / F.col("n_chars_raw"), 6
+        ).alias("symbol_ratio"),
+    )
+    r_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mean = F.col("mean_word_len").between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    r_stop = F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS
+    r_sym = F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stop_hits",
+        "symbol_ratio",
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_len"),
+        r_stop.alias("r_stopwords"),
+        r_sym.alias("r_symbols"),
+        (r_words & r_mean & r_stop & r_sym).alias("keep"),
+    )
+
+
+# -- deterministic global shuffle -------------------------------------------
+
+SHUFFLE_SEED = "shuffle42"
+N_SHUFFLE_SHARDS = 16
+
+
+@query(
+    "trainprep_global_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, skey,
+             CAST((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(skey, 2, 1)) - 1)
+                AS INT) % {N_SHUFFLE_SHARDS} AS shard_id
+      FROM k
+    )
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard_id ORDER BY skey, doc_id
+           ) AS BIGINT) AS shard_rank
+    FROM s
+    """,
+)
+def trainprep_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded training-order shuffle: every doc gets a
+    shard (first md5 byte mod N) and a rank inside the shard (order by
+    the md5 key).
+
+    Scale shape: the shuffle order is defined by (shard_id,
+    shard_rank) jointly — readers consume shards round-robin — so the
+    ROW_NUMBER window is partitioned by shard, each ~corpus/N rows and
+    hash-balanced.  A single global ROW_NUMBER would funnel the corpus
+    through one partition; this never does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    skey = F.md5(
+        F.concat(
+            F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    nib = lambda c, i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(c, i, 1)
+    ) - 1
+    s = docs.select("doc_id", skey.alias("skey")).select(
+        "doc_id",
+        "skey",
+        (
+            (nib(F.col("skey"), 1) * 16 + nib(F.col("skey"), 2)).cast("int")
+            % N_SHUFFLE_SHARDS
+        ).alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("skey", "doc_id")
+    return s.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("shard_rank"),
+    )
+
+
+# -- PII scan / redaction ---------------------------------------------------
+
+# deliberately lookaround-free so Java (Spark) and RE2 (DuckDB)
+# interpret them identically
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}"
+
+
+def pii_scan_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII counts + the md5 of the fully-redacted text.
+
+    One projection pass; the redaction chain is email → IPv4 → phone
+    so a match is consumed by exactly one category.  Reused by the
+    gated fixture query below and directly unit-tested on planted PII
+    rows (the fixture itself contains none).
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "text_pii_scan",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan over the corpus (see :func:`pii_scan_frame`).
+
+    The synthetic fixture contains zero PII, so the gate's value hash
+    verifies the regex/redaction expression parity at zero hits (every
+    redacted_md5 must equal md5(text) in both engines); planted-PII
+    behavior is pytest-verified.
+    """
+    return pii_scan_frame(load_table(spark, sf_dir, "documents"))

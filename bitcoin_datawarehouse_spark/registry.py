@@ -67,4 +67,5 @@ def load_all_operators() -> None:
         tpch,
         kmeans,
         trainprep,
+        curation,
     )

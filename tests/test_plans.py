@@ -179,3 +179,33 @@ def test_kmeans_centroids_are_broadcast(plan_of):
     assert_no_cartesian(plan)
     assert "BroadcastExchange" in plan
     assert_partial_aggregation(plan)
+
+
+def test_decontam_eval_set_is_broadcast(plan_of):
+    # the benchmark shingle set broadcasts; the corpus side joins it
+    # as an inverted index — never an all-pairs comparison
+    plan = plan_of("decontam_ngram_overlap")
+    assert_no_cartesian(plan)
+    assert "BroadcastHashJoin" in plan
+    assert_partial_aggregation(plan)
+
+
+def test_gopher_rules_single_projection_pass(plan_of):
+    # heuristic rule bits are one codegen projection — no shuffle
+    plan = plan_of("text_gopher_rules")
+    assert "Exchange" not in plan or "EXCHANGE" not in plan.upper()
+
+
+def test_global_shuffle_window_is_per_shard(plan_of):
+    # the shuffle rank must be windowed per shard_id, never a global
+    # single-partition ROW_NUMBER
+    plan = plan_of("trainprep_global_shuffle")
+    assert "Window" in plan
+    # the pre-window exchange hashes on the shard key
+    assert "hashpartitioning(shard_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pii_scan_no_shuffle(plan_of):
+    plan = plan_of("text_pii_scan")
+    assert "Exchange" not in plan

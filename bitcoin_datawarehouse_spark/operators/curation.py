@@ -232,6 +232,36 @@ SHUFFLE_SEED = "shuffle42"
 N_SHUFFLE_SHARDS = 16
 
 
+def global_shuffle_frame(
+    docs: DataFrame,
+    seed: str = SHUFFLE_SEED,
+    n_shards: int = N_SHUFFLE_SHARDS,
+) -> DataFrame:
+    """(doc_id, shard_id, shard_rank) for any frame with a doc_id."""
+    skey = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    nib = lambda c, i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(c, i, 1)
+    ) - 1
+    s = docs.select("doc_id", skey.alias("skey")).select(
+        "doc_id",
+        "skey",
+        (
+            (nib(F.col("skey"), 1) * 16 + nib(F.col("skey"), 2)).cast("int")
+            % n_shards
+        ).alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("skey", "doc_id")
+    return s.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("shard_rank"),
+    )
+
+
 @query(
     "trainprep_global_shuffle",
     oracle=f"""
@@ -265,29 +295,7 @@ def trainprep_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-balanced.  A single global ROW_NUMBER would funnel the corpus
     through one partition; this never does.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    skey = F.md5(
-        F.concat(
-            F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
-        ).cast("binary")
-    )
-    nib = lambda c, i: F.instr(  # noqa: E731
-        F.lit("0123456789abcdef"), F.substring(c, i, 1)
-    ) - 1
-    s = docs.select("doc_id", skey.alias("skey")).select(
-        "doc_id",
-        "skey",
-        (
-            (nib(F.col("skey"), 1) * 16 + nib(F.col("skey"), 2)).cast("int")
-            % N_SHUFFLE_SHARDS
-        ).alias("shard_id"),
-    )
-    w = W.partitionBy("shard_id").orderBy("skey", "doc_id")
-    return s.select(
-        "doc_id",
-        "shard_id",
-        F.row_number().over(w).cast("long").alias("shard_rank"),
-    )
+    return global_shuffle_frame(load_table(spark, sf_dir, "documents"))
 
 
 # -- PII scan / redaction ---------------------------------------------------
@@ -299,16 +307,11 @@ PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\+\d{7,15}"
 
 
-def pii_scan_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-row PII counts + the md5 of the fully-redacted text.
-
-    One projection pass; the redaction chain is email → IPv4 → phone
-    so a match is consumed by exactly one category.  Reused by the
-    gated fixture query below and directly unit-tested on planted PII
-    rows (the fixture itself contains none).
-    """
-    c = F.col(text_col)
-    redacted = F.regexp_replace(
+def redact_col(c: Column) -> Column:
+    """Fully-redacted text: the chain is email → IPv4 → phone so a
+    match is consumed by exactly one category; the replacement tags
+    themselves can never re-match (property-tested idempotent)."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(c, PII_EMAIL, "<EMAIL>"),
             PII_IPV4,
@@ -317,6 +320,17 @@ def pii_scan_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
         PII_PHONE,
         "<PHONE>",
     )
+
+
+def pii_scan_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII counts + the md5 of the fully-redacted text.
+
+    One projection pass.  Reused by the gated fixture query below and
+    directly unit-tested on planted PII rows (the fixture itself
+    contains none).
+    """
+    c = F.col(text_col)
+    redacted = redact_col(c)
     return df.select(
         "doc_id",
         F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))

@@ -177,3 +177,81 @@ def test_pack_sequences_invariants(spark, docs):
         assert r["chunk_id"] == acc // budget
         assert r["chunk_id"] >= prev_chunk
         by_shard[r["source"]] = (acc + r["n_tokens"], r["chunk_id"])
+
+
+_PII_FRAGMENTS = st.sampled_from(
+    [
+        "plain words here",
+        "bob.smith+tag@mail.example.org",
+        "10.20.30.40",
+        "+4915123456789",
+        "a@b.io",
+        "ends with dot. 1.2.3.4",
+        "almost@an@email",
+        "123.456",
+    ]
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(frags=st.lists(_PII_FRAGMENTS, min_size=1, max_size=6))
+def test_pii_redaction_idempotent_and_complete(spark, frags):
+    """Redaction properties over arbitrary fragment compositions:
+    scanning the REDACTED text finds zero PII (completeness), and
+    redacting twice equals redacting once (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.curation import (
+        pii_scan_frame,
+        redact_col,
+    )
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    red = df.select("doc_id", redact_col(F.col("text")).alias("text"))
+    rescan = pii_scan_frame(red).first()
+    assert rescan["n_emails"] == rescan["n_ipv4"] == rescan["n_phones"] == 0
+    once = red.first()["text"]
+    twice = red.select(
+        "doc_id", redact_col(F.col("text")).alias("text")
+    ).first()["text"]
+    assert once == twice
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.sets(
+        st.integers(min_value=0, max_value=10_000_000), min_size=1, max_size=60
+    )
+)
+def test_global_shuffle_permutation_property(spark, ids):
+    """For ANY doc_id set: output is a permutation (every id exactly
+    once), per-shard ranks are dense 1..n, and the assignment is
+    deterministic (same ids → same shards/ranks on a re-run)."""
+    from collections import defaultdict
+
+    from bitcoin_datawarehouse_spark.operators.curation import (
+        global_shuffle_frame,
+    )
+
+    df = spark.createDataFrame([(i,) for i in sorted(ids)], ["doc_id"])
+    rows = global_shuffle_frame(df).collect()
+    assert {r["doc_id"] for r in rows} == ids and len(rows) == len(ids)
+    shards = defaultdict(list)
+    for r in rows:
+        shards[r["shard_id"]].append(r["shard_rank"])
+    for ranks in shards.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    again = {
+        (r["doc_id"], r["shard_id"], r["shard_rank"])
+        for r in global_shuffle_frame(df).collect()
+    }
+    assert again == {(r["doc_id"], r["shard_id"], r["shard_rank"]) for r in rows}

@@ -126,6 +126,82 @@ _STOPS = ("the", "a", "of", "to", "and", "is", "in", "it")
 
 _SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPS)
 
+#: the per-doc metric CTE shared by the batch rules query and the
+#: streaming quality filter's oracle
+_SQL_GOPHER_M = f"""t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tk,
+             CAST(length(text) AS BIGINT) AS n_chars_raw,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                  AS BIGINT) AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             ROUND(CAST(list_reduce(list_transform(tk, w -> length(w)),
+                                    (acc, x) -> acc + x) AS DOUBLE)
+                   / len(tk), 6) AS mean_word_len,
+             CAST(len(list_filter(tk, w -> w IN ({_SQL_STOPLIST})))
+                  AS BIGINT) AS n_stop_hits,
+             ROUND(CAST(n_symbols AS DOUBLE) / n_chars_raw, 6)
+               AS symbol_ratio
+      FROM t WHERE len(tk) > 0
+    )"""
+
+_SQL_GOPHER_KEEP = f"""n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+      AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+          AND {GOPHER_MAX_MEAN_WORD_LEN}
+      AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}
+      AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}"""
+
+
+def gopher_metrics_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, n_stop_hits, symbol_ratio) —
+    the stateless metric projection under the rule bits.  Works on a
+    batch OR streaming frame (no shuffle, no state)."""
+    tk = tokens_col(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(
+            F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")
+        ).cast("long").alias("n_symbols"),
+    ).filter(F.size("tk") > 0)
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(F.col("tk"), F.length),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        / F.size("tk"),
+        6,
+    )
+    return t.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        F.size(
+            F.filter(F.col("tk"), lambda w: w.isin(*_STOPS))
+        ).cast("long").alias("n_stop_hits"),
+        F.round(
+            F.col("n_symbols").cast("double") / F.col("n_chars_raw"), 6
+        ).alias("symbol_ratio"),
+    )
+
+
+def gopher_keep_col() -> Column:
+    """The conjunction of the four rule predicates (mirrors
+    ``_SQL_GOPHER_KEEP``)."""
+    return (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+    )
+
 
 @query(
     "text_gopher_rules",
@@ -176,36 +252,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep and drop outcomes occur — the published bounds (50..100k
     words etc.) slot into the same constants at production scale.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tk = tokens_col(F.col("text"))
-    t = docs.select(
-        "doc_id",
-        tk.alias("tk"),
-        F.length("text").cast("long").alias("n_chars_raw"),
-        F.length(
-            F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")
-        ).cast("long").alias("n_symbols"),
-    ).filter(F.size("tk") > 0)
-    mean_len = F.round(
-        F.aggregate(
-            F.transform(F.col("tk"), F.length),
-            F.lit(0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-        / F.size("tk"),
-        6,
-    )
-    m = t.select(
-        "doc_id",
-        F.size("tk").cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        F.size(
-            F.filter(F.col("tk"), lambda w: w.isin(*_STOPS))
-        ).cast("long").alias("n_stop_hits"),
-        F.round(
-            F.col("n_symbols").cast("double") / F.col("n_chars_raw"), 6
-        ).alias("symbol_ratio"),
-    )
+    m = gopher_metrics_frame(load_table(spark, sf_dir, "documents"))
     r_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
     r_mean = F.col("mean_word_len").between(
         GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN

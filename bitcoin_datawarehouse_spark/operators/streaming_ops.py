@@ -158,3 +158,53 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_completion(q)
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink)
+
+
+from bitcoin_datawarehouse_spark.operators.curation import (  # noqa: E402
+    _SQL_GOPHER_KEEP,
+    _SQL_GOPHER_M,
+)
+
+
+@query(
+    "streaming_quality_filter",
+    oracle=f"""
+    WITH {_SQL_GOPHER_M}
+    SELECT doc_id, n_words, mean_word_len, n_stop_hits, symbol_ratio
+    FROM m
+    WHERE {_SQL_GOPHER_KEEP}
+    """,
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation at the ingest door: the Gopher-rule keep filter
+    applied BY THE STREAMING ENGINE to a replayed document stream.
+
+    The rule projection is stateless (no watermark, no state store),
+    so the streaming plan is the same codegen projection+filter as the
+    batch query — micro-batching cannot change the kept set, which the
+    batch/SQL oracle verifies.  This is the shape of a 100 TB ingest:
+    quality-filter documents as they arrive, not in a nightly rescan.
+    """
+    from bitcoin_datawarehouse_spark.operators.curation import (
+        gopher_keep_col,
+        gopher_metrics_frame,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_docs_")
+    load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    src = spark.readStream.schema(schema).parquet(tmp)
+    kept = gopher_metrics_frame(src).filter(gopher_keep_col())
+    sink = f"stream_quality_{uuid.uuid4().hex[:8]}"
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(sink)

@@ -381,3 +381,159 @@ class Warehouse:
         if read_schema:
             reader = reader.schema(read_schema)
         return reader.json(str(self.table_path(schema, table)))
+
+    def export_tar_shards(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        n_shards: int,
+        key_col: str = "doc_id",
+        payload_col: str = "payload",
+        meta_cols: list[str] | None = None,
+    ) -> None:
+        """Multimodal training export: WebDataset-style tar shards.
+
+        Each row becomes two members of its shard's tar — ``{key}.bin``
+        (the binary payload) and ``{key}.json`` (the scalar metadata) —
+        the layout image/audio training loaders stream sequentially
+        (one tar per loader worker, no per-sample object-store round
+        trips).  Shard membership is md5(key) mod n_shards, so it is
+        deterministic and stable under corpus growth; rows are sorted
+        by key within the shard and tar headers are normalized
+        (mtime/uid/gid = 0), making every shard byte-reproducible.
+
+        Writing happens executor-side in ``foreachPartition``: the
+        frame is hash-repartitioned on the shard id, so one task owns
+        every row of a shard and streams it into a single tar.  The
+        warehouse root must be visible to executors (local FS here; a
+        shared filesystem or an object-store upload in the same
+        iterator at production scale).
+        """
+        import hashlib
+        import io
+        import json
+        import tarfile
+
+        meta_cols = list(meta_cols or [])
+        self.create_schema(schema)
+        dest = self.table_path(schema, table)
+        if dest.exists():
+            shutil.rmtree(dest)
+        dest.mkdir(parents=True)
+        dest_s = str(dest)
+
+        def shard_of(key: object) -> int:
+            return int(
+                hashlib.md5(str(key).encode()).hexdigest()[:8], 16
+            ) % n_shards
+
+        cols = [key_col, payload_col, *meta_cols]
+
+        def write_partition(rows) -> None:
+            tars: dict[int, tarfile.TarFile] = {}
+            try:
+                for r in rows:
+                    key = r[key_col]
+                    sid = shard_of(key)
+                    tf = tars.get(sid)
+                    if tf is None:
+                        tf = tarfile.open(
+                            os.path.join(dest_s, f"shard-{sid:05d}.tar"),
+                            "w",
+                        )
+                        tars[sid] = tf
+                    payload = bytes(r[payload_col])
+                    meta = json.dumps(
+                        {c: r[c] for c in meta_cols}, sort_keys=True
+                    ).encode()
+                    for suffix, body in ((".bin", payload), (".json", meta)):
+                        info = tarfile.TarInfo(name=f"{key}{suffix}")
+                        info.size = len(body)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        tf.addfile(info, io.BytesIO(body))
+            finally:
+                for tf in tars.values():
+                    tf.close()
+
+        from pyspark.sql import functions as F
+
+        shard = (
+            F.conv(F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % n_shards
+        ).alias("__shard")
+        (
+            df.select(*cols)
+            .select("*", shard)
+            .repartition(n_shards, "__shard")
+            .sortWithinPartitions("__shard", key_col)
+            .foreachPartition(write_partition)
+        )
+
+    def read_tar_shards(
+        self, schema: str, table: str, meta_schema: str | None = None
+    ) -> DataFrame:
+        """Read a tar-shard export back as (key, payload, meta_json
+        [, parsed meta columns]).
+
+        The ``binaryFile`` source yields one row per shard tar (whole
+        shards are the IO unit, matching how loaders consume them);
+        an Arrow ``mapInPandas`` unpacks members.  Pass ``meta_schema``
+        (DDL string) to explode the JSON metadata into typed columns.
+        """
+        import io
+        import tarfile
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("meta_json", T.StringType()),
+            ]
+        )
+
+        def unpack(batches):
+            for pdf in batches:
+                keys, payloads, metas = [], [], []
+                for content in pdf["content"]:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(content))
+                    ) as tf:
+                        bins: dict[str, bytes] = {}
+                        jsons: dict[str, str] = {}
+                        for m in tf.getmembers():
+                            body = tf.extractfile(m).read()
+                            stem, _, ext = m.name.rpartition(".")
+                            if ext == "bin":
+                                bins[stem] = body
+                            else:
+                                jsons[stem] = body.decode()
+                        for stem in sorted(bins):
+                            keys.append(stem)
+                            payloads.append(bins[stem])
+                            metas.append(jsons.get(stem, "{}"))
+                yield pd.DataFrame(
+                    {"key": keys, "payload": payloads, "meta_json": metas}
+                )
+
+        files = (
+            self.spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.tar")
+            .load(str(self.table_path(schema, table)))
+            .select("content")
+        )
+        out = files.mapInPandas(unpack, schema=out_schema)
+        if meta_schema:
+            out = out.select(
+                "key",
+                "payload",
+                F.from_json("meta_json", meta_schema).alias("m"),
+            ).select("key", "payload", "m.*")
+        return out

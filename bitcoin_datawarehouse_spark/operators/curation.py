@@ -83,10 +83,12 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle and hash-aggregates per doc with map-side combine.  The
     corpus is never self-joined and the driver holds nothing.
     """
-    shing = doc_shingles(spark, sf_dir)
+    # disjoint doc subsets shingled once each: the filters reach the
+    # scan BEFORE the Arrow kernel, so the eval side shingles only the
+    # tiny benchmark set and the corpus is never shingled twice
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     ev = (
-        shing.filter(is_eval)
+        doc_shingles(spark, sf_dir, docs_filter=is_eval)
         .select("sh")
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -97,7 +99,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        shing.filter(~is_eval)
+        doc_shingles(spark, sf_dir, docs_filter=~is_eval)
         .join(F.broadcast(ev), "sh", "left")
         .groupBy("doc_id")
         .agg(
@@ -206,25 +208,7 @@ def gopher_keep_col() -> Column:
 @query(
     "text_gopher_rules",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_SQL_TOKENS} AS tk,
-             CAST(length(text) AS BIGINT) AS n_chars_raw,
-             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-                  AS BIGINT) AS n_symbols
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             CAST(len(tk) AS BIGINT) AS n_words,
-             ROUND(CAST(list_reduce(list_transform(tk, w -> length(w)),
-                                    (acc, x) -> acc + x) AS DOUBLE)
-                   / len(tk), 6) AS mean_word_len,
-             CAST(len(list_filter(tk, w -> w IN ({_SQL_STOPLIST})))
-                  AS BIGINT) AS n_stop_hits,
-             ROUND(CAST(n_symbols AS DOUBLE) / n_chars_raw, 6)
-               AS symbol_ratio
-      FROM t WHERE len(tk) > 0
-    )
+    WITH {_SQL_GOPHER_M}
     SELECT doc_id, n_words, mean_word_len, n_stop_hits, symbol_ratio,
            CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
                 AS BOOLEAN) AS r_word_count,
@@ -247,12 +231,18 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style heuristic quality rules, one bit per
     rule plus the conjunction.
 
-    Single codegen projection pass (split/length/filter built-ins);
-    thresholds are tuned to the fixture's word-count range so both
-    keep and drop outcomes occur — the published bounds (50..100k
-    words etc.) slot into the same constants at production scale.
+    One projection pass, no aggregation — but NOT all codegen: the
+    mean-word-length fold and stopword filter are higher-order-
+    function lambdas (interpreted), so the one-split fixture scan is
+    repartitioned first, same as text_quality_score.  Thresholds are
+    tuned to the fixture's word-count range so both keep and drop
+    outcomes occur — the published bounds (50..100k words etc.) slot
+    into the same constants at production scale.
     """
-    m = gopher_metrics_frame(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    m = gopher_metrics_frame(docs)
     r_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
     r_mean = F.col("mean_word_len").between(
         GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
@@ -418,5 +408,11 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies the regex/redaction expression parity at zero hits (every
     redacted_md5 must equal md5(text) in both engines); planted-PII
     behavior is pytest-verified.
+
+    Six regex passes per row is CPU-heavy enough to repartition the
+    one-split fixture scan first (CLAUDE.md rule).
     """
-    return pii_scan_frame(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return pii_scan_frame(docs)

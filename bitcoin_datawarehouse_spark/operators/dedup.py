@@ -100,8 +100,13 @@ def shingles_col(tk: Column) -> Column:
     )
 
 
-def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_shingles(
+    spark: SparkSession, sf_dir: str, docs_filter: Column | None = None
+) -> DataFrame:
     """(doc_id, sh) distinct shingle pairs — the shared intermediate.
+    ``docs_filter`` restricts the corpus BEFORE the CPU-heavy kernel
+    (callers that need disjoint doc subsets shingle each subset once
+    instead of shingling everything and filtering after).
 
     Two deliberate plan choices, measured at sf0.1 (37 s → <2 s):
 
@@ -124,6 +129,8 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     docs = load_table(spark, sf_dir, "documents")
+    if docs_filter is not None:
+        docs = docs.filter(docs_filter)
     par = spark.sparkContext.defaultParallelism
 
     # Arrow-batched vectorized shingling.  The pure-JVM formulation

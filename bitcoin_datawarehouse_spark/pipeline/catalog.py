@@ -405,28 +405,25 @@ class Warehouse:
 
         Writing happens executor-side in ``foreachPartition``: the
         frame is hash-repartitioned on the shard id, so one task owns
-        every row of a shard and streams it into a single tar.  The
-        warehouse root must be visible to executors (local FS here; a
-        shared filesystem or an object-store upload in the same
-        iterator at production scale).
+        every row of a shard and streams it into a single tar (the
+        shard id each row carries is the ONE source of truth — tasks
+        never recompute it, so no two tasks can open the same tar).
+        Shards land in a ``__tmp_*`` sibling and are swapped in at the
+        end, preserving the module's never-see-a-half-written-table
+        invariant.  The warehouse root must be visible to executors
+        (local FS here; a shared filesystem or an object-store upload
+        in the same iterator at production scale).
         """
-        import hashlib
         import io
         import json
         import tarfile
 
         meta_cols = list(meta_cols or [])
         self.create_schema(schema)
-        dest = self.table_path(schema, table)
-        if dest.exists():
-            shutil.rmtree(dest)
-        dest.mkdir(parents=True)
-        dest_s = str(dest)
-
-        def shard_of(key: object) -> int:
-            return int(
-                hashlib.md5(str(key).encode()).hexdigest()[:8], 16
-            ) % n_shards
+        final = self.table_path(schema, table)
+        tmp = final.with_name(f"{table}.__tmp_{uuid.uuid4().hex[:8]}")
+        tmp.mkdir(parents=True)
+        tmp_s = str(tmp)
 
         cols = [key_col, payload_col, *meta_cols]
 
@@ -434,12 +431,11 @@ class Warehouse:
             tars: dict[int, tarfile.TarFile] = {}
             try:
                 for r in rows:
-                    key = r[key_col]
-                    sid = shard_of(key)
+                    sid = r["__shard"]
                     tf = tars.get(sid)
                     if tf is None:
                         tf = tarfile.open(
-                            os.path.join(dest_s, f"shard-{sid:05d}.tar"),
+                            os.path.join(tmp_s, f"shard-{sid:05d}.tar"),
                             "w",
                         )
                         tars[sid] = tf
@@ -448,7 +444,7 @@ class Warehouse:
                         {c: r[c] for c in meta_cols}, sort_keys=True
                     ).encode()
                     for suffix, body in ((".bin", payload), (".json", meta)):
-                        info = tarfile.TarInfo(name=f"{key}{suffix}")
+                        info = tarfile.TarInfo(name=f"{r[key_col]}{suffix}")
                         info.size = len(body)
                         info.mtime = 0
                         info.uid = info.gid = 0
@@ -472,6 +468,12 @@ class Warehouse:
             .sortWithinPartitions("__shard", key_col)
             .foreachPartition(write_partition)
         )
+        old = final.with_name(f"{table}.__old_{uuid.uuid4().hex[:8]}")
+        if final.exists():
+            final.rename(old)
+        tmp.rename(final)
+        if old.exists():
+            shutil.rmtree(old)
 
     def read_tar_shards(
         self, schema: str, table: str, meta_schema: str | None = None
@@ -500,9 +502,11 @@ class Warehouse:
         )
 
         def unpack(batches):
+            # one output frame per tar: memory is bounded by a single
+            # shard's contents, not every shard in the Arrow batch
             for pdf in batches:
-                keys, payloads, metas = [], [], []
                 for content in pdf["content"]:
+                    keys, payloads, metas = [], [], []
                     with tarfile.open(
                         fileobj=io.BytesIO(bytes(content))
                     ) as tf:
@@ -519,9 +523,9 @@ class Warehouse:
                             keys.append(stem)
                             payloads.append(bins[stem])
                             metas.append(jsons.get(stem, "{}"))
-                yield pd.DataFrame(
-                    {"key": keys, "payload": payloads, "meta_json": metas}
-                )
+                    yield pd.DataFrame(
+                        {"key": keys, "payload": payloads, "meta_json": metas}
+                    )
 
         files = (
             self.spark.read.format("binaryFile")

@@ -191,9 +191,12 @@ def test_decontam_eval_set_is_broadcast(plan_of):
 
 
 def test_gopher_rules_single_projection_pass(plan_of):
-    # heuristic rule bits are one codegen projection — no shuffle
+    # heuristic rule bits are one projection pass: the only exchange
+    # is the deliberate round-robin spread of the one-split fixture —
+    # no hash shuffle (no aggregation/join) anywhere
     plan = plan_of("text_gopher_rules")
-    assert "Exchange" not in plan or "EXCHANGE" not in plan.upper()
+    assert "hashpartitioning" not in plan
+    assert_no_cartesian(plan)
 
 
 def test_global_shuffle_window_is_per_shard(plan_of):
@@ -206,6 +209,8 @@ def test_global_shuffle_window_is_per_shard(plan_of):
     assert "SinglePartition" not in plan
 
 
-def test_pii_scan_no_shuffle(plan_of):
+def test_pii_scan_no_hash_shuffle(plan_of):
+    # same contract as the gopher rules: round-robin spread only
     plan = plan_of("text_pii_scan")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert_no_cartesian(plan)

@@ -264,6 +264,74 @@ def trainprep_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 500_000  # global training-token budget (fixture-sized)
+
+
+@query(
+    "trainprep_token_budget",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text),
+                  '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(n_tokens) AS n_tokens
+      FROM toks GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+             AS corpus_share,
+           CAST(FLOOR({TOKEN_BUDGET} * CAST(n_tokens AS DOUBLE)
+                      / SUM(n_tokens) OVER ()) AS BIGINT) AS alloc_tokens,
+           ROUND(CAST(CAST(FLOOR({TOKEN_BUDGET} * CAST(n_tokens AS DOUBLE)
+                      / SUM(n_tokens) OVER ()) AS BIGINT) AS DOUBLE)
+                 / n_tokens, 6) AS epochs
+    FROM per_src
+    """,
+)
+def trainprep_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting under a global training budget:
+    docs, tokens, share of the corpus, the proportional token
+    allocation, and the epochs (repeats) of the source that allocation
+    implies — the planning view a mixture designer reads before
+    setting trainprep_domain_mixture's weights.
+
+    One hash aggregate (integer sums — exact, order-independent) plus
+    an unpartitioned window over the PER-SOURCE result, which is
+    bounded by the number of domains (tens, never corpus-sized).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+    per = docs.select("source", n_tokens.alias("n_tokens")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    alloc = F.floor(
+        F.lit(TOKEN_BUDGET) * F.col("n_tokens").cast("double") / total
+    ).cast("long")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total, 6).alias(
+            "corpus_share"
+        ),
+        alloc.alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship composite: corpus → training shards in one plan
 # ---------------------------------------------------------------------------

@@ -68,4 +68,5 @@ def load_all_operators() -> None:
         kmeans,
         trainprep,
         curation,
+        substring,
     )

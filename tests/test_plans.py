@@ -214,3 +214,11 @@ def test_pii_scan_no_hash_shuffle(plan_of):
     plan = plan_of("text_pii_scan")
     assert "hashpartitioning" not in plan
     assert_no_cartesian(plan)
+
+
+def test_substring_spans_hash_agg_no_cartesian(plan_of):
+    # duplicate-window detection is a hash aggregate on the window
+    # hash + equi-joins back to the window table — never all-pairs
+    plan = plan_of("dedup_substring_spans")
+    assert_no_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -272,3 +272,34 @@ def test_global_shuffle_is_balanced_permutation(spark):
     # md5 balance: no shard dwarfs the others
     sizes = sorted(len(v) for v in shards.values())
     assert sizes[0] >= 10 and sizes[-1] <= 60
+
+
+def test_substring_spans_on_planted_duplicates(spark, tmp_path):
+    """ExactSubstr semantics on planted data: a shared 8-token passage
+    across two docs is flagged in both, a within-doc repeat is
+    flagged, and a unique doc reports zero duplication."""
+    passage = "one two three four five six seven eight"
+    rows = [
+        (1, passage + " tail alpha beta"),
+        (2, "head gamma delta " + passage),
+        (3, "wholly unique words nine ten eleven twelve thirteen fourteen"),
+        (4, passage + " " + passage),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_spans"](spark, str(tmp_path)).collect()
+    }
+    assert got[3]["n_dup_windows"] == 0
+    assert got[3]["dup_tokens"] == 0
+    assert got[3]["dup_ratio"] == 0.0
+    # docs 1/2/4 all contain the passage -> its window is duplicated
+    assert got[1]["n_dup_windows"] >= 1 and got[1]["dup_tokens"] >= 8
+    assert got[2]["n_dup_windows"] >= 1 and got[2]["dup_tokens"] >= 8
+    # doc 4 is the passage twice: every one of its 16 tokens is part of
+    # a duplicated window (the repeat makes interior windows match too)
+    assert got[4]["n_tokens"] == 16
+    assert got[4]["dup_tokens"] == 16
+    assert got[4]["dup_ratio"] == 1.0

@@ -1,0 +1,216 @@
+"""Language-model quality scoring (north-star extension).
+
+CCNet (public arXiv:1911.00359) filters web corpora by the perplexity
+of a language model over each document and splits the corpus into
+head/middle/tail quality buckets at the score tertiles.  The
+production scorer is a pretrained KenLM; the self-contained
+Spark-shaped equivalent here trains the LM *inside the plan*: add-one
+smoothed bigram statistics over the whole corpus, then a per-document
+mean negative log2 probability (bits per token — the cross-entropy
+the perplexity exponentiates).
+
+Scale design:
+* the token-position explode is the large intermediate, keyed by
+  (token, successor) — unigram and bigram statistics are two hash
+  aggregates with map-side combine;
+* scoring joins each position against the bigram/unigram count tables
+  on their natural keys — equi-joins, no driver state (the vocabulary
+  size is the one driver-side scalar, same pattern as tf-idf's
+  ``n_docs``);
+* the per-term ROUND(·, 6) before the decimal sum is the established
+  cross-engine float-parity pattern (functions/numeric.py);
+* bucket assignment uses NTILE(3) over the per-document scores — ONE
+  row per document, bounded by corpus document count.  At 100 TB you
+  would replace the global sort with approx-percentile cutoffs
+  (``sketch_approx_percentiles`` demonstrates the mergeable sketch)
+  and assign buckets by threshold comparison; NTILE keeps the oracle
+  integer-exact at fixture scale.
+
+Reference parity: the reference has no quality scoring; this extends
+the text-analysis family (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.numeric import dsum
+from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+_SQL_TOK = """tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    )"""
+
+
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2): every token occurrence with its successor
+    (w2 NULL at the document-final position).
+
+    Arrow-batched kernel, same rationale as ``doc_shingles``
+    (dedup.py): per-row tokenize CPU work vectorizes 3-5× faster than
+    interpreted higher-order-function lambdas, and the emitted tokens
+    are byte-identical to the oracle's regex split.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w1", T.StringType()),
+            T.StructField("w2", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            w1s: list[str] = []
+            w2s: list[str | None] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                for i, w in enumerate(tk):
+                    ids.append(did)
+                    w1s.append(w)
+                    w2s.append(tk[i + 1] if i + 1 < len(tk) else None)
+            yield pd.DataFrame({"doc_id": ids, "w1": w1s, "w2": w2s})
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one-split fixture parquet: spread the kernel across cores
+    par = spark.sparkContext.defaultParallelism
+    return docs.repartition(par).select("doc_id", "text").mapInPandas(
+        gen, schema
+    )
+
+
+@query(
+    "text_lm_quality",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    pos AS (
+      SELECT t.doc_id, t.tk[g.i] AS w1,
+             CASE WHEN g.i < len(t.tk) THEN t.tk[g.i + 1] END AS w2
+      FROM tok t,
+      LATERAL (SELECT unnest(generate_series(1, len(t.tk))) AS i) g
+    ),
+    uni AS (SELECT w1 AS w, COUNT(*) AS cu FROM pos GROUP BY w1),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    terms AS (
+      SELECT p.doc_id,
+             ROUND(log2(CAST(u.cu + v.v AS DOUBLE))
+                   - log2(CAST(b.cb + 1 AS DOUBLE)), 6) AS term
+      FROM (SELECT doc_id, w1, w2 FROM pos WHERE w2 IS NOT NULL) p
+      JOIN (SELECT w1, w2, COUNT(*) AS cb FROM pos
+            WHERE w2 IS NOT NULL GROUP BY w1, w2) b
+        ON p.w1 = b.w1 AND p.w2 = b.w2
+      JOIN uni u ON p.w1 = u.w
+      CROSS JOIN vocab v
+    ),
+    sums AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(term AS DECIMAL(38,10))) * 1000000 AS BIGINT)
+               AS micro
+      FROM terms GROUP BY doc_id
+    ),
+    scores AS (
+      SELECT doc_id, n_bigrams,
+             CAST((2 * micro + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+               / 1000000.0 AS bits_per_token
+      FROM sums
+    )
+    SELECT s.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+           s.bits_per_token,
+           CASE NTILE(3) OVER (ORDER BY s.bits_per_token, s.doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scores s JOIN tok t USING (doc_id)
+    """,
+)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score + CCNet-style tertile buckets.
+
+    Per document: mean over bigram positions of
+    ``-log2((C(w1,w2)+1) / (C(w1)+V))`` — add-one smoothed bigram
+    cross-entropy in bits per token, with unigram/bigram counts and
+    vocabulary size V trained on the full corpus inside the plan.
+    Lower = more predictable = "head" of the corpus.  Documents with
+    fewer than two tokens have no bigram positions and are excluded
+    (undefined score; none exist in the fixtures).
+
+    Per-term ROUND(·,6), exact decimal sum, then a half-up integer
+    division in micro-bits keeps the score bit-identical to the DuckDB
+    oracle (a rounded double mean can land exactly on a 1e-6 boundary
+    where the engines round apart); the tertile NTILE is integer-exact
+    with a doc_id tie-break.
+    """
+    pos = token_positions(spark, sf_dir)
+    uni = pos.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.count()  # one driver-side scalar (cf. tf-idf n_docs)
+
+    bi_pos = pos.filter(F.col("w2").isNotNull())
+    big = bi_pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    terms = (
+        bi_pos.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log2((F.col("cu") + F.lit(vocab)).cast("double"))
+                - F.log2((F.col("cb") + F.lit(1)).cast("double")),
+                6,
+            ).alias("term"),
+        )
+    )
+    # exact integer micro-bits with explicit half-up division: the
+    # decimal mean rounded as a double can land exactly on a 1e-6
+    # rounding boundary (observed on the fixture: mean 4.9050935),
+    # where Spark and DuckDB round apart — integer arithmetic cannot
+    scores = (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            dsum(F.col("term"), "bits_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                "CAST((2 * CAST(bits_sum * 1000000 AS BIGINT) + n_bigrams)"
+                " DIV (2 * n_bigrams) AS DOUBLE) / 1000000.0"
+            ).alias("bits_per_token"),
+        )
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+    # one row per document — bounded by corpus doc count; swap for
+    # approx-percentile threshold assignment at corpus scale
+    tercile = F.ntile(3).over(Window.orderBy("bits_per_token", "doc_id"))
+    return (
+        scores.join(base, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_bigrams",
+            "bits_per_token",
+            F.when(tercile == 1, "head")
+            .when(tercile == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

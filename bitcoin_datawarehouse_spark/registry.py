@@ -69,4 +69,5 @@ def load_all_operators() -> None:
         trainprep,
         curation,
         substring,
+        lm_quality,
     )

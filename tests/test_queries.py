@@ -303,3 +303,42 @@ def test_substring_spans_on_planted_duplicates(spark, tmp_path):
     assert got[4]["n_tokens"] == 16
     assert got[4]["dup_tokens"] == 16
     assert got[4]["dup_ratio"] == 1.0
+
+
+def test_lm_quality_buckets_and_score_ordering(spark):
+    rows = QUERIES["text_lm_quality"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in rows)
+    # NTILE(3): tertiles differ by at most one
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    by_bucket = {
+        b: [r["bits_per_token"] for r in rows if r["bucket"] == b]
+        for b in ("head", "middle", "tail")
+    }
+    # tertile assignment is monotone in the score
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    for r in rows:
+        assert r["n_bigrams"] == r["n_tokens"] - 1
+        assert r["bits_per_token"] > 0
+
+
+def test_lm_quality_ranks_repetitive_text_as_predictable(spark, tmp_path):
+    """An LM trained on the corpus must score a repetitive document as
+    far more predictable (fewer bits/token) than one of unique words."""
+    rows = [
+        (1, "spam ham " * 20),
+        (2, "aardvark bizarre cantaloupe dromedary eucalyptus fjord "
+            "glyph hyacinth iguana jackal"),
+        (3, "spam ham spam ham mixed with other words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["text_lm_quality"](spark, str(tmp_path)).collect()
+    }
+    assert got[1]["bits_per_token"] < got[2]["bits_per_token"]
+    assert got[1]["bucket"] == "head" and got[2]["bucket"] == "tail"

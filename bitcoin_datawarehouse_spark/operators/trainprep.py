@@ -471,3 +471,43 @@ def trainprep_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset",
         F.floor(F.col("start_offset") / PACK_BUDGET).alias("chunk_id"),
     )
+
+
+SAMPLE_PER_STRATUM = 10
+
+
+@query(
+    "trainprep_stratified_sample",
+    oracle=f"""
+    SELECT source, doc_id, sample_rank FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+    """,
+)
+def trainprep_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-per-stratum sample: deterministic md5 order within each
+    source, top SAMPLE_PER_STRATUM rows kept.
+
+    Reproducible (pure function of doc_id), exact (precisely n per
+    stratum, unlike Bernoulli ``sample()``), and rank-stable (growing
+    a stratum never evicts a kept row from a *smaller* rank).  The
+    window sorts within strata only — parallel across strata.  For a
+    giant stratum at corpus scale, pre-filter with a hash threshold
+    just above n/N before ranking so the sort touches a sliver of the
+    stratum; the fixture strata are tiny, so the rank runs directly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
+    )

@@ -70,4 +70,5 @@ def load_all_operators() -> None:
         curation,
         substring,
         lm_quality,
+        profiling,
     )

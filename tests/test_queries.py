@@ -342,3 +342,34 @@ def test_lm_quality_ranks_repetitive_text_as_predictable(spark, tmp_path):
     }
     assert got[1]["bits_per_token"] < got[2]["bits_per_token"]
     assert got[1]["bucket"] == "head" and got[2]["bucket"] == "tail"
+
+
+def test_stratified_sample_exact_n_per_stratum(spark):
+    rows = QUERIES["trainprep_stratified_sample"](spark, SF_SMALL).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["source"]].append(r["sample_rank"])
+    # every stratum contributes exactly n, ranked 1..n, deterministic
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, 11))
+    again = QUERIES["trainprep_stratified_sample"](spark, SF_SMALL).collect()
+    assert {(r["source"], r["doc_id"]) for r in rows} == {
+        (r["source"], r["doc_id"]) for r in again
+    }
+
+
+def test_profile_column_stats_shape_and_bounds(spark):
+    rows = {r["col"]: r for r in QUERIES["profile_column_stats"](spark, SF_SMALL).collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    for r in rows.values():
+        assert r["n_nulls"] >= 0 and r["n_distinct"] >= 1
+        if r["min_num"] is not None:
+            assert r["min_num"] <= r["max_num"]
+        else:
+            assert r["min_str"] <= r["max_str"]
+    assert rows["o_orderkey"]["n_distinct"] >= rows["o_orderstatus"]["n_distinct"]

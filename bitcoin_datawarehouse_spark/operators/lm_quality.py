@@ -10,11 +10,12 @@ mean negative log2 probability (bits per token — the cross-entropy
 the perplexity exponentiates).
 
 Scale design:
-* the token-position explode is the large intermediate, keyed by
-  (token, successor) — unigram and bigram statistics are two hash
-  aggregates with map-side combine;
-* scoring joins each position against the bigram/unigram count tables
-  on their natural keys — equi-joins, no driver state (the vocabulary
+* the token-position explode is shuffled ONCE into per-document
+  bigram counts; the bigram table, unigram table, vocabulary size,
+  and per-document scoring all derive from that cached aggregate
+  (three subtrees over the raw explode would re-run the tokenizer);
+* scoring joins the per-doc counts against the corpus count tables on
+  their natural keys — equi-joins, no driver state (the vocabulary
   size is the one driver-side scalar, same pattern as tf-idf's
   ``n_docs``);
 * the per-term ROUND(·, 6) before the decimal sum is the established
@@ -37,7 +38,6 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bitcoin_datawarehouse_spark.functions.numeric import dsum
 from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
@@ -102,23 +102,30 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok t,
       LATERAL (SELECT unnest(generate_series(1, len(t.tk))) AS i) g
     ),
-    uni AS (SELECT w1 AS w, COUNT(*) AS cu FROM pos GROUP BY w1),
+    docbig AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS dcnt
+      FROM pos GROUP BY doc_id, w1, w2
+    ),
+    big AS (
+      SELECT w1, w2, SUM(dcnt) AS cb FROM docbig
+      WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    uni AS (SELECT w1 AS w, SUM(dcnt) AS cu FROM docbig GROUP BY w1),
     vocab AS (SELECT COUNT(*) AS v FROM uni),
     terms AS (
-      SELECT p.doc_id,
+      SELECT d.doc_id, d.dcnt,
              ROUND(log2(CAST(u.cu + v.v AS DOUBLE))
                    - log2(CAST(b.cb + 1 AS DOUBLE)), 6) AS term
-      FROM (SELECT doc_id, w1, w2 FROM pos WHERE w2 IS NOT NULL) p
-      JOIN (SELECT w1, w2, COUNT(*) AS cb FROM pos
-            WHERE w2 IS NOT NULL GROUP BY w1, w2) b
-        ON p.w1 = b.w1 AND p.w2 = b.w2
-      JOIN uni u ON p.w1 = u.w
+      FROM docbig d
+      JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+      JOIN uni u ON d.w1 = u.w
       CROSS JOIN vocab v
+      WHERE d.w2 IS NOT NULL
     ),
     sums AS (
-      SELECT doc_id, COUNT(*) AS n_bigrams,
-             CAST(SUM(CAST(term AS DECIMAL(38,10))) * 1000000 AS BIGINT)
-               AS micro
+      SELECT doc_id, SUM(dcnt) AS n_bigrams,
+             CAST(SUM(CAST(term AS DECIMAL(38,10)) * dcnt) * 1000000
+                  AS BIGINT) AS micro
       FROM terms GROUP BY doc_id
     ),
     scores AS (
@@ -155,16 +162,33 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a doc_id tie-break.
     """
     pos = token_positions(spark, sf_dir)
-    uni = pos.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
-    vocab = uni.count()  # one driver-side scalar (cf. tf-idf n_docs)
+    # ONE shuffle over the position explode, then everything — bigram
+    # table, unigram table, vocabulary, per-doc scoring — derives from
+    # this per-doc bigram-count aggregate.  Persisted with an eager
+    # fill (the vocab count below materializes it) because three plan
+    # subtrees read it; un-cached, each would re-run the Arrow
+    # tokenize kernel (CLAUDE.md multi-subtree rule).  docbig is
+    # aggregate-sized (distinct bigrams per doc), not corpus-sized.
+    docbig = pos.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("dcnt")
+    )
+    docbig.persist()
+    uni = docbig.groupBy("w1").agg(F.sum("dcnt").alias("cu"))
+    vocab = uni.count()  # one driver-side scalar (cf. tf-idf n_docs);
+    # this action also fills the docbig cache eagerly
 
-    bi_pos = pos.filter(F.col("w2").isNotNull())
-    big = bi_pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    big = (
+        docbig.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("dcnt").alias("cb"))
+    )
     terms = (
-        bi_pos.join(big, ["w1", "w2"])
+        docbig.filter(F.col("w2").isNotNull())
+        .join(big, ["w1", "w2"])
         .join(uni, "w1")
         .select(
             "doc_id",
+            "dcnt",
             F.round(
                 F.log2((F.col("cu") + F.lit(vocab)).cast("double"))
                 - F.log2((F.col("cb") + F.lit(1)).cast("double")),
@@ -179,8 +203,10 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         terms.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            dsum(F.col("term"), "bits_sum"),
+            F.sum("dcnt").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("term").cast("decimal(38,10)") * F.col("dcnt")
+            ).alias("bits_sum"),
         )
         .select(
             "doc_id",

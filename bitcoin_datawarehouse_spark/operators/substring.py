@@ -151,30 +151,43 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated window — i.e. the length of text that exact-substring
     dedup would cut; ``dup_ratio`` is that as a fraction of the doc.
 
-    Plan: Arrow window kernel → hash-agg on window hash (HAVING
-    count≥2) → equi-join back → position explode → distinct →
-    per-doc counts.  No cross join; every shuffle is keyed by the
+    Plan: Arrow window kernel (ONE execution) → window count
+    partitioned by hash → filter count≥2 → position explode → one
+    per-doc aggregate.  No cross join; every shuffle is keyed by the
     window hash or doc_id.
     """
-    wins = doc_windows(spark, sf_dir)
-    dup_h = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") >= 2
-    )
-    dup = wins.join(dup_h.select("h"), "h").select("doc_id", "pos")
+    from pyspark.sql import Window
 
-    covc = (
+    wins = doc_windows(spark, sf_dir)
+    # duplicate detection as ONE window count partitioned by the hash:
+    # a groupBy+join-back would re-run the Arrow kernel for each plan
+    # subtree; this shape shuffles the window table once and sorts
+    # within hash groups of size ~1-2 rows
+    dup = (
+        wins.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+
+    # both per-doc statistics in ONE aggregation over the exploded
+    # coverage rows (two subtrees over `dup` would recompute the
+    # kernel+window): window positions are unique per doc, so
+    # n_dup_windows = COUNT(DISTINCT pos) survives the explode
+    stats = (
         dup.select(
             "doc_id",
+            "pos",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(_W - 1))
             ).alias("p"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
-    )
-    dupc = dup.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_windows")
+        .agg(
+            F.count_distinct(F.col("pos")).alias("n_dup_windows"),
+            F.count_distinct(F.col("p")).alias("dup_tokens"),
+        )
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -186,8 +199,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        base.join(dupc, "doc_id", "left")
-        .join(covc, "doc_id", "left")
+        base.join(stats, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -349,6 +349,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+def band_keys_frame(fused: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH band buckets from the fused
+    shingle/signature frame: md5 over each band's comma-joined minhash
+    values — identical to the oracle's ``md5(string_agg(minh, ','
+    ORDER BY seed))`` per band."""
+    mh = fused.filter(F.col("sig").isNotNull()).select(
+        "doc_id",
+        *[F.col("sig")[s].alias(f"m{s}") for s in range(MINHASH_SEEDS)],
+    )
+    n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{s}")
+                            for s in range(
+                                b * MINHASH_BAND_SIZE,
+                                (b + 1) * MINHASH_BAND_SIZE,
+                            )
+                        ],
+                    ).cast("binary")
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mh.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -414,34 +453,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused.count()
     shing = fused.filter(F.col("sh").isNotNull()).select("doc_id", "sh")
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    mh = fused.filter(F.col("sig").isNotNull()).select(
-        "doc_id",
-        *[F.col("sig")[s].alias(f"m{s}") for s in range(MINHASH_SEEDS)],
-    )
-    n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{s}")
-                            for s in range(
-                                b * MINHASH_BAND_SIZE,
-                                (b + 1) * MINHASH_BAND_SIZE,
-                            )
-                        ],
-                    ).cast("binary")
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = mh.select(
-        "doc_id", F.explode(band_structs).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    bands = band_keys_frame(fused)
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (

@@ -1,0 +1,179 @@
+"""Incremental near-dup: a new batch against an existing corpus.
+
+Production dedup rarely re-pairs the whole corpus — each ingest batch
+(today's crawl) is checked against the standing index and only the
+batch's keep/drop decisions are emitted (the shape described in the
+public MinHash/LSH dedup literature and e.g. the CCNet/RefinedWeb
+pipelines).  The fixture stands in for that split deterministically:
+``doc_id % 4 == 0`` is the incoming batch, the rest is the index.
+
+Scale design:
+* ONE Arrow pass computes shingles and minhash signatures for both
+  sides (the split is a filter on the same fused frame — at
+  production scale the index side's signatures/bands are *already
+  materialized* in the warehouse and only the batch side is
+  computed);
+* candidates come from an LSH band-bucket equi-join of batch bands
+  against index bands — pairwise work only inside shared buckets,
+  never batch × corpus;
+* exact Jaccard verification runs on candidates only; the keep/drop
+  decision and best-match pick are one per-batch-doc window over the
+  verified pairs (bounded by candidates per doc, not corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _SQL_SHING,
+    MINHASH_BAND_SIZE,
+    MINHASH_SEEDS,
+    _fused_shingles_sigs,
+    band_keys_frame,
+)
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_SQL_SHING},
+    mh AS (
+      SELECT s.doc_id, g.seed,
+             MIN(md5(CAST(g.seed AS VARCHAR) || ':' || s.sh)) AS minh
+      FROM shing s
+      CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1}))
+                  AS seed) g
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id,
+             seed // {MINHASH_BAND_SIZE} AS band,
+             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+      FROM mh
+      GROUP BY doc_id, seed // {MINHASH_BAND_SIZE}
+    ),
+    cands AS (
+      SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+      FROM bands b
+      JOIN bands a ON a.band = b.band AND a.band_key = b.band_key
+      WHERE b.doc_id % 4 = 0 AND a.doc_id % 4 <> 0
+    ),
+    common AS (
+      SELECT c.batch_id, c.index_id, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shing s1 ON s1.doc_id = c.batch_id
+      JOIN shing s2 ON s2.doc_id = c.index_id AND s2.sh = s1.sh
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT c.batch_id, c.index_id,
+             CAST(n_common AS DOUBLE) / (sb.sz + sa.sz - n_common)
+               AS jaccard
+      FROM cands c
+      JOIN common USING (batch_id, index_id)
+      JOIN sizes sb ON sb.doc_id = c.batch_id
+      JOIN sizes sa ON sa.doc_id = c.index_id
+      WHERE CAST(n_common AS DOUBLE) / (sb.sz + sa.sz - n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    best AS (
+      SELECT batch_id, index_id, jaccard FROM (
+        SELECT batch_id, index_id, jaccard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY batch_id
+                 ORDER BY jaccard DESC, index_id
+               ) AS rn
+        FROM verified
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           best.batch_id IS NOT NULL AS is_dup,
+           best.index_id AS match_id,
+           ROUND(best.jaccard, 6) AS match_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+    LEFT JOIN best ON best.batch_id = d.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision for every batch document against the index.
+
+    One row per batch doc: ``is_dup`` (an index near-dup with
+    Jaccard ≥ threshold exists), the best-matching index doc and its
+    Jaccard (highest score, index_id tie-break) — NULLs for clean
+    docs.  Index docs are never re-decided, and index-index pairs are
+    never generated: the band join is strictly batch × index within
+    shared buckets.
+    """
+    fused = _fused_shingles_sigs(spark, sf_dir).cache()
+    # eager fill: shingle + band subtrees below share this cache
+    fused.count()
+    shing = fused.filter(F.col("sh").isNotNull()).select("doc_id", "sh")
+    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    bands = band_keys_frame(fused)
+
+    is_batch = F.col("doc_id") % 4 == 0
+    b = bands.filter(is_batch).alias("b")
+    a = bands.filter(~is_batch).alias("a")
+    cands = (
+        b.join(
+            a,
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.band_key") == F.col("a.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("a.doc_id").alias("index_id"),
+        )
+        .distinct()
+    )
+    s1 = shing.alias("s1")
+    s2 = shing.alias("s2")
+    common = (
+        cands.join(s1, F.col("batch_id") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("index_id") == F.col("s2.doc_id"))
+            & (F.col("s2.sh") == F.col("s1.sh")),
+        )
+        .groupBy("batch_id", "index_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sb = sizes.alias("sb")
+    sa = sizes.alias("sa")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sb.sz") + F.col("sa.sz") - F.col("n_common")
+    )
+    verified = (
+        cands.join(common, ["batch_id", "index_id"])
+        .join(F.broadcast(sb), F.col("batch_id") == F.col("sb.doc_id"))
+        .join(F.broadcast(sa), F.col("index_id") == F.col("sa.doc_id"))
+        .select("batch_id", "index_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), "index_id"
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("batch_id", "index_id", "jaccard")
+    )
+
+    batch_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(is_batch)
+        .select("doc_id")
+    )
+    return batch_docs.join(
+        best, batch_docs.doc_id == best.batch_id, "left"
+    ).select(
+        "doc_id",
+        F.col("batch_id").isNotNull().alias("is_dup"),
+        F.col("index_id").alias("match_id"),
+        F.round(F.col("jaccard"), 6).alias("match_jaccard"),
+    )

@@ -71,4 +71,5 @@ def load_all_operators() -> None:
         substring,
         lm_quality,
         profiling,
+        incremental,
     )

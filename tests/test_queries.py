@@ -373,3 +373,27 @@ def test_profile_column_stats_shape_and_bounds(spark):
         else:
             assert r["min_str"] <= r["max_str"]
     assert rows["o_orderkey"]["n_distinct"] >= rows["o_orderstatus"]["n_distinct"]
+
+
+def test_incremental_batch_consistent_with_full_minhash(spark):
+    """Any full-corpus minhash near-dup pair that crosses the
+    batch/index split must surface as is_dup for the batch member."""
+    inc = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_incremental_batch"](spark, SF_SMALL).collect()
+    }
+    assert len(inc) == 125  # doc_id % 4 == 0 of 500
+    full = QUERIES["dedup_minhash_lsh"](spark, SF_SMALL).collect()
+    crossing = set()
+    for r in full:
+        if r["jaccard"] >= 0.5:
+            a, b = r["doc_a"], r["doc_b"]
+            if (a % 4 == 0) != (b % 4 == 0):
+                crossing.add(a if a % 4 == 0 else b)
+    for did in crossing:
+        assert inc[did]["is_dup"], did
+        assert inc[did]["match_jaccard"] >= 0.5
+    # clean docs carry NULL match fields
+    for r in inc.values():
+        if not r["is_dup"]:
+            assert r["match_id"] is None and r["match_jaccard"] is None

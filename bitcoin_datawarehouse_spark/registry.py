@@ -72,4 +72,5 @@ def load_all_operators() -> None:
         lm_quality,
         profiling,
         incremental,
+        behavior,
     )

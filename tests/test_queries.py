@@ -397,3 +397,28 @@ def test_incremental_batch_consistent_with_full_minhash(spark):
     for r in inc.values():
         if not r["is_dup"]:
             assert r["match_id"] is None and r["match_jaccard"] is None
+
+
+def test_funnel_stage_timestamps_strictly_ordered(spark):
+    rows = QUERIES["funnel_view_signup_purchase"](spark, SF_SMALL).collect()
+    assert rows and {r["reached_stage"] for r in rows} <= {0, 1, 2, 3}
+    for r in rows:
+        stages = [r["t_view"], r["t_signup"], r["t_purchase"]]
+        # reached_stage counts the filled prefix, later stages are NULL
+        assert [s is not None for s in stages] == [
+            i < r["reached_stage"] for i in range(3)
+        ]
+        filled = [s for s in stages if s is not None]
+        assert filled == sorted(filled) and len(set(filled)) == len(filled)
+
+
+def test_cohort_retention_bounds(spark):
+    rows = QUERIES["cohort_weekly_retention"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+        else:
+            assert r["retention"] <= 1.0

@@ -313,6 +313,67 @@ class Warehouse:
             .parquet(str(self.table_path(schema, table)))
         )
 
+    def write_zordered(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        zcols: tuple[str, str],
+        n_files: int = 16,
+        bits: int = 8,
+    ) -> None:
+        """Z-order clustered layout: files range-partitioned along a
+        Morton curve over two columns, so parquet footer min/max
+        statistics are tight *rectangles* in (a, b) space and a
+        predicate on EITHER or BOTH columns skips most files — the
+        multi-dimensional analog of sorting (what Delta/Iceberg
+        ``OPTIMIZE ZORDER BY`` produces; single-column sorting can
+        only cluster one dimension).
+
+        Each column is min/max-normalized to ``bits`` bits (the two
+        extremes are one cheap aggregate — four scalars to the
+        driver), the bit patterns are interleaved JVM-side into the
+        curve position, and ``repartitionByRange`` + in-partition sort
+        cluster the files.  At 100 TB: n_files ≈ table_bytes/256 MB,
+        and the min/max agg is a map-side-combining scan."""
+        from pyspark.sql import functions as F
+
+        a, b = zcols
+        lo_a, hi_a, lo_b, hi_b = df.agg(
+            F.min(F.col(a).cast("double")),
+            F.max(F.col(a).cast("double")),
+            F.min(F.col(b).cast("double")),
+            F.max(F.col(b).cast("double")),
+        ).first()
+        top = (1 << bits) - 1
+
+        def quant(col: str, lo: float, hi: float):
+            span = (hi - lo) or 1.0
+            q = F.floor(
+                (F.col(col).cast("double") - F.lit(lo))
+                / F.lit(span)
+                * F.lit(float(top))
+            ).cast("long")
+            return F.greatest(F.lit(0), F.least(F.lit(top), q))
+
+        qa, qb = quant(a, lo_a, hi_a), quant(b, lo_b, hi_b)
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            z = (
+                z
+                + F.shiftleft(F.shiftright(qa, i).bitwiseAND(1), 2 * i + 1)
+                + F.shiftleft(F.shiftright(qb, i).bitwiseAND(1), 2 * i)
+            )
+        self.create_schema(schema)
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(str(self.table_path(schema, table)))
+        )
+
     def write_bucketed(
         self,
         df: DataFrame,

@@ -93,3 +93,55 @@ def _cleanup_catalog(spark):
     yield
     for t in ("lab_orders_b", "lab_lineitem_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_zorder_layout_skips_files_in_both_dimensions(spark, tmp_warehouse):
+    """Footer min/max stats of a z-ordered layout form tight (x, y)
+    rectangles: a small rectangle predicate overlaps far fewer files
+    than under a hash layout (which spreads every value range into
+    every file)."""
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(spark, tmp_warehouse)
+    grid = spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    wh.write_zordered(grid, "lab", "grid_z", ("x", "y"), n_files=16)
+    grid.repartition(16).write.mode("overwrite").parquet(
+        str(wh.table_path("lab", "grid_hash"))
+    )
+
+    def overlapping_files(table: str, lo: int, hi: int) -> int:
+        hit = 0
+        for f in wh.table_path("lab", table).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = (
+                            s.min if mins[name] is None else min(mins[name], s.min)
+                        )
+                        maxs[name] = (
+                            s.max if maxs[name] is None else max(maxs[name], s.max)
+                        )
+            if all(
+                mins[c] is not None and not (maxs[c] < lo or mins[c] > hi)
+                for c in ("x", "y")
+            ):
+                hit += 1
+        return hit
+
+    z_hit = overlapping_files("grid_z", 10, 19)
+    hash_hit = overlapping_files("grid_hash", 10, 19)
+    # hash layout: every file spans the whole domain -> all overlap;
+    # z-order: a 10x10 rectangle of a 100x100 grid touches few curve
+    # segments
+    assert hash_hit == 16
+    assert z_hit < hash_hit / 2, (z_hit, hash_hit)
+    # layout preserves the rows
+    assert wh.read("lab", "grid_z").count() == 10_000

@@ -208,3 +208,56 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_completion(q)
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink)
+
+
+@query(
+    "streaming_enrich_static",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(e.value AS DECIMAL(38,10))) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the replayed event stream joined to
+    the static ``customer`` dimension (broadcast hash join re-planned
+    per micro-batch — the canonical streaming enrichment; the static
+    side needs no watermark and holds no state), then aggregated per
+    (market segment, event type) in complete mode.
+
+    Final state must equal the batch join+aggregate regardless of
+    micro-batching: the join is stateless, and complete-mode output
+    emits every aggregate's final value.  At scale the dimension is a
+    warehouse table refreshed independently of the stream.
+    """
+    tmp = tempfile.mkdtemp(prefix="stream_enrich_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment")
+        )
+    )
+    enriched = (
+        read_event_stream(spark, tmp)
+        .join(customer, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("sum_value"),
+        )
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(sink)

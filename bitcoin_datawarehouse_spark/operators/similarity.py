@@ -270,10 +270,6 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same three stages.
     """
     buckets = similarity_lsh_buckets(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("nrm", norm_col(F.col("e")))
-
     qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
@@ -284,6 +280,17 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id")
         .distinct()
     )
+    return _rerank_candidates(spark, sf_dir, cands)
+
+
+def _rerank_candidates(
+    spark: SparkSession, sf_dir: str, cands: DataFrame
+) -> DataFrame:
+    """Exact cosine rerank of (query_id, cand_id) pairs → top-k rows
+    with deterministic tie-breaks (shared by the ANN variants)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("nrm", norm_col(F.col("e")))
     q = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -313,3 +320,88 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
+
+
+@query(
+    "similarity_ann_multiprobe",
+    oracle=f"""
+    WITH {_SQL_SIGS},
+    qb AS (
+      SELECT vec_id AS query_id, tbl, bucket FROM sigs
+      WHERE vec_id < {N_QUERIES}
+    ),
+    probes AS (
+      SELECT qb.query_id, qb.tbl,
+             CASE WHEN p.k < 0 THEN qb.bucket
+                  ELSE xor(qb.bucket, CAST(1 << p.k AS BIGINT)) END AS bucket
+      FROM qb CROSS JOIN (SELECT unnest(generate_series(-1,
+                    {LSH_BITS_PER_TABLE - 1})) AS k) p
+    ),
+    cands AS (
+      SELECT DISTINCT pr.query_id, s.vec_id AS cand_id
+      FROM probes pr JOIN sigs s ON s.tbl = pr.tbl AND s.bucket = pr.bucket
+      WHERE s.vec_id <> pr.query_id
+    ),
+    n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_reduce(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+               (acc, x) -> acc + x)) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT c.query_id, c.cand_id,
+             list_reduce(list_transform(list_zip(q.e, d.e),
+                                        p -> p[1] * p[2]),
+                         (acc, x) -> acc + x) / (q.nrm * d.nrm) AS cosine
+      FROM cands c
+      JOIN n q ON q.vec_id = c.query_id
+      JOIN n d ON d.vec_id = c.cand_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cand_id
+             ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe ANN (public multi-probe LSH literature, Lv et al.
+    VLDB'07 shape): each query probes its own bucket PLUS every bucket
+    at Hamming distance 1 per table (flip each of the
+    LSH_BITS_PER_TABLE bits), then the exact rerank runs on the
+    enlarged candidate set.
+
+    Recall rises without adding tables — the probe fan-out multiplies
+    only the tiny broadcast query side (queries × tables × (1+bits)
+    rows), never the corpus side, so the join cost grows with
+    candidates actually retrieved, not with index size.  Candidate set
+    is a strict superset of ``similarity_ann_lsh``'s, so recall is
+    monotonically ≥ (pytest-asserted alongside the measured values).
+    """
+    buckets = similarity_lsh_buckets(spark, sf_dir)
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"bucket ^ CAST({1 << k} AS BIGINT)")
+            for k in range(LSH_BITS_PER_TABLE)
+        ],
+    )
+    probes = qb.select(
+        "query_id", "tbl", F.explode(probe_buckets).alias("bucket")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(buckets.withColumnRenamed("vec_id", "cand_id"), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    return _rerank_candidates(spark, sf_dir, cands)

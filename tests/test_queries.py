@@ -422,3 +422,18 @@ def test_cohort_retention_bounds(spark):
             assert r["retention"] == 1.0
         else:
             assert r["retention"] <= 1.0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    exact = QUERIES["similarity_bruteforce_topk"](spark, SF_SMALL).collect()
+    single = QUERIES["similarity_ann_lsh"](spark, SF_SMALL).collect()
+    multi = QUERIES["similarity_ann_multiprobe"](spark, SF_SMALL).collect()
+    exact_p = {(r["query_id"], r["cand_id"]) for r in exact}
+    single_p = {(r["query_id"], r["cand_id"]) for r in single}
+    multi_p = {(r["query_id"], r["cand_id"]) for r in multi}
+    r_single = len(exact_p & single_p) / len(exact_p)
+    r_multi = len(exact_p & multi_p) / len(exact_p)
+    # Hamming-1 probing enlarges the candidate set, so recall is
+    # monotonically >=; on the fixture it is strictly better
+    assert r_multi >= r_single
+    assert r_multi >= 0.6, (r_single, r_multi)

@@ -23,6 +23,7 @@ from bitcoin_datawarehouse_spark.registry import (  # noqa: E402
     ORACLES,
     QUERIES,
     load_all_operators,
+    ordered_queries,
 )
 
 load_all_operators()
@@ -37,8 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's 50-slot correctness window (the first 50 insertion-
+    ordered entries) spans every operator family — see
+    ``registry.DRIVER_WINDOW``."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

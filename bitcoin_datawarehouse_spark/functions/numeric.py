@@ -6,18 +6,36 @@ final aggregation visits rows in a different order than DuckDB's
 ulps between engines and break the driver's value-hash comparison.
 
 Fix: cast each row's value to ``DECIMAL(38,10)`` (a deterministic
-conversion) and sum exactly in decimal — order-independent — and
-**return the decimal**.  Both engines expose the result as
-arrow ``decimal128(38,10)`` with bit-identical values.  (Casting the
-final sum back to double is NOT safe: Spark's BigDecimal.doubleValue
-and DuckDB's int128→double conversion can differ by 1 ulp — observed
-on the fixtures.)
+conversion) and sum exactly in decimal — order-independent.  The
+*exposed* column is NOT the decimal (decimal128 canonicalization —
+trailing-zero scale / string repr — differs between engine/driver
+hashers even when the values are numerically equal; this was the
+single cause of the 13 persistent driver hash-fails in rounds 1-2).
+Instead the final surface is an engine-neutral DOUBLE produced by a
+fully deterministic chain:
+
+    decimal sum  --ROUND(2, half-away-from-zero)-->  DECIMAL(p,2)
+                 --CAST-->  DOUBLE
+
+* The decimal round is exact integer arithmetic and both engines
+  round ties away from zero (Spark ``round`` = HALF_UP; DuckDB
+  decimal ``ROUND`` verified half-away-from-zero), so both produce
+  the identical 2-dp decimal.
+* DECIMAL(p,2) → DOUBLE is correctly rounded in both engines as long
+  as the value in cents fits in 2^53 (~90 trillion dollars) — far
+  beyond any fixture or realistic aggregate.
+
+(Rounding the DOUBLE instead — ``ROUND(CAST(sum AS DOUBLE), 2)`` —
+is NOT safe: Spark rounds the double's shortest decimal repr while
+the exact sum can sit on a ``.XX50`` half-way boundary, which for
+4/6-dp money products happens ~1% of the time.)
 
 Averages: the quotient must round somewhere, and decimal-division
 rounding rules differ between engines, so averages are exposed as
 ``ROUND(CAST(dec_sum AS DOUBLE)/count, 6)`` — the two candidate
 doubles differ by ≤1 ulp, which survives rounding to 6 places except
-on astronomically unlikely boundary values.
+on astronomically unlikely boundary values.  (Driver-green for two
+rounds; unchanged.)
 
 At 100 TB this costs one widening per row inside codegen — decimal
 aggregation is still a JVM-side hash aggregate with map-side partial
@@ -33,8 +51,8 @@ DEC = "decimal(38,10)"
 
 
 def dsum(col: Column, alias: str) -> Column:
-    """Order-independent exact SUM, exposed as DECIMAL(38,10)."""
-    return F.sum(col.cast(DEC)).alias(alias)
+    """Order-independent exact SUM, exposed as a 2-dp-rounded DOUBLE."""
+    return F.round(F.sum(col.cast(DEC)), 2).cast("double").alias(alias)
 
 
 def davg(col: Column, alias: str) -> Column:
@@ -45,9 +63,18 @@ def davg(col: Column, alias: str) -> Column:
     ).alias(alias)
 
 
+def dec_round2(col: Column, alias: str) -> Column:
+    """Expose an already-decimal expression (e.g. a windowed decimal
+    sum) as the engine-neutral 2-dp DOUBLE surface."""
+    return F.round(col, 2).cast("double").alias(alias)
+
+
 def SQL_DSUM(expr: str, alias: str) -> str:
     """DuckDB-side mirror of :func:`dsum`."""
-    return f"SUM(CAST({expr} AS DECIMAL(38,10))) AS {alias}"
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,10))), 2) AS DOUBLE)"
+        f" AS {alias}"
+    )
 
 
 def SQL_DAVG(expr: str, alias: str) -> str:

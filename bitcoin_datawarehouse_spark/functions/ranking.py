@@ -1,0 +1,95 @@
+"""Distributed global ranking without a single-partition window.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels the
+entire input through ONE task — fine for a bounded per-day series,
+a corpus-killer for one-row-per-document frames (billions of rows at
+100 TB).  This module computes the identical global rank with the
+classic two-phase scheme:
+
+1. range-repartition on the total-order key (Spark samples boundaries,
+   equal keys land in one partition; the order columns must form a
+   total order — pass a unique tiebreaker),
+2. local ``row_number`` per physical partition (a PARTITIONED window),
+3. per-partition counts (one tiny aggregate, #partitions rows) turned
+   into cumulative offsets with a window over that bounded frame,
+4. broadcast the offsets back and add.
+
+Every per-row stage is partition-parallel; the only unpartitioned
+window runs over ``#partitions`` rows.  The result is bit-identical to
+the monolithic ``row_number`` because both are determined by the same
+total order.
+
+``ntile_bucket`` reproduces SQL NTILE(k) arithmetic from the global
+rank + total count, so tertile bucketing (CCNet head/middle/tail)
+stays integer-exact against an NTILE oracle while the plan scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_PID = "_rk_pid"
+_OFFSET = "_rk_offset"
+_TOTAL = "_rk_total"
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_alias: str = "global_rank",
+    total_alias: str = "total_rows",
+) -> DataFrame:
+    """Append a dense 1-based global row number over ``order_cols``
+    (which must define a total order — include a unique tiebreaker)
+    plus the total row count, without any single-partition shuffle of
+    the data rows.
+    """
+    spark = df.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    keyed = df.repartitionByRange(npart, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # two plan subtrees (counts + ranked rows) read `keyed`: persist and
+    # fill eagerly, or concurrent stages re-run the upstream plan —
+    # including any nondeterministic range-boundary sampling
+    keyed.persist()
+    keyed.count()
+
+    counts = keyed.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
+    # bounded frame: one row per partition (≤ cluster parallelism), so
+    # the unpartitioned windows here are safe at any data scale
+    woff = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    wtot = W.orderBy(_PID).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offsets = counts.select(
+        _PID,
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias(_OFFSET),
+        F.sum("_cnt").over(wtot).alias(_TOTAL),
+    )
+
+    wloc = W.partitionBy(_PID).orderBy(*order_cols)
+    return (
+        keyed.withColumn("_rk_local", F.row_number().over(wloc))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(rank_alias, (F.col("_rk_local") + F.col(_OFFSET)))
+        .withColumn(total_alias, F.col(_TOTAL))
+        .drop(_PID, _OFFSET, _TOTAL, "_rk_local")
+    )
+
+
+def ntile_bucket(rank: Column, total: Column, k: int) -> Column:
+    """The NTILE(k) bucket (1-based) of a 1-based global ``rank`` in a
+    frame of ``total`` rows — SQL NTILE arithmetic: the first
+    ``total % k`` buckets hold ``total DIV k + 1`` rows, the rest
+    ``total DIV k``.  Closed form: with q = total DIV k, r = total % k,
+    a rank lands in bucket ``(rank-1) DIV (q+1) + 1`` while inside the
+    oversized region and ``r + (rank - r*(q+1) - 1) DIV q + 1`` after.
+    """
+    q = (total / k).cast("long")  # floor div: total, k positive
+    r = total - q * k
+    big_span = r * (q + 1)
+    return F.when(
+        rank <= big_span, ((rank - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(r + ((rank - big_span - 1) / q).cast("long") + 1)

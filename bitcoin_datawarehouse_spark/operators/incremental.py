@@ -8,17 +8,32 @@ pipelines).  The fixture stands in for that split deterministically:
 ``doc_id % 4 == 0`` is the incoming batch, the rest is the index.
 
 Scale design:
-* ONE Arrow pass computes shingles and minhash signatures for both
-  sides (the split is a filter on the same fused frame — at
-  production scale the index side's signatures/bands are *already
-  materialized* in the warehouse and only the batch side is
-  computed);
-* candidates come from an LSH band-bucket equi-join of batch bands
-  against index bands — pairwise work only inside shared buckets,
-  never batch × corpus;
-* exact Jaccard verification runs on candidates only; the keep/drop
-  decision and best-match pick are one per-batch-doc window over the
-  verified pairs (bounded by candidates per doc, not corpus size).
+* ONE Arrow pass computes, per document, its distinct shingle SET
+  (one array row per doc — not an exploded pair per shingle) and its
+  minhash signature (at production scale the index side's
+  signatures/bands are *already materialized* in the warehouse and
+  only the batch side is computed);
+* band keys are a shuffle-free projection over the signature array;
+  candidates come from an LSH band-bucket equi-join of batch bands
+  (broadcast — the batch is the small side by construction) against
+  index bands — pairwise work only inside shared buckets, never
+  batch × corpus;
+* exact Jaccard verification equi-joins the candidate pairs back to
+  the per-doc sets (plain shuffle joins on doc id — the pair set is
+  bounded by batch × bucket collisions, so these shuffles move
+  candidate-sized data; measured FASTER and far steadier than a
+  broadcast chain, whose sequential build jobs dominate at small
+  scale and whose driver memory is a liability at large) and scores
+  ``|A∩B| / (|A|+|B|-|A∩B|)`` with ``array_intersect`` over the
+  unpacked sets — no shingle-level shuffle at all;
+* the keep/drop decision and best-match pick are one per-batch-doc
+  window over the verified pairs (bounded by candidates per doc).
+
+Versus the round-2 formulation (exploded shingle frame + two
+shingle-level joins + separate sizes aggregate): same semantics and
+oracle, ~8 shuffle stages fewer — at sf0.1 the stage-scheduling floor
+dominated, and at 100 TB shuffling the corpus' exploded shingles
+twice per batch is exactly the cost this shape avoids.
 """
 
 from __future__ import annotations
@@ -31,11 +46,100 @@ from bitcoin_datawarehouse_spark.operators.dedup import (
     _SQL_SHING,
     MINHASH_BAND_SIZE,
     MINHASH_SEEDS,
-    _fused_shingles_sigs,
-    band_keys_frame,
 )
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
+
+
+#: in-band separator for the packed shingle-set string (cannot occur in
+#: shingles: the tokenizer strips everything outside [a-z0-9 ])
+_SH_SEP = "\x01"
+
+
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shs: string, sz, band_keys: array<string>) — one row
+    per document with ≥1 shingle: the distinct 3-token shingle set
+    packed into one ``\\x01``-joined string, its size, and the four
+    LSH band keys computed IN the kernel (md5 over each band's
+    comma-joined minhash values — byte-identical to the oracle's
+    ``md5(string_agg(minh, ',' ORDER BY seed))`` and to
+    dedup.band_keys_frame).
+
+    Packing matters: this frame is cached and re-read by three plan
+    subtrees, and array<string> columns cache as generic object
+    columns (slow to scan — same reason bench.py leaves the
+    embeddings table uncached); one flat string + one 4-element array
+    keeps the cache scans columnar-cheap.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shs", T.StringType()),
+            T.StructField("sz", T.LongType()),
+            T.StructField("band_keys", T.ArrayType(T.StringType())),
+        ]
+    )
+    n_seeds = MINHASH_SEEDS
+    n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sets, szs, bkeys = [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                seen = set()
+                for i in range(len(tk) - 2):
+                    seen.add(f"{tk[i]} {tk[i + 1]} {tk[i + 2]}")
+                if not seen:
+                    continue
+                mins = [None] * n_seeds
+                for s in seen:
+                    for k in range(n_seeds):
+                        h = hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                        if mins[k] is None or h < mins[k]:
+                            mins[k] = h
+                ids.append(did)
+                sets.append(_SH_SEP.join(sorted(seen)))
+                szs.append(len(seen))
+                bkeys.append(
+                    [
+                        hashlib.md5(
+                            ",".join(
+                                mins[
+                                    b * MINHASH_BAND_SIZE : (b + 1)
+                                    * MINHASH_BAND_SIZE
+                                ]
+                            ).encode()
+                        ).hexdigest()
+                        for b in range(n_bands)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "shs": sets, "sz": szs, "band_keys": bkeys}
+            )
+
+    return (
+        docs.repartition(par)
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema)
+    )
+
+
+def _band_keys_from_sets(docsets: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — a pure posexplode of the per-doc
+    band-key array, no shuffle, no JVM hashing."""
+    return docsets.select(
+        "doc_id", F.posexplode("band_keys").alias("band", "band_key")
+    )
 
 
 @query(
@@ -109,19 +213,20 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     never generated: the band join is strictly batch × index within
     shared buckets.
     """
-    fused = _fused_shingles_sigs(spark, sf_dir).cache()
-    # eager fill: shingle + band subtrees below share this cache
-    fused.count()
-    shing = fused.filter(F.col("sh").isNotNull()).select("doc_id", "sh")
-    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    bands = band_keys_frame(fused)
+    docsets = _doc_shingle_sets(spark, sf_dir).cache()
+    # eager fill: the bands projection and both verify joins below
+    # read this cache
+    docsets.count()
+    bands = _band_keys_from_sets(docsets)
 
     is_batch = F.col("doc_id") % 4 == 0
     b = bands.filter(is_batch).alias("b")
     a = bands.filter(~is_batch).alias("a")
+    # batch bands broadcast: the incoming batch is the small side by
+    # construction (same contract as the loader's incremental merge)
     cands = (
-        b.join(
-            a,
+        a.join(
+            F.broadcast(b),
             (F.col("b.band") == F.col("a.band"))
             & (F.col("b.band_key") == F.col("a.band_key")),
         )
@@ -131,30 +236,37 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    s1 = shing.alias("s1")
-    s2 = shing.alias("s2")
-    common = (
-        cands.join(s1, F.col("batch_id") == F.col("s1.doc_id"))
-        .join(
-            s2,
-            (F.col("index_id") == F.col("s2.doc_id"))
-            & (F.col("s2.sh") == F.col("s1.sh")),
+    # verification: candidate pairs (bounded by batch × bucket
+    # collisions) equi-joined to the per-doc shingle sets — exact
+    # distinct-intersection Jaccard with zero shingle-level shuffle
+    db = docsets.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    da = docsets.select(
+        F.col("doc_id").alias("index_id"),
+        F.col("shs").alias("shs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    n_common = F.size(
+        F.array_intersect(
+            F.split("shs_b", _SH_SEP), F.split("shs_a", _SH_SEP)
         )
-        .groupBy("batch_id", "index_id")
-        .agg(F.count("*").alias("n_common"))
     )
-    sb = sizes.alias("sb")
-    sa = sizes.alias("sa")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sb.sz") + F.col("sa.sz") - F.col("n_common")
+    scored = (
+        cands.join(db, "batch_id")
+        .join(da, "index_id")
+        .select(
+            "batch_id",
+            "index_id",
+            (
+                n_common.cast("double")
+                / (F.col("sz_b") + F.col("sz_a") - n_common)
+            ).alias("jaccard"),
+        )
     )
-    verified = (
-        cands.join(common, ["batch_id", "index_id"])
-        .join(F.broadcast(sb), F.col("batch_id") == F.col("sb.doc_id"))
-        .join(F.broadcast(sa), F.col("index_id") == F.col("sa.doc_id"))
-        .select("batch_id", "index_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    verified = scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     w = Window.partitionBy("batch_id").orderBy(
         F.col("jaccard").desc(), "index_id"
     )
@@ -170,7 +282,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return batch_docs.join(
-        best, batch_docs.doc_id == best.batch_id, "left"
+        F.broadcast(best), batch_docs.doc_id == best.batch_id, "left"
     ).select(
         "doc_id",
         F.col("batch_id").isNotNull().alias("is_dup"),

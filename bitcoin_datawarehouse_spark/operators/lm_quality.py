@@ -20,12 +20,13 @@ Scale design:
   ``n_docs``);
 * the per-term ROUND(·, 6) before the decimal sum is the established
   cross-engine float-parity pattern (functions/numeric.py);
-* bucket assignment uses NTILE(3) over the per-document scores — ONE
-  row per document, bounded by corpus document count.  At 100 TB you
-  would replace the global sort with approx-percentile cutoffs
-  (``sketch_approx_percentiles`` demonstrates the mergeable sketch)
-  and assign buckets by threshold comparison; NTILE keeps the oracle
-  integer-exact at fixture scale.
+* bucket assignment reproduces NTILE(3) over the per-document scores
+  WITHOUT a single-partition window: a distributed global rank
+  (range-repartition → per-partition row_number → broadcast offsets;
+  functions/ranking.py) feeds closed-form NTILE arithmetic.  Every
+  per-document stage is partition-parallel — the only unpartitioned
+  window runs over #partitions rows — while the bucket assignment
+  stays integer-exact against the oracle's NTILE.
 
 Reference parity: the reference has no quality scoring; this extends
 the text-analysis family (SURVEY.md §2.12).
@@ -35,9 +36,13 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.ranking import (
+    ntile_bucket,
+    with_global_rank,
+)
 from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
@@ -224,19 +229,22 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
     )
 
-    # one row per document — bounded by corpus doc count; swap for
-    # approx-percentile threshold assignment at corpus scale
-    tercile = F.ntile(3).over(Window.orderBy("bits_per_token", "doc_id"))
-    return (
-        scores.join(base, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_bigrams",
-            "bits_per_token",
-            F.when(tercile == 1, "head")
-            .when(tercile == 2, "middle")
-            .otherwise("tail")
-            .alias("bucket"),
-        )
+    # distributed NTILE(3): global rank without a single-partition
+    # window (functions/ranking.py), then closed-form bucket arithmetic
+    ranked = with_global_rank(
+        scores.join(base, "doc_id"),
+        ["bits_per_token", "doc_id"],
+        rank_alias="_grank",
+        total_alias="_gtotal",
+    )
+    tercile = ntile_bucket(F.col("_grank"), F.col("_gtotal"), 3)
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "bits_per_token",
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

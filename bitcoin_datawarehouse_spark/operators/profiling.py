@@ -12,9 +12,11 @@ before the hash aggregate (still map-side partial, no extra shuffle
 of the raw table) — the standard exact path.  At 100 TB swap
 ``approx_count_distinct`` (HLL, one pass, no expand) and keep min/max
 exact; the fixture keeps exact distinct so the DuckDB oracle matches
-bit-for-bit.  Numeric min/max are exposed as DECIMAL(38,6) and
-string/timestamp ones as VARCHAR — engine-neutral renderings (a raw
-double→string cast formats differently across engines).
+bit-for-bit.  Numeric min/max are exposed as DOUBLE (min/max select an
+actual row value, identical in both engines — no decimal surface, see
+functions/numeric.py on decimal canonicalization) and string/timestamp
+ones as VARCHAR (a raw double→string cast formats differently across
+engines).
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ _ORDERS_COLS = [
     ("o_orderpriority", "str"),
 ]
 
-_DEC = "decimal(38,6)"
+_DEC = "double"
 
 
 def _profile_struct(name: str, kind: str) -> Column:
@@ -63,15 +65,15 @@ def _profile_struct(name: str, kind: str) -> Column:
 def _oracle_leg(name: str, kind: str) -> str:
     if kind == "num":
         mins = (
-            f"CAST(MIN({name}) AS DECIMAL(38,6)) AS min_num, "
-            f"CAST(MAX({name}) AS DECIMAL(38,6)) AS max_num, "
+            f"CAST(MIN({name}) AS DOUBLE) AS min_num, "
+            f"CAST(MAX({name}) AS DOUBLE) AS max_num, "
             "CAST(NULL AS VARCHAR) AS min_str, "
             "CAST(NULL AS VARCHAR) AS max_str"
         )
     else:
         mins = (
-            "CAST(NULL AS DECIMAL(38,6)) AS min_num, "
-            "CAST(NULL AS DECIMAL(38,6)) AS max_num, "
+            "CAST(NULL AS DOUBLE) AS min_num, "
+            "CAST(NULL AS DOUBLE) AS max_num, "
             f"CAST(MIN({name}) AS VARCHAR) AS min_str, "
             f"CAST(MAX({name}) AS VARCHAR) AS max_str"
         )

@@ -205,8 +205,9 @@ def join_star_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       c.c_custkey,
       c.c_name,
       COUNT(o.o_orderkey) AS n_orders,
-      COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))),
-               CAST(0 AS DECIMAL(38,10))) AS total_spent
+      CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))),
+                          CAST(0 AS DECIMAL(38,10))), 2) AS DOUBLE)
+        AS total_spent
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -228,9 +229,14 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC)
-            ).alias("total_spent"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_spent"),
         )
     )
 
@@ -733,5 +739,5 @@ def pivot_status_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2).cast("double"))
     )

@@ -23,7 +23,8 @@ from bitcoin_datawarehouse_spark.tables import load_table
     ),
     ords AS (
       SELECT o_custkey, COUNT(*) AS n_orders,
-             SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS total_spend
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                  AS DOUBLE) AS total_spend
       FROM orders WHERE o_orderstatus = 'O'
       GROUP BY o_custkey
     )

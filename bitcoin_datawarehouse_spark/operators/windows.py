@@ -197,10 +197,11 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       order_day,
       day_value,
-      SUM(CAST(day_value AS DECIMAL(38,10)))
-        OVER (ORDER BY order_day
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        AS running_total
+      CAST(ROUND(
+        SUM(CAST(day_value AS DECIMAL(38,10)))
+          OVER (ORDER BY order_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        2) AS DOUBLE) AS running_total
     FROM daily
     """,
 )
@@ -220,7 +221,9 @@ def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "order_day",
         "day_value",
-        F.sum(F.col("day_value").cast(DEC)).over(w).alias("running_total"),
+        F.round(F.sum(F.col("day_value").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
     )
 
 

@@ -345,6 +345,14 @@ class Warehouse:
             F.min(F.col(b).cast("double")),
             F.max(F.col(b).cast("double")),
         ).first()
+        if lo_a is None or lo_b is None:
+            # empty input (min/max aggregate to NULL): write the empty
+            # table rather than TypeError-ing on None arithmetic below
+            self.create_schema(schema)
+            df.write.mode("overwrite").parquet(
+                str(self.table_path(schema, table))
+            )
+            return
         top = (1 << bits) - 1
 
         def quant(col: str, lo: float, hi: float):

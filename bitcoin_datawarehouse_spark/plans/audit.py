@@ -40,14 +40,25 @@ def assert_broadcast_join(plan: str) -> None:
     assert "BroadcastHashJoin" in plan, "expected a broadcast hash join"
 
 
-def assert_pushed_filter(plan: str, column: str) -> None:
-    """The filter on ``column`` reaches SOME parquet scan (multi-scan
-    plans list one PushedFilters block per scan)."""
-    segments = plan.split("PushedFilters")[1:]
-    assert segments, "no filters pushed to the scan"
-    assert any(column in seg[:300] for seg in segments), (
-        f"filter on {column} not pushed to scan"
-    )
+def assert_pushed_filter(plan: str, column: str, table: str | None = None) -> None:
+    """The filter on ``column`` reaches a parquet scan.  With ``table``
+    given, the filter must appear in THAT scan's PushedFilters block —
+    in a multi-scan plan, a same-named column pushed on a different
+    scan must not mask a pushdown regression on the intended one."""
+    if table is None:
+        segments = plan.split("PushedFilters")[1:]
+        assert segments, "no filters pushed to the scan"
+        assert any(column in seg[:300] for seg in segments), (
+            f"filter on {column} not pushed to scan"
+        )
+        return
+    scans = [s for s in plan.split("Scan parquet") if table in s[:200]]
+    assert scans, f"no parquet scan of {table} in plan"
+    assert any(
+        column in scan.split("PushedFilters")[1][:300]
+        for scan in scans
+        if "PushedFilters" in scan
+    ), f"filter on {column} not pushed to the {table} scan"
 
 
 def assert_partial_aggregation(plan: str) -> None:

@@ -102,15 +102,22 @@ def uncache_tables(spark: SparkSession) -> None:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL).  Read nanos as long via the
-    legacy conf and truncate to a microsecond timestamp with *integer*
-    division (ns epoch values exceed 2^53, so float division would
-    lose exactness).  DuckDB's CAST(ts_ns AS TIMESTAMP) truncates the
-    same way, keeping oracle parity.
+    """events.ts is parquet TIMESTAMP(NANOS).  Spark ≤4.0's vectorized
+    reader rejects it (PARQUET_TYPE_ILLEGAL) unless the legacy conf
+    reads nanos as long — then truncate to a microsecond timestamp
+    with *integer* division (ns epoch values exceed 2^53, so float
+    division would lose exactness).  Spark ≥4.1 reads nanos natively
+    as TIMESTAMP_NTZ truncated to micros — same truncation, different
+    type; cast to the session-zoned TIMESTAMP (session TZ is pinned
+    UTC above, so values are unchanged) so downstream comparisons with
+    timestamp literals behave uniformly.  Both paths match DuckDB's
+    CAST(ts_ns AS TIMESTAMP) truncation, keeping oracle parity.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))

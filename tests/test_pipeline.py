@@ -694,3 +694,24 @@ def test_tar_shard_export_roundtrip_and_determinism(spark, wh):
         for t in sorted(shard_dir.glob("*.tar"))
     ]
     assert digests_a == digests_b
+
+
+def test_incremental_large_batch_takes_shuffle_anti_join(spark, wh, monkeypatch):
+    """Above BROADCAST_BATCH_MAX_ROWS the merge must NOT broadcast the
+    batch (a 100 GB ingest batch force-broadcast would OOM executors):
+    force the threshold to 0 so the shuffle-anti-join branch runs, and
+    assert merge semantics are unchanged on that path."""
+    from bitcoin_datawarehouse_spark.pipeline import loader as loader_mod
+
+    monkeypatch.setattr(loader_mod, "BROADCAST_BATCH_MAX_ROWS", 0)
+    ld = Loader(wh, "bitcoin", "bigbatch")
+    ld.load_incremental(
+        rows_df(spark, [{"id": 1, "v": 1.0}, {"id": 2, "v": 2.0}]),
+        unique_keys=["id"],
+    )
+    ld.load_incremental(
+        rows_df(spark, [{"id": 2, "v": 22.0}, {"id": 3, "v": 3.0}]),
+        unique_keys=["id"],
+    )
+    got = {r["id"]: r["v"] for r in wh.read("bitcoin", "bigbatch").collect()}
+    assert got == {1: 1.0, 2: 22.0, 3: 3.0}

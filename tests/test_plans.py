@@ -222,3 +222,28 @@ def test_substring_spans_hash_agg_no_cartesian(plan_of):
     plan = plan_of("dedup_substring_spans")
     assert_no_cartesian(plan)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_quality_rank_window_is_partitioned(plan_of):
+    """The CCNet tertile bucketing must NOT use a global single-partition
+    window over per-document rows (the round-2 scale defect): the rank
+    comes from functions/ranking.py — a row_number PARTITIONED by the
+    range-partition id.  Every row_number window spec in the plan must
+    therefore carry the _rk_pid partition column, and no ntile may
+    appear at all."""
+    plan = plan_of("text_lm_quality")
+    rn_lines = [ln for ln in plan.splitlines() if "row_number" in ln]
+    assert rn_lines, "expected a row_number window in the plan"
+    for ln in rn_lines:
+        assert "_rk_pid" in ln, f"unpartitioned row_number window: {ln}"
+    assert "ntile" not in plan
+
+
+def test_incremental_dedup_band_join_broadcasts_batch(plan_of):
+    """Candidate generation must be a band-bucket equi-join with the
+    (small by construction) batch side broadcast, verification a
+    candidate-sized equi-join — never batch × corpus."""
+    plan = plan_of("dedup_incremental_batch")
+    assert_no_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_broadcast_join(plan)

@@ -1,0 +1,90 @@
+"""Driver-window invariants (registry.DRIVER_WINDOW).
+
+The correctness driver hash-checks only the first 50 insertion-ordered
+``queries()`` entries; rounds 1-2 proved that registration order silently
+controls which operators get driver-verified.  These tests pin the
+window's contract so a refactor can't shrink or reorder coverage
+unnoticed.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from bitcoin_datawarehouse_spark.registry import (
+    DRIVER_WINDOW,
+    ORACLES,
+    QUERIES,
+    ordered_queries,
+)
+
+
+def test_window_is_exactly_fifty():
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50, "duplicate window entries"
+
+
+def test_window_entries_registered_and_oracled():
+    for name in DRIVER_WINDOW:
+        assert name in QUERIES, name
+        # every in-window slot must be hash-checkable (no rows-only)
+        assert name in ORACLES, f"{name} lacks a SQL oracle"
+
+
+def test_entry_queries_lead_with_window():
+    names = list(entrymod.queries())
+    assert names[:50] == DRIVER_WINDOW
+    # nothing lost: the ordering is a permutation of the registry
+    assert set(names) == set(QUERIES)
+    assert len(names) == len(QUERIES)
+
+
+def test_ordered_queries_matches_entrypoint():
+    assert list(ordered_queries()) == list(entrymod.queries())
+
+
+def test_decimal_flips_lead_the_window():
+    # the 13 rounds-1/2 hash-fail queries must stay in-window to prove
+    # the decimal→double fix to the driver
+    flips = {
+        "pricing_summary",
+        "join_fact_dim_broadcast",
+        "join_star_regional_revenue",
+        "join_left_order_counts",
+        "agg_daily_revenue",
+        "rollup_revenue",
+        "cube_revenue",
+        "grouping_sets_priority",
+        "expr_case_when_buckets",
+        "time_bucket_hourly",
+        "pivot_status_value",
+        "window_moving_avg",
+        "window_cumulative",
+    }
+    assert flips <= set(DRIVER_WINDOW[:13])
+
+
+def test_no_decimal_output_columns_anywhere():
+    """No registered oracle may EXPOSE a decimal column: decimal128
+    canonicalization (trailing-zero scale / repr) differs between
+    hashers even at equal values — the root cause of 13 driver-red
+    rounds-1/2 rows.  Internal decimal accumulation is fine (and
+    encouraged); the output SURFACE must be engine-neutral
+    (double/bigint/string).  Binder-only check: DESCRIBE every oracle
+    against the smallest fixture and inspect the result column types."""
+    import duckdb
+
+    from bitcoin_datawarehouse_spark.tables import TABLES
+    from tests.conftest import SF_SMALL
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    offenders = []
+    for name, sql in ORACLES.items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [(c, ty) for c, ty, *_ in desc if "DECIMAL" in ty.upper()]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"decimal output columns exposed: {offenders}"

@@ -255,3 +255,54 @@ def test_global_shuffle_permutation_property(spark, ids):
         for r in global_shuffle_frame(df).collect()
     }
     assert again == {(r["doc_id"], r["shard_id"], r["shard_rank"]) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# property-based cross-engine parity of the dsum money surface
+# ---------------------------------------------------------------------------
+
+# money-shaped doubles: 2-dp ledger values, 6-dp computed products
+# (price*(1-disc)*(1+tax) has up to 6 decimal places), negatives, and
+# magnitudes up to 10^12 (cents well inside the 2^53 exactness bound of
+# the DECIMAL(p,2)→DOUBLE cast) — the documented domain of dsum
+_money = st.one_of(
+    st.decimals(
+        min_value=-(10**12), max_value=10**12, places=2, allow_nan=False
+    ).map(float),
+    st.decimals(
+        min_value=-(10**6), max_value=10**6, places=6, allow_nan=False
+    ).map(float),
+    # half-way boundary probes: exactly .XX5 at the 3rd decimal, where
+    # a double-rounding surface (ROUND(CAST(sum AS DOUBLE),2)) diverges
+    # between engines — the decimal-rounded surface must not
+    st.integers(min_value=-(10**6), max_value=10**6).map(
+        lambda n: n / 100.0 + 0.005
+    ),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(_money, min_size=1, max_size=40))
+def test_dsum_surface_matches_duckdb_exactly(spark, vals):
+    """functions/numeric.py contract: the dsum/SQL_DSUM pair produces
+    BIT-IDENTICAL doubles on Spark and DuckDB for money-shaped inputs —
+    including negatives, large magnitudes, and half-way rounding
+    boundaries (hypothesis drives the shapes).  This is the invariant
+    the driver's value hash depends on."""
+    import duckdb
+    import pandas as pd
+
+    from bitcoin_datawarehouse_spark.functions.numeric import SQL_DSUM, dsum
+
+    sdf = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    (got,) = sdf.agg(dsum(F.col("v"), "s")).collect()[0]
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    (want,) = con.execute(f"SELECT {SQL_DSUM('v', 's')} FROM t").fetchone()
+
+    assert repr(got) == repr(want), (got, want, vals)

@@ -145,3 +145,20 @@ def test_zorder_layout_skips_files_in_both_dimensions(spark, tmp_warehouse):
     assert z_hit < hash_hit / 2, (z_hit, hash_hit)
     # layout preserves the rows
     assert wh.read("lab", "grid_z").count() == 10_000
+
+
+def test_zorder_empty_input_writes_empty_table(spark, tmp_warehouse):
+    """An empty frame has NULL min/max extremes; write_zordered must
+    write an empty table instead of TypeError-ing on None arithmetic."""
+    wh = Warehouse(spark, tmp_warehouse)
+    empty = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(
+            F.col("o_orderkey").alias("x"), F.col("o_custkey").alias("y")
+        )
+        .filter(F.lit(False))
+    )
+    wh.write_zordered(empty, "lab", "empty_z", ("x", "y"), n_files=4)
+    out = wh.read("lab", "empty_z")
+    assert out.count() == 0
+    assert set(out.columns) == {"x", "y"}

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 import sys
 import time
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
@@ -38,6 +39,13 @@ def normalize(rows, cols):
                 v = v.isoformat()
             elif isinstance(v, float):
                 v = repr(v)
+            elif isinstance(v, Decimal):
+                # canonicalize by STRING, not numeric value: the
+                # driver's hasher distinguishes Decimal('1.5') from
+                # Decimal('1.5000000000') even though == does not —
+                # rounds 1-2 proved value-equal decimals still
+                # hash-fail, so surface scale/repr divergence here
+                v = str(v)
             elif isinstance(v, list):
                 v = repr(v)
             vals.append(v)

@@ -10,10 +10,12 @@ mean negative log2 probability (bits per token — the cross-entropy
 the perplexity exponentiates).
 
 Scale design:
-* the token-position explode is shuffled ONCE into per-document
-  bigram counts; the bigram table, unigram table, vocabulary size,
-  and per-document scoring all derive from that cached aggregate
-  (three subtrees over the raw explode would re-run the tokenizer);
+* per-document bigram counts are finished INSIDE the Arrow tokenize
+  kernel (a document is one input row, so its token positions are
+  task-local — no corpus-wide position shuffle at all); the bigram
+  table, unigram table, vocabulary size, per-document scoring, and
+  token counts all derive from that cached aggregate (multiple
+  subtrees over a raw explode would re-run the tokenizer);
 * scoring joins the per-doc counts against the corpus count tables on
   their natural keys — equi-joins, no driver state (the vocabulary
   size is the one driver-side scalar, same pattern as tf-idf's
@@ -43,7 +45,6 @@ from bitcoin_datawarehouse_spark.functions.ranking import (
     ntile_bucket,
     with_global_rank,
 )
-from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -55,15 +56,22 @@ _SQL_TOK = """tok AS (
     )"""
 
 
-def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, w1, w2): every token occurrence with its successor
-    (w2 NULL at the document-final position).
+def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, dcnt): per-document bigram-position counts
+    (w2 NULL at the document-final position), pre-aggregated INSIDE
+    the Arrow kernel.
 
-    Arrow-batched kernel, same rationale as ``doc_shingles``
-    (dedup.py): per-row tokenize CPU work vectorizes 3-5× faster than
-    interpreted higher-order-function lambdas, and the emitted tokens
-    are byte-identical to the oracle's regex split.
+    Same rationale as ``doc_shingles`` (dedup.py): per-row tokenize
+    CPU work vectorizes 3-5× faster than interpreted
+    higher-order-function lambdas, and the emitted tokens are
+    byte-identical to the oracle's regex split.  Counting per doc in
+    the kernel (a document is one input row, so its positions are
+    task-local) replaces a corpus-wide groupBy over EVERY token
+    position — the single largest shuffle of the round-2 plan — with
+    map-side-finished output a fraction of the size.
     """
+    import collections
+
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -73,6 +81,7 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("doc_id", T.LongType()),
             T.StructField("w1", T.StringType()),
             T.StructField("w2", T.StringType()),
+            T.StructField("dcnt", T.LongType()),
         ]
     )
 
@@ -81,13 +90,21 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids: list[int] = []
             w1s: list[str] = []
             w2s: list[str | None] = []
+            cts: list[int] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 tk = [t for t in pat.split(txt.lower()) if t]
-                for i, w in enumerate(tk):
+                counts = collections.Counter(
+                    (w, tk[i + 1] if i + 1 < len(tk) else None)
+                    for i, w in enumerate(tk)
+                )
+                for (a, b), c in counts.items():
                     ids.append(did)
-                    w1s.append(w)
-                    w2s.append(tk[i + 1] if i + 1 < len(tk) else None)
-            yield pd.DataFrame({"doc_id": ids, "w1": w1s, "w2": w2s})
+                    w1s.append(a)
+                    w2s.append(b)
+                    cts.append(c)
+            yield pd.DataFrame(
+                {"doc_id": ids, "w1": w1s, "w2": w2s, "dcnt": cts}
+            )
 
     docs = load_table(spark, sf_dir, "documents")
     # one-split fixture parquet: spread the kernel across cores
@@ -166,17 +183,20 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the engines round apart); the tertile NTILE is integer-exact
     with a doc_id tie-break.
     """
-    pos = token_positions(spark, sf_dir)
-    # ONE shuffle over the position explode, then everything — bigram
-    # table, unigram table, vocabulary, per-doc scoring — derives from
-    # this per-doc bigram-count aggregate.  Persisted with an eager
-    # fill (the vocab count below materializes it) because three plan
-    # subtrees read it; un-cached, each would re-run the Arrow
-    # tokenize kernel (CLAUDE.md multi-subtree rule).  docbig is
-    # aggregate-sized (distinct bigrams per doc), not corpus-sized.
-    docbig = pos.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("dcnt")
-    )
+    # per-doc bigram counts arrive FINISHED from the kernel (positions
+    # are task-local per document — no corpus-wide position shuffle);
+    # everything — bigram table, unigram table, vocabulary, per-doc
+    # scoring, token counts — derives from this one frame.  Persisted
+    # HASH-PARTITIONED BY w1: HashPartitioning(w1) satisfies the
+    # clustering required by groupBy(w1), groupBy(w1,w2), AND both
+    # terms joins below (partition keys ⊆ grouping/join keys on both
+    # sides), so the whole LM-training subgraph runs on this single
+    # shuffle with no further exchange.  Eager fill (the vocab count
+    # below materializes it): several plan subtrees read it, and
+    # un-cached each would re-run the Arrow tokenize kernel (CLAUDE.md
+    # multi-subtree rule).  docbig is aggregate-sized (distinct
+    # bigrams per doc), not corpus-sized.
+    docbig = doc_bigram_counts(spark, sf_dir).repartition("w1")
     docbig.persist()
     uni = docbig.groupBy("w1").agg(F.sum("dcnt").alias("cu"))
     vocab = uni.count()  # one driver-side scalar (cf. tf-idf n_docs);
@@ -223,10 +243,12 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    # n_tokens = per-doc position count (each token emits exactly one
+    # (w1, w2) row, document-final included with w2 NULL), so it falls
+    # out of the SAME docbig aggregate — no second tokenize pass over
+    # the documents table
+    base = docbig.groupBy("doc_id").agg(
+        F.sum("dcnt").cast("long").alias("n_tokens")
     )
 
     # distributed NTILE(3): global rank without a single-partition

@@ -132,13 +132,30 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # tokens projected once (regex split is the dominant per-row cost);
     # repartition first — the fixture is one input split and this is
     # regex-heavy per-doc CPU work
+    return quality_frame(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def quality_frame(docs: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """Per-document quality metrics as a PURE PROJECTION over ``docs``
+    (no shuffle, no second scan): composable into larger pipelines —
+    trainprep_corpus_pipeline inlines this instead of joining a
+    separately-scanned scored frame.  ``keep`` = passthrough columns.
+
+    Tokens are projected once in a dedicated select (the regex split
+    is the dominant per-row cost, and CollapseProject would otherwise
+    re-inline it per consuming expression).
+    """
+    keep = [c for c in (keep or []) if c != "doc_id"]
+    carry = list(dict.fromkeys(["text", *keep]))
     tk = F.col("tk")
-    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", "text", tokens_col(F.col("text")).alias("tk")
+    base = docs.select(
+        "doc_id", *carry, tokens_col(F.col("text")).alias("tk")
     ).select(
+        *keep,
         "doc_id",
         F.length("text").cast("long").alias("n_chars_obs"),
         F.size(tk).cast("long").alias("n_tokens"),
@@ -152,6 +169,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
     punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_obs")
     return base.select(
+        *keep,
         "doc_id",
         "n_chars_obs",
         "n_tokens",

@@ -417,22 +417,31 @@ def trainprep_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes between stages.
 
     At scale this is the shape that matters: a 100 TB corpus flows
-    through scan → filter → two hash-aggregates → window without a
-    single driver round-trip or cache barrier.
+    through scan → projection-filter → one dedup window → one packing
+    window without a single driver round-trip, cache barrier, or
+    self-join: quality scoring is inlined as a projection over the
+    same scan (round 2 joined two full scans of ``documents`` on
+    doc_id), and canonical-per-content-hash is a row_number window
+    over the hash (round 2 hash-aggregated then re-joined the corpus).
     """
-    from bitcoin_datawarehouse_spark.operators.text import text_quality_score
+    from bitcoin_datawarehouse_spark.operators.text import quality_frame
 
-    docs = load_table(spark, sf_dir, "documents")
-    scored = text_quality_score(spark, sf_dir).select(
-        "doc_id", "quality_score"
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    keep = docs.join(
-        scored.filter(F.col("quality_score") >= QUALITY_MIN), "doc_id"
-    ).select("doc_id", "text", "source")
-    canon = keep.groupBy(F.md5(F.col("text").cast("binary"))).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
-    surv = keep.join(canon, "doc_id")
+    keep = (
+        quality_frame(docs, keep=["text", "source"])
+        .filter(F.col("quality_score") >= QUALITY_MIN)
+        .select("doc_id", "text", "source")
+    )
+    wdedup = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    surv = (
+        keep.withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     n_tokens = F.size(
         F.regexp_extract_all(

@@ -5,7 +5,7 @@ Exact, n-gram-Jaccard, MinHash+LSH, and SimHash dedup over the
 and joins are built-in JVM-side functions; the tokenize/shingle/
 signature kernels are Arrow-batched ``mapInPandas`` — measured 3-5×
 faster than Spark's interpreted higher-order-function lambdas for
-this per-row string work (see doc_shingles / _fused_shingles_sigs
+this per-row string work (see doc_shingles / doc_shingle_sets
 for the numbers), while emitting byte-identical strings/hashes so
 cross-engine verification is unaffected.
 
@@ -173,68 +173,6 @@ def doc_shingles(
     )
 
 
-def _fused_shingles_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One Arrow pass over documents emitting BOTH row kinds:
-    (doc_id, sh, sig=null) per distinct shingle and one
-    (doc_id, sh=null, sig=[12 minhash hex]) signature row per doc.
-
-    A document is a single input row, so its whole shingle set is
-    task-local and the per-seed minima need no shuffle; hashlib's md5
-    hex equals Spark's/DuckDB's md5, keeping signatures engine-
-    identical.  Downstream splits the union by null-ness — one cached
-    materialization serves the verify joins, the sizes aggregate, and
-    the band keys.
-    """
-    import hashlib
-    import re
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    pat = re.compile("[^a-z0-9]+")
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("sh", T.StringType()),
-            T.StructField("sig", T.ArrayType(T.StringType())),
-        ]
-    )
-    n_seeds = MINHASH_SEEDS
-
-    def gen(batches):
-        for pdf in batches:
-            ids, shs, sigs = [], [], []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                tk = [t for t in pat.split(txt.lower()) if t]
-                seen = set()
-                for i in range(len(tk) - 2):
-                    s = f"{tk[i]} {tk[i + 1]} {tk[i + 2]}"
-                    if s not in seen:
-                        seen.add(s)
-                        ids.append(did)
-                        shs.append(s)
-                        sigs.append(None)
-                if seen:
-                    mins = [None] * n_seeds
-                    for s in seen:
-                        for k in range(n_seeds):
-                            h = hashlib.md5(f"{k}:{s}".encode()).hexdigest()
-                            if mins[k] is None or h < mins[k]:
-                                mins[k] = h
-                    ids.append(did)
-                    shs.append(None)
-                    sigs.append(mins)
-            yield pd.DataFrame({"doc_id": ids, "sh": shs, "sig": sigs})
-
-    return (
-        docs.repartition(par)
-        .select("doc_id", "text")
-        .mapInPandas(gen, schema)
-    )
-
-
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -349,42 +287,96 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-def band_keys_frame(fused: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) LSH band buckets from the fused
-    shingle/signature frame: md5 over each band's comma-joined minhash
-    values — identical to the oracle's ``md5(string_agg(minh, ','
-    ORDER BY seed))`` per band."""
-    mh = fused.filter(F.col("sig").isNotNull()).select(
-        "doc_id",
-        *[F.col("sig")[s].alias(f"m{s}") for s in range(MINHASH_SEEDS)],
-    )
-    n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{s}")
-                            for s in range(
-                                b * MINHASH_BAND_SIZE,
-                                (b + 1) * MINHASH_BAND_SIZE,
-                            )
-                        ],
-                    ).cast("binary")
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
+#: in-band separator for the packed shingle-set string (cannot occur in
+#: shingles: the tokenizer strips everything outside [a-z0-9 ])
+SH_SEP = "\x01"
+
+
+def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shs: string, sz, band_keys: array<string>) — one row
+    per document with ≥1 shingle: the distinct 3-token shingle set
+    packed into one ``\\x01``-joined string, its size, and the four
+    LSH band keys computed IN the kernel (md5 over each band's
+    comma-joined minhash values — byte-identical to the oracle's
+    ``md5(string_agg(minh, ',' ORDER BY seed))``).
+
+    Two measured wins over the round-2 exploded (doc_id, shingle)
+    shape: the frame is cached and re-read by several subtrees, and
+    array<string> columns cache as generic object columns (slow to
+    scan — same reason bench.py leaves the embeddings table uncached),
+    so one flat string + one 4-element array keeps the cache scans
+    columnar-cheap; and candidate verification becomes an
+    ``array_intersect`` over candidate pairs instead of two
+    corpus-wide shingle-level joins.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shs", T.StringType()),
+            T.StructField("sz", T.LongType()),
+            T.StructField("band_keys", T.ArrayType(T.StringType())),
         ]
     )
-    return mh.select(
-        "doc_id", F.explode(band_structs).alias("bk")
-    ).select(
-        "doc_id",
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
+    n_seeds = MINHASH_SEEDS
+    n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sets, szs, bkeys = [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                seen = set()
+                for i in range(len(tk) - 2):
+                    seen.add(f"{tk[i]} {tk[i + 1]} {tk[i + 2]}")
+                if not seen:
+                    continue
+                mins = [None] * n_seeds
+                for s in seen:
+                    for k in range(n_seeds):
+                        h = hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                        if mins[k] is None or h < mins[k]:
+                            mins[k] = h
+                ids.append(did)
+                sets.append(SH_SEP.join(sorted(seen)))
+                szs.append(len(seen))
+                bkeys.append(
+                    [
+                        hashlib.md5(
+                            ",".join(
+                                mins[
+                                    b * MINHASH_BAND_SIZE : (b + 1)
+                                    * MINHASH_BAND_SIZE
+                                ]
+                            ).encode()
+                        ).hexdigest()
+                        for b in range(n_bands)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "shs": sets, "sz": szs, "band_keys": bkeys}
+            )
+
+    return (
+        docs.repartition(par)
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema)
+    )
+
+
+def band_keys_from_sets(docsets: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — a pure posexplode of the per-doc
+    band-key array, no shuffle, no JVM hashing."""
+    return docsets.select(
+        "doc_id", F.posexplode("band_keys").alias("band", "band_key")
     )
 
 
@@ -439,21 +431,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash aggregation.  The md5-derived permutations make the
     signature reproducible in any engine.
     """
-    # ONE Arrow pass computes shingles AND per-doc minhash signatures
-    # (each doc is one input row, so its full shingle set is local to
-    # the task — the 12 minima need no shuffle at all).  hashlib md5
-    # emits the same lowercase hex as Spark/DuckDB md5, so min-over-hex
-    # is engine-identical (signatures verified byte-equal against the
-    # JVM aggregation).  Replaces a 12-column md5 hash aggregate over
-    # the shingle set: measured ~8s → ~3s at sf0.1.
-    fused = _fused_shingles_sigs(spark, sf_dir).cache()
+    # ONE Arrow pass computes, per document, its packed shingle set
+    # AND its LSH band keys (each doc is one input row, so the 12
+    # minhash minima and the band md5s are task-local — no shuffle).
+    # hashlib md5 emits the same lowercase hex as Spark/DuckDB md5, so
+    # the keys are engine-identical.  Candidate verification is an
+    # exact set intersection over candidate pairs only — the former
+    # two corpus-wide shingle-level joins (shuffling every (doc,
+    # shingle) row twice) are gone; every post-kernel stage moves
+    # candidate-sized data.
+    docsets = doc_shingle_sets(spark, sf_dir).cache()
     # eager materialization: several subtrees below read this cache;
     # filling it before the main action prevents concurrent stages
     # from racing to compute it redundantly
-    fused.count()
-    shing = fused.filter(F.col("sh").isNotNull()).select("doc_id", "sh")
-    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    bands = band_keys_frame(fused)
+    docsets.count()
+    bands = band_keys_from_sets(docsets)
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -468,28 +460,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    s1 = shing.alias("s1")
-    s2 = shing.alias("s2")
-    common = (
-        cands.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
-        .join(
-            s2,
-            (F.col("doc_b") == F.col("s2.doc_id"))
-            & (F.col("s2.sh") == F.col("s1.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("sz").alias("sz_a"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    n_common = F.size(
+        F.array_intersect(F.split("shs_a", SH_SEP), F.split("shs_b", SH_SEP))
     )
     return (
-        cands.join(common, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", F.coalesce(jac, F.lit(0.0)).alias("jaccard"))
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                n_common.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - n_common)
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -43,103 +43,15 @@ from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.operators.dedup import (
     JACCARD_THRESHOLD,
+    SH_SEP,
     _SQL_SHING,
     MINHASH_BAND_SIZE,
     MINHASH_SEEDS,
+    band_keys_from_sets,
+    doc_shingle_sets,
 )
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
-
-
-#: in-band separator for the packed shingle-set string (cannot occur in
-#: shingles: the tokenizer strips everything outside [a-z0-9 ])
-_SH_SEP = "\x01"
-
-
-def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shs: string, sz, band_keys: array<string>) — one row
-    per document with ≥1 shingle: the distinct 3-token shingle set
-    packed into one ``\\x01``-joined string, its size, and the four
-    LSH band keys computed IN the kernel (md5 over each band's
-    comma-joined minhash values — byte-identical to the oracle's
-    ``md5(string_agg(minh, ',' ORDER BY seed))`` and to
-    dedup.band_keys_frame).
-
-    Packing matters: this frame is cached and re-read by three plan
-    subtrees, and array<string> columns cache as generic object
-    columns (slow to scan — same reason bench.py leaves the
-    embeddings table uncached); one flat string + one 4-element array
-    keeps the cache scans columnar-cheap.
-    """
-    import hashlib
-    import re
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    pat = re.compile("[^a-z0-9]+")
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("shs", T.StringType()),
-            T.StructField("sz", T.LongType()),
-            T.StructField("band_keys", T.ArrayType(T.StringType())),
-        ]
-    )
-    n_seeds = MINHASH_SEEDS
-    n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
-
-    def gen(batches):
-        for pdf in batches:
-            ids, sets, szs, bkeys = [], [], [], []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                tk = [t for t in pat.split(txt.lower()) if t]
-                seen = set()
-                for i in range(len(tk) - 2):
-                    seen.add(f"{tk[i]} {tk[i + 1]} {tk[i + 2]}")
-                if not seen:
-                    continue
-                mins = [None] * n_seeds
-                for s in seen:
-                    for k in range(n_seeds):
-                        h = hashlib.md5(f"{k}:{s}".encode()).hexdigest()
-                        if mins[k] is None or h < mins[k]:
-                            mins[k] = h
-                ids.append(did)
-                sets.append(_SH_SEP.join(sorted(seen)))
-                szs.append(len(seen))
-                bkeys.append(
-                    [
-                        hashlib.md5(
-                            ",".join(
-                                mins[
-                                    b * MINHASH_BAND_SIZE : (b + 1)
-                                    * MINHASH_BAND_SIZE
-                                ]
-                            ).encode()
-                        ).hexdigest()
-                        for b in range(n_bands)
-                    ]
-                )
-            yield pd.DataFrame(
-                {"doc_id": ids, "shs": sets, "sz": szs, "band_keys": bkeys}
-            )
-
-    return (
-        docs.repartition(par)
-        .select("doc_id", "text")
-        .mapInPandas(gen, schema)
-    )
-
-
-def _band_keys_from_sets(docsets: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) — a pure posexplode of the per-doc
-    band-key array, no shuffle, no JVM hashing."""
-    return docsets.select(
-        "doc_id", F.posexplode("band_keys").alias("band", "band_key")
-    )
 
 
 @query(
@@ -213,11 +125,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     never generated: the band join is strictly batch × index within
     shared buckets.
     """
-    docsets = _doc_shingle_sets(spark, sf_dir).cache()
+    docsets = doc_shingle_sets(spark, sf_dir).cache()
     # eager fill: the bands projection and both verify joins below
     # read this cache
     docsets.count()
-    bands = _band_keys_from_sets(docsets)
+    bands = band_keys_from_sets(docsets)
 
     is_batch = F.col("doc_id") % 4 == 0
     b = bands.filter(is_batch).alias("b")
@@ -251,7 +163,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_common = F.size(
         F.array_intersect(
-            F.split("shs_b", _SH_SEP), F.split("shs_a", _SH_SEP)
+            F.split("shs_b", SH_SEP), F.split("shs_a", SH_SEP)
         )
     )
     scored = (

@@ -247,3 +247,38 @@ def test_incremental_dedup_band_join_broadcasts_batch(plan_of):
     assert_no_cartesian(plan)
     assert "BroadcastNestedLoopJoin" not in plan
     assert_broadcast_join(plan)
+
+
+# ---------------------------------------------------------------------------
+# shuffle budgets — plan-shape regressions fail loudly, not as bench noise
+# ---------------------------------------------------------------------------
+
+# exact Exchange-node budget per flagship plan (AQE off in the test
+# session, so the count is deterministic).  A NEW exchange appearing
+# here means a lost partitioning reuse / broadcast / pushdown — fix the
+# plan or consciously re-pin the budget with a comment in the same
+# commit.  join_star's single exchange is the AQE-off sort-merge pair
+# counted once per side at this layout; the dedup kernels' budgets
+# count the kernel-input repartition + candidate machinery only.
+SHUFFLE_BUDGET = {
+    "extract_projection_range": 0,
+    "pricing_summary": 1,
+    "agg_daily_revenue": 1,
+    "dedup_exact_docs": 1,
+    "join_star_regional_revenue": 1,
+    "dedup_minhash_lsh": 3,
+    "dedup_incremental_batch": 4,
+    "trainprep_corpus_pipeline": 3,
+}
+
+
+@pytest.mark.parametrize("name,budget", sorted(SHUFFLE_BUDGET.items()))
+def test_shuffle_budget(plan_of, name, budget):
+    import re
+
+    plan = plan_of(name)
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n == budget, (
+        f"{name}: {n} Exchange nodes, budget {budget} — a plan-shape "
+        "regression (or an improvement: re-pin deliberately)"
+    )

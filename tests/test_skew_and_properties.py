@@ -306,3 +306,53 @@ def test_dsum_surface_matches_duckdb_exactly(spark, vals):
     (want,) = con.execute(f"SELECT {SQL_DSUM('v', 's')} FROM t").fetchone()
 
     assert repr(got) == repr(want), (got, want, vals)
+
+
+# ---------------------------------------------------------------------------
+# distributed global rank == monolithic window (functions/ranking.py)
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_distributed_ntile_matches_window_ntile(spark, n, k):
+    """with_global_rank + ntile_bucket must reproduce
+    row_number/NTILE over the same total order EXACTLY — including the
+    uneven-bucket arithmetic when total % k != 0 and totals smaller
+    than k."""
+    from pyspark.sql import Window as W
+
+    from bitcoin_datawarehouse_spark.functions.ranking import (
+        ntile_bucket,
+        with_global_rank,
+    )
+
+    # deterministic but shuffled-looking keys: value collisions forced
+    # via % 17 so the doc_id tiebreak matters
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 31 % 17).alias("v")
+    )
+    ranked = with_global_rank(df, ["v", "doc_id"], "rk", "tot")
+    got = {
+        r["doc_id"]: (r["rk"], ntb)
+        for r in ranked.withColumn(
+            "b", ntile_bucket(F.col("rk"), F.col("tot"), k)
+        ).collect()
+        for ntb in [r["b"]]
+    }
+    w = W.orderBy("v", "doc_id")
+    want = {
+        r["doc_id"]: (r["rk"], r["b"])
+        for r in df.select(
+            "doc_id",
+            F.row_number().over(w).alias("rk"),
+            F.ntile(k).over(w).alias("b"),
+        ).collect()
+    }
+    assert got == want

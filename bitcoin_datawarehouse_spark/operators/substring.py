@@ -40,7 +40,6 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -53,7 +52,10 @@ _W = WINDOW_TOKENS
 
 
 def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, h): md5 of each W-token rolling window.
+    """(doc_id, pos, h, n_tokens): md5 of each W-token rolling window,
+    plus ONE sentinel row per document (pos/h NULL) carrying its token
+    count — so consumers get per-doc totals from the same pass instead
+    of re-tokenizing the corpus.
 
     Arrow-batched kernel for the same reason as ``doc_shingles``
     (dedup.py): higher-order-function lambdas are interpreted, and the
@@ -70,14 +72,16 @@ def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("doc_id", T.LongType()),
             T.StructField("pos", T.IntegerType()),
             T.StructField("h", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
         ]
     )
 
     def gen(batches):
         for pdf in batches:
             ids: list[int] = []
-            poss: list[int] = []
-            hs: list[str] = []
+            poss: list[int | None] = []
+            hs: list[str | None] = []
+            nts: list[int | None] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 tk = [t for t in pat.split(txt.lower()) if t]
                 for i in range(len(tk) - _W + 1):
@@ -88,7 +92,14 @@ def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                             " ".join(tk[i : i + _W]).encode()
                         ).hexdigest()
                     )
-            yield pd.DataFrame({"doc_id": ids, "pos": poss, "h": hs})
+                    nts.append(None)
+                ids.append(did)
+                poss.append(None)
+                hs.append(None)
+                nts.append(len(tk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "pos": poss, "h": hs, "n_tokens": nts}
+            )
 
     docs = load_table(spark, sf_dir, "documents")
     # one-split fixture parquet: spread the CPU-heavy kernel across
@@ -158,11 +169,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    wins = doc_windows(spark, sf_dir)
+    kern = doc_windows(spark, sf_dir).cache()
+    # eager fill: the duplicate-detection and per-doc-base subtrees
+    # both read this cache (CLAUDE.md multi-subtree rule)
+    kern.count()
+    wins = kern.filter(F.col("h").isNotNull()).select("doc_id", "pos", "h")
     # duplicate detection as ONE window count partitioned by the hash:
-    # a groupBy+join-back would re-run the Arrow kernel for each plan
-    # subtree; this shape shuffles the window table once and sorts
-    # within hash groups of size ~1-2 rows
+    # cheaper than a groupBy+join-back (one shuffle, hash groups are
+    # ~1-2 rows)
     dup = (
         wins.withColumn(
             "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
@@ -190,9 +204,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens")
+    # per-doc totals from the SAME kernel pass (the sentinel rows) —
+    # round 2 re-tokenized the whole corpus here just for n_tokens
+    base = kern.filter(F.col("h").isNull()).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
     ).withColumn(
         "n_windows",
         F.greatest(F.col("n_tokens") - F.lit(_W - 1), F.lit(0)).cast("long"),

@@ -98,8 +98,9 @@ def trainprep_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 0) AS start_offset
       FROM toks
     )
-    SELECT doc_id, source, n_tokens, start_offset,
-           start_offset // {PACK_BUDGET} AS chunk_id,
+    SELECT doc_id, source, n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS chunk_id,
            CAST((start_offset + n_tokens - 1) // {PACK_BUDGET}
                 <> start_offset // {PACK_BUDGET} AS BOOLEAN)
              AS crosses_boundary
@@ -398,8 +399,9 @@ QUALITY_MIN = 0.5  # keeps ~3/4 of the fixture corpus (p25 ≈ 0.52)
              ), 0) AS start_offset
       FROM with_split
     )
-    SELECT doc_id, source, split, n_tokens, start_offset,
-           start_offset // {PACK_BUDGET} AS chunk_id
+    SELECT doc_id, source, split, n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS chunk_id
     FROM packed
     """,
 )

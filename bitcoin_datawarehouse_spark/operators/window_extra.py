@@ -78,7 +78,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT prop_key, COUNT(*) AS n_entries,
-           SUM(prop_value) AS sum_value,
+           CAST(SUM(prop_value) AS BIGINT) AS sum_value,
            CAST(MIN(prop_value) AS BIGINT) AS min_value,
            CAST(MAX(prop_value) AS BIGINT) AS max_value
     FROM kv GROUP BY prop_key

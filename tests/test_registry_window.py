@@ -84,7 +84,15 @@ def test_no_decimal_output_columns_anywhere():
     offenders = []
     for name, sql in ORACLES.items():
         desc = con.execute(f"DESCRIBE {sql}").fetchall()
-        bad = [(c, ty) for c, ty, *_ in desc if "DECIMAL" in ty.upper()]
+        # HUGEINT too: DuckDB's int128 (BIGINT window sums, // division)
+        # round-trips as arrow decimal128 — same hazard class
+        bad = [
+            (c, ty)
+            for c, ty, *_ in desc
+            if "DECIMAL" in ty.upper() or "HUGEINT" in ty.upper()
+        ]
         if bad:
             offenders.append((name, bad))
-    assert not offenders, f"decimal output columns exposed: {offenders}"
+    assert not offenders, (
+        f"decimal/hugeint output columns exposed: {offenders}"
+    )

@@ -253,13 +253,14 @@ def test_incremental_dedup_band_join_broadcasts_batch(plan_of):
 # shuffle budgets — plan-shape regressions fail loudly, not as bench noise
 # ---------------------------------------------------------------------------
 
-# exact Exchange-node budget per flagship plan (AQE off in the test
-# session, so the count is deterministic).  A NEW exchange appearing
-# here means a lost partitioning reuse / broadcast / pushdown — fix the
-# plan or consciously re-pin the budget with a comment in the same
-# commit.  join_star's single exchange is the AQE-off sort-merge pair
-# counted once per side at this layout; the dedup kernels' budgets
-# count the kernel-input repartition + candidate machinery only.
+# exact Exchange-node budget per flagship plan.  The counts come from
+# the INITIAL (pre-execution) physical plan, which is deterministic
+# even with AQE enabled (AQE re-plans at runtime; explain of an
+# unexecuted frame shows the static plan).  A NEW exchange appearing
+# here means a lost partitioning reuse / broadcast / pushdown — fix
+# the plan or consciously re-pin the budget with a comment in the same
+# commit.  The dedup kernels' budgets count the kernel-input
+# repartition + candidate machinery only.
 SHUFFLE_BUDGET = {
     "extract_projection_range": 0,
     "pricing_summary": 1,

@@ -7,6 +7,8 @@ Exact comparison plus a float-tolerance report so decimal-sum
 mismatches are caught before the driver sees them.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --window   # the driver's
+       50-slot gate (registry.DRIVER_WINDOW) and nothing else
 """
 
 from __future__ import annotations
@@ -57,6 +59,10 @@ def normalize(rows, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if "--window" in only:
+        from bitcoin_datawarehouse_spark.registry import DRIVER_WINDOW
+
+        only = set(DRIVER_WINDOW)
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()

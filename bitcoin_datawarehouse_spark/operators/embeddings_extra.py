@@ -298,6 +298,76 @@ def nearest_centroid(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def nearest_centroid_kernel(
+    emb: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """(vec_id, centroid_id) via an Arrow kernel against a
+    driver-collected codebook — the serving-path variant of
+    :func:`nearest_centroid` for a FIXED small centroid set.
+
+    The codebook is a model (bounded by the configured k, here 16),
+    not data: collecting it and shipping it in the kernel closure is
+    exactly how a trained quantizer is deployed.  The kernel
+    accumulates dot/norm over DIMENSIONS in order (acc += E[:,j]*C[:,j])
+    — per (vector, centroid) that is the identical left-to-right IEEE
+    sequence as the JVM/DuckDB array fold (same argument as
+    dedup_embedding_cosine's kernel), so every cosine is bit-equal to
+    the fold's and the argmax (first max over centroid_id-ascending
+    columns = smallest id on ties) matches min_by(struct(-cos, id))
+    and the oracle's ROW_NUMBER pick exactly.  Replaces a K-way
+    crossJoin of interpreted HOF dot products + a min_by shuffle with
+    one shuffle-free Arrow pass.  At fixture scale the per-call
+    codebook collect offsets the saved compute (measured ~neutral);
+    the win is structural: per vector the old path expanded K rows
+    and evaluated K interpreted 64-term folds, this path is one numpy
+    batch — the gap grows linearly with corpus size and k.  For very
+    large k (a codebook that stops being driver-sized), use
+    :func:`nearest_centroid`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = sorted(
+        cent.select("centroid_id", "ce", "cn").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["ce"]) for r in rows], dtype=np.float64)
+    cn = np.array([float(r["cn"]) for r in rows], dtype=np.float64)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.array(list(pdf["e"]), dtype=np.float64)
+            nrm = np.zeros(len(emat))
+            dot = np.zeros((len(emat), len(ids)))
+            for j in range(emat.shape[1]):  # dim-ordered IEEE fold
+                nrm += emat[:, j] * emat[:, j]
+                dot += np.outer(emat[:, j], cmat[:, j])
+            cos = dot / np.outer(np.sqrt(nrm), cn)
+            best = np.argmax(cos, axis=1)  # first max → smallest id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "centroid_id": ids[best],
+                }
+            )
+
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    return (
+        emb.select("vec_id", "e").repartition(par).mapInPandas(gen, schema)
+    )
+
+
 @query(
     "similarity_ivf_assign",
     oracle=f"""
@@ -309,11 +379,12 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: every vector → nearest centroid
     (cosine, deterministic vec_id tiebreak).
 
-    Plan: centroids broadcast (tiny) × vectors, per-vector argmax as a
-    ``min_by`` hash aggregate (see :func:`nearest_centroid`) — one
-    shuffle on vec_id of already-reduced rows.  At scale the inverted
-    lists are written bucketed BY centroid_id so the search-time join
-    is shuffle-free (bucket-local).
+    Plan: the fixed 16-centroid codebook collects to the driver (a
+    model, not data) and assignment is one shuffle-free Arrow kernel
+    (:func:`nearest_centroid_kernel`, bit-equal to the min_by
+    formulation).  At scale the inverted lists are written bucketed
+    BY centroid_id so the search-time join is shuffle-free
+    (bucket-local); for large k use :func:`nearest_centroid`.
     """
     emb = _normed(spark, sf_dir)
     cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
@@ -321,7 +392,7 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    return nearest_centroid(emb, cent)
+    return nearest_centroid_kernel(emb, cent)
 
 
 @query(

@@ -8,13 +8,13 @@ pipelines).  The fixture stands in for that split deterministically:
 ``doc_id % 4 == 0`` is the incoming batch, the rest is the index.
 
 Scale design:
-* ONE Arrow pass computes, per document, its distinct shingle SET
-  (one array row per doc — not an exploded pair per shingle) and its
-  minhash signature (at production scale the index side's
-  signatures/bands are *already materialized* in the warehouse and
-  only the batch side is computed);
-* band keys are a shuffle-free projection over the signature array;
-  candidates come from an LSH band-bucket equi-join of batch bands
+* ONE Arrow pass computes, per document, its distinct shingle set
+  (packed into one string — one row per doc, not an exploded pair per
+  shingle) and its LSH band keys, both finished inside the kernel (at
+  production scale the index side's signatures/bands are *already
+  materialized* in the warehouse and only the batch side is
+  computed);
+* candidates come from an LSH band-bucket equi-join of batch bands
   (broadcast — the batch is the small side by construction) against
   index bands — pairwise work only inside shared buckets, never
   batch × corpus;

@@ -207,13 +207,18 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.sum("dcnt").alias("cb"))
     )
+    # LEFT joins so the one w2-NULL row per document (its final token
+    # position) rides along with term=NULL: n_tokens then falls out of
+    # the SAME per-doc aggregate as the score — no separate base
+    # aggregate, no scores⋈base join.  (For w2-non-null rows left ≡
+    # inner: big/uni are built from docbig, so every key matches.)
     terms = (
-        docbig.filter(F.col("w2").isNotNull())
-        .join(big, ["w1", "w2"])
-        .join(uni, "w1")
+        docbig.join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
         .select(
             "doc_id",
             "dcnt",
+            "w2",
             F.round(
                 F.log2((F.col("cu") + F.lit(vocab)).cast("double"))
                 - F.log2((F.col("cb") + F.lit(1)).cast("double")),
@@ -228,13 +233,18 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         terms.groupBy("doc_id")
         .agg(
-            F.sum("dcnt").cast("long").alias("n_bigrams"),
+            F.sum("dcnt").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("w2").isNotNull(), F.col("dcnt")))
+            .cast("long")
+            .alias("n_bigrams"),
             F.sum(
                 F.col("term").cast("decimal(38,10)") * F.col("dcnt")
             ).alias("bits_sum"),
         )
+        .filter(F.col("n_bigrams").isNotNull())
         .select(
             "doc_id",
+            "n_tokens",
             "n_bigrams",
             F.expr(
                 "CAST((2 * CAST(bits_sum * 1000000 AS BIGINT) + n_bigrams)"
@@ -243,18 +253,10 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # n_tokens = per-doc position count (each token emits exactly one
-    # (w1, w2) row, document-final included with w2 NULL), so it falls
-    # out of the SAME docbig aggregate — no second tokenize pass over
-    # the documents table
-    base = docbig.groupBy("doc_id").agg(
-        F.sum("dcnt").cast("long").alias("n_tokens")
-    )
-
     # distributed NTILE(3): global rank without a single-partition
     # window (functions/ranking.py), then closed-form bucket arithmetic
     ranked = with_global_rank(
-        scores.join(base, "doc_id"),
+        scores,
         ["bits_per_token", "doc_id"],
         rank_alias="_grank",
         total_alias="_gtotal",

@@ -198,3 +198,65 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
         for r in attribution_join(batch_events).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_multi_microbatch_equals_batch_distinct(spark, tmp_path):
+    """The gate query's DISTINCT-equivalence must hold when the replay
+    splits into MANY micro-batches, not just the coalesce(1) single
+    batch: with the watermark delay wider than the event-time span
+    (operators/streaming_ops.py), keys recurring hours apart must
+    still be dropped even when they arrive in different batches.
+    Regression test for the round-2 advisory: a 2h delay would have
+    re-emitted keys after state eviction under this batching."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # the same (user, type) key recurs across a 3-day span — far beyond
+    # any realistic lateness horizon — interleaved with unique keys
+    rows = []
+    for day in range(3):
+        for uid in (10, 11, 12):
+            rows.append(
+                (
+                    day * 100 + uid,
+                    base + dt.timedelta(days=day, minutes=uid),
+                    uid,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+    src = tmp_path / "multi_in"
+    # one file per day => with maxFilesPerTrigger=1 each day is its own
+    # micro-batch and the watermark advances 1 day between batches
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    for day in range(3):
+        lo = base + dt.timedelta(days=day)
+        hi = lo + dt.timedelta(days=1)
+        df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    dedup = (
+        read_event_stream(spark, str(src), max_files_per_trigger=1)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_multi_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_multi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    got = sorted(
+        (r["user_id"], r["event_type"])
+        for r in spark.sql(
+            "SELECT user_id, event_type FROM dedup_multi_out"
+        ).collect()
+    )
+    # exactly the batch DISTINCT: one row per key despite 3 batches
+    assert got == [(10, "click"), (11, "click"), (12, "click")]

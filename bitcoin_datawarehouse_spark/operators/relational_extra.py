@@ -23,7 +23,7 @@ from bitcoin_datawarehouse_spark.tables import load_table
     ),
     ords AS (
       SELECT o_custkey, COUNT(*) AS n_orders,
-             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+             CAST(ROUND(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(38,10))), 2)
                   AS DOUBLE) AS total_spend
       FROM orders WHERE o_orderstatus = 'O'
       GROUP BY o_custkey
@@ -67,7 +67,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
            {SQL_DSUM("l_quantity", "sum_qty")}
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING COUNT(*) >= 200 AND SUM(CAST(l_quantity AS DECIMAL(38,10))) > 5000
+    HAVING COUNT(*) >= 200 AND SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(38,10))) > 5000
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:

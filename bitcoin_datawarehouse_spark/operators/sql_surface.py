@@ -24,11 +24,11 @@ from bitcoin_datawarehouse_spark.tables import load_table
 _CORRELATED_SQL = """
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
 FROM {orders} o
-WHERE CAST(o.o_totalprice AS DECIMAL(38,10)) * (
+WHERE CAST(CAST(o.o_totalprice AS STRING) AS DECIMAL(38,10)) * (
         SELECT COUNT(*) FROM {orders} o2
         WHERE o2.o_custkey = o.o_custkey
       ) > (
-        SELECT 2 * SUM(CAST(o3.o_totalprice AS DECIMAL(38,10)))
+        SELECT 2 * SUM(CAST(CAST(o3.o_totalprice AS STRING) AS DECIMAL(38,10)))
         FROM {orders} o3
         WHERE o3.o_custkey = o.o_custkey
       )

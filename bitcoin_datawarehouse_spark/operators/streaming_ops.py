@@ -33,7 +33,7 @@ from bitcoin_datawarehouse_spark.tables import load_table
       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
       event_type,
       COUNT(*) AS n_events,
-      CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE)
+      CAST(ROUND(SUM(CAST(CAST(value AS STRING) AS DECIMAL(38,10))), 2) AS DOUBLE)
         AS sum_value
     FROM events
     GROUP BY 1, 2
@@ -227,7 +227,7 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS mktsegment, e.event_type,
            COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,10))), 2) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(CAST(e.value AS STRING) AS DECIMAL(38,10))), 2) AS DOUBLE)
              AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2

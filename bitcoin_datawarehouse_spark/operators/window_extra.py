@@ -23,13 +23,13 @@ TRAILING_DAYS = 7
     oracle=f"""
     WITH daily AS (
       SELECT o_orderdate AS day,
-             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+             CAST(ROUND(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(38,10))), 2)
                   AS DOUBLE) AS day_rev
       FROM orders GROUP BY o_orderdate
     )
     SELECT day, day_rev,
            CAST(ROUND(
-             SUM(CAST(day_rev AS DECIMAL(38,10))) OVER (
+             SUM(CAST(CAST(day_rev AS STRING) AS DECIMAL(38,10))) OVER (
                ORDER BY day
                RANGE BETWEEN INTERVAL {TRAILING_DAYS - 1} DAYS PRECEDING
                          AND CURRENT ROW

@@ -150,7 +150,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       day,
       day_value,
       ROUND(
-        CAST(SUM(CAST(day_value AS DECIMAL(38,10)))
+        CAST(SUM(CAST(CAST(day_value AS STRING) AS DECIMAL(38,10)))
                OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
              AS DOUBLE)
         / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
@@ -198,7 +198,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       order_day,
       day_value,
       CAST(ROUND(
-        SUM(CAST(day_value AS DECIMAL(38,10)))
+        SUM(CAST(CAST(day_value AS STRING) AS DECIMAL(38,10)))
           OVER (ORDER BY order_day
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         2) AS DOUBLE) AS running_total

@@ -278,6 +278,14 @@ _money = st.one_of(
     st.integers(min_value=-(10**6), max_value=10**6).map(
         lambda n: n / 100.0 + 0.005
     ),
+    # the magnitude band where DuckDB's DIRECT double→decimal cast
+    # (binary value × 10^10 in double arithmetic) diverges from
+    # Spark's shortest-repr cast — hypothesis found 1006857039.85
+    # here, which forced SQL_DEC's string-routed cast; keep the band
+    # hot so a regression re-finds it immediately
+    st.decimals(
+        min_value=10**8, max_value=10**11, places=2, allow_nan=False
+    ).map(float),
 )
 
 

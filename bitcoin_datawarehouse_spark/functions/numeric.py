@@ -37,10 +37,12 @@ the exact sum can sit on a ``.XX50`` half-way boundary, which for
 
 Averages: the quotient must round somewhere, and decimal-division
 rounding rules differ between engines, so averages are exposed as
-``ROUND(CAST(dec_sum AS DOUBLE)/count, 6)`` — the two candidate
-doubles differ by ≤1 ulp, which survives rounding to 6 places except
-on astronomically unlikely boundary values.  (Driver-green for two
-rounds; unchanged.)
+``ROUND(string_routed_double(dec_sum)/count, 6)`` — the decimal sum
+converts to double through a string on BOTH engines (each parse is
+correctly rounded from the identical decimal value), so the quotient
+and its rounding are bit-identical.  A direct decimal→double cast is
+1 ulp apart between engines, which hypothesis showed CAN flip the 6th
+decimal on boundary quotients.
 
 At 100 TB this costs one widening per row inside codegen — decimal
 aggregation is still a JVM-side hash aggregate with map-side partial
@@ -60,11 +62,39 @@ def dsum(col: Column, alias: str) -> Column:
     return F.round(F.sum(col.cast(DEC)), 2).cast("double").alias(alias)
 
 
+def str_round6(col: Column) -> Column:
+    """Engine-neutral ROUND(double, 6): string → DECIMAL(38,6) →
+    string → double.
+
+    Native ROUND(double, 6) ties differently across engines — Spark
+    rounds the double's SHORTEST REPR half-up, DuckDB the BINARY
+    value (hypothesis counterexample: -132.1888545 → -132.188855 vs
+    -132.188854).  The string route makes both engines parse the
+    identical shortest-repr digits, round them half-away-from-zero in
+    exact decimal (verified tie-for-tie), and re-parse the identical
+    fixed-scale decimal string into the identical double.  Pure
+    per-row string work inside codegen — no shuffle impact.
+    """
+    return (
+        col.cast("string")
+        .cast("decimal(38,6)")
+        .cast("string")
+        .cast("double")
+    )
+
+
 def davg(col: Column, alias: str) -> Column:
-    """Order-independent AVG (decimal sum / non-null count), rounded
-    to 6 places as double."""
-    return F.round(
-        F.sum(col.cast(DEC)).cast("double") / F.count(col), 6
+    """Order-independent AVG (decimal sum / non-null count), exposed
+    as an engine-neutral 6-dp double.
+
+    Two string routes: the decimal sum converts to double through a
+    string (direct decimal→double casts are 1 ulp apart between
+    engines — hypothesis found sum 4158891393.83 / 6 flipping the 6th
+    decimal), and the final 6-dp rounding is :func:`str_round6` (the
+    native double ROUND ties differently across engines).
+    """
+    return str_round6(
+        F.sum(col.cast(DEC)).cast("string").cast("double") / F.count(col)
     ).alias(alias)
 
 
@@ -98,9 +128,19 @@ def SQL_DSUM(expr: str, alias: str) -> str:
     return f"CAST(ROUND(SUM({SQL_DEC(expr)}), 2) AS DOUBLE) AS {alias}"
 
 
-def SQL_DAVG(expr: str, alias: str) -> str:
-    """DuckDB-side mirror of :func:`davg`."""
+def SQL_STR_ROUND6(expr: str) -> str:
+    """DuckDB-side mirror of :func:`str_round6`."""
     return (
-        f"ROUND(CAST(SUM({SQL_DEC(expr)}) AS DOUBLE)"
-        f" / COUNT({expr}), 6) AS {alias}"
+        f"CAST(CAST(CAST(CAST({expr} AS STRING) AS DECIMAL(38,6))"
+        f" AS STRING) AS DOUBLE)"
     )
+
+
+def SQL_DAVG(expr: str, alias: str) -> str:
+    """DuckDB-side mirror of :func:`davg` (string-routed decimal→double
+    and string-routed 6-dp rounding — see davg's docstring)."""
+    q = (
+        f"CAST(CAST(SUM({SQL_DEC(expr)}) AS STRING) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
+    return f"{SQL_STR_ROUND6(q)} AS {alias}"

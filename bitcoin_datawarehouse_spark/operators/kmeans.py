@@ -10,7 +10,7 @@ keeping the result *hash-gateable* against a DuckDB oracle:
   hash aggregate Spark-side (embeddings_extra.nearest_centroid), a
   ROW_NUMBER window in the oracle; the total order makes them agree;
 * update: per-(centroid, dim) mean computed as
-  ``ROUND(CAST(SUM(DECIMAL(38,10)) AS DOUBLE) / COUNT(*), 6)`` — the
+  ``ROUND(string_routed_double(SUM(DECIMAL(38,10))) / COUNT(*), 6)`` — the
   decimal sum is order-independent and the rounded quotient is the
   same double in both engines (functions/numeric.py rationale), so
   every iteration is bit-reproducible end to end;
@@ -101,8 +101,10 @@ def _sql_update(name: str, assign: str) -> str:
     """Update CTEs: per-(cid, dim) rounded decimal mean → list + norm."""
     return f"""{name}_u AS (
       SELECT a.cid, el.i,
-             ROUND(CAST(SUM(CAST(CAST(el.x AS STRING) AS DECIMAL(38,10))) AS DOUBLE)
-                   / COUNT(*), 6) AS m
+             CAST(CAST(CAST(CAST(
+               CAST(CAST(SUM(CAST(CAST(el.x AS STRING) AS DECIMAL(38,10)))
+                    AS STRING) AS DOUBLE) / COUNT(*)
+             AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS m
       FROM {assign} a JOIN el ON el.vec_id = a.vec_id
       GROUP BY a.cid, el.i
     ),

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bitcoin_datawarehouse_spark.functions.numeric import DEC, SQL_DSUM, dsum
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    DEC,
+    SQL_DSUM,
+    dsum,
+    str_round6,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -149,12 +154,12 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       day,
       day_value,
-      ROUND(
-        CAST(SUM(CAST(CAST(day_value AS STRING) AS DECIMAL(38,10)))
+      CAST(CAST(CAST(CAST(
+        CAST(CAST(SUM(CAST(CAST(day_value AS STRING) AS DECIMAL(38,10)))
                OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-             AS DOUBLE)
-        / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-        6) AS moving_avg_7d
+             AS STRING) AS DOUBLE)
+        / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS moving_avg_7d
     FROM daily
     """,
 )
@@ -176,10 +181,14 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day",
         "day_value",
-        F.round(
-            F.sum(F.col("day_value").cast(DEC)).over(w).cast("double")
-            / F.count("*").over(w),
-            6,
+        # string-routed decimal→double and 6-dp rounding: see
+        # functions/numeric.davg / str_round6
+        str_round6(
+            F.sum(F.col("day_value").cast(DEC))
+            .over(w)
+            .cast("string")
+            .cast("double")
+            / F.count("*").over(w)
         ).alias("moving_avg_7d"),
     )
 

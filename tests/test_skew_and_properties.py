@@ -364,3 +364,29 @@ def test_distributed_ntile_matches_window_ntile(spark, n, k):
         ).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(_money, min_size=1, max_size=40))
+def test_davg_surface_matches_duckdb_exactly(spark, vals):
+    """davg/SQL_DAVG parity: the decimal sums are bit-identical by the
+    dsum contract; the exposed mean adds one decimal→double conversion
+    (≤1 ulp apart between engines) absorbed by ROUND(·, 6) — exact
+    repr equality must survive the same adversarial value shapes."""
+    import duckdb
+    import pandas as pd
+
+    from bitcoin_datawarehouse_spark.functions.numeric import SQL_DAVG, davg
+
+    sdf = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    (got,) = sdf.agg(davg(F.col("v"), "a")).collect()[0]
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    (want,) = con.execute(f"SELECT {SQL_DAVG('v', 'a')} FROM t").fetchone()
+
+    assert repr(got) == repr(want), (got, want, vals)

@@ -38,6 +38,7 @@ from bitcoin_datawarehouse_spark.operators.dedup import (
     doc_shingles,
     tokens_col,
 )
+from bitcoin_datawarehouse_spark.functions.numeric import str_round6
 from bitcoin_datawarehouse_spark.operators.text import _SQL_TOKENS
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
@@ -89,9 +90,9 @@ DECONTAM_THRESHOLD = 0.05
       GROUP BY s.doc_id
     )
     SELECT doc_id, n_shingles, n_contaminated,
-           ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6)
+           CAST(CAST(CAST(CAST(CAST(n_contaminated AS DOUBLE) / n_shingles AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
              AS overlap_frac,
-           CAST(ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6)
+           CAST(CAST(CAST(CAST(CAST(CAST(n_contaminated AS DOUBLE) / n_shingles AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
                 >= {DECONTAM_THRESHOLD} AS BOOLEAN) AS contaminated
     FROM ov
     """,
@@ -152,8 +153,8 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "text")
     )
-    overlap = F.round(
-        F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+    overlap = str_round6(
+        F.col("n_contaminated").cast("double") / F.col("n_shingles")
     )
     return docs.mapInPandas(gen, schema).select(
         "doc_id",
@@ -188,12 +189,16 @@ _SQL_GOPHER_M = f"""t AS (
     m AS (
       SELECT doc_id,
              CAST(len(tk) AS BIGINT) AS n_words,
-             ROUND(CAST(list_reduce(list_transform(tk, w -> length(w)),
-                                    (acc, x) -> acc + x) AS DOUBLE)
-                   / len(tk), 6) AS mean_word_len,
+             CAST(CAST(CAST(CAST(
+               CAST(list_reduce(list_transform(tk, w -> length(w)),
+                                (acc, x) -> acc + x) AS DOUBLE) / len(tk)
+             AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
+               AS mean_word_len,
              CAST(len(list_filter(tk, w -> w IN ({_SQL_STOPLIST})))
                   AS BIGINT) AS n_stop_hits,
-             ROUND(CAST(n_symbols AS DOUBLE) / n_chars_raw, 6)
+             CAST(CAST(CAST(CAST(
+               CAST(n_symbols AS DOUBLE) / n_chars_raw
+             AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
                AS symbol_ratio
       FROM t WHERE len(tk) > 0
     )"""
@@ -218,14 +223,13 @@ def gopher_metrics_frame(docs: DataFrame) -> DataFrame:
             F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")
         ).cast("long").alias("n_symbols"),
     ).filter(F.size("tk") > 0)
-    mean_len = F.round(
+    mean_len = str_round6(
         F.aggregate(
             F.transform(F.col("tk"), F.length),
             F.lit(0).cast("double"),
             lambda acc, x: acc + x,
         )
-        / F.size("tk"),
-        6,
+        / F.size("tk")
     )
     return t.select(
         "doc_id",
@@ -234,8 +238,8 @@ def gopher_metrics_frame(docs: DataFrame) -> DataFrame:
         F.size(
             F.filter(F.col("tk"), lambda w: w.isin(*_STOPS))
         ).cast("long").alias("n_stop_hits"),
-        F.round(
-            F.col("n_symbols").cast("double") / F.col("n_chars_raw"), 6
+        str_round6(
+            F.col("n_symbols").cast("double") / F.col("n_chars_raw")
         ).alias("symbol_ratio"),
     )
 

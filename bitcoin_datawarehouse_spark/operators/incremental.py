@@ -50,6 +50,7 @@ from bitcoin_datawarehouse_spark.operators.dedup import (
     band_keys_from_sets,
     doc_shingle_sets,
 )
+from bitcoin_datawarehouse_spark.functions.numeric import str_round6
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -110,7 +111,8 @@ from bitcoin_datawarehouse_spark.tables import load_table
     SELECT d.doc_id,
            best.batch_id IS NOT NULL AS is_dup,
            best.index_id AS match_id,
-           ROUND(best.jaccard, 6) AS match_jaccard
+           CAST(CAST(CAST(CAST(best.jaccard AS STRING) AS DECIMAL(38,6))
+                AS STRING) AS DOUBLE) AS match_jaccard
     FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
     LEFT JOIN best ON best.batch_id = d.doc_id
     """,
@@ -199,5 +201,5 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("batch_id").isNotNull().alias("is_dup"),
         F.col("index_id").alias("match_id"),
-        F.round(F.col("jaccard"), 6).alias("match_jaccard"),
+        str_round6(F.col("jaccard")).alias("match_jaccard"),
     )

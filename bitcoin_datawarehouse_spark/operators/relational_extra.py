@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bitcoin_datawarehouse_spark.functions.numeric import SQL_DSUM, dsum
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_DSUM,
+    dsum,
+    str_round6,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -178,8 +182,10 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey,
            CAST(ntile(4) OVER w AS INT) AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cume
+           CAST(CAST(CAST(CAST(percent_rank() OVER w AS STRING)
+                AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS pct_rank,
+           CAST(CAST(CAST(CAST(cume_dist() OVER w AS STRING)
+                AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -197,8 +203,8 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        str_round6(F.percent_rank().over(w)).alias("pct_rank"),
+        str_round6(F.cume_dist().over(w)).alias("cume"),
     )
 
 

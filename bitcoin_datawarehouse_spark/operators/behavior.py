@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.numeric import str_round6
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -129,7 +130,7 @@ def funnel_view_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.cohort_week, c.week_offset,
            CAST(c.n_active AS BIGINT) AS n_active,
            CAST(s.n_active AS BIGINT) AS cohort_size,
-           ROUND(CAST(c.n_active AS DOUBLE) / s.n_active, 6) AS retention
+           CAST(CAST(CAST(CAST(CAST(c.n_active AS DOUBLE) / s.n_active AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS retention
     FROM cohorts c
     JOIN (SELECT cohort_week, n_active FROM cohorts WHERE week_offset = 0) s
       USING (cohort_week)
@@ -172,7 +173,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         "n_active",
         "cohort_size",
-        F.round(
-            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        str_round6(
+            F.col("n_active").cast("double") / F.col("cohort_size")
         ).alias("retention"),
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
+from bitcoin_datawarehouse_spark.functions.numeric import str_round6
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -52,8 +53,8 @@ TFIDF_TOP_K = 3
       FROM bgc GROUP BY doc_id
     )
     SELECT b.doc_id, b.n_tokens, b.n_distinct,
-           ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS type_token_ratio,
-           ROUND(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams, 6)
+           CAST(CAST(CAST(CAST(CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS type_token_ratio,
+           CAST(CAST(CAST(CAST(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
              AS top_bigram_frac
     FROM base b JOIN agg a ON a.doc_id = b.doc_id
     WHERE b.n_tokens > 0
@@ -96,11 +97,11 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.round(
-            F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        str_round6(
+            F.col("n_distinct").cast("double") / F.col("n_tokens")
         ).alias("type_token_ratio"),
-        F.round(
-            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+        str_round6(
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
         ).alias("top_bigram_frac"),
     )
 

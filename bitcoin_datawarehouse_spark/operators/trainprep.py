@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.numeric import str_round6
 from bitcoin_datawarehouse_spark.operators.text import _SQL_TOKENS
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
@@ -284,13 +285,15 @@ TOKEN_BUDGET = 500_000  # global training-token budget (fixture-sized)
     )
     SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+           CAST(CAST(CAST(CAST(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
              AS corpus_share,
            CAST(FLOOR({TOKEN_BUDGET} * CAST(n_tokens AS DOUBLE)
                       / SUM(n_tokens) OVER ()) AS BIGINT) AS alloc_tokens,
-           ROUND(CAST(CAST(FLOOR({TOKEN_BUDGET} * CAST(n_tokens AS DOUBLE)
+           CAST(CAST(CAST(CAST(
+             CAST(CAST(FLOOR({TOKEN_BUDGET} * CAST(n_tokens AS DOUBLE)
                       / SUM(n_tokens) OVER ()) AS BIGINT) AS DOUBLE)
-                 / n_tokens, 6) AS epochs
+             / n_tokens
+           AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS epochs
     FROM per_src
     """,
 )
@@ -325,11 +328,11 @@ def trainprep_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / total, 6).alias(
+        str_round6(F.col("n_tokens").cast("double") / total).alias(
             "corpus_share"
         ),
         alloc.alias("alloc_tokens"),
-        F.round(alloc.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
+        str_round6(alloc.cast("double") / F.col("n_tokens")).alias("epochs"),
     )
 
 

@@ -129,11 +129,21 @@ def SQL_DSUM(expr: str, alias: str) -> str:
 
 
 def SQL_STR_ROUND6(expr: str) -> str:
-    """DuckDB-side mirror of :func:`str_round6`."""
-    return (
+    """DuckDB-side mirror of :func:`str_round6`.
+
+    Tiny-value guard: DuckDB's VARCHAR→DECIMAL parse of
+    scientific-notation strings rounds on the first dropped mantissa
+    digit without weighing the exponent, so e.g. '5.9e-08' →
+    0.000001 instead of 0 (hypothesis-found at 2^-24).  Any
+    |value| < 1e-7 rounds to 6 places as exactly 0 — emit that
+    directly; at exponents ≥ -7 the digit-based parse coincides with
+    correct rounding (probe-verified across the boundary).
+    """
+    route = (
         f"CAST(CAST(CAST(CAST({expr} AS STRING) AS DECIMAL(38,6))"
         f" AS STRING) AS DOUBLE)"
     )
+    return f"CASE WHEN ABS({expr}) < 1e-7 THEN 0.0 ELSE {route} END"
 
 
 def SQL_DAVG(expr: str, alias: str) -> str:

@@ -390,3 +390,55 @@ def test_davg_surface_matches_duckdb_exactly(spark, vals):
     (want,) = con.execute(f"SELECT {SQL_DAVG('v', 'a')} FROM t").fetchone()
 
     assert repr(got) == repr(want), (got, want, vals)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e12, max_value=1e12,
+                allow_nan=False, allow_infinity=False,
+            ),
+            # exact 1e-6 half-way ties: k/2^j quotients (the davg
+            # counterexample class — native ROUND diverges here)
+            st.tuples(
+                st.integers(min_value=-(10**9), max_value=10**9),
+                st.sampled_from([2, 4, 8, 16, 64, 128]),
+            ).map(lambda t: t[0] / t[1] / 10**6 * 2 + 5e-7),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_str_round6_matches_duckdb_exactly(spark, vals):
+    """The engine-neutral 6-dp rounding primitive itself: str_round6
+    (Spark) and SQL_STR_ROUND6 (DuckDB) must agree bit-for-bit on
+    arbitrary doubles INCLUDING exact half-way ties, where the native
+    ROUND(double, 6) of the two engines rounds apart."""
+    import duckdb
+    import pandas as pd
+
+    from bitcoin_datawarehouse_spark.functions.numeric import (
+        SQL_STR_ROUND6,
+        str_round6,
+    )
+
+    sdf = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = sorted(
+        repr(r["r"])
+        for r in sdf.select(str_round6(F.col("v")).alias("r")).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    want = sorted(
+        repr(r[0])
+        for r in con.execute(
+            f"SELECT {SQL_STR_ROUND6('v')} AS r FROM t"
+        ).fetchall()
+    )
+    assert got == want, (got, want, vals)

@@ -50,36 +50,47 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: pins the 50-slot window explicitly so coverage is deliberate, not an
 #: accident of module import order.
 #:
-#: Composition: first the 13 queries whose DECIMAL(38,10) surface caused
-#: the rounds-1/2 hash-fails (now exposed as 2-dp DOUBLE — in-window to
-#: prove the fix), then ≥1 representative of every family that had NO
-#: driver row in rounds 1-2 (tpch trees, pipeline semantics, streaming,
-#: curation, trainprep, IVF/k-means, substring/incremental/embedding
-#: dedup, LM quality, profiling, cogroup, behavior, SQL subqueries,
-#: range join, null semantics, map props), then two previously-green
-#: anchors (as-of join, MinHash-LSH).  Families rotated out (text stats,
-#: multimodal metadata, brute-force similarity, set ops, rankings…)
-#: carry driver-green rows from rounds 1-2 plus the local mirror.
-#: Every name here has a SQL oracle — zero rows-only checks in-window.
+#: Round-4 rotation: rounds 1-3 left exactly 18 hash-checkable queries
+#: with no driver CORRECTNESS row in ANY round (mirror-green only).
+#: This window inserts all 18 and evicts 18 now-proven anchors (the 12
+#: decimal→double flips — ``pricing_summary`` stays as the canary — the
+#: 3 TPC-H trees, ``streaming_enrich_static``, and the two
+#: previously-green anchors ``asof_join_daily_price`` /
+#: ``dedup_minhash_lsh``, all driver-green in CORRECTNESS_r03).  With
+#: this window green, every one of the 100 oracle-backed queries has a
+#: driver-verified row in at least one round.  Every name here has a
+#: SQL oracle — zero rows-only checks in-window.
 DRIVER_WINDOW: list[str] = [
-    # the 13 decimal→double flips
+    # canary for the rounds-1/2 decimal→double fix (driver-green r3)
     "pricing_summary",
-    "join_fact_dim_broadcast",
-    "join_star_regional_revenue",
-    "join_left_order_counts",
-    "agg_daily_revenue",
-    "rollup_revenue",
-    "cube_revenue",
-    "grouping_sets_priority",
-    "expr_case_when_buckets",
-    "time_bucket_hourly",
-    "pivot_status_value",
-    "window_moving_avg",
-    "window_cumulative",
-    # multi-way join trees (the Dune query shapes)
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
+    # --- the 18 never-driver-checked backlog (round-4 insertions) ---
+    # streaming long tail (stream-stream interval join, quality gate)
+    "streaming_attribution_join",
+    "streaming_quality_filter",
+    # set-op ALL variants
+    "setop_union_all",
+    "setop_intersect_all",
+    # embedding dedup (exact-grid audit) + IVF brute assign + clusters
+    "dedup_embedding_cosine",
+    "similarity_ivf_assign",
+    "dedup_canonical_docs",
+    # text statistics long tail
+    "text_repetition_stats",
+    "text_tfidf_topk",
+    # SQL surface: scalar subqueries
+    "sql_scalar_subqueries",
+    # training prep long tail
+    "trainprep_pack_sequences",
+    "trainprep_quantize_int8",
+    "trainprep_domain_mixture",
+    "trainprep_token_budget",
+    "trainprep_stratified_sample",
+    # behavioral analytics: weekly cohort retention
+    "cohort_weekly_retention",
+    # multimodal byte-exact digest twins
+    "multimodal_resize_digest",
+    "multimodal_frame_digest",
+    # --- retained round-3 slots (driver-green r3, kept in-window) ---
     # pipeline ELT semantics (reference K6/K7/K8, F3)
     "pipeline_merge_upsert",
     "pipeline_delete_where",
@@ -87,12 +98,11 @@ DRIVER_WINDOW: list[str] = [
     # streaming engine parity
     "streaming_windowed_counts",
     "streaming_dedup_exact",
-    "streaming_enrich_static",
     # corpus curation
     "decontam_ngram_overlap",
     "text_gopher_rules",
     "text_pii_scan",
-    # training prep
+    # training prep flagships
     "trainprep_global_shuffle",
     "trainprep_hash_split",
     "trainprep_corpus_pipeline",
@@ -106,7 +116,7 @@ DRIVER_WINDOW: list[str] = [
     # LM quality + profiling
     "text_lm_quality",
     "profile_column_stats",
-    # relational completions never driver-checked
+    # relational completions
     "join_full_outer",
     "agg_having",
     "agg_percentiles",
@@ -120,9 +130,6 @@ DRIVER_WINDOW: list[str] = [
     "join_range_bucketized",
     "cogroup_asof_alignment",
     "funnel_view_signup_purchase",
-    # previously-green anchors
-    "asof_join_daily_price",
-    "dedup_minhash_lsh",
 ]
 
 

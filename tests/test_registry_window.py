@@ -42,25 +42,48 @@ def test_ordered_queries_matches_entrypoint():
     assert list(ordered_queries()) == list(entrymod.queries())
 
 
-def test_decimal_flips_lead_the_window():
-    # the 13 rounds-1/2 hash-fail queries must stay in-window to prove
-    # the decimal→double fix to the driver
-    flips = {
-        "pricing_summary",
-        "join_fact_dim_broadcast",
-        "join_star_regional_revenue",
-        "join_left_order_counts",
-        "agg_daily_revenue",
-        "rollup_revenue",
-        "cube_revenue",
-        "grouping_sets_priority",
-        "expr_case_when_buckets",
-        "time_bucket_hourly",
-        "pivot_status_value",
-        "window_moving_avg",
-        "window_cumulative",
+def test_round4_backlog_is_in_window():
+    """Rounds 1-3 left exactly 18 hash-checkable queries with no driver
+    CORRECTNESS row in any round; the round-4 rotation must keep every
+    one of them in-window (plus the pricing_summary decimal canary)
+    until a driver round proves them."""
+    backlog = {
+        "streaming_attribution_join",
+        "streaming_quality_filter",
+        "setop_union_all",
+        "setop_intersect_all",
+        "dedup_embedding_cosine",
+        "similarity_ivf_assign",
+        "dedup_canonical_docs",
+        "text_repetition_stats",
+        "text_tfidf_topk",
+        "sql_scalar_subqueries",
+        "trainprep_pack_sequences",
+        "trainprep_quantize_int8",
+        "trainprep_domain_mixture",
+        "trainprep_token_budget",
+        "trainprep_stratified_sample",
+        "cohort_weekly_retention",
+        "multimodal_resize_digest",
+        "multimodal_frame_digest",
     }
-    assert flips <= set(DRIVER_WINDOW[:13])
+    assert backlog <= set(DRIVER_WINDOW)
+    assert "pricing_summary" in DRIVER_WINDOW
+
+
+def test_every_oracle_backed_query_driver_verified_by_round4():
+    """Union of driver rows recorded in rounds 1-3 plus the round-4
+    window must cover all oracle-backed queries — the whole point of
+    the rotation."""
+    import json
+    import pathlib
+
+    seen: set[str] = set(DRIVER_WINDOW)
+    root = pathlib.Path(__file__).resolve().parents[1]
+    for rec in sorted(root.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(rec.read_text()))
+    missing = set(ORACLES) - seen
+    assert not missing, f"oracle-backed queries never driver-checked: {missing}"
 
 
 def test_no_decimal_output_columns_anywhere():

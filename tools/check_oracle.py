@@ -57,9 +57,26 @@ def normalize(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    if "--window" in only:
+    # flags first, wherever they appear — `--window` as the only arg
+    # must NOT silently bind as sf_dir (it used to, running all 105
+    # queries against a nonexistent directory)
+    argv = sys.argv[1:]
+    window = "--window" in argv
+    positional = [a for a in argv if a != "--window"]
+    for a in positional:
+        if a.startswith("-"):
+            print(f"unknown flag {a!r}", file=sys.stderr)
+            return 2
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
+    only = set(positional[1:])
+    if window and only:
+        print(
+            "--window selects exactly registry.DRIVER_WINDOW; "
+            "combining it with explicit query names is ambiguous",
+            file=sys.stderr,
+        )
+        return 2
+    if window:
         from bitcoin_datawarehouse_spark.registry import DRIVER_WINDOW
 
         only = set(DRIVER_WINDOW)

@@ -121,16 +121,26 @@ def main() -> None:
     # queries under Spark 4.1).  The warmed minimum is the reproducible
     # cost of the PLAN (what a capacity model needs); the cold first
     # run measures this JVM's compiler that minute
+    # with_global_rank persists an intermediate per invocation (callers
+    # own the cache lifetime — see functions/ranking.py); release
+    # between queries so warm+best-of-3 doesn't stack 4 cached
+    # corpus-sized frames per ranking flagship in one session
+    from bitcoin_datawarehouse_spark.functions.ranking import (  # noqa: E402
+        release_rank_caches,
+    )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        release_rank_caches()
         best = None
         for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+            release_rank_caches()
         timings[name] = round(best, 3)
 
     print(

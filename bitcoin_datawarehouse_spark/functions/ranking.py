@@ -33,6 +33,27 @@ _PID = "_rk_pid"
 _OFFSET = "_rk_offset"
 _TOTAL = "_rk_total"
 
+#: Cached intermediates left behind by :func:`with_global_rank`.  The
+#: persist is load-bearing (two subtrees must see the SAME
+#: nondeterministically-sampled range boundaries), so the helper cannot
+#: unpersist before the caller materializes the result — callers own
+#: the lifetime.  Long-lived sessions (bench repeats, notebooks) call
+#: :func:`release_rank_caches` between runs or the cached corpus-sized
+#: frames accumulate.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_rank_caches() -> int:
+    """Unpersist every intermediate cached by :func:`with_global_rank`
+    so far; returns how many were released.  Safe to call once the
+    result DataFrames have been materialized (or abandoned)."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        df.unpersist()
+        n += 1
+    return n
+
 
 def with_global_rank(
     df: DataFrame,
@@ -55,6 +76,7 @@ def with_global_rank(
     # including any nondeterministic range-boundary sampling
     keyed.persist()
     keyed.count()
+    _LIVE_CACHES.append(keyed)
 
     counts = keyed.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
     # bounded frame: one row per partition (≤ cluster parallelism), so
@@ -79,6 +101,21 @@ def with_global_rank(
     )
 
 
+def _floordiv(a: Column, b: Column) -> Column:
+    """Exact integer floor division for non-negative long operands.
+
+    ``(a / b).cast('long')`` goes through DOUBLE division, which can
+    round UP to the next integer once products approach 2^53 —
+    misassigning boundary ranks at exactly the billions-of-rows scale
+    this module targets.  Route through DECIMAL(38,0): stripping the
+    remainder first makes the decimal quotient exact, and the long cast
+    truncates nothing.
+    """
+    ad = a.cast("decimal(38,0)")
+    bd = b.cast("decimal(38,0)")
+    return ((ad - F.pmod(ad, bd)) / bd).cast("long")
+
+
 def ntile_bucket(rank: Column, total: Column, k: int) -> Column:
     """The NTILE(k) bucket (1-based) of a 1-based global ``rank`` in a
     frame of ``total`` rows — SQL NTILE arithmetic: the first
@@ -86,10 +123,12 @@ def ntile_bucket(rank: Column, total: Column, k: int) -> Column:
     ``total DIV k``.  Closed form: with q = total DIV k, r = total % k,
     a rank lands in bucket ``(rank-1) DIV (q+1) + 1`` while inside the
     oversized region and ``r + (rank - r*(q+1) - 1) DIV q + 1`` after.
+    All arithmetic is exact integer/decimal — no double intermediates
+    (see :func:`_floordiv`).
     """
-    q = (total / k).cast("long")  # floor div: total, k positive
+    q = _floordiv(total, F.lit(k))
     r = total - q * k
     big_span = r * (q + 1)
     return F.when(
-        rank <= big_span, ((rank - 1) / (q + 1)).cast("long") + 1
-    ).otherwise(r + ((rank - big_span - 1) / q).cast("long") + 1)
+        rank <= big_span, _floordiv(rank - 1, q + 1) + 1
+    ).otherwise(r + _floordiv(rank - big_span - 1, q) + 1)

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitcoin_datawarehouse_spark.functions.numeric import str_round6
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_STR_ROUND6,
+    str_round6,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -114,7 +117,7 @@ def funnel_view_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_weekly_retention",
-    oracle="""
+    oracle=f"""
     WITH wk AS (
       SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
       FROM events GROUP BY 1, 2
@@ -130,7 +133,7 @@ def funnel_view_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.cohort_week, c.week_offset,
            CAST(c.n_active AS BIGINT) AS n_active,
            CAST(s.n_active AS BIGINT) AS cohort_size,
-           CAST(CAST(CAST(CAST(CAST(c.n_active AS DOUBLE) / s.n_active AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS retention
+           {SQL_STR_ROUND6('CAST(c.n_active AS DOUBLE) / s.n_active')} AS retention
     FROM cohorts c
     JOIN (SELECT cohort_week, n_active FROM cohorts WHERE week_offset = 0) s
       USING (cohort_week)

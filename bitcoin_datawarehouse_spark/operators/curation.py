@@ -38,7 +38,10 @@ from bitcoin_datawarehouse_spark.operators.dedup import (
     doc_shingles,
     tokens_col,
 )
-from bitcoin_datawarehouse_spark.functions.numeric import str_round6
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_STR_ROUND6,
+    str_round6,
+)
 from bitcoin_datawarehouse_spark.operators.text import _SQL_TOKENS
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
@@ -90,9 +93,9 @@ DECONTAM_THRESHOLD = 0.05
       GROUP BY s.doc_id
     )
     SELECT doc_id, n_shingles, n_contaminated,
-           CAST(CAST(CAST(CAST(CAST(n_contaminated AS DOUBLE) / n_shingles AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
+           {SQL_STR_ROUND6('CAST(n_contaminated AS DOUBLE) / n_shingles')}
              AS overlap_frac,
-           CAST(CAST(CAST(CAST(CAST(CAST(n_contaminated AS DOUBLE) / n_shingles AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
+           CAST({SQL_STR_ROUND6('CAST(n_contaminated AS DOUBLE) / n_shingles')}
                 >= {DECONTAM_THRESHOLD} AS BOOLEAN) AS contaminated
     FROM ov
     """,
@@ -189,16 +192,14 @@ _SQL_GOPHER_M = f"""t AS (
     m AS (
       SELECT doc_id,
              CAST(len(tk) AS BIGINT) AS n_words,
-             CAST(CAST(CAST(CAST(
-               CAST(list_reduce(list_transform(tk, w -> length(w)),
-                                (acc, x) -> acc + x) AS DOUBLE) / len(tk)
-             AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
+             {SQL_STR_ROUND6(
+                 'CAST(list_reduce(list_transform(tk, w -> length(w)), '
+                 '(acc, x) -> acc + x) AS DOUBLE) / len(tk)'
+             )}
                AS mean_word_len,
              CAST(len(list_filter(tk, w -> w IN ({_SQL_STOPLIST})))
                   AS BIGINT) AS n_stop_hits,
-             CAST(CAST(CAST(CAST(
-               CAST(n_symbols AS DOUBLE) / n_chars_raw
-             AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
+             {SQL_STR_ROUND6('CAST(n_symbols AS DOUBLE) / n_chars_raw')}
                AS symbol_ratio
       FROM t WHERE len(tk) > 0
     )"""

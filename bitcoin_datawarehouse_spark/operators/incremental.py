@@ -50,7 +50,13 @@ from bitcoin_datawarehouse_spark.operators.dedup import (
     band_keys_from_sets,
     doc_shingle_sets,
 )
-from bitcoin_datawarehouse_spark.functions.numeric import str_round6
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_STR_ROUND6,
+    str_round6,
+)
+from bitcoin_datawarehouse_spark.pipeline.loader import (
+    BROADCAST_BATCH_MAX_ROWS,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -111,8 +117,7 @@ from bitcoin_datawarehouse_spark.tables import load_table
     SELECT d.doc_id,
            best.batch_id IS NOT NULL AS is_dup,
            best.index_id AS match_id,
-           CAST(CAST(CAST(CAST(best.jaccard AS STRING) AS DECIMAL(38,6))
-                AS STRING) AS DOUBLE) AS match_jaccard
+           {SQL_STR_ROUND6('best.jaccard')} AS match_jaccard
     FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
     LEFT JOIN best ON best.batch_id = d.doc_id
     """,
@@ -134,13 +139,23 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = band_keys_from_sets(docsets)
 
     is_batch = F.col("doc_id") % 4 == 0
+    # batch bands broadcast only while the batch is genuinely small —
+    # same size guard as the loader's incremental merge
+    # (BROADCAST_BATCH_MAX_ROWS): a backfill-sized batch must take the
+    # shuffle join, not a forced driver-memory broadcast.  The count is
+    # a filter over the already-cached docsets — no extra scan.
+    batch_is_small = (
+        docsets.filter(is_batch).count() <= BROADCAST_BATCH_MAX_ROWS
+    )
+
+    def _batch_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if batch_is_small else df
+
     b = bands.filter(is_batch).alias("b")
     a = bands.filter(~is_batch).alias("a")
-    # batch bands broadcast: the incoming batch is the small side by
-    # construction (same contract as the loader's incremental merge)
     cands = (
         a.join(
-            F.broadcast(b),
+            _batch_side(b),
             (F.col("b.band") == F.col("a.band"))
             & (F.col("b.band_key") == F.col("a.band_key")),
         )
@@ -196,7 +211,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return batch_docs.join(
-        F.broadcast(best), batch_docs.doc_id == best.batch_id, "left"
+        _batch_side(best), batch_docs.doc_id == best.batch_id, "left"
     ).select(
         "doc_id",
         F.col("batch_id").isNotNull().alias("is_dup"),

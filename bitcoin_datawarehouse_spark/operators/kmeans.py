@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitcoin_datawarehouse_spark.functions.numeric import davg
+from bitcoin_datawarehouse_spark.functions.numeric import SQL_STR_ROUND6, davg
 from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
     IVF_N_CENTROIDS,
     _SQL_NORMED,
@@ -98,13 +98,19 @@ def _sql_assign(name: str, cent: str) -> str:
 
 
 def _sql_update(name: str, assign: str) -> str:
-    """Update CTEs: per-(cid, dim) rounded decimal mean → list + norm."""
+    """Update CTEs: per-(cid, dim) rounded decimal mean → list + norm.
+
+    The 6-dp surface goes through SQL_STR_ROUND6 (not a hand-inlined
+    cast chain) so its tiny-value guard applies: per-dimension centroid
+    means can legitimately land in |v| < 1e-7, exactly where DuckDB's
+    scientific-notation decimal parse misrounds."""
+    mean = (
+        "CAST(CAST(SUM(CAST(CAST(el.x AS STRING) AS DECIMAL(38,10)))"
+        " AS STRING) AS DOUBLE) / COUNT(*)"
+    )
     return f"""{name}_u AS (
       SELECT a.cid, el.i,
-             CAST(CAST(CAST(CAST(
-               CAST(CAST(SUM(CAST(CAST(el.x AS STRING) AS DECIMAL(38,10)))
-                    AS STRING) AS DOUBLE) / COUNT(*)
-             AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS m
+             {SQL_STR_ROUND6(mean)} AS m
       FROM {assign} a JOIN el ON el.vec_id = a.vec_id
       GROUP BY a.cid, el.i
     ),

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.functions.numeric import (
     SQL_DSUM,
+    SQL_STR_ROUND6,
     dsum,
     str_round6,
 )
@@ -179,13 +180,11 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_ntile_dist",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_nationkey,
            CAST(ntile(4) OVER w AS INT) AS quartile,
-           CAST(CAST(CAST(CAST(percent_rank() OVER w AS STRING)
-                AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS pct_rank,
-           CAST(CAST(CAST(CAST(cume_dist() OVER w AS STRING)
-                AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS cume
+           {SQL_STR_ROUND6('percent_rank() OVER w')} AS pct_rank,
+           {SQL_STR_ROUND6('cume_dist() OVER w')} AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,

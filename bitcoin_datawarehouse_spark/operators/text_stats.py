@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
-from bitcoin_datawarehouse_spark.functions.numeric import str_round6
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_STR_ROUND6,
+    str_round6,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -53,8 +56,11 @@ TFIDF_TOP_K = 3
       FROM bgc GROUP BY doc_id
     )
     SELECT b.doc_id, b.n_tokens, b.n_distinct,
-           CAST(CAST(CAST(CAST(CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS type_token_ratio,
-           CAST(CAST(CAST(CAST(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
+           {SQL_STR_ROUND6('CAST(b.n_distinct AS DOUBLE) / b.n_tokens')}
+             AS type_token_ratio,
+           {SQL_STR_ROUND6(
+               'CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams'
+           )}
              AS top_bigram_frac
     FROM base b JOIN agg a ON a.doc_id = b.doc_id
     WHERE b.n_tokens > 0

@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bitcoin_datawarehouse_spark.functions.numeric import str_round6
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_STR_ROUND6,
+    str_round6,
+)
 from bitcoin_datawarehouse_spark.operators.text import _SQL_TOKENS
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
@@ -285,15 +288,16 @@ TOKEN_BUDGET = 500_000  # global training-token budget (fixture-sized)
     )
     SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(CAST(CAST(CAST(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE)
+           {SQL_STR_ROUND6(
+               'CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()'
+           )}
              AS corpus_share,
            CAST(FLOOR({TOKEN_BUDGET} * CAST(n_tokens AS DOUBLE)
                       / SUM(n_tokens) OVER ()) AS BIGINT) AS alloc_tokens,
-           CAST(CAST(CAST(CAST(
-             CAST(CAST(FLOOR({TOKEN_BUDGET} * CAST(n_tokens AS DOUBLE)
-                      / SUM(n_tokens) OVER ()) AS BIGINT) AS DOUBLE)
-             / n_tokens
-           AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS epochs
+           {SQL_STR_ROUND6(
+               f'CAST(CAST(FLOOR({TOKEN_BUDGET} * CAST(n_tokens AS DOUBLE)'
+               ' / SUM(n_tokens) OVER ()) AS BIGINT) AS DOUBLE) / n_tokens'
+           )} AS epochs
     FROM per_src
     """,
 )

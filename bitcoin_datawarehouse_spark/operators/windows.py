@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from bitcoin_datawarehouse_spark.functions.numeric import (
     DEC,
     SQL_DSUM,
+    SQL_STR_ROUND6,
     dsum,
     str_round6,
 )
@@ -154,12 +155,13 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       day,
       day_value,
-      CAST(CAST(CAST(CAST(
-        CAST(CAST(SUM(CAST(CAST(day_value AS STRING) AS DECIMAL(38,10)))
-               OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-             AS STRING) AS DOUBLE)
-        / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-      AS STRING) AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS moving_avg_7d
+      {SQL_STR_ROUND6(
+          "CAST(CAST(SUM(CAST(CAST(day_value AS STRING) AS DECIMAL(38,10)))"
+          " OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+          " AS STRING) AS DOUBLE)"
+          " / COUNT(*) OVER"
+          " (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+      )} AS moving_avg_7d
     FROM daily
     """,
 )

@@ -442,3 +442,125 @@ def test_str_round6_matches_duckdb_exactly(spark, vals):
         ).fetchall()
     )
     assert got == want, (got, want, vals)
+
+
+# ---------------------------------------------------------------------------
+# ntile_bucket exactness at 2^53+ ranks (functions/ranking.py)
+# ---------------------------------------------------------------------------
+
+def _py_ntile(rank: int, total: int, k: int) -> int:
+    """Exact Python model of SQL NTILE(k) bucket assignment."""
+    q, r = divmod(total, k)
+    big_span = r * (q + 1)
+    if rank <= big_span:
+        return (rank - 1) // (q + 1) + 1
+    return r + (rank - big_span - 1) // q + 1
+
+
+def test_ntile_bucket_exact_beyond_double_precision(spark):
+    """ntile_bucket must assign boundary ranks exactly at totals past
+    2^53, where a double-division implementation rounds the quotient
+    up to the next integer and misassigns the bucket (the module
+    docstring targets billions-of-rows frames; the property test above
+    only exercises n <= 200)."""
+    from bitcoin_datawarehouse_spark.functions.ranking import ntile_bucket
+
+    rows = []
+    for total, k in [
+        (2**53 + 1, 3),
+        (2**53 - 1, 7),
+        (2**60 + 12345, 3),
+        (2**62 + 7, 5),
+        ((2**53) * 3 + 2, 2),
+    ]:
+        q, r = divmod(total, k)
+        # every bucket boundary rank +/- 1 (the misassignment sites),
+        # plus the frame edges
+        ranks = {1, total}
+        for b in range(1, k):
+            edge = b * (q + 1) if b <= r else r * (q + 1) + (b - r) * q
+            ranks |= {max(1, edge - 1), edge, min(total, edge + 1)}
+        rows += [
+            (rank, total, k, _py_ntile(rank, total, k))
+            for rank in sorted(ranks)
+        ]
+    df = spark.createDataFrame(
+        rows, "rank long, total long, k int, expected int"
+    )
+    got = df.select(
+        "rank",
+        "total",
+        "k",
+        "expected",
+        # k is constant per group in the data; evaluate per distinct k
+        *[
+            F.when(
+                F.col("k") == kk,
+                ntile_bucket(F.col("rank"), F.col("total"), kk),
+            ).alias(f"b{kk}")
+            for kk in (2, 3, 5, 7)
+        ],
+    ).collect()
+    for r in got:
+        b = r[f"b{r['k']}"]
+        assert b == r["expected"], (r["rank"], r["total"], r["k"], b)
+
+
+# ---------------------------------------------------------------------------
+# adversarial skew: with_global_rank under a 90%-tied score column
+# ---------------------------------------------------------------------------
+
+def test_global_rank_splits_heavy_score_ties(spark):
+    """with_global_rank range-partitions on (score, doc_id); the
+    unique tiebreaker must SPLIT a dominant tie group across
+    partitions (no partition above ~2x the mean) while keeping ranks
+    and NTILE buckets exactly equal to the monolithic window."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    from bitcoin_datawarehouse_spark.functions.ranking import (
+        ntile_bucket,
+        release_rank_caches,
+        with_global_rank,
+    )
+
+    n = 5000
+    # 90% of documents share one score — the CCNet-style perplexity
+    # column after clipping, the worst case for range partitioning
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(5.0))
+        .otherwise(F.col("id").cast("double") / n)
+        .alias("score"),
+    )
+    npart = spark.sparkContext.defaultParallelism
+    # the same partitioning with_global_rank applies internally
+    sizes = [
+        r["c"]
+        for r in df.repartitionByRange(npart, "score", "doc_id")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    mean = n / npart
+    assert max(sizes) <= 2 * math.ceil(mean), (sizes, mean)
+
+    ranked = with_global_rank(df, ["score", "doc_id"], "rk", "tot")
+    got = {
+        r["doc_id"]: (r["rk"], r["b"])
+        for r in ranked.withColumn(
+            "b", ntile_bucket(F.col("rk"), F.col("tot"), 3)
+        ).collect()
+    }
+    release_rank_caches()
+    w = W.orderBy("score", "doc_id")
+    want = {
+        r["doc_id"]: (r["rk"], r["b"])
+        for r in df.select(
+            "doc_id",
+            F.row_number().over(w).alias("rk"),
+            F.ntile(3).over(w).alias("b"),
+        ).collect()
+    }
+    assert got == want

@@ -182,7 +182,19 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (a rounded double mean can land exactly on a 1e-6 boundary
     where the engines round apart); the tertile NTILE is integer-exact
     with a doc_id tie-break.
+
+    This registered entry is the EXACT mode (it must reproduce the
+    oracle's NTILE bit-for-bit); production corpora use
+    :func:`text_lm_quality_buckets` with the default approx mode,
+    which replaces the ranked assignment's persist+count barrier with
+    one ``percentile_approx`` aggregate.
     """
+    return text_lm_quality_buckets(spark, sf_dir, mode="exact")
+
+
+def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_bigrams, bits_per_token): the per-document
+    bigram cross-entropy frame both bucketing modes consume."""
     # per-doc bigram counts arrive FINISHED from the kernel (positions
     # are task-local per document — no corpus-wide position shuffle);
     # everything — bigram table, unigram table, vocabulary, per-doc
@@ -252,23 +264,79 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+    return scores
 
-    # distributed NTILE(3): global rank without a single-partition
-    # window (functions/ranking.py), then closed-form bucket arithmetic
-    ranked = with_global_rank(
-        scores,
-        ["bits_per_token", "doc_id"],
-        rank_alias="_grank",
-        total_alias="_gtotal",
+
+#: percentile_approx accuracy for the approx bucketing mode.  The
+#: per-doc score frame at 100 TB is billions of rows; GK with this
+#: accuracy bounds the boundary-rank error to ~n/accuracy rows while
+#: the sketch stays a few MB and merges map-side.  Below this many
+#: DISTINCT scores the sketch is exact.
+APPROX_PERCENTILE_ACCURACY = 10_000
+
+
+def text_lm_quality_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    mode: str = "approx",
+    accuracy: int = APPROX_PERCENTILE_ACCURACY,
+) -> DataFrame:
+    """CCNet tertile bucketing with a selectable assignment strategy.
+
+    ``mode="approx"`` (production default): tertile THRESHOLDS via one
+    ``percentile_approx(bits_per_token, [1/3, 2/3])`` aggregate,
+    broadcast back as a 1-row frame — a single extra aggregate pass,
+    no persist+count materialization barrier, no global rank at all.
+    Spark's discrete percentile returns the element at rank
+    ``ceil(p*n)``, which IS the NTILE(3) bucket edge (NTILE bucket b
+    ends at rank ``b*(n DIV 3) + min(b, n % 3)`` = ``ceil(b*n/3)``),
+    so with all-distinct scores the buckets match exact NTILE
+    row-for-row (pytest-pinned).  Divergence surface: tied boundary
+    scores all land in the lower bucket here, while NTILE splits a tie
+    group by doc_id rank — and past ``accuracy`` distinct scores the
+    GK sketch may shift the boundary by ~n/accuracy ranks.  Both are
+    immaterial for corpus filtering (CCNet cuts at the bucket level).
+
+    ``mode="exact"``: the oracle/audit path — distributed global rank
+    (range-repartition → per-partition row_number → broadcast offsets;
+    functions/ranking.py) + closed-form NTILE arithmetic.  Bit-exact
+    against SQL NTILE including tie handling, at the cost of one
+    persist+count barrier to pin the nondeterministic range-boundary
+    sampling.
+    """
+    scores = _lm_scores(spark, sf_dir)
+    if mode == "exact":
+        ranked = with_global_rank(
+            scores,
+            ["bits_per_token", "doc_id"],
+            rank_alias="_grank",
+            total_alias="_gtotal",
+        )
+        tercile = ntile_bucket(F.col("_grank"), F.col("_gtotal"), 3)
+        return ranked.select(
+            "doc_id",
+            "n_tokens",
+            "n_bigrams",
+            "bits_per_token",
+            F.when(tercile == 1, "head")
+            .when(tercile == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    if mode != "approx":
+        raise ValueError(f"unknown bucketing mode {mode!r}")
+    thr = scores.agg(
+        F.percentile_approx(
+            "bits_per_token", [1 / 3, 2 / 3], accuracy
+        ).alias("_thr")
     )
-    tercile = ntile_bucket(F.col("_grank"), F.col("_gtotal"), 3)
-    return ranked.select(
+    return scores.crossJoin(F.broadcast(thr)).select(
         "doc_id",
         "n_tokens",
         "n_bigrams",
         "bits_per_token",
-        F.when(tercile == 1, "head")
-        .when(tercile == 2, "middle")
+        F.when(F.col("bits_per_token") <= F.col("_thr")[0], "head")
+        .when(F.col("bits_per_token") <= F.col("_thr")[1], "middle")
         .otherwise("tail")
         .alias("bucket"),
     )

@@ -242,6 +242,24 @@ def test_lm_quality_rank_window_is_partitioned(plan_of):
     assert "ntile" not in plan
 
 
+def test_lm_quality_approx_mode_has_no_window_no_rank_cache(spark):
+    """The production (approx) bucketing path must carry NO window
+    operator and NO persist barrier from the rank helper: thresholds
+    come from one percentile_approx aggregate broadcast back.  (The
+    w1-partitioned docbig cache is shared by both modes and stays.)"""
+    from bitcoin_datawarehouse_spark.operators.lm_quality import (
+        text_lm_quality_buckets,
+    )
+    from bitcoin_datawarehouse_spark.plans.audit import df_plan
+
+    df = text_lm_quality_buckets(spark, SF_SMALL, mode="approx")
+    plan = df_plan(df)
+    assert "Window" not in plan, "approx mode must not use any window"
+    assert "percentile_approx" in plan
+    assert "_rk_pid" not in plan, "rank helper leaked into approx mode"
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
 def test_incremental_dedup_band_join_broadcasts_batch(plan_of):
     """Candidate generation must be a band-bucket equi-join with the
     (small by construction) batch side broadcast, verification a

@@ -715,3 +715,86 @@ def test_incremental_large_batch_takes_shuffle_anti_join(spark, wh, monkeypatch)
     )
     got = {r["id"]: r["v"] for r in wh.read("bitcoin", "bigbatch").collect()}
     assert got == {1: 1.0, 2: 22.0, 3: 3.0}
+
+
+# ---------------------------------------------------------------------------
+# persisted LSH dedup index (operators/lsh_index.py)
+# ---------------------------------------------------------------------------
+
+def _docsets_for(spark, rows):
+    """Kernel-shaped docsets frame for synthetic (doc_id, text) rows."""
+    import tempfile
+
+    from bitcoin_datawarehouse_spark.operators.dedup import doc_shingle_sets
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    return doc_shingle_sets(spark, d)
+
+
+_CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3, "completely unrelated text about spark shuffle partitions and joins"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank "
+        "today"),
+    (5, "another document with entirely different words talking about "
+        "parquet files"),
+    (6, "completely unrelated text about spark shuffle partitions and "
+        "broadcast joins"),
+]
+
+
+def test_lsh_index_sequential_batches_match_one_shot(spark, wh, tmp_path):
+    """Two id-ordered sequential ingests against the persisted index
+    must produce BIT-IDENTICAL decisions to ingesting the whole corpus
+    as one batch (arrival-ordered semantics: dropped docs still index;
+    batch-internal earlier-id docs decide later ones)."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    full = _docsets_for(spark, _CORPUS).cache()
+    full.count()
+
+    seq = LshDedupIndex(Warehouse(spark, str(tmp_path / "seq")))
+    d1 = seq.ingest_batch(full.filter(F.col("doc_id") <= 3)).collect()
+    d2 = seq.ingest_batch(full.filter(F.col("doc_id") > 3)).collect()
+    got = {r["doc_id"]: tuple(r) for r in d1 + d2}
+
+    one = LshDedupIndex(Warehouse(spark, str(tmp_path / "one")))
+    want = {
+        r["doc_id"]: tuple(r) for r in one.ingest_batch(full).collect()
+    }
+    full.unpersist()
+    assert got == want
+    # sanity on the semantics themselves: 2 dups of 1 (earlier id wins),
+    # 6 dups of 3, the rest clean
+    assert want[1][1] is False and want[3][1] is False
+    assert want[2][1] is True and want[2][2] == 1
+    assert want[6][1] is True and want[6][2] == 3
+
+
+def test_lsh_index_decide_plan_reads_index_not_corpus(spark, wh, tmp_path):
+    """The per-ingest decision plan must read the persisted band/docset
+    tables — never re-tokenize or even scan the raw documents table."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+    from bitcoin_datawarehouse_spark.plans.audit import df_plan
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "w")))
+    idx.ingest_batch(_docsets_for(spark, _CORPUS[:4]))
+
+    # a later batch arriving as an already-shaped frame (production: the
+    # kernel ran at crawl-extract time): the decision plan must contain
+    # only warehouse scans + this in-memory frame
+    batch = spark.createDataFrame(
+        [(10, "a b c" + "\x01" + "b c d", 2, ["k1", "k2", "k3", "k4"])],
+        "doc_id long, shs string, sz long, band_keys array<string>",
+    )
+    plan = df_plan(idx.decide_batch(batch))
+    assert "documents.parquet" not in plan
+    assert "documents_bands" in plan
+    assert "documents_docsets" in plan
+    assert "mapInPandas" not in plan.lower().replace("_", "")

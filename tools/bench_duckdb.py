@@ -1,0 +1,113 @@
+"""DuckDB comparator for the bench.py headline set.
+
+Times every headline query's registered SQL oracle on DuckDB over the
+same parquet fixtures (default sf0.1), with the same methodology as
+bench.py: one untimed warm run, then best-of-3, result fully
+materialized (fetchall) but not printed.  Emits ONE JSON line:
+{"metric": "duckdb_headline_total_wall", "value": sec,
+ "queries": {name: sec}, "sf": ...}.
+
+Queries without a SQL oracle are skipped and listed under "skipped"
+(engine-specific internals never make the headline set, so this is
+normally empty).
+
+Two modes:
+* default ("parity"): the registered oracle strings verbatim.  These
+  carry the cross-engine hash-parity routing (per-row
+  double→STRING→DECIMAL casts, string-routed 6-dp rounds) that exists
+  ONLY so the correctness gate can bit-compare engines — measured to
+  dominate DuckDB's runtime on the money-sum queries (pricing_summary
+  9.4 s vs 0.35 s natural at sf0.1).
+* ``--natural``: the SQL a native DuckDB user would write — plain
+  double SUM/ROUND, no string routes.  Implemented by swapping the
+  numeric SQL helpers for natural equivalents BEFORE the operator
+  modules build their oracle f-strings.  This is the honest
+  throughput comparator (bench.py's Spark numbers still pay Spark's
+  own parity arithmetic, so the comparison is conservative for us).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _patch_natural() -> None:
+    import bitcoin_datawarehouse_spark.functions.numeric as numeric
+
+    numeric.SQL_DEC = lambda expr: f"CAST({expr} AS DECIMAL(38,10))"
+    numeric.SQL_STR_ROUND6 = lambda expr: f"ROUND({expr}, 6)"
+    numeric.SQL_DSUM = (
+        lambda expr, alias: f"CAST(ROUND(SUM({expr}), 2) AS DOUBLE)"
+        f" AS {alias}"
+    )
+    numeric.SQL_DAVG = (
+        lambda expr, alias: f"ROUND(SUM({expr}) / COUNT({expr}), 6)"
+        f" AS {alias}"
+    )
+
+
+def main() -> None:
+    natural = "--natural" in sys.argv
+    if natural:
+        _patch_natural()
+
+    from bench import HEADLINE  # noqa: E402
+    from bitcoin_datawarehouse_spark.registry import (  # noqa: E402
+        ORACLES,
+        load_all_operators,
+    )
+    from bitcoin_datawarehouse_spark.tables import TABLES  # noqa: E402
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    load_all_operators()
+    con = duckdb.connect()
+    # DuckDB defaults to all cores — same hardware budget as local[32]
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in HEADLINE:
+        sql = ORACLES.get(name)
+        if sql is None:
+            skipped.append(name)
+            continue
+        con.execute(sql).fetchall()  # warm (parquet metadata, plan)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_headline_total_wall",
+                "mode": "natural" if natural else "parity",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "skipped": skipped,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

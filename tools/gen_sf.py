@@ -1,0 +1,128 @@
+"""Deterministic fixture scale-up for bench-only runs.
+
+Replicates a driver-generated fixture directory ``factor``× with
+referential integrity preserved: every table's keys are offset by a
+power-of-10 stride per copy (so ``key % k`` routing splits like
+``doc_id % 4`` keep their meaning), dimension tables (region/nation)
+stay fixed as in TPC-H, and the time range stays fixed (a larger
+scale factor means MORE rows per time bucket, not a longer history —
+the TPC-H convention).
+
+Two columns get per-copy decorrelation so the dedup/ANN workloads
+keep their candidate-density SHAPE instead of exploding
+quadratically in exact clones:
+
+* ``documents.text``: every token in copy ``i>0`` gets an ``_c{i}``
+  suffix — all shingles/bands differ across copies (zero cross-copy
+  near-dups) while the INTRA-copy duplicate structure the queries
+  hunt is replicated exactly;
+* ``embeddings.embedding``: a deterministic per-(vec, dim, copy)
+  multiplicative jitter of up to ±0.5% — cross-copy vectors are
+  near- but not exact-duplicates, matching a real corpus' density.
+
+Output goes to a NEW directory (never the read-only testdata).
+Usage: python tools/gen_sf.py SRC_DIR DST_DIR FACTOR
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def stride_for(con: duckdb.DuckDBPyConnection, path: str, key: str) -> int:
+    mx = con.execute(f"SELECT MAX({key}) FROM '{path}'").fetchone()[0]
+    return 10 ** int(math.ceil(math.log10(int(mx) + 2)))
+
+
+def main() -> int:
+    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    Path(dst).mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+
+    def p(t: str) -> str:
+        return f"{src}/{t}.parquet"
+
+    s_cust = stride_for(con, p("customer"), "c_custkey")
+    s_ord = stride_for(con, p("orders"), "o_orderkey")
+    s_part = stride_for(con, p("part"), "p_partkey")
+    s_supp = stride_for(con, p("supplier"), "s_suppkey")
+    s_ev = stride_for(con, p("events"), "event_id")
+    s_user = stride_for(con, p("events"), "user_id")
+    s_doc = stride_for(con, p("documents"), "doc_id")
+    s_vec = stride_for(con, p("embeddings"), "vec_id")
+
+    copies = f"(SELECT unnest(generate_series(0, {factor - 1})) AS i)"
+
+    jobs = {
+        "region": f"SELECT * FROM '{p('region')}'",
+        "nation": f"SELECT * FROM '{p('nation')}'",
+        "customer": f"""
+            SELECT c_custkey + i * {s_cust} AS c_custkey, c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM '{p('customer')}' CROSS JOIN {copies}""",
+        "supplier": f"""
+            SELECT s_suppkey + i * {s_supp} AS s_suppkey, s_name,
+                   s_nationkey, s_acctbal
+            FROM '{p('supplier')}' CROSS JOIN {copies}""",
+        "part": f"""
+            SELECT p_partkey + i * {s_part} AS p_partkey, p_name, p_brand,
+                   p_type, p_size, p_retailprice
+            FROM '{p('part')}' CROSS JOIN {copies}""",
+        "orders": f"""
+            SELECT o_orderkey + i * {s_ord} AS o_orderkey,
+                   o_custkey + i * {s_cust} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM '{p('orders')}' CROSS JOIN {copies}""",
+        "lineitem": f"""
+            SELECT l_orderkey + i * {s_ord} AS l_orderkey,
+                   l_partkey + i * {s_part} AS l_partkey,
+                   l_suppkey + i * {s_supp} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{p('lineitem')}' CROSS JOIN {copies}""",
+        "events": f"""
+            SELECT event_id + i * {s_ev} AS event_id, ts,
+                   user_id + i * {s_user} AS user_id,
+                   event_type, value, props
+            FROM '{p('events')}' CROSS JOIN {copies}""",
+        "documents": f"""
+            SELECT doc_id + i * {s_doc} AS doc_id,
+                   CASE WHEN i = 0 THEN text
+                        ELSE regexp_replace(text, '(\\S+)',
+                                            '\\1_c' || i, 'g')
+                   END AS text,
+                   lang, source,
+                   CAST(length(CASE WHEN i = 0 THEN text
+                        ELSE regexp_replace(text, '(\\S+)',
+                                            '\\1_c' || i, 'g')
+                   END) AS BIGINT) AS n_chars
+            FROM '{p('documents')}' CROSS JOIN {copies}""",
+        "embeddings": f"""
+            SELECT vec_id + i * {s_vec} AS vec_id,
+                   CASE WHEN i = 0 THEN embedding
+                        ELSE list_transform(
+                          list_zip(embedding,
+                                   range(1, len(embedding) + 1)),
+                          z -> CAST(z[1] * (1.0 + (CAST(hash(
+                                 vec_id * 1000 + CAST(z[2] AS BIGINT) * 7
+                                 + i) % 101 AS BIGINT) - 50) * 1e-4)
+                               AS FLOAT))
+                   END AS embedding,
+                   label
+            FROM '{p('embeddings')}' CROSS JOIN {copies}""",
+    }
+    for table, sql in jobs.items():
+        con.execute(
+            f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(f"SELECT COUNT(*) FROM '{dst}/{table}.parquet'")
+        print(table, n.fetchone()[0])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

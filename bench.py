@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_incremental_batch",
     "text_lm_quality",
+    "text_lm_quality_approx",
     "trainprep_corpus_pipeline",
 ]
 
@@ -79,11 +80,19 @@ def main() -> None:
     #   keeps AQE ON with 3× core partitions — at 100 TB the premium is
     #   noise and the re-planning (broadcast conversion, skew split) is
     #   what keeps the same declarative plans efficient.
-    spark = get_spark(
-        "bench",
-        shuffle_partitions=8,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
-    )
+    # SF-aware profile selection: the fixture profile must never leak
+    # into larger runs — at sf ≥ 1 the shuffles carry real volume, so
+    # the run uses the production-shaped profile (full core-count
+    # partitions, AQE ON for runtime broadcast conversion / skew
+    # splitting), matching session.cluster_conf's intent.
+    if sf is not None and sf >= 1:
+        spark = get_spark("bench", shuffle_partitions=32)
+    else:
+        spark = get_spark(
+            "bench",
+            shuffle_partitions=8,
+            extra_conf={"spark.sql.adaptive.enabled": "false"},
+        )
 
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not session startup

@@ -133,20 +133,18 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared buckets.
     """
     docsets = doc_shingle_sets(spark, sf_dir).cache()
-    # eager fill: the bands projection and both verify joins below
-    # read this cache
-    docsets.count()
-    bands = band_keys_from_sets(docsets)
-
     is_batch = F.col("doc_id") % 4 == 0
-    # batch bands broadcast only while the batch is genuinely small —
-    # same size guard as the loader's incremental merge
-    # (BROADCAST_BATCH_MAX_ROWS): a backfill-sized batch must take the
-    # shuffle join, not a forced driver-memory broadcast.  The count is
-    # a filter over the already-cached docsets — no extra scan.
-    batch_is_small = (
-        docsets.filter(is_batch).count() <= BROADCAST_BATCH_MAX_ROWS
-    )
+    # ONE action does double duty: it eagerly fills the cache (the
+    # bands projection and both verify joins below read it) AND
+    # returns the batch row count for the broadcast size guard —
+    # same threshold as the loader's incremental merge
+    # (BROADCAST_BATCH_MAX_ROWS): a backfill-sized batch must take
+    # the shuffle join, not a forced driver-memory broadcast.
+    n_batch = docsets.agg(
+        F.sum(is_batch.cast("long")).alias("n")
+    ).first()["n"]
+    batch_is_small = (n_batch or 0) <= BROADCAST_BATCH_MAX_ROWS
+    bands = band_keys_from_sets(docsets)
 
     def _batch_side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if batch_is_small else df

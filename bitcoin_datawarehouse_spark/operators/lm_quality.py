@@ -114,10 +114,9 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_lm_quality",
-    oracle=f"""
-    WITH {_SQL_TOK},
+#: Shared oracle CTE chain ending at ``scores`` — both bucketing
+#: modes (exact NTILE and approx thresholds) consume this frame.
+_SQL_SCORES = f"""{_SQL_TOK},
     pos AS (
       SELECT t.doc_id, t.tk[g.i] AS w1,
              CASE WHEN g.i < len(t.tk) THEN t.tk[g.i + 1] END AS w2
@@ -155,7 +154,13 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((2 * micro + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
                / 1000000.0 AS bits_per_token
       FROM sums
-    )
+    )"""
+
+
+@query(
+    "text_lm_quality",
+    oracle=f"""
+    WITH {_SQL_SCORES}
     SELECT s.doc_id,
            CAST(len(t.tk) AS BIGINT) AS n_tokens,
            CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
@@ -340,3 +345,54 @@ def text_lm_quality_buckets(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@query(
+    "text_lm_quality_approx",
+    oracle=f"""
+    WITH {_SQL_SCORES},
+    ranked AS (
+      SELECT bits_per_token,
+             ROW_NUMBER() OVER (ORDER BY bits_per_token) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scores
+    ),
+    thr AS (
+      SELECT MAX(CASE WHEN rn = CAST(ceil(n * (1.0/3)) AS BIGINT)
+                 THEN bits_per_token END) AS t1,
+             MAX(CASE WHEN rn = CAST(ceil(n * (2.0/3)) AS BIGINT)
+                 THEN bits_per_token END) AS t2
+      FROM ranked
+    )
+    SELECT s.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+           s.bits_per_token,
+           CASE WHEN s.bits_per_token <= thr.t1 THEN 'head'
+                WHEN s.bits_per_token <= thr.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scores s JOIN tok t USING (doc_id) CROSS JOIN thr
+    """,
+)
+def text_lm_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-default bucketing path, hash-gated.
+
+    Same per-document score frame as :func:`text_lm_quality`, but
+    bucket assignment via one ``percentile_approx`` threshold
+    aggregate instead of the exact global rank — no persist+count
+    materialization barrier anywhere in the plan.
+
+    Hash-checkable because the GK sketch is EXACT below ``accuracy``
+    distinct scores (the fixtures are far below 10 000) and Spark's
+    discrete percentile deterministically returns the element at
+    sorted position ``ceil(p*n)`` (verified empirically at sf0.01 and
+    sf0.1; the oracle reproduces that rank arithmetic explicitly
+    rather than relying on DuckDB's ``quantile_disc``, whose 2/3
+    convention is ``floor(p*(n-1))+1`` — off by one).  Boundary-tied
+    scores all land in the lower bucket on BOTH engines (``<=``
+    threshold compare), so tie handling is deterministic too.  Past
+    ``accuracy`` distinct scores the sketch may shift a boundary by
+    ~n/accuracy ranks — immaterial for corpus filtering, and exactly
+    why the exact mode is retained as the audit surface.
+    """
+    return text_lm_quality_buckets(spark, sf_dir, mode="approx")

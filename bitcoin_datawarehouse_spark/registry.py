@@ -113,14 +113,17 @@ DRIVER_WINDOW: list[str] = [
     "dedup_substring_spans",
     "dedup_incremental_batch",
     "dedup_embedding_cosine_lsh",
-    # LM quality + profiling
+    # LM quality (exact oracle mode + production approx-threshold
+    # mode, both hash-gated) + profiling.  The approx slot took the
+    # seat of agg_string_concat (driver-green r3 — union coverage
+    # retained via CORRECTNESS_r03).
     "text_lm_quality",
+    "text_lm_quality_approx",
     "profile_column_stats",
     # relational completions
     "join_full_outer",
     "agg_having",
     "agg_percentiles",
-    "agg_string_concat",
     "setop_except_all",
     "window_ntile_dist",
     "window_range_frame",

@@ -52,6 +52,7 @@ HEADLINE = [
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
     "dedup_substring_spans",
     "dedup_incremental_batch",
     "text_lm_quality",

@@ -100,11 +100,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    # block count: NB(NB+1)/2 tasks, replication NB+1 per row.  4 is
-    # sized for the fixture (10 tasks, 5× replication); raise with the
-    # corpus — per-task memory is (2N/NB)·d doubles, so NB grows
-    # linearly with N to hold task memory constant
+    # block count: NB(NB+1)/2 tasks, replication NB+1 per row.  Sized
+    # so the grid at least fills the cluster — NB(NB+1)/2 ≥ cores —
+    # with a floor of 4 (10 tasks, 5× replication at fixture scale);
+    # raise further with the corpus: per-task memory is (2N/NB)·d
+    # doubles, so NB grows linearly with N to hold task memory
+    # constant while total compute stays the irreducible O(N²/2).
+    # (Result-invariant: NB only changes the partitioning of the pair
+    # grid, never which pairs are scored.)
+    cores = spark.sparkContext.defaultParallelism
     NB = 4
+    while NB * (NB + 1) // 2 < cores:
+        NB += 1
 
     emb = _normed(spark, sf_dir).select("vec_id", "e")
 

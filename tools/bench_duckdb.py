@@ -78,14 +78,31 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    # per-query budget: once a query's warm run alone exceeds this,
+    # its warm time is recorded as-is and the best-of-3 repeats are
+    # skipped — at sf ≥ 1 the O(N²) audit oracles run for minutes and
+    # would otherwise quadruple an already-long comparator run.  The
+    # first-run time slightly overstates DuckDB's steady state, so
+    # entries listed under "over_budget" are approximate (cite them
+    # with "~" in SCALING.md), never exact best-of-3 numbers.
+    budget = float(os.environ.get("DUCKDB_BENCH_QUERY_BUDGET_S", "120"))
     timings: dict[str, float] = {}
     skipped: list[str] = []
+    over_budget: list[str] = []
     for name in HEADLINE:
         sql = ORACLES.get(name)
         if sql is None:
             skipped.append(name)
             continue
+        t0 = time.time()
         con.execute(sql).fetchall()  # warm (parquet metadata, plan)
+        warm = time.time() - t0
+        if warm > budget:
+            timings[name] = round(warm, 3)
+            over_budget.append(name)
+            print(f"{name}: {warm:.1f}s (over budget, warm-only)",
+                  file=sys.stderr)
+            continue
         best = None
         for _ in range(3):
             t0 = time.time()
@@ -93,6 +110,7 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        print(f"{name}: {best:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(
@@ -103,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "skipped": skipped,
+                "over_budget": over_budget,
                 "sf": sf,
             }
         )

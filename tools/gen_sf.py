@@ -12,10 +12,16 @@ Two columns get per-copy decorrelation so the dedup/ANN workloads
 keep their candidate-density SHAPE instead of exploding
 quadratically in exact clones:
 
-* ``documents.text``: every token in copy ``i>0`` gets an ``_c{i}``
+* ``documents.text``: every token in copy ``i>0`` gets a ``c{i}``
   suffix — all shingles/bands differ across copies (zero cross-copy
   near-dups) while the INTRA-copy duplicate structure the queries
-  hunt is replicated exactly;
+  hunt is replicated exactly.  The suffix is fused to the token
+  WITHOUT a separator on purpose: an earlier ``_c{i}`` variant split
+  at the ``_`` under the engines' ``[^a-z0-9]+`` tokenizer,
+  injecting a shared ``c{i}`` token between every token pair of copy
+  ``i`` — which dragged every doc in a copy into the same LSH
+  buckets (measured: a 1 798-doc bucket → 6.3M candidate pairs at
+  factor 10, a quadratic fixture artifact no real corpus has);
 * ``embeddings.embedding``: a deterministic per-(vec, dim, copy)
   multiplicative jitter of up to ±0.5% — cross-copy vectors are
   near- but not exact-duplicates, matching a real corpus' density.
@@ -93,12 +99,12 @@ def main() -> int:
             SELECT doc_id + i * {s_doc} AS doc_id,
                    CASE WHEN i = 0 THEN text
                         ELSE regexp_replace(text, '(\\S+)',
-                                            '\\1_c' || i, 'g')
+                                            '\\1c' || i, 'g')
                    END AS text,
                    lang, source,
                    CAST(length(CASE WHEN i = 0 THEN text
                         ELSE regexp_replace(text, '(\\S+)',
-                                            '\\1_c' || i, 'g')
+                                            '\\1c' || i, 'g')
                    END) AS BIGINT) AS n_chars
             FROM '{p('documents')}' CROSS JOIN {copies}""",
         "embeddings": f"""

@@ -53,6 +53,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_wide",
     "dedup_substring_spans",
     "dedup_incremental_batch",
     "text_lm_quality",

@@ -189,11 +189,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_dedup_oracle() -> str:
-    from bitcoin_datawarehouse_spark.operators.similarity import _SQL_SIGS
+#: bits per table for the scale-tier LSH dedup variant: 2^12 = 4096
+#: buckets/table keeps expected bucket size (and with it the
+#: quadratic in-bucket candidate volume) tractable as the corpus
+#: grows, while true near-dups (cosine ≈ 1 ⇒ sign agreement on
+#: almost every projection) keep colliding.
+WIDE_LSH_BITS = 12
+
+
+def _lsh_dedup_oracle(bits: int = None) -> str:
+    from bitcoin_datawarehouse_spark.operators.similarity import sigs_sql
 
     return f"""
-    WITH {_SQL_SIGS},
+    WITH {sigs_sql(bits=bits)},
     cands AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM sigs a
@@ -209,6 +217,89 @@ def _lsh_dedup_oracle() -> str:
     """
 
 
+def _lsh_dedup(
+    spark: SparkSession, sf_dir: str, bits: int = None
+) -> DataFrame:
+    """Shared body of the LSH-candidate embedding dedup at a chosen
+    table width (see the two registered instances below).
+
+    Plan: bucket assignment → join each vector's embedding to its
+    (tbl, bucket) memberships → per-bucket ``applyInPandas`` grid
+    scoring → threshold filter in-kernel → one distinct to collapse
+    pairs that collide in several tables.  The kernel is the same
+    dim-ordered numpy accumulation as the exact block grid
+    (bit-identical to the JVM/DuckDB left fold), replacing the earlier
+    per-candidate interpreted HOF fold — and each vector moves through
+    Arrow once per table membership (#tables copies) instead of once
+    per candidate pair.  Per-task memory is bucket_size·d doubles —
+    bounded by the width choice, the same knob that bounds candidate
+    volume.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        lsh_bucket_assignments,
+    )
+
+    buckets = lsh_bucket_assignments(spark, sf_dir, bits=bits)
+    # (no singleton-bucket pre-filter: a window-count + filter before
+    # the join measured 2.5-3.5× SLOWER end-to-end — it breaks the
+    # exchange reuse between the signature aggregate and the kernel's
+    # groupBy, and empty pandas groups are cheaper than the extra
+    # shuffles)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    grouped = buckets.join(emb, "vec_id").select(
+        "tbl", "bucket", "vec_id", "e"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    thr = COSINE_DUP_THRESHOLD
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # vec_a < vec_b within the bucket
+        ids = ids[order]
+        mat = np.array(list(pdf["e"]), dtype=np.float64)[order]
+        nrm = np.zeros(n)
+        for j in range(mat.shape[1]):  # fold order identical to norm_col
+            nrm += mat[:, j] * mat[:, j]
+        nrm = np.sqrt(nrm)
+        acc = np.zeros((n, n))
+        for j in range(mat.shape[1]):  # dim-ordered, matches dot_col
+            acc += np.outer(mat[:, j], mat[:, j])
+        cos = acc / np.outer(nrm, nrm)
+        ai, bi = np.triu_indices(n, 1)
+        keep = cos[ai, bi] >= thr
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ai[keep]],
+                "vec_b": ids[bi[keep]],
+                "cosine": cos[ai[keep], bi[keep]],
+            }
+        )
+
+    # a pair colliding in k tables is emitted k times with the SAME
+    # double bits (identical fold in every copy) — distinct collapses
+    return (
+        grouped.groupBy("tbl", "bucket")
+        .applyInPandas(score_bucket, out_schema)
+        .distinct()
+    )
+
+
 @query("dedup_embedding_cosine_lsh", oracle=_lsh_dedup_oracle())
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs with LSH-sourced candidates — the
@@ -217,50 +308,35 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH bucket self-join (any shared (table, bucket)), and only
     candidates are cosine-scored.
 
-    This is the corpus-scale configuration: candidate volume is
-    Σ bucket_size² over 8×32 buckets (tunable via LSH_TABLES/BITS),
-    the join is a bucket-key equi-join (never all-pairs), and the
-    rerank is the same deterministic fold as every other cosine here.
-    Missed pairs are those sharing no bucket — the measured recall
-    trade-off documented in SCALING.md.
+    Candidate volume is Σ bucket_size² over the table grid, the join
+    is a bucket-key equi-join (never all-pairs), and the rerank is
+    the same deterministic fold as every other cosine here.  Missed
+    pairs are those sharing no bucket — the measured recall trade-off
+    documented in SCALING.md.  This instance pins the fixture-tuned
+    8×5 width (32 buckets/table — sized for the sf0.01 driver gate's
+    2 000 vectors); the scale tier is the _wide instance below.
     """
-    from bitcoin_datawarehouse_spark.operators.similarity import (
-        similarity_lsh_buckets,
-    )
+    return _lsh_dedup(spark, sf_dir)
 
-    buckets = similarity_lsh_buckets(spark, sf_dir)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
-    emb = _normed(spark, sf_dir)
-    x = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("xe"),
-        F.col("nrm").alias("xn"),
-    )
-    y = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("ye"),
-        F.col("nrm").alias("yn"),
-    )
-    cos = dot_col(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn"))
-    return (
-        cands.join(x, "vec_a")
-        .join(y, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-    )
+
+@query(
+    "dedup_embedding_cosine_lsh_wide",
+    oracle=_lsh_dedup_oracle(bits=WIDE_LSH_BITS),
+)
+def dedup_embedding_cosine_lsh_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus-scale configuration of the LSH embedding dedup:
+    8×12 (4 096 buckets/table).  At a FIXED width a 10× corpus pays
+    ~100× in in-bucket candidate pairs (measured at sf1: 47M
+    candidates — 24% of all pairs — from 20k vectors at 8×5, 33 s);
+    at 8×12 the same corpus yields bucket sizes near the singleton
+    floor while jitter-level near-dups still agree on effectively all
+    sign bits, so recall on TRUE near-dups holds (pytest-pinned
+    against the exact grid).  Production sizing: bits ≈
+    log2(N / target_bucket_size), registered per tier so every tier
+    stays a static, hash-checkable oracle."""
+    return _lsh_dedup(spark, sf_dir, bits=WIDE_LSH_BITS)
 
 
 _SQL_IVF_COMMON = f"""

@@ -130,36 +130,55 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle CTE: per-vector sign-LSH signatures (elems → ±1
 # projections → per-table bucket ints) — used verbatim by the buckets
-# query and composed into the end-to-end ANN oracle below.
-_SQL_SIGS = f"""elems AS (
-      SELECT vec_id,
-             generate_subscripts(embedding, 1) AS i,
-             unnest(CAST(embedding AS DOUBLE[])) AS x
-      FROM embeddings
+# query and composed into the end-to-end ANN oracle below.  The
+# builder is parameterized because bucket count is THE scale lever of
+# sign-LSH (expected bucket size is N/2^bits): registered queries pin
+# fixture-tuned widths so their oracles stay static strings, and each
+# width is its own registered instance (e.g. the 8×12 wide variant of
+# embedding dedup in embeddings_extra.py).
+def sigs_sql(
+    tables: int = None, bits: int = None  # noqa: RUF013 — late defaults
+) -> str:
+    tables = LSH_TABLES if tables is None else tables
+    bits = LSH_BITS_PER_TABLE if bits is None else bits
+    # The projection sum is a DIM-ORDERED float64 left fold (list_zip
+    # + list_reduce), not an order-independent decimal SUM over
+    # exploded rows: the Spark side computes signatures per vector
+    # inside an Arrow kernel whose accumulation order is the dimension
+    # order, and an ordered IEEE fold is the cross-engine contract the
+    # whole cosine family already uses (dot_col / _SQL_COS).  A
+    # seedless list_reduce starts at the first element; the kernel
+    # starts at 0.0 — identical, since 0.0 + x == x exactly.
+    return f"""vsig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     proj AS (
-      SELECT e.vec_id, b.j,
-             CAST(SUM(CAST(
-               CASE WHEN ((instr('0123456789abcdef',
-                                 substr(md5(CAST(b.j AS VARCHAR) || ':'
-                                        || CAST(e.i AS VARCHAR)), 1, 1))
-                           - 1) & 1) = 1
-                    THEN e.x ELSE -e.x END
-               AS DECIMAL(38,30))) AS DOUBLE) AS s
-      FROM elems e
+      SELECT vec_id, b.j,
+             list_reduce(
+               list_transform(
+                 list_zip(e, range(1, len(e) + 1)),
+                 p -> CASE WHEN ((instr('0123456789abcdef',
+                                  substr(md5(CAST(b.j AS VARCHAR) || ':'
+                                         || CAST(p[2] AS VARCHAR)), 1, 1))
+                              - 1) & 1) = 1
+                      THEN p[1] ELSE -p[1] END),
+               (acc, x) -> acc + x) AS s
+      FROM vsig
       CROSS JOIN (SELECT unnest(generate_series(0,
-                    {LSH_TABLES * LSH_BITS_PER_TABLE - 1})) AS j) b
-      GROUP BY 1, 2
+                    {tables * bits - 1})) AS j) b
     ),
     sigs AS (
       SELECT vec_id,
-             j // {LSH_BITS_PER_TABLE} AS tbl,
+             j // {bits} AS tbl,
              CAST(SUM(CASE WHEN s > 0
-                           THEN 1 << (j % {LSH_BITS_PER_TABLE})
+                           THEN 1 << (j % {bits})
                            ELSE 0 END) AS BIGINT) AS bucket
       FROM proj
-      GROUP BY vec_id, j // {LSH_BITS_PER_TABLE}
+      GROUP BY vec_id, j // {bits}
     )"""
+
+
+_SQL_SIGS = sigs_sql()
 
 
 @query(
@@ -170,52 +189,99 @@ _SQL_SIGS = f"""elems AS (
     """,
 )
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH bucket assignment: LSH_TABLES tables x LSH_BITS_PER_TABLE bits (8x5 as configured).
+    """Sign-random-projection LSH bucket assignment: LSH_TABLES tables x LSH_BITS_PER_TABLE bits (8x5 as configured)."""
+    return lsh_bucket_assignments(spark, sf_dir)
+
+
+def lsh_bucket_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: int = None,
+    bits: int = None,
+) -> DataFrame:
+    """(vec_id, tbl, bucket) sign-LSH assignments at a chosen width.
 
     Projection 'vectors' are ±1 Rademacher components derived from
     md5(bit:dim) — reproducible in any engine and as good as Gaussian
     for sign-LSH (public SRP-LSH literature).  Plan shape: explode to
     (vec, dim) × n_bits, two hash aggregates — all shuffle keys are
     uniform, no skew.
+
+    ``bits`` is the scale knob: expected bucket size is N/2^bits per
+    table, and in-bucket candidate pairs grow with bucket_size² — at a
+    fixed width a 10× corpus costs ~100× in candidates (measured at
+    sf1: 47M pairs from 20k vectors at 8×5), while near-identical
+    vectors agree on almost every sign bit and keep colliding at any
+    practical width, so widening buckets sheds junk candidates without
+    losing true near-dups.  Size bits ≈ log2(N / target_bucket_size).
+
+    One Arrow pass computes every table's bucket per vector: the ±1
+    projection matrix is rebuilt from md5(bit:dim) inside the kernel
+    (engine-reproducible), and the accumulation loops over DIMENSIONS
+    in order — per (vector, bit) that is the same left-to-right IEEE
+    sequence as the oracle's list_reduce fold, so the sign (and hence
+    the bucket int) is bit-identical.  This replaced an
+    explode×bits crossJoin + two hash aggregates whose intermediate
+    was N·d·nbits rows (245M at sf1 for 8×12 — the dominant cost of
+    the wide variant); the kernel's output is just N·tables rows and
+    its FLOPs are vectorized over the batch.
     """
-    # spread before the 64× explode and the ×40-bit cross join — on the
-    # one-split fixture the 5M-row expansion would otherwise build (and
-    # partially aggregate) on a single task
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    tables = LSH_TABLES if tables is None else tables
+    bits = LSH_BITS_PER_TABLE if bits is None else bits
+    nbits = tables * bits
+
+    def _sign(j: int, i: int) -> float:
+        h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+        return 1.0 if (int(h[0], 16) & 1) == 1 else -1.0
+
+    def gen(batches):
+        S = None  # (nbits × d) ±1 matrix, built on first batch
+        weights = (np.left_shift(1, np.arange(bits))).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            n, d = mat.shape
+            if S is None or S.shape[1] != d:
+                S = np.array(
+                    [[_sign(j, i) for i in range(1, d + 1)]
+                     for j in range(nbits)],
+                    dtype=np.float64,
+                )
+            acc = np.zeros((n, nbits))
+            for i in range(d):  # dim-ordered fold, matches list_reduce
+                acc += np.outer(mat[:, i], S[:, i])
+            pos = (acc > 0).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            frames = []
+            for t in range(tables):
+                blk = pos[:, t * bits:(t + 1) * bits]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "tbl": np.full(n, t, dtype=np.int32),
+                            "bucket": blk @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    # spread the one-split fixture parquet across cores before the
+    # CPU-heavy kernel (CLAUDE.md rule)
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
-            "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-        .select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("x"))
     )
-    nbits = LSH_TABLES * LSH_BITS_PER_TABLE
-    bits = spark.range(nbits).select(F.col("id").cast("int").alias("j"))
-    signed = F.expr(
-        "CASE WHEN ((instr('0123456789abcdef', "
-        "substr(md5(cast(concat(cast(j AS string), ':', cast(i AS string)) AS binary)), 1, 1)) "
-        "- 1) & 1) = 1 THEN x ELSE -x END"
-    )
-    proj = (
-        emb.crossJoin(F.broadcast(bits))
-        .groupBy("vec_id", "j")
-        .agg(F.sum(signed.cast(_DEC)).cast("double").alias("s"))
-    )
-    return (
-        proj.withColumn("tbl", F.floor(F.col("j") / LSH_BITS_PER_TABLE).cast("int"))
-        .groupBy("vec_id", "tbl")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr(f"shiftleft(1, j % {LSH_BITS_PER_TABLE})"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("bucket")
-        )
-        .select("vec_id", "tbl", "bucket")
-    )
+    return emb.mapInPandas(gen, "vec_id long, tbl int, bucket long")
 
 
 @query(

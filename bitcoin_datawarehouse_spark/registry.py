@@ -123,7 +123,9 @@ DRIVER_WINDOW: list[str] = [
     # relational completions
     "join_full_outer",
     "agg_having",
-    "agg_percentiles",
+    # scale-tier LSH embedding dedup (8×12) — took the seat of
+    # agg_percentiles (driver-green r3, union coverage retained)
+    "dedup_embedding_cosine_lsh_wide",
     "setop_except_all",
     "window_ntile_dist",
     "window_range_frame",

@@ -213,6 +213,45 @@ def test_lsh_dedup_recall_vs_exact(spark):
     assert exact, "fixture yields no pairs — threshold drifted"
     assert len(lsh) / len(exact) >= 0.4
 
+
+def test_wide_lsh_full_recall_on_true_near_dups(spark, tmp_path):
+    """The scale-tier (8×12) LSH dedup's core claim: widening buckets
+    sheds junk candidates WITHOUT losing true near-dups, because
+    cosine ≈ 1 vectors agree on effectively every sign projection.
+    Planted corpus: 40 clusters × 4 jittered copies (±0.5%
+    multiplicative — the gen_sf.py decorrelation model, cosine
+    ≥ 0.9999 intra-cluster).  Every intra-cluster pair must survive
+    both the narrow and the wide variant."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    truth = set()
+    for _ in range(40):
+        base = rng.standard_normal(16)
+        ids = []
+        for _ in range(4):
+            jit = base * (1.0 + rng.uniform(-0.005, 0.005, 16))
+            rows.append((vid, [float(x) for x in jit]))
+            ids.append(vid)
+            vid += 1
+        truth |= {
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        }
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    wide = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_cosine_lsh_wide"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    missed = truth - wide
+    assert not missed, f"wide LSH lost true near-dup pairs: {missed}"
+
 def test_pii_redaction_on_planted_rows(spark):
     """The fixture corpus has zero PII (the gate verifies parity at
     zero hits) — prove the kernel on planted rows."""

@@ -217,23 +217,39 @@ def _lsh_dedup_oracle(bits: int = None) -> str:
     """
 
 
+#: widths past this use the candidate-join rerank instead of the
+#: per-bucket grid kernel: at ≥2^9 buckets/table most buckets are
+#: singletons or pairs, so the grid kernel's per-group pandas
+#: invocation overhead (measured 2.3 s of the wide variant's 2.9 s at
+#: sf0.1) exceeds the candidate-level fold it saves, while at narrow
+#: widths the buckets are large and the grid kernel wins 5×
+#: (measured 33 s → 6.6 s at sf1 8×5).  Either path emits identical
+#: double bits — same dim-ordered fold — so the choice is purely a
+#: physical one.
+_GRID_RERANK_MAX_BITS = 8
+
+
 def _lsh_dedup(
     spark: SparkSession, sf_dir: str, bits: int = None
 ) -> DataFrame:
     """Shared body of the LSH-candidate embedding dedup at a chosen
     table width (see the two registered instances below).
 
-    Plan: bucket assignment → join each vector's embedding to its
-    (tbl, bucket) memberships → per-bucket ``applyInPandas`` grid
-    scoring → threshold filter in-kernel → one distinct to collapse
-    pairs that collide in several tables.  The kernel is the same
-    dim-ordered numpy accumulation as the exact block grid
-    (bit-identical to the JVM/DuckDB left fold), replacing the earlier
-    per-candidate interpreted HOF fold — and each vector moves through
-    Arrow once per table membership (#tables copies) instead of once
-    per candidate pair.  Per-task memory is bucket_size·d doubles —
-    bounded by the width choice, the same knob that bounds candidate
-    volume.
+    Narrow widths (≤ :data:`_GRID_RERANK_MAX_BITS`): bucket
+    assignment → join each vector's embedding to its (tbl, bucket)
+    memberships → per-bucket ``applyInPandas`` grid scoring →
+    threshold filter in-kernel → one distinct to collapse pairs that
+    collide in several tables.  The kernel is the same dim-ordered
+    numpy accumulation as the exact block grid (bit-identical to the
+    JVM/DuckDB left fold), replacing a per-candidate interpreted HOF
+    fold — and each vector moves through Arrow once per table
+    membership (#tables copies) instead of once per candidate pair.
+    Per-task memory is bucket_size·d doubles — bounded by the width
+    choice, the same knob that bounds candidate volume.
+
+    Wide widths: bucket self-join for distinct candidate pairs, then
+    the codegen'd fold rerank — buckets are near-singleton there, so
+    candidates are few and per-group kernel overhead would dominate.
     """
     import numpy as np
     import pandas as pd
@@ -252,6 +268,51 @@ def _lsh_dedup(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        LSH_BITS_PER_TABLE,
+    )
+
+    eff_bits = LSH_BITS_PER_TABLE if bits is None else bits
+    if eff_bits > _GRID_RERANK_MAX_BITS:
+        # wide tier: few, tiny buckets — candidate self-join + the
+        # codegen'd fold rerank (same double bits as the kernel path)
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .distinct()
+        )
+        emn = emb.withColumn("nrm", norm_col(F.col("e")))
+        x = emn.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("e").alias("xe"),
+            F.col("nrm").alias("xn"),
+        )
+        y = emn.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("e").alias("ye"),
+            F.col("nrm").alias("yn"),
+        )
+        cos = dot_col(F.col("xe"), F.col("ye")) / (
+            F.col("xn") * F.col("yn")
+        )
+        return (
+            cands.join(x, "vec_a")
+            .join(y, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        )
+
     grouped = buckets.join(emb, "vec_id").select(
         "tbl", "bucket", "vec_id", "e"
     )

@@ -101,6 +101,27 @@ def test_minhash_bucket_join_no_cartesian(plan_of):
     assert_no_cartesian(plan_of("dedup_minhash_lsh"))
 
 
+def test_embedding_lsh_narrow_uses_grid_kernel(plan_of):
+    # narrow width (fat buckets): the rerank is the per-bucket numpy
+    # grid kernel, one FlatMapGroupsInPandas over (tbl, bucket) — no
+    # candidate-pair self-join at all
+    plan = plan_of("dedup_embedding_cosine_lsh")
+    assert "FlatMapGroupsInPandas" in plan
+    assert_no_cartesian(plan)
+
+
+def test_embedding_lsh_wide_uses_candidate_equi_join(plan_of):
+    # wide width (near-singleton buckets): candidate generation is a
+    # bucket-key equi-join and the rerank a codegen'd fold — never a
+    # cartesian/nested-loop, and no per-bucket kernel (its per-group
+    # overhead dominates at this width; see _GRID_RERANK_MAX_BITS)
+    plan = plan_of("dedup_embedding_cosine_lsh_wide")
+    assert_no_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_range_join_is_hash_join_not_nested_loop(plan_of):
     # the bucketize-then-refine rewrite must produce an equi hash join
     plan = plan_of("join_range_bucketized")

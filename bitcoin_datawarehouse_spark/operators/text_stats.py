@@ -172,3 +172,55 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+TOKEN_HIST_TOP_K = 50
+
+
+@query(
+    "text_token_histogram",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2
+    )
+    SELECT token,
+           CAST(SUM(tf) AS BIGINT) AS term_count,
+           COUNT(*) AS doc_count
+    FROM tf GROUP BY token
+    ORDER BY term_count DESC, token ASC
+    LIMIT {TOKEN_HIST_TOP_K}
+    """,
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-K tokens by total occurrences, with
+    document frequency — the first pass of BPE/vocab construction and
+    the standard corpus-composition report.
+
+    Scale shape: two cascaded hash aggregates.  Phase 1 keys on
+    (doc_id, token), so map-side partial aggregation collapses
+    within-document repeats before any shuffle; phase 2 reduces the
+    per-doc term table to one vocabulary-sized frame (term_count =
+    sum of tf, doc_count = group size — no COUNT(DISTINCT) expand).
+    The final top-K is a TakeOrderedAndProject (per-partition heap +
+    driver merge of K rows), never a global sort.  Tie-break on token
+    makes the LIMIT boundary deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.sum("tf").cast("bigint").alias("term_count"),
+            F.count("*").alias("doc_count"),
+        )
+        .orderBy(F.col("term_count").desc(), F.col("token").asc())
+        .limit(TOKEN_HIST_TOP_K)
+    )

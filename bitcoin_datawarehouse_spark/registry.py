@@ -120,9 +120,10 @@ DRIVER_WINDOW: list[str] = [
     "text_lm_quality",
     "text_lm_quality_approx",
     "profile_column_stats",
-    # relational completions
-    "join_full_outer",
-    "agg_having",
+    # round-4 in-session flagships (took the seats of join_full_outer /
+    # agg_having, both driver-green r3 — union coverage retained)
+    "text_token_histogram",
+    "sql_recursive_date_spine",
     # scale-tier LSH embedding dedup (8×12) — took the seat of
     # agg_percentiles (driver-green r3, union coverage retained)
     "dedup_embedding_cosine_lsh_wide",

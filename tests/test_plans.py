@@ -330,3 +330,22 @@ def test_shuffle_budget(plan_of, name, budget):
         f"{name}: {n} Exchange nodes, budget {budget} — a plan-shape "
         "regression (or an improvement: re-pin deliberately)"
     )
+
+
+def test_token_histogram_topk_no_global_sort(plan_of):
+    """Corpus vocab head: cascaded hash aggregates with map-side
+    partial combine, final top-K via per-partition heap (TakeOrdered),
+    never a global sort."""
+    plan = plan_of("text_token_histogram")
+    assert "TakeOrderedAndProject" in plan
+    assert_partial_aggregation(plan)
+    assert_no_cartesian(plan)
+
+
+def test_recursive_spine_joins_broadcast(plan_of):
+    """The 60-row recursive spine must enter the revenue join as the
+    broadcast side — a shuffle exchange on a constant-sized calendar
+    frame would be plan noise at any scale."""
+    plan = plan_of("sql_recursive_date_spine")
+    assert_broadcast_join(plan)
+    assert_no_cartesian(plan)

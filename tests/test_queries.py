@@ -528,3 +528,41 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # monotonically >=; on the fixture it is strictly better
     assert r_multi >= r_single
     assert r_multi >= 0.6, (r_single, r_multi)
+
+
+def test_recursive_spine_is_contiguous_and_zero_filled(spark):
+    """The recursive CTE must emit exactly SPINE_DAYS consecutive days
+    starting at the earliest order day, with zero-filled revenue on
+    calendar days that had no orders."""
+    import datetime
+
+    from bitcoin_datawarehouse_spark.operators.sql_surface import SPINE_DAYS
+
+    rows = sorted(
+        QUERIES["sql_recursive_date_spine"](spark, SF_SMALL).collect(),
+        key=lambda r: r.day_idx,
+    )
+    assert len(rows) == SPINE_DAYS
+    assert [r.day_idx for r in rows] == list(range(SPINE_DAYS))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.order_day - prev.order_day == datetime.timedelta(days=1)
+    # zero-fill contract: revenue/n_items are non-null everywhere and
+    # agree on emptiness
+    for r in rows:
+        assert r.revenue is not None and r.n_items is not None
+        assert (r.n_items == 0) == (r.revenue == 0.0)
+
+
+def test_token_histogram_counts_are_consistent(spark):
+    """term_count >= doc_count (every counted doc contributes >=1
+    occurrence), counts positive, rows unique by token, and the list
+    is sorted by (term_count desc, token) with K-bounded length."""
+    from bitcoin_datawarehouse_spark.operators.text_stats import (
+        TOKEN_HIST_TOP_K,
+    )
+
+    rows = QUERIES["text_token_histogram"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= TOKEN_HIST_TOP_K
+    assert len({r.token for r in rows}) == len(rows)
+    for r in rows:
+        assert r.term_count >= r.doc_count > 0

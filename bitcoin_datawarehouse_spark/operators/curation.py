@@ -469,3 +469,152 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return pii_scan_frame(docs)
+
+
+# -- fuzzy (MinHash-LSH) decontamination ------------------------------------
+
+#: stand-in "benchmark" split for the FUZZY decontam: every 5th doc.
+#: Denser than EVAL_MOD=97 so the fixture's near-dup clusters actually
+#: cross the corpus/eval boundary (mod-97 leaves zero LSH candidates at
+#: sf0.01 — a 0-row gate proves nothing).  Production contract is the
+#: same: a small fixed benchmark corpus.
+FUZZY_EVAL_MOD = 5
+
+
+def _fuzzy_decontam_oracle() -> str:
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_BAND_SIZE,
+        MINHASH_SEEDS,
+    )
+
+    return f"""
+    WITH {_SQL_SHING},
+    mh AS (
+      SELECT s.doc_id, g.seed,
+             MIN(md5(CAST(g.seed AS VARCHAR) || ':' || s.sh)) AS minh
+      FROM shing s
+      CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1}))
+                  AS seed) g
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id,
+             seed // {MINHASH_BAND_SIZE} AS band,
+             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+      FROM mh
+      GROUP BY doc_id, seed // {MINHASH_BAND_SIZE}
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id, e.doc_id AS eval_doc_id
+      FROM bands c
+      JOIN bands e ON c.band = e.band AND c.band_key = e.band_key
+      WHERE c.doc_id % {FUZZY_EVAL_MOD} <> 0
+        AND e.doc_id % {FUZZY_EVAL_MOD} = 0
+    ),
+    common AS (
+      SELECT cd.doc_id, cd.eval_doc_id, COUNT(*) AS n_common
+      FROM cand cd
+      JOIN shing s1 ON s1.doc_id = cd.doc_id
+      JOIN shing s2 ON s2.doc_id = cd.eval_doc_id AND s2.sh = s1.sh
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cd.doc_id, cd.eval_doc_id,
+             COALESCE(
+               CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common),
+               0.0) AS jaccard
+      FROM cand cd
+      LEFT JOIN common ON common.doc_id = cd.doc_id
+                      AND common.eval_doc_id = cd.eval_doc_id
+      JOIN sizes sa ON sa.doc_id = cd.doc_id
+      JOIN sizes sb ON sb.doc_id = cd.eval_doc_id
+    )
+    SELECT doc_id, eval_doc_id, jaccard,
+           CAST(jaccard >= {JACCARD_THRESHOLD} AS BOOLEAN) AS contaminated
+    FROM (
+      SELECT doc_id, eval_doc_id, jaccard,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY jaccard DESC, eval_doc_id
+             ) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@query("decontam_minhash_fuzzy", oracle=_fuzzy_decontam_oracle())
+def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus documents whose
+    3-gram shingle set is NEAR-duplicate (Jaccard ≥ threshold) to any
+    eval-set document — the MinHash-LSH complement of the exact-overlap
+    ``decontam_ngram_overlap`` (rephrased/partial benchmark leakage
+    that exact n-gram matching misses at low overlap fractions).
+
+    Per corpus doc the best-matching eval doc is reported (max
+    Jaccard, ties to the smallest eval_doc_id) with the contamination
+    verdict.  Scale shape: one Arrow kernel pass computes every doc's
+    packed shingle set + band keys (shared with the dedup family,
+    cached once); the eval side of the band join is the benchmark
+    suite — bounded by construction, broadcast like the exact
+    decontam's shingle artifact; candidate pairs are verified with an
+    exact ``array_intersect`` and reduced per doc by a ``min_by`` hash
+    aggregate (no window sort).  Corpus-sized data crosses the plan
+    exactly once, in the kernel repartition.
+    """
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SH_SEP,
+        band_keys_from_sets,
+        doc_shingle_sets,
+    )
+
+    docsets = doc_shingle_sets(spark, sf_dir).cache()
+    docsets.count()  # eager fill: bands + both verify sides read it
+    bands = band_keys_from_sets(docsets)
+    is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == 0
+    ev_bands = bands.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"), "band", "band_key"
+    )
+    cand = (
+        bands.filter(~is_eval)
+        .join(F.broadcast(ev_bands), ["band", "band_key"])
+        .select("doc_id", "eval_doc_id")
+        .distinct()
+    )
+    sets_c = docsets.select(
+        "doc_id", F.col("shs").alias("shs_c"), F.col("sz").alias("sz_c")
+    )
+    sets_e = docsets.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.col("shs").alias("shs_e"),
+        F.col("sz").alias("sz_e"),
+    )
+    n_common = F.size(
+        F.array_intersect(
+            F.split(F.col("shs_c"), SH_SEP), F.split(F.col("shs_e"), SH_SEP)
+        )
+    )
+    scored = (
+        cand.join(sets_c, "doc_id")
+        .join(F.broadcast(sets_e), "eval_doc_id")
+        .select(
+            "doc_id",
+            "eval_doc_id",
+            (
+                n_common.cast("double")
+                / (F.col("sz_c") + F.col("sz_e") - n_common)
+            ).alias("jaccard"),
+        )
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.max("jaccard").alias("jaccard"),
+        F.min_by(
+            "eval_doc_id", F.struct(-F.col("jaccard"), F.col("eval_doc_id"))
+        ).alias("eval_doc_id"),
+    )
+    return best.select(
+        "doc_id",
+        "eval_doc_id",
+        "jaccard",
+        (F.col("jaccard") >= JACCARD_THRESHOLD).alias("contaminated"),
+    )

@@ -127,7 +127,9 @@ DRIVER_WINDOW: list[str] = [
     # scale-tier LSH embedding dedup (8×12) — took the seat of
     # agg_percentiles (driver-green r3, union coverage retained)
     "dedup_embedding_cosine_lsh_wide",
-    "setop_except_all",
+    # round-4 in-session flagship (took the seat of setop_except_all,
+    # driver-green r3 — union coverage retained)
+    "decontam_minhash_fuzzy",
     "window_ntile_dist",
     "window_range_frame",
     "map_props_entries",

@@ -354,3 +354,12 @@ def test_recursive_spine_joins_broadcast(plan_of):
     plan = plan_of("sql_recursive_date_spine")
     assert_broadcast_join(plan)
     assert_no_cartesian(plan)
+
+
+def test_fuzzy_decontam_band_join_broadcast_no_cartesian(plan_of):
+    """Corpus×eval candidates must come from the band-key equi-join
+    with the bounded eval side broadcast — never an all-pairs
+    comparison; the verify join moves candidate-sized data only."""
+    plan = plan_of("decontam_minhash_fuzzy")
+    assert_broadcast_join(plan)
+    assert_no_cartesian(plan)

@@ -566,3 +566,24 @@ def test_token_histogram_counts_are_consistent(spark):
     assert len({r.token for r in rows}) == len(rows)
     for r in rows:
         assert r.term_count >= r.doc_count > 0
+
+
+def test_fuzzy_decontam_best_match_shape(spark):
+    """One row per flagged corpus doc; eval/corpus sides disjoint by
+    the mod rule; jaccard in (0, 1]; verdict consistent with the
+    threshold."""
+    from bitcoin_datawarehouse_spark.operators.curation import (
+        FUZZY_EVAL_MOD,
+    )
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    rows = QUERIES["decontam_minhash_fuzzy"](spark, SF_SMALL).collect()
+    assert rows, "fixture must produce cross-boundary candidates"
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.doc_id % FUZZY_EVAL_MOD != 0
+        assert r.eval_doc_id % FUZZY_EVAL_MOD == 0
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.contaminated == (r.jaccard >= JACCARD_THRESHOLD)

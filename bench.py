@@ -59,6 +59,11 @@ HEADLINE = [
     "text_lm_quality",
     "text_lm_quality_approx",
     "trainprep_corpus_pipeline",
+    # round-4 in-session additions (headline set grew 27 → 30; the
+    # 27-query subtotal stays the round-over-round comparable)
+    "decontam_minhash_fuzzy",
+    "text_token_histogram",
+    "sql_recursive_date_spine",
 ]
 
 
@@ -140,13 +145,25 @@ def main() -> None:
         release_rank_caches,
     )
 
+    # Large-SF escape hatches (recorded in the output line — skips are
+    # never silent): SPARK_GRAFT_SKIP excludes named queries (used to
+    # drop the O(N²) exact-grid AUDIT tools at sf ≥ 10, where they are
+    # quadratically expensive by design and the LSH tiers are the
+    # production path), SPARK_GRAFT_REPEATS trims best-of-N.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
+    }
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in skip:
+            continue
         fn = QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         release_rank_caches()
         best = None
-        for _ in range(3):
+        for _ in range(repeats):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
@@ -154,15 +171,18 @@ def main() -> None:
             release_rank_caches()
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
+    out = {
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+    }
+    if skip:
+        out["skipped"] = sorted(skip)
+    print(
+        json.dumps(
+            out
         )
     )
 

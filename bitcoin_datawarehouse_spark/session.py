@@ -78,10 +78,19 @@ def cluster_conf(
       is a certainty, not a tail risk;
     * shuffle + RDD compression with zstd — shuffle volume is the
       scarce resource at 100 TB; cycles are cheaper than network.
+    * runtime bloom filters — on a selectively-filtered dimension leg
+      of a shuffle join, Catalyst builds a bloom filter over the
+      build side's join keys and probes it at the fact SCAN, pruning
+      rows before they ever enter the exchange (the runtime
+      complement of static partition pruning; plan shape pinned in
+      tests/test_plans.py::test_runtime_bloom_filter_join_pruning —
+      the fixture sits under the 10 GB application-side threshold, so
+      the local profile never triggers it spuriously).
     """
     shuffle_parts = max(256, executor_cores_total * 3)
     return {
         "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -363,3 +363,50 @@ def test_fuzzy_decontam_band_join_broadcast_no_cartesian(plan_of):
     plan = plan_of("decontam_minhash_fuzzy")
     assert_broadcast_join(plan)
     assert_no_cartesian(plan)
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Catalyst's InjectRuntimeFilter: with a selective dimension
+    filter on a shuffle join, the engine builds a bloom filter over
+    the creation side's join keys and probes it on the fact scan —
+    scan-side row pruning BEFORE the shuffle, the runtime complement
+    of static partition pruning at warehouse scale.  The fixture scan
+    is below the default 10 GB application-side threshold, so the
+    thresholds are pinned to the cluster-scale posture for the
+    assertion and restored after."""
+    from bitcoin_datawarehouse_spark.plans.audit import df_plan
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, SF_SMALL, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = df_plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

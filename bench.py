@@ -144,6 +144,16 @@ def main() -> None:
     from bitcoin_datawarehouse_spark.functions.ranking import (  # noqa: E402
         release_rank_caches,
     )
+    # Same discipline for the tracked kernel caches (packed shingle
+    # sets etc.): Spark's CacheManager dedups by logical plan, so two
+    # different queries sharing an identical intermediate would
+    # otherwise make per-query numbers order-dependent (the second one
+    # times a cache hit, not its plan) — measured at sf10:
+    # decontam_minhash_fuzzy 1.7 s riding dedup_minhash_lsh's shingle
+    # cache vs 17.0 s isolated.
+    from bitcoin_datawarehouse_spark.functions.cachereg import (  # noqa: E402
+        release_tracked_caches,
+    )
 
     # Large-SF escape hatches (recorded in the output line — skips are
     # never silent): SPARK_GRAFT_SKIP excludes named queries (used to
@@ -162,6 +172,7 @@ def main() -> None:
         fn = QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         release_rank_caches()
+        release_tracked_caches()
         best = None
         for _ in range(repeats):
             t0 = time.time()
@@ -169,6 +180,7 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
             release_rank_caches()
+            release_tracked_caches()
         timings[name] = round(best, 3)
 
     out = {

@@ -43,6 +43,9 @@ from bitcoin_datawarehouse_spark.functions.numeric import (
     str_round6,
 )
 from bitcoin_datawarehouse_spark.operators.text import _SQL_TOKENS
+from bitcoin_datawarehouse_spark.functions.cachereg import (
+    cache_tracked,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -568,7 +571,7 @@ def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_shingle_sets,
     )
 
-    docsets = doc_shingle_sets(spark, sf_dir).cache()
+    docsets = cache_tracked(doc_shingle_sets(spark, sf_dir))
     docsets.count()  # eager fill: bands + both verify sides read it
     bands = band_keys_from_sets(docsets)
     is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == 0

@@ -38,6 +38,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.cachereg import (
+    cache_tracked,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -252,7 +255,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |∩| / (|A|+|B|-|∩|) from integer counts: a single double division,
     bit-identical in both engines.
     """
-    shing = doc_shingles(spark, sf_dir).cache()
+    shing = cache_tracked(doc_shingles(spark, sf_dir))
     # eager fill: three subtrees (sizes, s1, s2) read this cache in one
     # action; concurrent stages would otherwise race to compute it
     shing.count()
@@ -440,7 +443,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two corpus-wide shingle-level joins (shuffling every (doc,
     # shingle) row twice) are gone; every post-kernel stage moves
     # candidate-sized data.
-    docsets = doc_shingle_sets(spark, sf_dir).cache()
+    docsets = cache_tracked(doc_shingle_sets(spark, sf_dir))
     # eager materialization: several subtrees below read this cache;
     # filling it before the main action prevents concurrent stages
     # from racing to compute it redundantly

@@ -30,6 +30,9 @@ from bitcoin_datawarehouse_spark.operators.dedup import (
     _SQL_SHING,
     dedup_ngram_jaccard,
 )
+from bitcoin_datawarehouse_spark.functions.cachereg import (
+    cache_tracked,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -135,9 +138,11 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vertex")
     )
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).cache()
+    pairs = cache_tracked(
+        dedup_ngram_jaccard(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    )
     pairs.count()  # eager fill: read by `paired` and every superstep
     # propagate only over vertices that appear in an edge — singleton
     # docs (the overwhelming majority of a deduped corpus) can never

@@ -57,6 +57,9 @@ from bitcoin_datawarehouse_spark.functions.numeric import (
 from bitcoin_datawarehouse_spark.pipeline.loader import (
     BROADCAST_BATCH_MAX_ROWS,
 )
+from bitcoin_datawarehouse_spark.functions.cachereg import (
+    cache_tracked,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -132,7 +135,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     never generated: the band join is strictly batch × index within
     shared buckets.
     """
-    docsets = doc_shingle_sets(spark, sf_dir).cache()
+    docsets = cache_tracked(doc_shingle_sets(spark, sf_dir))
     is_batch = F.col("doc_id") % 4 == 0
     # ONE action does double duty: it eagerly fills the cache (the
     # bands projection and both verify joins below read it) AND

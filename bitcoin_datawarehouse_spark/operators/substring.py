@@ -40,6 +40,9 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.cachereg import (
+    cache_tracked,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -169,7 +172,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    kern = doc_windows(spark, sf_dir).cache()
+    kern = cache_tracked(doc_windows(spark, sf_dir))
     # eager fill: the duplicate-detection and per-doc-base subtrees
     # both read this cache (CLAUDE.md multi-subtree rule)
     kern.count()

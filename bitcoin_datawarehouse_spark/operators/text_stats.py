@@ -22,6 +22,9 @@ from bitcoin_datawarehouse_spark.functions.numeric import (
     SQL_STR_ROUND6,
     str_round6,
 )
+from bitcoin_datawarehouse_spark.functions.cachereg import (
+    cache_tracked,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -152,7 +155,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.repartition(par)
         .select("doc_id", tokens_col(F.col("text")).alias("toks"))
         .select("doc_id", F.explode("toks").alias("term"))
-    ).cache()
+    )
+    tok = cache_tracked(tok)
     tok.count()  # eager fill: tf and df below both read this cache
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(

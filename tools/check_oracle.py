@@ -90,9 +90,23 @@ def main() -> int:
 
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
+    # release per-operator kernel caches between queries: the 100+
+    # query sweep would otherwise stack corpus-sized cache entries
+    # (and CacheManager plan-dedup would let later queries ride
+    # earlier queries' caches — harmless for correctness, but the
+    # memory footprint scales with the registry)
+    from bitcoin_datawarehouse_spark.functions.cachereg import (
+        release_tracked_caches,
+    )
+    from bitcoin_datawarehouse_spark.functions.ranking import (
+        release_rank_caches,
+    )
+
     run = {n: f for n, f in qmap.items() if not only or n in only}
     failures = []
     for name, fn in sorted(run.items()):
+        release_tracked_caches()
+        release_rank_caches()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

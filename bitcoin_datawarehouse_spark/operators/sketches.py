@@ -66,3 +66,55 @@ def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcts")[1].alias("approx_p90"),
         F.col("pcts")[2].alias("approx_p99"),
     )
+
+
+CMS_EPS = 0.001  # over-estimate bound: ≤ ε·N (N = total token stream)
+CMS_CONF = 0.99
+CMS_SEED = 42
+
+
+@query("sketch_count_min_token_counts")  # rows-only: sketch internals engine-specific
+def sketch_count_min_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min sketch over the corpus token stream, queried for the
+    vocabulary-head watch-list, reported next to the exact counts.
+
+    The 100 TB shape: the sketch aggregate is ONE fixed-size state
+    (width ⌈2/ε⌉ × depth ⌈log(1/(1-conf))⌉ counters) with map-side
+    partial merge — the shuffle carries kilobytes regardless of corpus
+    size, where the exact histogram shuffles the vocabulary.  Querying
+    the sketch is a driver-side probe of a model-sized artifact
+    (here via the JVM CountMinSketch reader on the collected binary);
+    the watch-list is whatever term set you care about — the fixture
+    uses the exact top-K as the watch-list so the error contract
+    (exact ≤ estimate ≤ exact + ε·N, seed-deterministic) is directly
+    testable (tests/test_sketches_multimodal.py).
+    """
+    from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
+    from bitcoin_datawarehouse_spark.operators.text_stats import (
+        text_token_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par)
+        .select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    )
+    sk_row = tok.agg(
+        F.count_min_sketch(
+            "token", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+        ).alias("sk")
+    ).collect()[0]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["sk"])
+    )
+    watch = text_token_histogram(spark, sf_dir).collect()  # ≤ K rows
+    data = [
+        (r["token"], int(r["term_count"]), int(jcms.estimateCount(r["token"])))
+        for r in watch
+    ]
+    return spark.createDataFrame(
+        data, "token string, exact_count bigint, cms_count bigint"
+    )

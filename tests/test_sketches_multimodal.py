@@ -69,3 +69,23 @@ def test_multimodal_frame_sample_shape(spark):
         df.groupBy("doc_id").count().agg(F.min("count"), F.max("count")).first()
     )
     assert per_doc[0] == per_doc[1] == 4
+
+
+def test_count_min_estimates_bounded(spark):
+    """CMS contract: exact ≤ estimate ≤ exact + ε·N where N is the
+    total token stream length (seed-pinned, so deterministic)."""
+    from bitcoin_datawarehouse_spark.operators.sketches import CMS_EPS
+    from bitcoin_datawarehouse_spark.registry import QUERIES
+
+    from .conftest import SF_SMALL
+
+    rows = QUERIES["sketch_count_min_token_counts"](
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    # N = total stream length; the histogram head covers the fixture's
+    # whole tiny vocabulary, so summing exact counts reproduces it
+    n_stream = sum(r.exact_count for r in rows)
+    for r in rows:
+        assert r.exact_count <= r.cms_count, r
+        assert r.cms_count <= r.exact_count + CMS_EPS * n_stream, r

@@ -333,6 +333,29 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
 
     def gen(batches):
+        # Per-shingle minhash vectors memoize across documents within
+        # this worker: shingle vocabularies repeat heavily across a
+        # corpus (the very redundancy dedup exploits), and the hash of
+        # a shingle is a pure function of its text — identical values,
+        # 12× fewer md5 calls on every repeat.  Bounded so a worker
+        # that streams an unbounded shingle universe at 100 TB cannot
+        # grow the dict without limit (reset keeps the values exact;
+        # it only forfeits reuse across the boundary).
+        memo: dict[str, list[str]] = {}
+        memo_cap = 2_000_000
+
+        def shingle_hashes(s: str) -> list[str]:
+            hs = memo.get(s)
+            if hs is None:
+                if len(memo) >= memo_cap:
+                    memo.clear()
+                hs = [
+                    hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                    for k in range(n_seeds)
+                ]
+                memo[s] = hs
+            return hs
+
         for pdf in batches:
             ids, sets, szs, bkeys = [], [], [], []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
@@ -344,8 +367,7 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 mins = [None] * n_seeds
                 for s in seen:
-                    for k in range(n_seeds):
-                        h = hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                    for k, h in enumerate(shingle_hashes(s)):
                         if mins[k] is None or h < mins[k]:
                             mins[k] = h
                 ids.append(did)

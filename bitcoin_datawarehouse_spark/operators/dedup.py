@@ -296,12 +296,22 @@ SH_SEP = "\x01"
 
 
 def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel docsets frame over the fixture ``documents`` table —
+    see :func:`shingle_sets_frame` for the kernel itself."""
+    return shingle_sets_frame(load_table(spark, sf_dir, "documents"))
+
+
+def shingle_sets_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, shs: string, sz, band_keys: array<string>) — one row
     per document with ≥1 shingle: the distinct 3-token shingle set
     packed into one ``\\x01``-joined string, its size, and the four
     LSH band keys computed IN the kernel (md5 over each band's
     comma-joined minhash values — byte-identical to the oracle's
     ``md5(string_agg(minh, ',' ORDER BY seed))``).
+
+    Takes any (doc_id, text) frame — the batch path wraps the fixture
+    table (:func:`doc_shingle_sets`), the streaming path feeds
+    foreachBatch micro-batches (streaming/dedup_stream.py).
 
     Two measured wins over the round-2 exploded (doc_id, shingle)
     shape: the frame is cached and re-read by several subtrees, and
@@ -318,7 +328,7 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf_dir, "documents")
+    spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     pat = re.compile("[^a-z0-9]+")
     schema = T.StructType(

@@ -260,3 +260,70 @@ def test_stream_dedup_multi_microbatch_equals_batch_distinct(spark, tmp_path):
     )
     # exactly the batch DISTINCT: one row per key despite 3 batches
     assert got == [(10, "click"), (11, "click"), (12, "click")]
+
+
+def test_stream_lsh_dedup_matches_one_shot_and_replays_are_noop(
+    spark, tmp_path
+):
+    """Streaming near-dup ingest (foreachBatch over the persisted LSH
+    index) must leave the index in the BIT-IDENTICAL state a one-shot
+    batch ingest produces, with the cumulative stream ledger matching
+    the one-shot decisions; replaying the whole source against a fresh
+    checkpoint must be a no-op (idempotence anti-join)."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.streaming.dedup_stream import (
+        run_lsh_dedup_stream,
+    )
+    from tests.test_pipeline import _CORPUS, _docsets_for
+
+    src = tmp_path / "docs_in"
+    # two id-ordered files → two micro-batches (arrival order = id order)
+    spark.createDataFrame(
+        _CORPUS[:3], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    spark.createDataFrame(
+        _CORPUS[3:], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "stream_wh")))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_lsh_dedup_stream(stream, idx, str(tmp_path / "ck1"))
+    )
+
+    one = LshDedupIndex(Warehouse(spark, str(tmp_path / "one_wh")))
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in one.ingest_batch(_docsets_for(spark, _CORPUS)).collect()
+    }
+    ledger = idx.wh.read(idx.schema, f"{idx.decisions_table}_stream")
+    got = {
+        r["doc_id"]: (r["doc_id"], r["is_dup"], r["match_id"],
+                      r["match_jaccard"])
+        for r in ledger.collect()
+    }
+    assert got == want
+
+    def state(index):
+        bands = sorted(map(tuple, index._bands().collect()))
+        sets_ = sorted(map(tuple, index._docsets().collect()))
+        return bands, sets_
+
+    assert state(idx) == state(one)
+
+    # full replay, fresh checkpoint: anti-join makes it a no-op
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_lsh_dedup_stream(stream2, idx, str(tmp_path / "ck2"))
+    )
+    assert state(idx) == state(one)
+    replayed = idx.wh.read(idx.schema, f"{idx.decisions_table}_stream")
+    assert replayed.count() == len(want)  # no duplicate ledger rows

@@ -571,16 +571,32 @@ def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_shingle_sets,
     )
 
+    from bitcoin_datawarehouse_spark.pipeline.loader import (
+        BROADCAST_BATCH_MAX_ROWS,
+    )
+
     docsets = cache_tracked(doc_shingle_sets(spark, sf_dir))
     docsets.count()  # eager fill: bands + both verify sides read it
-    bands = band_keys_from_sets(docsets)
     is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == 0
+    # Benchmark suites are bounded by construction, but the same
+    # size guard as the loader/incremental paths applies: a
+    # mislabeled corpus-sized "eval set" must take the shuffle join,
+    # never a forced driver-memory broadcast.  The count is a cheap
+    # aggregate over the already-cached kernel frame.
+    eval_is_small = (
+        docsets.filter(is_eval).count() <= BROADCAST_BATCH_MAX_ROWS
+    )
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if eval_is_small else df
+
+    bands = band_keys_from_sets(docsets)
     ev_bands = bands.filter(is_eval).select(
         F.col("doc_id").alias("eval_doc_id"), "band", "band_key"
     )
     cand = (
         bands.filter(~is_eval)
-        .join(F.broadcast(ev_bands), ["band", "band_key"])
+        .join(_b(ev_bands), ["band", "band_key"])
         .select("doc_id", "eval_doc_id")
         .distinct()
     )
@@ -599,7 +615,7 @@ def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         cand.join(sets_c, "doc_id")
-        .join(F.broadcast(sets_e), "eval_doc_id")
+        .join(_b(sets_e), "eval_doc_id")
         .select(
             "doc_id",
             "eval_doc_id",

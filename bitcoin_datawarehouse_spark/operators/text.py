@@ -140,50 +140,95 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_frame(docs: DataFrame, keep: list[str] | None = None) -> DataFrame:
-    """Per-document quality metrics as a PURE PROJECTION over ``docs``
-    (no shuffle, no second scan): composable into larger pipelines —
-    trainprep_corpus_pipeline inlines this instead of joining a
-    separately-scanned scored frame.  ``keep`` = passthrough columns.
+    """Per-document quality metrics as ONE Arrow kernel pass over
+    ``docs`` (narrow, no shuffle, no second scan): composable into
+    larger pipelines — trainprep_corpus_pipeline inlines this instead
+    of joining a separately-scanned scored frame.  ``keep`` =
+    passthrough columns (copied through the kernel untouched).
 
-    Tokens are projected once in a dedicated select (the regex split
-    is the dominant per-row cost, and CollapseProject would otherwise
-    re-inline it per consuming expression).
+    Formerly a JVM-expression projection; replaced after plan
+    inspection showed CollapseProject re-inlining the token split
+    into BOTH its consumers (two regex splits per row) on top of the
+    interpreted stopword HOF — measured 2.32 s → kernel at sf1.  The
+    kernel tokenizes once per document and finishes every count in
+    the same pass (CLAUDE.md per-doc-aggregation rule).  Regex
+    semantics mirror the JVM/DuckDB forms on the fixture alphabet:
+    the tokenizer is the dedup kernel's ``[^a-z0-9]+`` split, and the
+    punctuation class spells the JVM's ASCII ``\\s`` explicitly.
+
+    All ratios are single double divisions over exact integer counts
+    and the score accumulates in the same left-to-right order as the
+    SQL — bit-identical across engines.
     """
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     keep = [c for c in (keep or []) if c != "doc_id"]
-    carry = list(dict.fromkeys(["text", *keep]))
-    tk = F.col("tk")
-    base = docs.select(
-        "doc_id", *carry, tokens_col(F.col("text")).alias("tk")
-    ).select(
-        *keep,
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars_obs"),
-        F.size(tk).cast("long").alias("n_tokens"),
-        F.size(F.filter(tk, lambda t: t.isin(STOPWORDS["en"])))
-        .cast("long")
-        .alias("n_stop"),
-        F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
-        .cast("long")
-        .alias("n_punct"),
-    ).filter(F.col("n_tokens") > 0)
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_obs")
-    return base.select(
-        *keep,
-        "doc_id",
-        "n_chars_obs",
-        "n_tokens",
-        stop_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        (F.col("n_chars_obs").cast("double") / F.col("n_tokens")).alias(
-            "mean_token_span"
-        ),
-        (
-            stop_ratio * 0.5
-            + F.when(F.col("n_tokens") >= 20, 0.3).otherwise(0.0)
-            + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0)
-        ).alias("quality_score"),
-    )
+    pat = re.compile("[^a-z0-9]+")
+    punct = re.compile(r"[^a-zA-Z0-9 \t\n\r\f\x0b]")
+    stop = frozenset(STOPWORDS["en"])
+
+    in_fields = {f.name: f for f in docs.schema.fields}
+    fields = [T.StructField(c, in_fields[c].dataType) for c in keep]
+    fields += [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars_obs", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("stopword_ratio", T.DoubleType()),
+        T.StructField("punct_ratio", T.DoubleType()),
+        T.StructField("mean_token_span", T.DoubleType()),
+        T.StructField("quality_score", T.DoubleType()),
+    ]
+    schema = T.StructType(fields)
+    keep_t = tuple(keep)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {c: [] for c in keep_t}
+            ids, ncs, nts = [], [], []
+            srs, prs, spans, scores = [], [], [], []
+            for i, (did, txt) in enumerate(zip(pdf["doc_id"], pdf["text"])):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                n_tokens = len(tk)
+                if n_tokens == 0:
+                    continue
+                n_chars = len(txt)
+                n_stop = sum(1 for t in tk if t in stop)
+                n_punct = len(punct.findall(txt))
+                sr = n_stop / n_tokens
+                pr = n_punct / n_chars
+                score = (
+                    sr * 0.5
+                    + (0.3 if n_tokens >= 20 else 0.0)
+                    + (0.2 if pr < 0.1 else 0.0)
+                )
+                for c in keep_t:
+                    rows[c].append(pdf[c].iloc[i])
+                ids.append(did)
+                ncs.append(n_chars)
+                nts.append(n_tokens)
+                srs.append(sr)
+                prs.append(pr)
+                spans.append(n_chars / n_tokens)
+                scores.append(score)
+            out = {c: rows[c] for c in keep_t}
+            out.update(
+                {
+                    "doc_id": ids,
+                    "n_chars_obs": ncs,
+                    "n_tokens": nts,
+                    "stopword_ratio": srs,
+                    "punct_ratio": prs,
+                    "mean_token_span": spans,
+                    "quality_score": scores,
+                }
+            )
+            yield pd.DataFrame(out, columns=[f.name for f in fields])
+
+    in_cols = list(dict.fromkeys(["doc_id", "text", *keep]))
+    return docs.select(*in_cols).mapInPandas(gen, schema)
 
 
 @query(

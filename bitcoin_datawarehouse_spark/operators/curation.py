@@ -11,7 +11,9 @@
 * **Gopher-style quality rules** — per-document heuristic rule bits
   (word count bounds, mean word length, stopword evidence, symbol
   ratio; cf. the published Gopher/MassiveText filtering rules) and
-  the conjunction as a keep flag.  Pure codegen projections.
+  the conjunction as a keep flag.  One Arrow kernel pass for the
+  counts (shuffle-free, streaming-compatible), rule bits as codegen
+  projections over it.
 * **deterministic global shuffle** — training-order randomization
   without RNG state: an md5 sort key assigns every doc a shard and a
   rank within the shard.  Per-shard windows (hash-balanced, bounded
@@ -217,31 +219,76 @@ _SQL_GOPHER_KEEP = f"""n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
 def gopher_metrics_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, n_words, mean_word_len, n_stop_hits, symbol_ratio) —
     the stateless metric projection under the rule bits.  Works on a
-    batch OR streaming frame (no shuffle, no state)."""
-    tk = tokens_col(F.col("text"))
-    t = docs.select(
-        "doc_id",
-        tk.alias("tk"),
-        F.length("text").cast("long").alias("n_chars_raw"),
-        F.length(
-            F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")
-        ).cast("long").alias("n_symbols"),
-    ).filter(F.size("tk") > 0)
-    mean_len = str_round6(
-        F.aggregate(
-            F.transform(F.col("tk"), F.length),
-            F.lit(0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-        / F.size("tk")
+    batch OR streaming frame (no shuffle, no state; ``mapInPandas``
+    is a stateless narrow op under Structured Streaming too).
+
+    One Arrow kernel pass computes the exact integer counts and the
+    dimension-ordered mean accumulation (``acc += len(token)`` in
+    token order — the identical IEEE sequence as the former
+    ``F.aggregate`` fold and the oracle's ``list_reduce``); the
+    6-dp surfaces then go through the PROVEN ``str_round6`` column
+    route on the kernel output, so the cross-engine rounding
+    machinery stays in one place.  Replaced the JVM-expression form
+    after plan inspection showed the token split evaluated twice per
+    row plus three interpreted HOFs (same CollapseProject finding as
+    text.quality_frame, measured 3.2×/15× there at sf1/sf10).
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pat = re.compile("[^a-z0-9]+")
+    sym = re.compile(r"[^a-z0-9 ]")
+    stop = frozenset(_STOPS)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("mean_raw", T.DoubleType()),
+            T.StructField("n_stop_hits", T.LongType()),
+            T.StructField("n_symbols", T.LongType()),
+            T.StructField("n_chars_raw", T.LongType()),
+        ]
     )
-    return t.select(
+
+    def gen(batches):
+        for pdf in batches:
+            ids, nws, means, stops_, syms, ncs = [], [], [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                if not tk:
+                    continue
+                acc = 0.0
+                n_stop = 0
+                for t in tk:  # token-ordered IEEE fold
+                    acc += float(len(t))
+                    if t in stop:
+                        n_stop += 1
+                ids.append(did)
+                nws.append(len(tk))
+                means.append(acc / len(tk))
+                stops_.append(n_stop)
+                syms.append(len(sym.findall(txt)))
+                ncs.append(len(txt))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_words": nws,
+                    "mean_raw": means,
+                    "n_stop_hits": stops_,
+                    "n_symbols": syms,
+                    "n_chars_raw": ncs,
+                }
+            )
+
+    kern = docs.select("doc_id", "text").mapInPandas(gen, schema)
+    return kern.select(
         "doc_id",
-        F.size("tk").cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        F.size(
-            F.filter(F.col("tk"), lambda w: w.isin(*_STOPS))
-        ).cast("long").alias("n_stop_hits"),
+        "n_words",
+        str_round6(F.col("mean_raw")).alias("mean_word_len"),
+        "n_stop_hits",
         str_round6(
             F.col("n_symbols").cast("double") / F.col("n_chars_raw")
         ).alias("symbol_ratio"),

@@ -42,12 +42,6 @@ def _sql_stop_count(lang: str) -> str:
     return f"len(list_filter(tk, t -> t IN ({words}))) AS n_{lang}"
 
 
-def _stop_count(tk: Column, lang: str) -> Column:
-    return F.size(
-        F.filter(tk, lambda t: t.isin(STOPWORDS[lang]))
-    ).alias(f"n_{lang}")
-
-
 # identical CASE text evaluated by both engines over the n_<lang> cols
 _LANG_CASE = (
     "CASE "
@@ -81,17 +75,50 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow projection pass (codegen'd array ops per row, no
     shuffle, no UDF).
     """
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     docs = load_table(spark, sf_dir, "documents")
-    # project tokens once, then count against each stopword list —
-    # avoids re-running the regex split per language
-    tk = F.col("tk")
-    scored = docs.select(
-        "doc_id", "lang", tokens_col(F.col("text")).alias("tk")
-    ).select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[_stop_count(tk, lang) for lang in LANG_PRIORITY],
+    # One Arrow pass: tokenize once, one membership lookup per token
+    # against a token→languages map (the former four interpreted HOF
+    # filters each re-walked the array; same CollapseProject finding
+    # as quality_frame).  The vote CASE stays the shared column
+    # expression both engines evaluate over the exact counts.
+    vote: dict[str, list[str]] = {}
+    for lang in LANG_PRIORITY:
+        for w in STOPWORDS[lang]:
+            vote.setdefault(w, []).append(lang)
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("labeled_lang", T.StringType()),
+            *[T.StructField(f"n_{lang}", T.LongType())
+              for lang in LANG_PRIORITY],
+        ]
     )
+    langs = tuple(LANG_PRIORITY)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for did, lab, txt in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                counts = dict.fromkeys(langs, 0)
+                for t in pat.split(txt.lower()):
+                    if t:
+                        for lang in vote.get(t, ()):
+                            counts[lang] += 1
+                out["doc_id"].append(did)
+                out["labeled_lang"].append(lab)
+                for lang in langs:
+                    out[f"n_{lang}"].append(counts[lang])
+            yield pd.DataFrame(out)
+
+    scored = docs.select("doc_id", "lang", "text").mapInPandas(gen, schema)
     return scored.withColumn("predicted_lang", F.expr(_LANG_CASE)).select(
         "doc_id", "labeled_lang", "predicted_lang", "n_en", "n_de", "n_es", "n_fr"
     )

@@ -410,3 +410,18 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_quality_score", "text_gopher_rules", "text_language_id"],
+)
+def test_text_metric_plans_tokenize_at_most_once(plan_of, name):
+    """CollapseProject re-inlined the token-split expression into every
+    consumer of the former JVM-expression metric projections (two regex
+    splits per row + interpreted HOF walks — measured 8.4× at sf10 on
+    quality).  The metric families are Arrow kernels now; pin that no
+    plan regrows a duplicated split or an interpreted lambda walk."""
+    plan = plan_of(name)
+    assert plan.count("split(") <= 1, "token split duplicated in plan"
+    assert "lambdafunction" not in plan.lower()

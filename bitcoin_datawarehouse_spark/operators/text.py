@@ -275,13 +275,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget estimator for an LLM data pipeline.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.size(
-        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
-    )
-    bpe = F.size(
-        F.regexp_extract_all(
-            F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
-        )
+    # regexp_count keeps both counts in whole-stage codegen with no
+    # intermediate array and no interpreted lambda: the number of
+    # non-empty \s+-split pieces IS the number of maximal \S+ runs
+    ws = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    bpe = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]")
     )
     return docs.select(
         "doc_id",

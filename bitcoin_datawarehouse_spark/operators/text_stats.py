@@ -74,35 +74,54 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity) and the share of the single most frequent bigram —
     the cheap detectors for looping/templated text.
     """
+    # One Arrow kernel pass finishes ALL per-doc aggregation (token
+    # count, distinct count, per-doc bigram Counter) — the former
+    # bigram explode paid two corpus-wide hash-agg shuffles plus a
+    # join, and its HOF bigram builder re-walked the token array
+    # interpreted (same family as the CollapseProject finding).  The
+    # 6-dp ratio surfaces stay on the proven str_round6 column route.
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("top_bigram_count", T.LongType()),
+            T.StructField("n_bigrams", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                if len(tk) < 2:  # oracle's inner join drops bigram-less docs
+                    continue
+                bc = Counter(
+                    f"{a} {b}" for a, b in zip(tk, tk[1:])
+                )
+                out["doc_id"].append(did)
+                out["n_tokens"].append(len(tk))
+                out["n_distinct"].append(len(set(tk)))
+                out["top_bigram_count"].append(max(bc.values()))
+                out["n_bigrams"].append(sum(bc.values()))
+            yield pd.DataFrame(out)
+
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    tk = docs.repartition(par).select(
-        "doc_id", tokens_col(F.col("text")).alias("toks")
+    kern = (
+        docs.repartition(par)
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema)
     )
-    base = tk.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
-    ).filter(F.col("n_tokens") > 0)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-        ),
-    )
-    big = tk.filter(F.size("toks") >= 2).select(
-        "doc_id", F.explode(bigrams).alias("bg")
-    )
-    agg = (
-        big.groupBy("doc_id", "bg")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.max("count").alias("top_bigram_count"),
-            F.sum("count").alias("n_bigrams"),
-        )
-    )
-    return base.join(agg, "doc_id").select(
+    return kern.select(
         "doc_id",
         "n_tokens",
         "n_distinct",

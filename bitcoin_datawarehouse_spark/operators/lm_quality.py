@@ -213,8 +213,13 @@ def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # un-cached each would re-run the Arrow tokenize kernel (CLAUDE.md
     # multi-subtree rule).  docbig is aggregate-sized (distinct
     # bigrams per doc), not corpus-sized.
-    docbig = doc_bigram_counts(spark, sf_dir).repartition("w1")
-    docbig.persist()
+    from bitcoin_datawarehouse_spark.functions.cachereg import (
+        cache_tracked,
+    )
+
+    docbig = cache_tracked(
+        doc_bigram_counts(spark, sf_dir).repartition("w1")
+    )
     uni = docbig.groupBy("w1").agg(F.sum("dcnt").alias("cu"))
     vocab = uni.count()  # one driver-side scalar (cf. tf-idf n_docs);
     # this action also fills the docbig cache eagerly

@@ -415,9 +415,11 @@ def band_keys_from_sets(docsets: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+#: shared by ``dedup_minhash_lsh`` (candidate-join strategy) and
+#: ``dedup_minhash_lsh_bucketed`` (per-bucket kernel strategy) — the
+#: two physical plans compute the identical logical result, so they
+#: gate against the same SQL.
+_MINHASH_LSH_ORACLE = f"""
     WITH {_SQL_SHING},
     mh AS (
       SELECT s.doc_id, g.seed,
@@ -453,8 +455,10 @@ def band_keys_from_sets(docsets: DataFrame) -> DataFrame:
     LEFT JOIN common ON common.doc_a = c.doc_a AND common.doc_b = c.doc_b
     JOIN sizes sa ON sa.doc_id = c.doc_a
     JOIN sizes sb ON sb.doc_id = c.doc_b
-    """,
-)
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) + LSH(4 bands × 3) candidate pairs with exact
     Jaccard verification.

@@ -161,9 +161,19 @@ def main() -> None:
     # quadratically expensive by design and the LSH tiers are the
     # production path), SPARK_GRAFT_REPEATS trims best-of-N.
     skip = {
-        s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",")
+        if s.strip()
     }
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    unknown_skips = skip - set(HEADLINE)
+    if unknown_skips:
+        print(
+            f"SPARK_GRAFT_SKIP entries not in HEADLINE (no-ops): "
+            f"{sorted(unknown_skips)}",
+            file=sys.stderr,
+        )
+    skip &= set(HEADLINE)  # output's "skipped" lists EFFECTIVE skips only
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -415,10 +415,11 @@ def band_keys_from_sets(docsets: DataFrame) -> DataFrame:
     )
 
 
-#: shared by ``dedup_minhash_lsh`` (candidate-join strategy) and
-#: ``dedup_minhash_lsh_bucketed`` (per-bucket kernel strategy) — the
-#: two physical plans compute the identical logical result, so they
-#: gate against the same SQL.
+#: Extracted as a named constant when a per-bucket-kernel physical
+#: strategy was prototyped against the same oracle; that strategy
+#: measured strictly worse at every tested density and was deleted
+#: (see SCALING.md "Negative result") — the candidate-join plan below
+#: is the only registered consumer.
 _MINHASH_LSH_ORACLE = f"""
     WITH {_SQL_SHING},
     mh AS (

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from bitcoin_datawarehouse_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
+    dim_ordered_dot_sq,
     dot_col,
     norm_col,
 )
@@ -506,12 +507,8 @@ def _nearest_centroid_kernel_impl(
             if pdf.empty:
                 continue
             emat = np.array(list(pdf["e"]), dtype=np.float64)
-            nrm = np.zeros(len(emat))
-            dot = np.zeros((len(emat), len(ids)))
-            for j in range(emat.shape[1]):  # dim-ordered IEEE fold
-                nrm += emat[:, j] * emat[:, j]
-                dot += np.outer(emat[:, j], cmat[:, j])
-            cos = dot / np.outer(np.sqrt(nrm), cn)
+            dot, e_sq, _ = dim_ordered_dot_sq(emat, cmat)
+            cos = dot / np.outer(np.sqrt(e_sq), cn)
             best = np.argmax(cos, axis=1)  # first max → smallest id
             out = {
                 "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -678,14 +675,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = qmat[qid]
         cand_ids = pdf["cand_id"].to_numpy(dtype=np.int64)
         cmat = np.array(list(pdf["ce2"]), dtype=np.float64)
-        dot = np.zeros(len(cmat))
-        cn = np.zeros(len(cmat))
-        qn = 0.0
-        for j in range(cmat.shape[1]):  # dim-ordered IEEE fold
-            dot += cmat[:, j] * q[j]
-            cn += cmat[:, j] * cmat[:, j]
-            qn += q[j] * q[j]
-        cos = dot / (np.sqrt(qn) * np.sqrt(cn))
+        dot, cn, q_sq = dim_ordered_dot_sq(cmat, q[None, :])
+        cos = dot[:, 0] / (np.sqrt(q_sq[0]) * np.sqrt(cn))
         order = np.lexsort((cand_ids, -cos))[:TOP_K]
         return pd.DataFrame(
             {

@@ -47,6 +47,34 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dim_ordered_dot_sq(cmat, qmat):
+    """(dot n×m, c_sq n, q_sq m) accumulated DIMENSION BY DIMENSION —
+    the identical left-to-right IEEE sequence the JVM ``zip_with``
+    fold and DuckDB's ``list_reduce`` produce, so cosines built from
+    these terms are bit-equal to the SQL oracles'.
+
+    Every numpy cosine kernel in the repo (brute-force partial top-k,
+    IVF coarse assignment, per-query rerank) MUST accumulate through
+    this helper: the cross-engine parity contract lives in this loop
+    order, and a "faster" formulation (``cmat @ qmat.T`` / einsum)
+    changes summation order and silently breaks the value hash for
+    just that query.  The three accumulators are independent, so
+    fusing them into one pass is value-identical to separate loops.
+    """
+    import numpy as np
+
+    n = len(cmat)
+    m = len(qmat)
+    dot = np.zeros((n, m))
+    c_sq = np.zeros(n)
+    q_sq = np.zeros(m)
+    for j in range(cmat.shape[1]):
+        c_sq += cmat[:, j] * cmat[:, j]
+        q_sq += qmat[:, j] * qmat[:, j]
+        dot += np.outer(cmat[:, j], qmat[:, j])
+    return dot, c_sq, q_sq
+
+
 def dot_col(a: Column, b: Column) -> Column:
     """Deterministic dot product of two double arrays."""
     return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
@@ -115,10 +143,8 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
     qmat = np.array([list(r["e"]) for r in qrows], dtype=np.float64)
-    qn = np.zeros(len(qids))
-    for j in range(qmat.shape[1]):  # dim-ordered IEEE fold
-        qn += qmat[:, j] * qmat[:, j]
-    qn = np.sqrt(qn)
+    _, _, q_sq = dim_ordered_dot_sq(qmat[:0], qmat)
+    qn = np.sqrt(q_sq)
 
     schema = T.StructType(
         [
@@ -134,11 +160,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             cand = pdf["vec_id"].to_numpy(dtype=np.int64)
             cmat = np.array(list(pdf["e"]), dtype=np.float64)
-            dot = np.zeros((len(cand), len(qids)))
-            cn = np.zeros(len(cand))
-            for j in range(cmat.shape[1]):  # dim-ordered IEEE fold
-                cn += cmat[:, j] * cmat[:, j]
-                dot += np.outer(cmat[:, j], qmat[:, j])
+            dot, cn, _ = dim_ordered_dot_sq(cmat, qmat)
             cos = dot / np.outer(np.sqrt(cn), qn)
             out_q, out_c, out_s = [], [], []
             for qi in range(len(qids)):

@@ -118,7 +118,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out[f"n_{lang}"].append(counts[lang])
             yield pd.DataFrame(out)
 
-    scored = docs.select("doc_id", "lang", "text").mapInPandas(gen, schema)
+    par = spark.sparkContext.defaultParallelism
+    scored = (
+        docs.repartition(par)
+        .select("doc_id", "lang", "text")
+        .mapInPandas(gen, schema)
+    )
     return scored.withColumn("predicted_lang", F.expr(_LANG_CASE)).select(
         "doc_id", "labeled_lang", "predicted_lang", "n_en", "n_de", "n_es", "n_fr"
     )

@@ -327,3 +327,51 @@ def test_stream_lsh_dedup_matches_one_shot_and_replays_are_noop(
     assert state(idx) == state(one)
     replayed = idx.wh.read(idx.schema, f"{idx.decisions_table}_stream")
     assert replayed.count() == len(want)  # no duplicate ledger rows
+
+
+def test_stream_lsh_dedup_ledger_backfill_after_crash_window(
+    spark, tmp_path
+):
+    """Crash-window repair: if the index was appended but the stream
+    ledger append never happened (simulated by building the index via
+    direct ingest_batch calls, which write the per-ingest decisions
+    table but no stream ledger), a stream replay over the same
+    documents must backfill the ledger from the per-ingest table —
+    not lose the decisions to the idempotence anti-join."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.streaming.dedup_stream import (
+        run_lsh_dedup_stream,
+    )
+    from tests.test_pipeline import _CORPUS, _docsets_for
+
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(
+        _CORPUS, "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "wh")))
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in idx.ingest_batch(_docsets_for(spark, _CORPUS)).collect()
+    }
+    # no stream ledger exists yet — the crash happened "before" it
+    assert not idx.wh.table_exists(
+        idx.schema, f"{idx.decisions_table}_stream"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_lsh_dedup_stream(stream, idx, str(tmp_path / "ck"))
+    )
+    ledger = idx.wh.read(idx.schema, f"{idx.decisions_table}_stream")
+    got = {
+        r["doc_id"]: (r["doc_id"], r["is_dup"], r["match_id"],
+                      r["match_jaccard"])
+        for r in ledger.collect()
+    }
+    assert got == want
+    # the per-ingest recovery copy survived (no empty-ingest overwrite)
+    assert idx.wh.read(idx.schema, idx.decisions_table).count() == len(want)

@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     SH_SEP,
@@ -56,6 +57,12 @@ from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
 from bitcoin_datawarehouse_spark.pipeline.loader import (
     BROADCAST_BATCH_MAX_ROWS,
 )
+
+#: auto-compact the index tables once either accretes this many
+#: parquet files (each micro-batch append adds its own files; scans
+#: then pay per-file open/footer costs).  The glob probe is a cheap
+#: driver-side metadata check per ingest.
+AUTO_COMPACT_FILES = 64
 
 
 class LshDedupIndex:
@@ -67,6 +74,7 @@ class LshDedupIndex:
         schema: str = "dedup_index",
         name: str = "documents",
         threshold: float = JACCARD_THRESHOLD,
+        auto_compact_files: int | None = AUTO_COMPACT_FILES,
     ) -> None:
         self.wh = warehouse
         self.schema = schema
@@ -74,6 +82,7 @@ class LshDedupIndex:
         self.docsets_table = f"{name}_docsets"
         self.decisions_table = f"{name}_decisions"
         self.threshold = threshold
+        self.auto_compact_files = auto_compact_files
         warehouse.create_schema(schema)
 
     # -- state -------------------------------------------------------------
@@ -87,16 +96,50 @@ class LshDedupIndex:
         return self.wh.read(self.schema, self.docsets_table)
 
     def _append(self, batch_docsets: DataFrame) -> None:
-        self.wh.append(
-            band_keys_from_sets(batch_docsets),
-            self.schema,
-            self.bands_table,
+        """Fold the batch into the two index tables, IDEMPOTENTLY.
+
+        The two appends cannot be one atomic transaction on a file
+        warehouse, so a crash between them leaves a batch half-indexed
+        (bands written, docsets not — or a partially committed append
+        of either).  Each append therefore anti-joins the batch
+        against the doc_ids already present in ITS target table: a
+        replay completes exactly the missing rows instead of
+        duplicating the ones that landed before the crash.  The
+        anti-join build side is the batch (bounded); the probe scan of
+        the existing table is the same bands/docsets scan the decide
+        plan already pays.
+        """
+        bands = band_keys_from_sets(batch_docsets)
+        if self.wh.table_exists(self.schema, self.bands_table):
+            bands = bands.join(
+                self._bands().select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        self.wh.append(bands, self.schema, self.bands_table)
+        sets = batch_docsets.select("doc_id", "shs", "sz")
+        if self.exists():
+            sets = sets.join(
+                self._docsets().select("doc_id"), "doc_id", "left_anti"
+            )
+        self.wh.append(sets, self.schema, self.docsets_table)
+
+    def compact(self) -> tuple[tuple[int, int], tuple[int, int]]:
+        """Rewrite both index tables into ~target-sized files (see
+        ``Warehouse.compact``).  Returns ((bands_before, bands_after),
+        (docsets_before, docsets_after))."""
+        return (
+            self.wh.compact(self.schema, self.bands_table),
+            self.wh.compact(self.schema, self.docsets_table),
         )
-        self.wh.append(
-            batch_docsets.select("doc_id", "shs", "sz"),
-            self.schema,
-            self.docsets_table,
-        )
+
+    def _maybe_compact(self) -> None:
+        if not self.auto_compact_files:
+            return
+        for table in (self.bands_table, self.docsets_table):
+            path = self.wh.table_path(self.schema, table)
+            if len(list(path.glob("*.parquet"))) >= self.auto_compact_files:
+                self.wh.compact(self.schema, table)
 
     # -- ingest ------------------------------------------------------------
     def decide_batch(self, batch_docsets: DataFrame) -> DataFrame:
@@ -124,11 +167,16 @@ class LshDedupIndex:
         pairs = None
         if self.exists():
             ib = self._bands().alias("a")
+            # a.doc_id != b.doc_id: a replay of a half-indexed batch
+            # (bands appended, docsets not — see _append) sees its OWN
+            # band rows in the index; without the guard every such doc
+            # would self-match (jaccard 1.0, match_id = itself)
             vs_index = (
                 ib.join(
                     _b(bb),
                     (F.col("b.band") == F.col("a.band"))
-                    & (F.col("b.band_key") == F.col("a.band_key")),
+                    & (F.col("b.band_key") == F.col("a.band_key"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
                 )
                 .select(
                     F.col("b.doc_id").alias("batch_id"),
@@ -220,12 +268,13 @@ class LshDedupIndex:
         the decision plan reads those tables lazily, and appending
         first would make every batch doc match itself.
         """
-        batch = batch_docsets.select(
-            "doc_id", "shs", "sz", "band_keys"
-        ).cache()
+        batch = cache_tracked(
+            batch_docsets.select("doc_id", "shs", "sz", "band_keys")
+        )
         batch.count()  # eager fill — several subtrees read this cache
         decisions = self.decide_batch(batch)
         self.wh.write_atomic(decisions, self.schema, self.decisions_table)
         self._append(batch)
         batch.unpersist()
+        self._maybe_compact()
         return self.wh.read(self.schema, self.decisions_table)

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
 
 #: broadcast the incremental batch into the anti-join below this many
@@ -75,7 +76,7 @@ class Loader:
         # probe, anti-join build side, union) and its upstream plan may
         # be arbitrarily expensive — without the cache every merge
         # recomputes it per consumer
-        batch = _dedupe_batch(df, unique_keys, order_col).cache()
+        batch = cache_tracked(_dedupe_batch(df, unique_keys, order_col))
         try:
             if not self.wh.table_exists(self.schema, self.table):
                 self.wh.write_atomic(batch, self.schema, self.table)
@@ -128,7 +129,7 @@ class Loader:
         footer; read such tables with ``mergeSchema`` or keep
         partitioned facts on ``strict_schema`` discipline.
         """
-        batch = _dedupe_batch(df, unique_keys, order_col).cache()
+        batch = cache_tracked(_dedupe_batch(df, unique_keys, order_col))
         try:
             path = str(self.wh.table_path(self.schema, self.table))
             if not self.wh.table_exists_partitioned(self.schema, self.table):

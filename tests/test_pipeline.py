@@ -798,3 +798,212 @@ def test_lsh_index_decide_plan_reads_index_not_corpus(spark, wh, tmp_path):
     assert "documents_bands" in plan
     assert "documents_docsets" in plan
     assert "mapInPandas" not in plan.lower().replace("_", "")
+
+
+def test_lsh_index_replay_after_partial_append_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the bands append and the docsets append (the
+    ADVICE-flagged window): the replayed ingest must (a) not
+    self-match batch docs against their own half-written band rows,
+    (b) not duplicate those band rows (idempotent _append), and
+    (c) converge decisions + index state to the un-crashed run's."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    full = _docsets_for(spark, _CORPUS).cache()
+    full.count()
+    b1 = full.filter(F.col("doc_id") <= 3)
+    b2 = full.filter(F.col("doc_id") > 3)
+
+    # the un-crashed twin
+    twin = LshDedupIndex(Warehouse(spark, str(tmp_path / "twin")))
+    twin.ingest_batch(b1)
+    want = {r["doc_id"]: tuple(r) for r in twin.ingest_batch(b2).collect()}
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "crash")))
+    idx.ingest_batch(b1)
+
+    # crash the second ingest between the two appends: the docsets
+    # append is the first wh.append call targeting the docsets table
+    real_append = idx.wh.append
+
+    def crashing_append(df, schema, table):
+        if table == idx.docsets_table:
+            raise RuntimeError("simulated crash before docsets append")
+        real_append(df, schema, table)
+
+    monkeypatch.setattr(idx.wh, "append", crashing_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.ingest_batch(b2)
+    monkeypatch.setattr(idx.wh, "append", real_append)
+
+    # state after the crash: b2's bands are in the index, docsets not
+    assert idx._bands().filter(F.col("doc_id") > 3).count() > 0
+    assert idx._docsets().filter(F.col("doc_id") > 3).count() == 0
+
+    # replay (what the stream wrapper does: b2 still looks fresh)
+    got = {r["doc_id"]: tuple(r) for r in idx.ingest_batch(b2).collect()}
+    full.unpersist()
+    assert got == want  # no self-matches: doc 6 matches 3, not itself
+
+    def state(index):
+        return (
+            sorted(map(tuple, index._bands().collect())),
+            sorted(map(tuple, index._docsets().collect())),
+        )
+
+    assert state(idx) == state(twin)  # no duplicated band rows
+
+
+def test_lsh_index_auto_compact_bounds_files_and_preserves_decisions(
+    spark, tmp_path
+):
+    """Many small ingests accrete one-file-per-append; with
+    auto_compact_files set the index compacts itself mid-loop and the
+    NEXT batch's decisions stay bit-identical to an uncompacted twin,
+    with the parquet file count bounded."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    rows = [
+        (i, f"document number {i} about topic {i % 3} with shared "
+            f"boilerplate text trailing the unique part {i * 7}")
+        for i in range(1, 8)
+    ]
+    full = _docsets_for(spark, rows).cache()
+    full.count()
+
+    plain = LshDedupIndex(
+        Warehouse(spark, str(tmp_path / "plain")), auto_compact_files=None
+    )
+    auto = LshDedupIndex(
+        Warehouse(spark, str(tmp_path / "auto")), auto_compact_files=3
+    )
+    got, want = {}, {}
+    for i in range(1, 8):
+        b = full.filter(F.col("doc_id") == i)
+        want.update(
+            {r["doc_id"]: tuple(r) for r in plain.ingest_batch(b).collect()}
+        )
+        got.update(
+            {r["doc_id"]: tuple(r) for r in auto.ingest_batch(b).collect()}
+        )
+    full.unpersist()
+    assert got == want
+
+    def nfiles(index, table):
+        return len(
+            list(index.wh.table_path(index.schema, table).glob("*.parquet"))
+        )
+
+    # uncompacted: ≥1 file per ingest; compacted: bounded by threshold
+    assert nfiles(plain, plain.bands_table) >= 7
+    assert nfiles(auto, auto.bands_table) < 7
+    assert nfiles(auto, auto.docsets_table) < 7
+
+
+# ---------------------------------------------------------------------------
+# persisted bucketed IVF index (operators/ivf_index.py)
+# ---------------------------------------------------------------------------
+
+def _ivf_fixture_parts(spark):
+    """Normalized fixture embeddings + the bounded query workload."""
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import _normed
+    from bitcoin_datawarehouse_spark.operators.similarity import N_QUERIES
+    from tests.conftest import SF_SMALL
+
+    emb = _normed(spark, SF_SMALL).select("vec_id", "e")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return emb, queries
+
+
+def test_ivf_index_search_matches_recomputed_plan(spark, tmp_path):
+    """Search over the persisted bucketed index must be BIT-IDENTICAL
+    to the plan-recomputed ``similarity_ivf_topk`` gate — the
+    persisted layout is a physical change only."""
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+    from bitcoin_datawarehouse_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    emb, queries = _ivf_fixture_parts(spark)
+    idx = IvfIndex(
+        Warehouse(spark, str(tmp_path / "wh")), schema="ivf_t1", name="e"
+    )
+    idx.build(emb)
+    got = sorted(map(tuple, idx.search(queries).collect()))
+    want = sorted(
+        map(tuple, QUERIES["similarity_ivf_topk"](spark, SF_SMALL).collect())
+    )
+    assert got == want
+
+
+def test_ivf_index_search_plan_has_no_corpus_exchange(spark, tmp_path):
+    """The entire point of the persisted bucketed layout
+    (embeddings_extra.py:635-644, now code): the SEARCH plan contains
+    zero corpus-sized exchanges — no round-robin repartition, no
+    corpus hash shuffle — and bucket-prunes the lists scan to the
+    probed centroids.  The only Exchange shuffles the partial-top-k
+    rows (batches × queries × k) into the final window."""
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+    from bitcoin_datawarehouse_spark.plans.audit import df_plan
+
+    emb, queries = _ivf_fixture_parts(spark)
+    idx = IvfIndex(
+        Warehouse(spark, str(tmp_path / "wh")), schema="ivf_t2", name="e"
+    )
+    idx.build(emb)
+    plan = df_plan(idx.search(queries))
+
+    # search never touches the raw corpus parquet — only the index
+    assert "embeddings.parquet" not in plan
+    assert "Bucketed: true" in plan
+    # planning-time bucket pruning to the probed lists
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "bucketed scan not pruned"
+    assert int(m.group(1)) < int(m.group(2))
+    # exactly one shuffle, and it carries the post-kernel top-k rows
+    # (keyed by query_id); everything else is broadcast
+    exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(exchanges) == 1, plan
+    assert "RoundRobinPartitioning" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(query_id" in plan, plan
+
+
+def test_ivf_index_ingest_batches_match_one_shot_build(spark, tmp_path):
+    """Mirror of test_lsh_index_sequential_batches_match_one_shot for
+    the similarity domain: build on the first half of the corpus,
+    ingest the second half as a batch — searches over the incremental
+    index must be bit-identical to an index built one-shot on the
+    full corpus (assignment against the same persisted codebook)."""
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    emb, queries = _ivf_fixture_parts(spark)
+    n = emb.count()
+    half = n // 2
+
+    inc = IvfIndex(
+        Warehouse(spark, str(tmp_path / "inc")), schema="ivf_t3", name="e"
+    )
+    inc.build(emb.filter(F.col("vec_id") < half))
+    inc.ingest(emb.filter(F.col("vec_id") >= half))
+
+    one = IvfIndex(
+        Warehouse(spark, str(tmp_path / "one")), schema="ivf_t4", name="e"
+    )
+    one.build(emb)
+
+    got = sorted(map(tuple, inc.search(queries).collect()))
+    want = sorted(map(tuple, one.search(queries).collect()))
+    assert got == want
+    # the ingested vectors are actually searchable (some second-half
+    # vec_id appears in the results)
+    assert any(r[1] >= half for r in got)

@@ -425,3 +425,31 @@ def test_text_metric_plans_tokenize_at_most_once(plan_of, name):
     plan = plan_of(name)
     assert plan.count("split(") <= 1, "token split duplicated in plan"
     assert "lambdafunction" not in plan.lower()
+
+
+def test_no_bare_cache_or_persist_outside_sanctioned_modules():
+    """CLAUDE.md rule, made structural: every transient cache must be
+    registered via functions.cachereg.cache_tracked so bench/mirror
+    harnesses can release it between queries (CacheManager plan-dedup
+    otherwise makes per-query numbers order-dependent — measured 10×
+    at sf10).  Sanctioned: cachereg itself, functions/ranking.py (its
+    persist has its own release_rank_caches registry), and tables.py
+    (the session table cache with its own uncache_tables registry)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "bitcoin_datawarehouse_spark"
+    sanctioned = {"cachereg.py", "ranking.py", "tables.py"}
+    pat = re.compile(r"\.(cache|persist)\(")
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        if py.name in sanctioned:
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if pat.search(code):
+                offenders.append(f"{py.relative_to(pkg)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "bare .cache()/.persist() outside sanctioned modules "
+        "(use functions.cachereg.cache_tracked):\n" + "\n".join(offenders)
+    )

@@ -375,3 +375,148 @@ def test_stream_lsh_dedup_ledger_backfill_after_crash_window(
     assert got == want
     # the per-ingest recovery copy survived (no empty-ingest overwrite)
     assert idx.wh.read(idx.schema, idx.decisions_table).count() == len(want)
+
+
+def test_stream_lsh_dedup_replay_after_partial_index_append(
+    spark, tmp_path, monkeypatch
+):
+    """Crash BETWEEN the bands append and the docsets append, then a
+    stream (re)start over the same source: the batch still looks
+    fresh (freshness keys on docsets), so it re-ingests — the
+    self-pair guard and idempotent _append must make ledger and index
+    converge to the one-shot result."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.streaming.dedup_stream import (
+        run_lsh_dedup_stream,
+    )
+    from tests.test_pipeline import _CORPUS, _docsets_for
+
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(
+        _CORPUS[:3], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    spark.createDataFrame(
+        _CORPUS[3:], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "wh")))
+    # simulate the first micro-batch crashing mid-_append: decisions
+    # table written, bands appended, docsets NOT, no ledger
+    real_append = idx.wh.append
+
+    def crashing_append(df, schema, table):
+        if table == idx.docsets_table:
+            raise RuntimeError("simulated crash")
+        real_append(df, schema, table)
+
+    monkeypatch.setattr(idx.wh, "append", crashing_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.ingest_batch(_docsets_for(spark, _CORPUS[:3]))
+    monkeypatch.setattr(idx.wh, "append", real_append)
+    assert idx.wh.table_exists(idx.schema, idx.bands_table)
+    assert not idx.wh.table_exists(idx.schema, idx.docsets_table)
+
+    # restart the stream from scratch (fresh checkpoint — the worst
+    # case: every batch redelivered)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_lsh_dedup_stream(stream, idx, str(tmp_path / "ck"))
+    )
+
+    one = LshDedupIndex(Warehouse(spark, str(tmp_path / "one_wh")))
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in one.ingest_batch(_docsets_for(spark, _CORPUS)).collect()
+    }
+    ledger = idx.wh.read(idx.schema, f"{idx.decisions_table}_stream")
+    got = {
+        r["doc_id"]: (r["doc_id"], r["is_dup"], r["match_id"],
+                      r["match_jaccard"])
+        for r in ledger.collect()
+    }
+    assert got == want
+    assert ledger.count() == len(want)  # one ledger row per doc
+
+    def state(index):
+        return (
+            sorted(map(tuple, index._bands().collect())),
+            sorted(map(tuple, index._docsets().collect())),
+        )
+
+    assert state(idx) == state(one)
+
+
+def test_stream_lsh_dedup_per_doc_backfill_after_partial_docsets(
+    spark, tmp_path
+):
+    """Crash MID-docsets-append (some docs' rows committed, some not):
+    the replay must ledger-backfill the already-indexed subset from
+    the per-ingest decisions table — per doc, BEFORE re-ingesting the
+    fresh remainder replaces that table — so the ledger converges to
+    one decision row per doc with the crashed run's values."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.streaming.dedup_stream import (
+        run_lsh_dedup_stream,
+    )
+    from tests.test_pipeline import _CORPUS, _docsets_for
+
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(
+        _CORPUS[:3], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    spark.createDataFrame(
+        _CORPUS[3:], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    # build the crashed state by copying from a fully-ingested twin:
+    # decisions + bands complete, docsets holds only docs {1, 2}
+    twin = LshDedupIndex(Warehouse(spark, str(tmp_path / "twin")))
+    twin.ingest_batch(_docsets_for(spark, _CORPUS[:3]))
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "wh")))
+    idx.wh.append(twin._bands(), idx.schema, idx.bands_table)
+    idx.wh.append(
+        twin._docsets().filter(F.col("doc_id") <= 2),
+        idx.schema,
+        idx.docsets_table,
+    )
+    idx.wh.write_atomic(
+        twin.wh.read(twin.schema, twin.decisions_table),
+        idx.schema,
+        idx.decisions_table,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_lsh_dedup_stream(stream, idx, str(tmp_path / "ck"))
+    )
+
+    one = LshDedupIndex(Warehouse(spark, str(tmp_path / "one_wh")))
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in one.ingest_batch(_docsets_for(spark, _CORPUS)).collect()
+    }
+    ledger = idx.wh.read(idx.schema, f"{idx.decisions_table}_stream")
+    got = {
+        r["doc_id"]: (r["doc_id"], r["is_dup"], r["match_id"],
+                      r["match_jaccard"])
+        for r in ledger.collect()
+    }
+    assert got == want
+    assert ledger.count() == len(want)
+
+    def state(index):
+        return (
+            sorted(map(tuple, index._bands().collect())),
+            sorted(map(tuple, index._docsets().collect())),
+        )
+
+    assert state(idx) == state(one)

@@ -552,9 +552,11 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_centroid_kernel(emb, cent)
 
 
-@query(
-    "similarity_ivf_topk",
-    oracle=f"""
+#: shared by ``similarity_ivf_topk`` (plan recomputed per call) and
+#: ``similarity_ivf_index_topk`` (served from the persisted bucketed
+#: index, operators/ivf_index.py) — both produce bit-identical rows,
+#: so one oracle string is the contract for both.
+IVF_TOPK_ORACLE = f"""
     WITH {_SQL_IVF_COMMON},
     probes AS (
       SELECT query_id, centroid_id FROM (
@@ -587,8 +589,10 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rnk
       FROM scored
     ) WHERE rnk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("similarity_ivf_topk", oracle=IVF_TOPK_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search: probe the nprobe nearest centroids, scan only
     their inverted lists, exact-rerank to top-k.

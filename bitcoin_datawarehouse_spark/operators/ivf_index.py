@@ -1,0 +1,296 @@
+"""Warehouse-persisted IVF ANN index (production serving loop).
+
+``similarity_ivf_topk`` (embeddings_extra.py) demonstrates the IVF
+plan SHAPE but re-assigns the whole corpus to centroids on every
+call — its one corpus-sized exchange is the repartition feeding the
+assignment kernel.  Production ANN serving (FAISS's IVF layout, the
+public inverted-file design of Jégou et al.) builds that assignment
+ONCE and persists the inverted lists; a search then touches only the
+probed lists.  This module is the similarity twin of the dedup
+domain's ``LshDedupIndex`` (lsh_index.py):
+
+* ``build`` assigns every vector to its nearest centroid with the
+  dim-ordered Arrow kernel (bit-equal to the min_by formulation and
+  the DuckDB oracle) and writes the inverted lists
+  ``(centroid_id, vec_id, e)`` BUCKETED BY centroid_id
+  (``Warehouse.write_bucketed``) — whole centroid lists land in one
+  bucket's files.  The centroid codebook (a model, not data)
+  persists as a tiny warehouse table.
+* ``search`` collects the bounded query workload, picks each query's
+  ``nprobe`` nearest centroids driver-side from the codebook (same
+  fold order and tie-break as the SQL oracle), and scans the
+  persisted lists with a LITERAL ``centroid_id IN (...)`` filter —
+  on the bucketed layout Spark prunes unprobed buckets at planning
+  time (``SelectedBucketsCount`` in the plan), so the scan itself is
+  ~nprobe/n_centroids of the index.  No corpus-sized exchange
+  remains anywhere in the search plan (plan-tested): candidates ride
+  a broadcast join, the rerank is a per-batch partial-top-k Arrow
+  kernel, and the only shuffle carries partitions×queries×k rows
+  into the final window.
+* ``ingest`` assigns a batch of NEW vectors against the persisted
+  codebook and appends them to the lists in the SAME bucket layout
+  (``Warehouse.append_bucketed``) — per-ingest cost ∝ batch, and
+  subsequent searches see the new vectors with no rebuild.
+
+Search results are BIT-IDENTICAL to ``similarity_ivf_topk`` (same
+kernel fold order, same tie-breaks), so both share one SQL oracle —
+the persisted path is a physical-layout change only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+    IVF_N_CENTROIDS,
+    IVF_NPROBE,
+    IVF_TOPK_ORACLE,
+    _nearest_centroid_kernel_impl,
+    _normed,
+)
+from bitcoin_datawarehouse_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    dim_ordered_dot_sq,
+    norm_col,
+)
+from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+from bitcoin_datawarehouse_spark.registry import query
+
+
+class IvfIndex:
+    """Persisted bucketed inverted-file index over an embedding corpus."""
+
+    def __init__(
+        self,
+        warehouse: Warehouse,
+        schema: str = "ann_index",
+        name: str = "embeddings",
+        n_centroids: int = IVF_N_CENTROIDS,
+        nprobe: int = IVF_NPROBE,
+    ) -> None:
+        self.wh = warehouse
+        self.schema = schema
+        self.lists_table = f"{name}_lists"
+        self.centroids_table = f"{name}_centroids"
+        self.n_centroids = n_centroids
+        self.nprobe = nprobe
+        #: session-catalog name of the bucketed lists table (bucketing
+        #: metadata lives in the catalog, see Warehouse.write_bucketed)
+        self.lists_name = f"{schema}_{self.lists_table}"
+        warehouse.create_schema(schema)
+
+    # -- build -------------------------------------------------------------
+    def build(
+        self, emb: DataFrame, centroids: DataFrame | None = None
+    ) -> None:
+        """Assign ``emb`` (vec_id, e) to centroids and persist the
+        bucketed inverted lists + the codebook.
+
+        ``centroids`` (centroid_id, ce) defaults to the vectors with
+        the smallest vec_ids — the same fixed, engine-independent
+        quantizer the ``similarity_ivf_topk`` gate pins (a trained
+        k-means codebook from operators/kmeans.py plugs in unchanged:
+        only the codebook rows differ, never the plan).
+
+        One corpus pass: the assignment kernel carries the vector
+        through (keep_vec) so the lists are written directly from the
+        kernel output — build is where the corpus-sized exchange
+        lives, paid once instead of per search.
+        """
+        emb = emb.select("vec_id", "e")
+        if centroids is None:
+            centroids = emb.filter(
+                F.col("vec_id") < self.n_centroids
+            ).select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("e").alias("ce"),
+            )
+        cent = centroids.withColumn("cn", norm_col(F.col("ce")))
+        # codebook first: ingest/search read it from the warehouse
+        self.wh.write_atomic(
+            cent, self.schema, self.centroids_table, coalesce=1
+        )
+        lists = _nearest_centroid_kernel_impl(
+            emb.withColumn("nrm", norm_col(F.col("e"))),
+            cent,
+            keep_vec=True,
+        )
+        # one bucket per centroid: a search probing p centroids reads
+        # exactly p buckets' files (SelectedBucketsCount pruning); at
+        # corpus scale use fewer buckets than centroids and pruning
+        # still cuts the scan by the same hash-membership logic
+        self.wh.write_bucketed(
+            lists.select("centroid_id", "vec_id", "e"),
+            self.schema,
+            self.lists_table,
+            bucket_cols=["centroid_id"],
+            n_buckets=self.n_centroids,
+            sort_cols=["centroid_id"],
+        )
+
+    def exists(self) -> bool:
+        return self.wh.table_exists(self.schema, self.centroids_table)
+
+    def _codebook(self):
+        """(ids, cmat, cn) numpy codebook, centroid_id-ascending —
+        the driver-side model every search/ingest shares."""
+        import numpy as np
+
+        rows = sorted(
+            self.wh.read(self.schema, self.centroids_table).collect(),
+            key=lambda r: r["centroid_id"],
+        )
+        ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+        cmat = np.array([list(r["ce"]) for r in rows], dtype=np.float64)
+        cn = np.array([float(r["cn"]) for r in rows], dtype=np.float64)
+        return ids, cmat, cn
+
+    # -- ingest ------------------------------------------------------------
+    def ingest(self, new_emb: DataFrame) -> None:
+        """Assign a batch of NEW vectors (vec_id, e) against the
+        persisted codebook and append them to the inverted lists in
+        the same bucket layout.  Cost ∝ batch; no rebuild, no touch
+        of the existing lists' files."""
+        cent = self.wh.read(self.schema, self.centroids_table)
+        lists = _nearest_centroid_kernel_impl(
+            new_emb.select("vec_id", "e").withColumn(
+                "nrm", norm_col(F.col("e"))
+            ),
+            cent,
+            keep_vec=True,
+        )
+        self.wh.append_bucketed(
+            lists.select("centroid_id", "vec_id", "e"),
+            self.schema,
+            self.lists_table,
+            bucket_cols=["centroid_id"],
+            n_buckets=self.n_centroids,
+            sort_cols=["centroid_id"],
+        )
+
+    # -- search ------------------------------------------------------------
+    def search(
+        self,
+        queries: DataFrame,
+        top_k: int = TOP_K,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Top-k nearest neighbors for ``queries`` (query_id, qe) from
+        the persisted lists: (query_id, cand_id, cosine, rnk).
+
+        The query workload is bounded (a serving batch), so it
+        collects once; probe selection runs driver-side against the
+        codebook with the exact oracle fold order and tie-break
+        (cosine desc, centroid_id asc).  The probed centroid ids
+        become a LITERAL IN-filter on the bucketed scan — planning-
+        time bucket pruning — and a tiny broadcast probe table maps
+        each surviving list row to its probing queries.  Rerank is a
+        per-batch partial top-k kernel (union of per-batch winners ⊇
+        global winners); the final window ranks batches×queries×k
+        rows.  Bit-identical to ``similarity_ivf_topk``.
+        """
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        spark = queries.sparkSession
+        qrows = sorted(
+            queries.select("query_id", "qe").collect(),
+            key=lambda r: r["query_id"],
+        )
+        qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
+        qmat = np.array([list(r["qe"]) for r in qrows], dtype=np.float64)
+        cids, cmat, cn = self._codebook()
+
+        # driver-side probe selection: dim-ordered fold (bit-equal to
+        # the JVM/DuckDB fold), ties to the smallest centroid_id
+        dot, c_sq, q_sq = dim_ordered_dot_sq(cmat, qmat)
+        qn = np.sqrt(q_sq)
+        cos = dot / np.outer(np.sqrt(c_sq), qn)
+        probe_rows = []
+        for qi in range(len(qids)):
+            order = np.lexsort((cids, -cos[:, qi]))[: self.nprobe]
+            probe_rows.extend(
+                (int(qids[qi]), int(cids[ci])) for ci in order
+            )
+        probed_cents = sorted({c for _, c in probe_rows})
+        probes = spark.createDataFrame(
+            probe_rows, "query_id long, centroid_id long"
+        )
+
+        # bucketed scan with a literal IN-filter: planning-time bucket
+        # pruning reads only the probed lists' files
+        lists = spark.table(self.lists_name).filter(
+            F.col("centroid_id").isin(probed_cents)
+        )
+        sub = (
+            F.broadcast(probes)
+            .join(lists, "centroid_id")
+            .select("query_id", F.col("vec_id").alias("cand_id"), "e")
+        )
+        if exclude_self:
+            sub = sub.filter(F.col("cand_id") != F.col("query_id"))
+
+        qvec = {int(q): qmat[i] for i, q in enumerate(qids)}
+        schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("cand_id", T.LongType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+
+        def partial_topk(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out_q, out_c, out_s = [], [], []
+                for qid, grp in pdf.groupby("query_id", sort=False):
+                    q = qvec[int(qid)]
+                    cand = grp["cand_id"].to_numpy(dtype=np.int64)
+                    gmat = np.array(list(grp["e"]), dtype=np.float64)
+                    gdot, g_sq, qq = dim_ordered_dot_sq(gmat, q[None, :])
+                    gcos = gdot[:, 0] / (np.sqrt(qq[0]) * np.sqrt(g_sq))
+                    order = np.lexsort((cand, -gcos))[:top_k]
+                    out_q.extend([int(qid)] * len(order))
+                    out_c.extend(cand[order])
+                    out_s.extend(gcos[order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "cand_id": out_c, "cosine": out_s}
+                )
+
+        partial = sub.mapInPandas(partial_topk, schema)
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("cand_id")
+        )
+        return (
+            partial.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .select("query_id", "cand_id", "cosine", "rnk")
+        )
+
+
+@query("similarity_ivf_index_topk", oracle=IVF_TOPK_ORACLE)
+def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search served from the PERSISTED bucketed index — the
+    production twin of ``similarity_ivf_topk`` (same oracle, bit-
+    identical rows).  This entry runs the full loop: build the index
+    into a scratch warehouse (the corpus pass, paid once), then
+    search the bounded query workload from the persisted lists.  The
+    search plan alone has no corpus-sized exchange and bucket-prunes
+    to the probed lists (plan-tested in tests/test_plans.py)."""
+    import tempfile
+
+    emb = _normed(spark, sf_dir)
+    idx = IvfIndex(
+        Warehouse(spark, tempfile.mkdtemp(prefix="ivf_wh_")),
+        schema="ann_index",
+        name="fixture",
+    )
+    idx.build(emb.select("vec_id", "e"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return idx.search(queries)

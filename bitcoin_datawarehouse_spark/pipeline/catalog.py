@@ -403,10 +403,43 @@ class Warehouse:
         metastore and keeps real two-level names).
         """
         name = f"{schema}_{table}"
+        # the session catalog is in-memory: a table location left on
+        # disk by a PREVIOUS session has no catalog entry, and
+        # saveAsTable(overwrite) refuses to adopt it — drop both
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wdir = self.spark.conf.get(
+            "spark.sql.warehouse.dir", ""
+        ).removeprefix("file:")
+        if wdir:
+            stale = Path(wdir) / name.lower()
+            if stale.exists():
+                shutil.rmtree(stale)
         writer = (
             df.write.mode("overwrite")
             .bucketBy(n_buckets, *bucket_cols)
         )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+        return name
+
+    def append_bucketed(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Append to a bucketed table created by :meth:`write_bucketed`
+        (the incremental-ingest path of a persisted index): new files
+        are hash-clustered into the SAME bucket layout, so scans keep
+        their bucket pruning and co-located join properties.  The
+        bucketing spec must match the existing table's — Spark rejects
+        a mismatched append, which is the correctness guard."""
+        name = f"{schema}_{table}"
+        writer = df.write.mode("append").bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(name)

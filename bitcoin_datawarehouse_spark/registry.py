@@ -193,4 +193,5 @@ def load_all_operators() -> None:
         profiling,
         incremental,
         behavior,
+        ivf_index,
     )

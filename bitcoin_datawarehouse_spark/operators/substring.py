@@ -10,22 +10,31 @@ aggregate finds windows occurring ≥2 times corpus-wide (across OR
 within documents — same semantics as ExactSubstr), and per-document
 span statistics report how much of each document is duplicated text.
 
-Scale design:
+Scale design (all three levers are CODE, with tests — not prose):
 * the window explode is the big intermediate — (doc, pos, hash),
-  ~n_tokens rows per doc, same order of magnitude as the shingle
-  tables the other dedup operators already build;
-* duplicate detection is ONE hash aggregate on the window hash with
-  map-side partial aggregation, then an equi-join of windows against
-  the duplicated hashes — no pairwise comparison, no cross join;
-* hot windows (boilerplate headers/footers shared by millions of
-  docs) are the skew hazard: at corpus scale you cap the frequency
-  count (count ≥ 2 is all the join needs, so the aggregate can stop
-  counting at 2) and salt the hottest hashes; not applied at fixture
-  scale because the oracle computes the identical set either way;
-* at 100 TB you'd also stride the windows (stride W/2 finds any
-  duplicated run ≥ 1.5·W at half the intermediate size); stride 1 at
-  fixture scale keeps the oracle simple and the detection exact for
-  runs ≥ W.
+  ~n_tokens rows per doc.  ``winnow_s`` shrinks it by content-defined
+  sampling (winnowing, Schleimer et al. SIGMOD'03, public): per doc,
+  only the window holding the MINIMUM hash of each ``s`` consecutive
+  windows is emitted.  Selection depends only on window *content*, so
+  two copies of a duplicated run select the SAME windows regardless
+  of their alignment in their documents — a plain stride-s sampling
+  would miss runs whose copies start at different offsets mod s.
+  Guarantee (pytest-pinned): any duplicated run of ≥ W + s - 1 tokens
+  contains a full in-run group of s windows, whose min is selected
+  identically in every copy — with s = W/2 that is every run
+  ≥ 1.5·W.  Expected intermediate size is ~2/(s+1) of stride-1.
+* duplicate detection is ONE pass over the window hashes.  Default: a
+  count window partitioned by the hash (one shuffle; hash groups are
+  ~1-2 rows).  Hot windows (boilerplate headers/footers shared by
+  millions of docs) make that window-partition skew: ``hot_hash_cap``
+  switches to a map-side-combining groupBy whose duplicated-hash set
+  is SPLIT — hashes at ≥ cap occurrences (the tiny boilerplate set,
+  ≤ total_windows/cap hashes by construction) join the window table
+  as a BROADCAST semi-join, the warm remainder as a shuffle
+  semi-join.  Output is identical (pytest-pinned on a planted
+  100-way duplicate); only the physical skew profile changes.
+* no pairwise comparison, no cross join; every shuffle is keyed by
+  the window hash or doc_id.
 
 Reference parity: the reference repo has no analytical dedup at all
 (its pipeline is ELT scaffolding; see SURVEY.md §2.12) — this module
@@ -53,12 +62,26 @@ WINDOW_TOKENS = 8
 
 _W = WINDOW_TOKENS
 
+#: winnowing group size for the sampled variant: s = W/2 detects every
+#: duplicated run ≥ 1.5·W (see module docstring)
+WINNOW_S = _W // 2
 
-def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def doc_windows(
+    spark: SparkSession, sf_dir: str, winnow_s: int | None = None
+) -> DataFrame:
     """(doc_id, pos, h, n_tokens): md5 of each W-token rolling window,
     plus ONE sentinel row per document (pos/h NULL) carrying its token
     count — so consumers get per-doc totals from the same pass instead
     of re-tokenizing the corpus.
+
+    With ``winnow_s`` set, only winnowed windows are emitted: for each
+    group of ``s`` consecutive windows starting at positions
+    1..n_wins-s+1 (one whole-doc group when n_wins < s), the position
+    of the group's minimum hash is selected.  The min compares the
+    first 64 bits of the md5 (uniformly random, so a tie within a
+    ≤ s-window group is ~s·2⁻⁶⁴ — never observed; the oracle compares
+    the full hex string, identical on every non-tie).
 
     Arrow-batched kernel for the same reason as ``doc_shingles``
     (dedup.py): higher-order-function lambdas are interpreted, and the
@@ -66,6 +89,7 @@ def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass.  Output hashes are byte-identical to the oracle's
     ``md5(array_to_string(tk[i:i+W-1], ' '))``.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -78,6 +102,7 @@ def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_tokens", T.LongType()),
         ]
     )
+    s = winnow_s
 
     def gen(batches):
         for pdf in batches:
@@ -87,14 +112,35 @@ def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             nts: list[int | None] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 tk = [t for t in pat.split(txt.lower()) if t]
-                for i in range(len(tk) - _W + 1):
+                win_h = [
+                    hashlib.md5(
+                        " ".join(tk[i : i + _W]).encode()
+                    ).hexdigest()
+                    for i in range(len(tk) - _W + 1)
+                ]
+                if s and win_h:
+                    h64 = np.array(
+                        [int(h[:16], 16) for h in win_h], dtype=np.uint64
+                    )
+                    if len(h64) < s:
+                        sel = {int(h64.argmin())}
+                    else:
+                        groups = np.lib.stride_tricks.sliding_window_view(
+                            h64, s
+                        )
+                        sel = set(
+                            (
+                                groups.argmin(axis=1)
+                                + np.arange(len(groups))
+                            ).tolist()
+                        )
+                    keep = sorted(sel)
+                else:
+                    keep = range(len(win_h))
+                for i in keep:
                     ids.append(did)
                     poss.append(i + 1)
-                    hs.append(
-                        hashlib.md5(
-                            " ".join(tk[i : i + _W]).encode()
-                        ).hexdigest()
-                    )
+                    hs.append(win_h[i])
                     nts.append(None)
                 ids.append(did)
                 poss.append(None)
@@ -113,10 +159,10 @@ def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_substring_spans",
-    oracle=f"""
-    WITH tok AS (
+def _wins_sql(winnow_s: int | None) -> str:
+    """Oracle CTE chain ending in ``swins`` — the (possibly winnowed)
+    window table — plus ``tok`` for per-doc totals."""
+    base = f"""tok AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          t -> t <> '') AS tk
@@ -127,9 +173,32 @@ def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(array_to_string(t.tk[g.i:g.i+{_W - 1}], ' ')) AS h
       FROM tok t,
       LATERAL (SELECT unnest(generate_series(1, len(t.tk)-{_W - 1})) AS i) g
+    )"""
+    if winnow_s is None:
+        return base + ",\n    swins AS (SELECT * FROM wins)"
+    s = winnow_s
+    return base + f""",
+    nw AS (SELECT doc_id, COUNT(*) AS n_wins FROM wins GROUP BY doc_id),
+    grp AS (
+      SELECT w.doc_id, w.pos AS gstart, n.n_wins,
+             arg_min(w.pos, w.h) OVER (
+               PARTITION BY w.doc_id ORDER BY w.pos
+               ROWS BETWEEN CURRENT ROW AND {s - 1} FOLLOWING
+             ) AS selpos
+      FROM wins w JOIN nw n USING (doc_id)
     ),
-    freq AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
-    dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN freq f USING (h)),
+    sel AS (
+      SELECT DISTINCT doc_id, selpos AS pos FROM grp
+      WHERE gstart <= greatest(n_wins - {s} + 1, 1)
+    ),
+    swins AS (SELECT w.* FROM wins w JOIN sel USING (doc_id, pos))"""
+
+
+def _spans_oracle(winnow_s: int | None) -> str:
+    return f"""
+    WITH {_wins_sql(winnow_s)},
+    freq AS (SELECT h FROM swins GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT w.doc_id, w.pos FROM swins w JOIN freq f USING (h)),
     cov AS (
       SELECT DISTINCT d.doc_id, d.pos + o.j AS p
       FROM dup d,
@@ -154,39 +223,57 @@ def doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base b
     LEFT JOIN dupc d USING (doc_id)
     LEFT JOIN covc c USING (doc_id)
-    """,
-)
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document duplicated-span statistics (ExactSubstr-shaped).
+    """
 
-    A window is *duplicated* if its W-token text occurs ≥2 times in
-    the whole corpus (across or within documents).  ``dup_tokens``
-    counts the distinct token positions covered by at least one
-    duplicated window — i.e. the length of text that exact-substring
-    dedup would cut; ``dup_ratio`` is that as a fraction of the doc.
 
-    Plan: Arrow window kernel (ONE execution) → window count
-    partitioned by hash → filter count≥2 → position explode → one
-    per-doc aggregate.  No cross join; every shuffle is keyed by the
-    window hash or doc_id.
+def substring_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    winnow_s: int | None = None,
+    hot_hash_cap: int | None = None,
+) -> DataFrame:
+    """Shared body of the two registered variants; the parameters are
+    the corpus-scale levers described in the module docstring.
+
+    Plan: Arrow window kernel (ONE execution) → duplicate detection
+    (hash-partitioned count window, or the groupBy + split semi-join
+    under ``hot_hash_cap``) → position explode → one per-doc
+    aggregate.  No cross join.
     """
     from pyspark.sql import Window
 
-    kern = cache_tracked(doc_windows(spark, sf_dir))
+    kern = cache_tracked(doc_windows(spark, sf_dir, winnow_s=winnow_s))
     # eager fill: the duplicate-detection and per-doc-base subtrees
     # both read this cache (CLAUDE.md multi-subtree rule)
     kern.count()
     wins = kern.filter(F.col("h").isNotNull()).select("doc_id", "pos", "h")
-    # duplicate detection as ONE window count partitioned by the hash:
-    # cheaper than a groupBy+join-back (one shuffle, hash groups are
-    # ~1-2 rows)
-    dup = (
-        wins.withColumn(
-            "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    if hot_hash_cap is None:
+        # ONE window count partitioned by the hash: cheaper than a
+        # groupBy+join-back when no hash is hot (groups are ~1-2 rows)
+        dup = (
+            wins.withColumn(
+                "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+            )
+            .filter(F.col("cnt") >= 2)
+            .select("doc_id", "pos")
         )
-        .filter(F.col("cnt") >= 2)
-        .select("doc_id", "pos")
-    )
+    else:
+        # skew-proof path: map-side-combining count, then the dup-hash
+        # set split at the cap — the boilerplate set (≥ cap copies) is
+        # tiny by construction and joins broadcast, so no single
+        # reducer ever owns a million-row hash group
+        counts = (
+            wins.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+        )
+        warm = counts.filter(F.col("cnt") < hot_hash_cap).select("h")
+        hot = counts.filter(F.col("cnt") >= hot_hash_cap).select("h")
+        dup = (
+            wins.join(warm, "h", "left_semi")
+            .unionByName(wins.join(F.broadcast(hot), "h", "left_semi"))
+            .select("doc_id", "pos")
+        )
 
     # both per-doc statistics in ONE aggregation over the exploded
     # coverage rows (two subtrees over `dup` would recompute the
@@ -235,3 +322,34 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@query("dedup_substring_spans", oracle=_spans_oracle(None))
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span statistics (ExactSubstr-shaped).
+
+    A window is *duplicated* if its W-token text occurs ≥2 times in
+    the whole corpus (across or within documents).  ``dup_tokens``
+    counts the distinct token positions covered by at least one
+    duplicated window — i.e. the length of text that exact-substring
+    dedup would cut; ``dup_ratio`` is that as a fraction of the doc.
+    Exact mode: every window hashed (stride 1, no cap).
+    """
+    return substring_spans(spark, sf_dir)
+
+
+@query(
+    "dedup_substring_spans_winnowed",
+    oracle=_spans_oracle(WINNOW_S),
+)
+def dedup_substring_spans_winnowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus-scale configuration: winnowed window sampling at
+    s = W/2 cuts the (doc, pos, hash) intermediate to ~2/(s+1) of
+    stride-1 while still flagging every duplicated run ≥ 1.5·W
+    (content-defined selection — see module docstring; the guarantee
+    is pytest-pinned against planted runs at arbitrary alignments).
+    ``n_dup_windows``/``dup_tokens`` become lower-bound estimates over
+    the sampled windows; ``n_tokens``/``n_windows`` stay exact."""
+    return substring_spans(spark, sf_dir, winnow_s=WINNOW_S)

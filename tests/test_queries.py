@@ -587,3 +587,114 @@ def test_fuzzy_decontam_best_match_shape(spark):
         assert r.eval_doc_id % FUZZY_EVAL_MOD == 0
         assert 0.0 < r.jaccard <= 1.0
         assert r.contaminated == (r.jaccard >= JACCARD_THRESHOLD)
+
+
+def test_substring_winnowed_flags_runs_at_any_alignment(spark, tmp_path):
+    """The winnowing guarantee, exercised adversarially: a duplicated
+    run of ≥ 1.5·W tokens must be flagged in BOTH copies regardless
+    of where each copy sits in its document — the alignment cases a
+    plain stride-s sampling provably misses (copies at different
+    offsets mod s).  Runs are planted at every pairwise offset
+    combination 0..s-1 with distinct filler everywhere else."""
+    import random
+
+    from bitcoin_datawarehouse_spark.operators.substring import (
+        WINDOW_TOKENS,
+        WINNOW_S,
+    )
+
+    rng = random.Random(42)
+    run_len = WINDOW_TOKENS + WINNOW_S - 1  # 1.5·W - 1: the bound
+    rows = []
+    expect_dup = []
+    doc_id = 0
+    for off_a in range(WINNOW_S):
+        for off_b in range(WINNOW_S):
+            run = " ".join(
+                f"run{off_a}{off_b}tok{i}" for i in range(run_len)
+            )
+            for off in (off_a, off_b):
+                pad_l = " ".join(
+                    f"u{doc_id}x{i}" for i in range(off + 2)
+                )
+                pad_r = " ".join(
+                    f"v{doc_id}y{i}" for i in range(rng.randint(2, 6))
+                )
+                rows.append((doc_id, f"{pad_l} {run} {pad_r}"))
+                expect_dup.append(doc_id)
+                doc_id += 1
+    # plus clean docs that must stay unflagged
+    clean_ids = []
+    for _ in range(4):
+        rows.append(
+            (doc_id,
+             " ".join(f"c{doc_id}z{i}" for i in range(run_len + 6)))
+        )
+        clean_ids.append(doc_id)
+        doc_id += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_spans_winnowed"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    missed = [d for d in expect_dup if got[d]["n_dup_windows"] == 0]
+    assert not missed, f"winnowing missed planted runs in docs {missed}"
+    for d in clean_ids:
+        assert got[d]["n_dup_windows"] == 0
+
+
+def test_substring_hot_hash_cap_is_output_identical(spark, tmp_path):
+    """The skew lever changes the physical plan only: on a planted
+    100-way duplicated window (the boilerplate case) the capped path
+    must produce bit-identical per-doc statistics to the default
+    window-count path, and its plan must broadcast the hot-hash set."""
+    from bitcoin_datawarehouse_spark.operators.substring import (
+        substring_spans,
+    )
+    from bitcoin_datawarehouse_spark.plans.audit import df_plan
+
+    boiler = "subscribe to our newsletter for more great daily content"
+    rows = [
+        (i, f"doc {i} body word{i}a word{i}b {boiler} tail{i}")
+        for i in range(100)
+    ]
+    rows.append((100, "a wholly unique document with no shared passage "
+                      "at all in it"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    base = sorted(
+        map(tuple, substring_spans(spark, str(tmp_path)).collect())
+    )
+    capped_df = substring_spans(spark, str(tmp_path), hot_hash_cap=50)
+    capped = sorted(map(tuple, capped_df.collect()))
+    assert capped == base
+    assert any(r[0] < 100 and r[3] > 0 for r in base)  # boiler flagged
+    plan = df_plan(capped_df)
+    assert "BroadcastHashJoin" in plan  # the hot set joins broadcast
+
+
+def test_substring_winnowed_shrinks_the_intermediate(spark):
+    """The point of the lever: the winnowed kernel emits a fraction of
+    the stride-1 window rows (expected ~2/(s+1)) on the real fixture."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.substring import (
+        WINNOW_S,
+        doc_windows,
+    )
+
+    full = doc_windows(spark, SF_SMALL).filter(F.col("h").isNotNull()).count()
+    sampled = (
+        doc_windows(spark, SF_SMALL, winnow_s=WINNOW_S)
+        .filter(F.col("h").isNotNull())
+        .count()
+    )
+    assert sampled < 0.75 * full
+    assert sampled > 0

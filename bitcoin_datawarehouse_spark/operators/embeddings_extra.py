@@ -218,6 +218,53 @@ def _lsh_dedup_oracle(bits: int = None) -> str:
     """
 
 
+#: auto width selection: bits ≈ log2(N / target_bucket_size), the
+#: sizing rule stated (and measured) in SCALING.md — the sf10 probes
+#: showed fixed widths go quadratic as the corpus grows (47M
+#: candidates from 20k vectors at 8×5) while near-dups keep colliding
+#: at any practical width.  The floor is the fixture-proven 8×5 (the
+#: sf0.01 driver gate's 2 000-vector corpus lands exactly on it, so
+#: auto and the pinned tier agree there); the ceiling is the widest
+#: sf10-probed width (8×18: +2 bits = 4.7× faster, 99% true pairs
+#: retained).
+AUTO_LSH_TARGET_BUCKET = 64
+AUTO_LSH_MIN_BITS = 5
+AUTO_LSH_MAX_BITS = 18
+
+
+def auto_lsh_bits(
+    n_vectors: int,
+    target_bucket_size: int = AUTO_LSH_TARGET_BUCKET,
+    lo: int = AUTO_LSH_MIN_BITS,
+    hi: int = AUTO_LSH_MAX_BITS,
+) -> int:
+    """Per-table sign-LSH width for a corpus of ``n_vectors``: the
+    nearest power-of-two width holding expected bucket size at
+    ``target_bucket_size`` (≈ +3.3 bits per corpus decade), clamped
+    to the measured-good [fixture floor, sf10 ceiling] range."""
+    import math
+
+    if n_vectors <= 0:
+        return lo
+    bits = round(math.log2(max(n_vectors / target_bucket_size, 1.0)))
+    return max(lo, min(hi, bits))
+
+
+def dedup_embedding_cosine_lsh_auto(
+    spark: SparkSession, sf_dir: str, n_vectors: int | None = None
+) -> DataFrame:
+    """The LSH embedding dedup with its width chosen AT RUNTIME from
+    the corpus size (one count() probe of the embeddings scan, or a
+    caller-supplied hint when the count is already known — e.g. from
+    table statistics).  Not a registered gate row: the oracle strings
+    are static per width, so each auto-selected width is covered by
+    the equivalence ``auto(N) ≡ _lsh_dedup(bits=auto_lsh_bits(N))``
+    plus the pinned fixed-width gates at 5 and 12 bits."""
+    if n_vectors is None:
+        n_vectors = load_table(spark, sf_dir, "embeddings").count()
+    return _lsh_dedup(spark, sf_dir, bits=auto_lsh_bits(n_vectors))
+
+
 #: widths past this use the candidate-join rerank instead of the
 #: per-bucket grid kernel: at ≥2^9 buckets/table most buckets are
 #: singletons or pairs, so the grid kernel's per-group pandas

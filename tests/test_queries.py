@@ -698,3 +698,44 @@ def test_substring_winnowed_shrinks_the_intermediate(spark):
     )
     assert sampled < 0.75 * full
     assert sampled > 0
+
+
+def test_auto_lsh_width_selection_and_equivalence(spark):
+    """The runtime width rule: fixture-floor at the driver gate's
+    corpus size (so auto and the pinned 8×5 tier agree), ~+3.3 bits
+    per corpus decade, clamped to the measured-good range — and the
+    auto entrypoint's output is bit-identical to the fixed-width body
+    at the width it selects."""
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        AUTO_LSH_MAX_BITS,
+        AUTO_LSH_MIN_BITS,
+        _lsh_dedup,
+        auto_lsh_bits,
+        dedup_embedding_cosine_lsh_auto,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+
+    # the sf0.01 driver-gate corpus (2 000 vectors) lands on the
+    # proven fixture tier; decades grow the width; clamps hold
+    assert auto_lsh_bits(2_000) == 5
+    assert auto_lsh_bits(20_000) == 8
+    assert auto_lsh_bits(200_000) == 12
+    assert auto_lsh_bits(2_000_000) == 15
+    assert auto_lsh_bits(10) == AUTO_LSH_MIN_BITS
+    assert auto_lsh_bits(10**12) == AUTO_LSH_MAX_BITS
+    assert auto_lsh_bits(0) == AUTO_LSH_MIN_BITS
+    # monotone in the corpus size
+    widths = [auto_lsh_bits(n) for n in (10, 1_000, 10_000, 10**6, 10**9)]
+    assert widths == sorted(widths)
+
+    n = load_table(spark, SF_SMALL, "embeddings").count()
+    got = sorted(
+        map(tuple, dedup_embedding_cosine_lsh_auto(spark, SF_SMALL).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            _lsh_dedup(spark, SF_SMALL, bits=auto_lsh_bits(n)).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -347,22 +347,26 @@ def shingle_sets_frame(docs: DataFrame) -> DataFrame:
         # this worker: shingle vocabularies repeat heavily across a
         # corpus (the very redundancy dedup exploits), and the hash of
         # a shingle is a pure function of its text — identical values,
-        # 12× fewer md5 calls on every repeat.  Bounded so a worker
-        # that streams an unbounded shingle universe at 100 TB cannot
-        # grow the dict without limit (reset keeps the values exact;
-        # it only forfeits reuse across the boundary).
-        memo: dict[str, list[str]] = {}
-        memo_cap = 2_000_000
+        # 12× fewer md5 calls on every repeat.  Values are ONE packed
+        # bytes object (n_seeds × 16-byte digests) rather than a list
+        # of hex strings: ~250 B/entry vs ~1 KB, and the cap is sized
+        # to a realistic per-worker budget (~40 MB; several Python
+        # workers share an executor, so a 2 GB-permitting cap — the r4
+        # ADVICE finding — risked OOM long before it "bounded"
+        # anything).  Reset keeps values exact; it only forfeits reuse
+        # across the boundary.
+        memo: dict[str, bytes] = {}
+        memo_cap = 150_000
 
-        def shingle_hashes(s: str) -> list[str]:
+        def shingle_hashes(s: str) -> bytes:
             hs = memo.get(s)
             if hs is None:
                 if len(memo) >= memo_cap:
                     memo.clear()
-                hs = [
-                    hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                hs = b"".join(
+                    hashlib.md5(f"{k}:{s}".encode()).digest()
                     for k in range(n_seeds)
-                ]
+                )
                 memo[s] = hs
             return hs
 
@@ -375,9 +379,15 @@ def shingle_sets_frame(docs: DataFrame) -> DataFrame:
                     seen.add(f"{tk[i]} {tk[i + 1]} {tk[i + 2]}")
                 if not seen:
                     continue
-                mins = [None] * n_seeds
+                # 16-byte digest slices compare lexicographically
+                # identically to their hex strings (hex digits are
+                # ASCII-monotone), so the mins — and every downstream
+                # band key — are value-identical to the hex-list form
+                mins: list[bytes | None] = [None] * n_seeds
                 for s in seen:
-                    for k, h in enumerate(shingle_hashes(s)):
+                    packed = shingle_hashes(s)
+                    for k in range(n_seeds):
+                        h = packed[k * 16 : (k + 1) * 16]
                         if mins[k] is None or h < mins[k]:
                             mins[k] = h
                 ids.append(did)
@@ -387,7 +397,8 @@ def shingle_sets_frame(docs: DataFrame) -> DataFrame:
                     [
                         hashlib.md5(
                             ",".join(
-                                mins[
+                                m.hex()
+                                for m in mins[
                                     b * MINHASH_BAND_SIZE : (b + 1)
                                     * MINHASH_BAND_SIZE
                                 ]

@@ -69,8 +69,11 @@ def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CMS_EPS = 0.001  # over-estimate bound: ≤ ε·N (N = total token stream)
-CMS_CONF = 0.99
 CMS_SEED = 42
+#: standard count-min sizing: width = ⌈2/ε⌉ counters per row, depth
+#: rows ⇒ Pr[est > exact + ε·N] ≤ 2^-depth-ish (independent rows)
+CMS_WIDTH = 2000
+CMS_DEPTH = 5
 
 
 @query("sketch_count_min_token_counts")  # rows-only: sketch internals engine-specific
@@ -80,17 +83,30 @@ def sketch_count_min_token_counts(
     """Count-min sketch over the corpus token stream, queried for the
     vocabulary-head watch-list, reported next to the exact counts.
 
-    The 100 TB shape: the sketch aggregate is ONE fixed-size state
-    (width ⌈2/ε⌉ × depth ⌈log(1/(1-conf))⌉ counters) with map-side
-    partial merge — the shuffle carries kilobytes regardless of corpus
-    size, where the exact histogram shuffles the vocabulary.  Querying
-    the sketch is a driver-side probe of a model-sized artifact
-    (here via the JVM CountMinSketch reader on the collected binary);
-    the watch-list is whatever term set you care about — the fixture
-    uses the exact top-K as the watch-list so the error contract
-    (exact ≤ estimate ≤ exact + ε·N, seed-deterministic) is directly
-    testable (tests/test_sketches_multimodal.py).
+    The 100 TB shape: each partition folds its token stream into ONE
+    fixed-size counter table (depth × width int64, here 5 × 2000)
+    inside an Arrow kernel, emitting only its non-zero cells; a
+    map-side-combining sum merges the partials — the shuffle carries
+    ≤ partitions × table-size rows regardless of corpus size, where
+    the exact histogram shuffles the vocabulary.  The PROBE side is a
+    lazy plan too: each watch-list term's depth positions are the
+    same md5-derived indices the kernel used, computed JVM-side
+    (md5/conv expressions), equi-joined against the counter table,
+    and min-reduced per term — so the whole query is one DataFrame
+    with no driver-side collect, no ``spark._jvm`` py4j access, and
+    no classic-API dependency (Spark Connect-compatible; the previous
+    revision pre-computed the result on the driver via the JVM
+    CountMinSketch reader, r4 ADVICE).  Estimates are rows-only in
+    the gate (sketch internals are ours), but hash-deterministic:
+    md5 positions, integer counters.  Error contract (exact ≤
+    estimate ≤ exact + ε·N) is pinned in
+    tests/test_sketches_multimodal.py.
     """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
     from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
     from bitcoin_datawarehouse_spark.operators.text_stats import (
         text_token_histogram,
@@ -102,19 +118,77 @@ def sketch_count_min_token_counts(
         docs.repartition(par)
         .select(F.explode(tokens_col(F.col("text"))).alias("token"))
     )
-    sk_row = tok.agg(
-        F.count_min_sketch(
-            "token", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
-        ).alias("sk")
-    ).collect()[0]
-    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(sk_row["sk"])
+
+    depth, width, seed = CMS_DEPTH, CMS_WIDTH, CMS_SEED
+
+    def update(batches):
+        # one counter table per partition, merged across its batches;
+        # per-token positions match the probe expressions bit-for-bit
+        table = np.zeros((depth, width), dtype=np.int64)
+        memo: dict[str, list[int]] = {}
+        for pdf in batches:
+            for token, cnt in pdf["token"].value_counts().items():
+                pos = memo.get(token)
+                if pos is None:
+                    if len(memo) >= 200_000:
+                        memo.clear()
+                    pos = [
+                        int(
+                            hashlib.md5(
+                                f"{seed}:{r}:{token}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % width
+                        for r in range(depth)
+                    ]
+                    memo[token] = pos
+                for r in range(depth):
+                    table[r, pos[r]] += int(cnt)
+        rs, cs = np.nonzero(table)
+        yield pd.DataFrame(
+            {"r": rs.astype(np.int32), "c": cs.astype(np.int64),
+             "cnt": table[rs, cs]}
+        )
+
+    counters = (
+        tok.mapInPandas(update, "r int, c long, cnt long")
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    watch = text_token_histogram(spark, sf_dir).collect()  # ≤ K rows
-    data = [
-        (r["token"], int(r["term_count"]), int(jcms.estimateCount(r["token"])))
-        for r in watch
-    ]
-    return spark.createDataFrame(
-        data, "token string, exact_count bigint, cms_count bigint"
+
+    # probe: same md5-position derivation, as JVM expressions over the
+    # bounded watch-list (the exact top-K histogram — so the error
+    # contract is directly testable against exact_count)
+    watch = text_token_histogram(spark, sf_dir)
+    pos_arr = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"{seed}:{r}:"), F.col("token"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+            for r in range(depth)
+        ]
+    )
+    probe = watch.select(
+        "token",
+        F.col("term_count").alias("exact_count"),
+        F.posexplode(pos_arr).alias("r", "c"),
+    )
+    return (
+        probe.join(F.broadcast(counters), ["r", "c"], "left")
+        .groupBy("token", "exact_count")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_count")
+        )
     )

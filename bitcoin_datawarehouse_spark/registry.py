@@ -50,26 +50,40 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: pins the 50-slot window explicitly so coverage is deliberate, not an
 #: accident of module import order.
 #:
-#: Round-4 rotation: rounds 1-3 left exactly 18 hash-checkable queries
-#: with no driver CORRECTNESS row in ANY round (mirror-green only).
-#: This window inserts all 18 and evicts 18 now-proven anchors (the 12
-#: decimal→double flips — ``pricing_summary`` stays as the canary — the
-#: 3 TPC-H trees, ``streaming_enrich_static``, and the two
-#: previously-green anchors ``asof_join_daily_price`` /
-#: ``dedup_minhash_lsh``, all driver-green in CORRECTNESS_r03).  With
-#: this window green, every one of the 100 oracle-backed queries has a
-#: driver-verified row in at least one round.  Every name here has a
-#: SQL oracle — zero rows-only checks in-window.
+#: Rotation rule (round-5 addition, per r4 ADVICE): a query whose
+#: IMPLEMENTATION is materially rewritten counts as a NEW flagship —
+#: its old driver-green row proved the old code, so it re-enters the
+#: window for one round alongside genuinely new registrations.
+#:
+#: Round-5 rotation: with CORRECTNESS_r04 green, all 105 oracle-backed
+#: queries had a driver row for their then-current implementations.
+#: This window inserts the two NEW round-5 flagships
+#: (``similarity_ivf_index_topk`` — the persisted bucketed IVF index;
+#: ``dedup_substring_spans_winnowed`` — content-defined window
+#: sampling) and the four queries REWRITTEN in round 4 after their
+#: last driver check (``similarity_bruteforce_topk``,
+#: ``text_quality_score``, ``text_language_id``, ``text_token_count``
+#: — JVM expressions → Arrow/numpy kernels or regexp_count; only the
+#: mirror guarded the new bodies).  Evicted: six r4-driver-green
+#: anchors whose implementations are unchanged (the set-op ALL pair,
+#: the two window slots, map_props_entries, expr_null_semantics —
+#: union coverage retained via CORRECTNESS_r04).  Every name here has
+#: a SQL oracle — zero rows-only checks in-window.
 DRIVER_WINDOW: list[str] = [
-    # canary for the rounds-1/2 decimal→double fix (driver-green r3)
+    # canary for the rounds-1/2 decimal→double fix (driver-green r3/r4)
     "pricing_summary",
-    # --- the 18 never-driver-checked backlog (round-4 insertions) ---
+    # --- round-5 insertions: new flagships ---
+    "similarity_ivf_index_topk",
+    "dedup_substring_spans_winnowed",
+    # --- round-5 insertions: rewritten-in-r4, driver-status stale ---
+    "similarity_bruteforce_topk",
+    "text_quality_score",
+    "text_language_id",
+    "text_token_count",
+    # --- retained r4 slots ---
     # streaming long tail (stream-stream interval join, quality gate)
     "streaming_attribution_join",
     "streaming_quality_filter",
-    # set-op ALL variants
-    "setop_union_all",
-    "setop_intersect_all",
     # embedding dedup (exact-grid audit) + IVF brute assign + clusters
     "dedup_embedding_cosine",
     "similarity_ivf_assign",
@@ -130,10 +144,6 @@ DRIVER_WINDOW: list[str] = [
     # round-4 in-session flagship (took the seat of setop_except_all,
     # driver-green r3 — union coverage retained)
     "decontam_minhash_fuzzy",
-    "window_ntile_dist",
-    "window_range_frame",
-    "map_props_entries",
-    "expr_null_semantics",
     "sql_correlated_subquery",
     "join_range_bucketized",
     "cogroup_asof_alignment",

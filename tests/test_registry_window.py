@@ -42,37 +42,27 @@ def test_ordered_queries_matches_entrypoint():
     assert list(ordered_queries()) == list(entrymod.queries())
 
 
-def test_round4_backlog_is_in_window():
-    """Rounds 1-3 left exactly 18 hash-checkable queries with no driver
-    CORRECTNESS row in any round; the round-4 rotation must keep every
-    one of them in-window (plus the pricing_summary decimal canary)
-    until a driver round proves them."""
-    backlog = {
-        "streaming_attribution_join",
-        "streaming_quality_filter",
-        "setop_union_all",
-        "setop_intersect_all",
-        "dedup_embedding_cosine",
-        "similarity_ivf_assign",
-        "dedup_canonical_docs",
-        "text_repetition_stats",
-        "text_tfidf_topk",
-        "sql_scalar_subqueries",
-        "trainprep_pack_sequences",
-        "trainprep_quantize_int8",
-        "trainprep_domain_mixture",
-        "trainprep_token_budget",
-        "trainprep_stratified_sample",
-        "cohort_weekly_retention",
-        "multimodal_resize_digest",
-        "multimodal_frame_digest",
+def test_round5_rotation_is_in_window():
+    """Round-5 rotation rule (per r4 ADVICE): new flagships AND
+    queries materially rewritten since their last driver check must
+    hold window seats until a driver round proves the CURRENT
+    implementation (plus the pricing_summary decimal canary)."""
+    rotation = {
+        # new round-5 registrations
+        "similarity_ivf_index_topk",
+        "dedup_substring_spans_winnowed",
+        # rewritten in round 4 after their last driver-green row
+        "similarity_bruteforce_topk",
+        "text_quality_score",
+        "text_language_id",
+        "text_token_count",
     }
-    assert backlog <= set(DRIVER_WINDOW)
+    assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW
 
 
 def test_every_oracle_backed_query_driver_verified_by_round4():
-    """Union of driver rows recorded in rounds 1-3 plus the round-4
+    """Union of driver rows recorded in prior rounds plus the current
     window must cover all oracle-backed queries — the whole point of
     the rotation."""
     import json

@@ -64,6 +64,10 @@ HEADLINE = [
     "decontam_minhash_fuzzy",
     "text_token_histogram",
     "sql_recursive_date_spine",
+    # round-5 addition (30 → 31): the winnowed substring-dedup scale
+    # tier, benched next to its stride-1 sibling so the sampling
+    # lever's cost ratio is a recorded number per round
+    "dedup_substring_spans_winnowed",
 ]
 
 

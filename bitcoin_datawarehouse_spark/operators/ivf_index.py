@@ -170,6 +170,44 @@ class IvfIndex:
             sort_cols=["centroid_id"],
         )
 
+    def compact(self) -> int:
+        """Rewrite the inverted lists as ONE bucketed write: every
+        ``ingest`` appends its own files per bucket, so a long ingest
+        history accretes small files inside each bucket (same failure
+        mode ``LshDedupIndex`` auto-compacts away).  Re-clustering
+        through ``write_bucketed`` preserves the bucket layout — and
+        search results bit-exactly (kernel folds are row-order
+        independent per row; the final window re-sorts).  Returns the
+        file count after compaction."""
+        import glob as _glob
+
+        spark = self.wh.spark
+        # stage through a plain warehouse table: write_bucketed DROPs
+        # the target first, and DROP TABLE auto-uncaches dependent
+        # plans — a cache of spark.table(lists) would be invalidated
+        # mid-rewrite and recompute against deleted files
+        staging = f"{self.lists_table}__compact_src"
+        self.wh.write_atomic(
+            spark.table(self.lists_name), self.schema, staging
+        )
+        try:
+            self.wh.write_bucketed(
+                self.wh.read(self.schema, staging),
+                self.schema,
+                self.lists_table,
+                bucket_cols=["centroid_id"],
+                n_buckets=self.n_centroids,
+                sort_cols=["centroid_id"],
+            )
+        finally:
+            self.wh.drop_table(self.schema, staging)
+        wdir = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+            "file:"
+        )
+        return len(
+            _glob.glob(f"{wdir}/{self.lists_name.lower()}/*.parquet")
+        )
+
     # -- search ------------------------------------------------------------
     def search(
         self,

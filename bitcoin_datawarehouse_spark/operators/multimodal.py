@@ -220,6 +220,56 @@ def resize_payload(payload: bytes, w: int, h: int) -> bytes:
     return arr[idx].tobytes()
 
 
+def resize_image_payload(payload: bytes, w: int, h: int) -> bytes:
+    """REAL image resize behind an availability gate: decodes the
+    payload with PIL (a public dependency, import-gated because this
+    container ships no imaging libs), bilinear-resizes to (w, h), and
+    returns the raw RGB bytes (w·h·3).  Raises ``NotImplementedError``
+    when PIL is absent — callers fall back to :func:`resize_payload`,
+    the deterministic byte stub the registered digest-twin queries pin
+    (fixture payloads are synthetic bytes, not decodable images, so
+    the stub remains the gate surface either way; the PIL path is
+    exercised by a skip-if-unavailable pytest on constructed PNGs).
+    """
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "real image resize needs PIL; use the resize_payload stub"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return img.resize((w, h), Image.BILINEAR).tobytes()
+
+
+def resize_images_frame(
+    media: DataFrame, w: int = RESIZE_DIM, h: int = RESIZE_DIM
+) -> DataFrame:
+    """(doc_id, resized, out_w, out_h) over REAL image payloads via
+    the PIL-gated kernel — identical Spark plumbing (schema, Arrow
+    batching, partitioning) to :func:`multimodal_resize`; only the
+    per-payload codec differs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": [
+                        resize_image_payload(bytes(p), w, h)
+                        for p in pdf["payload"]
+                    ],
+                    "out_w": np.full(len(pdf), w, dtype=np.int32),
+                    "out_h": np.full(len(pdf), h, dtype=np.int32),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        kernel, RESIZE_SCHEMA
+    )
+
+
 def sample_frames(payload: bytes, n_frames: int, frame_size: int) -> list[bytes]:
     """STUB frame sampler. Production: pyav / ffmpeg keyframe pull.
 

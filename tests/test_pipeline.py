@@ -1007,3 +1007,30 @@ def test_ivf_index_ingest_batches_match_one_shot_build(spark, tmp_path):
     # the ingested vectors are actually searchable (some second-half
     # vec_id appears in the results)
     assert any(r[1] >= half for r in got)
+
+
+def test_ivf_index_compact_preserves_search(spark, tmp_path):
+    """Ingest-accreted small files compact into one bucketed rewrite;
+    searches stay bit-identical and the file count drops."""
+    import glob
+
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    emb, queries = _ivf_fixture_parts(spark)
+    n = emb.count()
+    idx = IvfIndex(
+        Warehouse(spark, str(tmp_path / "wh")), schema="ivf_t5", name="e"
+    )
+    idx.build(emb.filter(F.col("vec_id") < n // 2))
+    for lo in range(n // 2, n, 50):
+        idx.ingest(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50))
+        )
+    wdir = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    before = len(glob.glob(f"{wdir}/{idx.lists_name.lower()}/*.parquet"))
+    want = sorted(map(tuple, idx.search(queries).collect()))
+    after = idx.compact()
+    got = sorted(map(tuple, idx.search(queries).collect()))
+    assert got == want
+    assert after < before

@@ -4,6 +4,7 @@ verification here)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.registry import QUERIES
@@ -89,3 +90,50 @@ def test_count_min_estimates_bounded(spark):
     for r in rows:
         assert r.exact_count <= r.cms_count, r
         assert r.cms_count <= r.exact_count + CMS_EPS * n_stream, r
+
+
+def test_real_image_resize_when_pil_available(spark):
+    """The PIL-gated real codec: constructed PNGs decode + resize to
+    w*h*3 RGB bytes through the same Spark plumbing as the stub
+    kernel.  Skips where PIL is absent (this container); the gate
+    raises NotImplementedError there, which the companion test pins."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from bitcoin_datawarehouse_spark.operators.multimodal import (
+        RESIZE_DIM,
+        resize_images_frame,
+    )
+
+    rows = []
+    for doc_id, color in [(1, (255, 0, 0)), (2, (0, 128, 255))]:
+        buf = io.BytesIO()
+        Image.new("RGB", (31, 17), color).save(buf, format="PNG")
+        rows.append((doc_id, bytearray(buf.getvalue())))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in resize_images_frame(media).collect()}
+    for doc_id, color in [(1, (255, 0, 0)), (2, (0, 128, 255))]:
+        r = got[doc_id]
+        assert r["out_w"] == r["out_h"] == RESIZE_DIM
+        assert len(r["resized"]) == RESIZE_DIM * RESIZE_DIM * 3
+        # a solid-color input resizes to the same solid color
+        assert bytes(r["resized"][:3]) == bytes(color)
+
+
+def test_real_image_resize_gate_raises_without_pil():
+    """When PIL is missing the gate must fail loudly (marked stub
+    discipline), never silently fall back."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present — gate open")
+    except ImportError:
+        pass
+    from bitcoin_datawarehouse_spark.operators.multimodal import (
+        resize_image_payload,
+    )
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        resize_image_payload(b"\x89PNG\r\n\x1a\n", 4, 4)

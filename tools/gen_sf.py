@@ -22,9 +22,19 @@ quadratically in exact clones:
   ``i`` — which dragged every doc in a copy into the same LSH
   buckets (measured: a 1 798-doc bucket → 6.3M candidate pairs at
   factor 10, a quadratic fixture artifact no real corpus has);
-* ``embeddings.embedding``: a deterministic per-(vec, dim, copy)
-  multiplicative jitter of up to ±0.5% — cross-copy vectors are
-  near- but not exact-duplicates, matching a real corpus' density.
+* ``embeddings.embedding``: copies are grouped into CLIQUES of
+  ``EMB_CLUSTER`` (5): group 0 jitters the ORIGINAL vector by up to
+  ±0.5% per dim (near- but not exact-duplicates), every later group
+  starts from a FRESH deterministic pseudo-random vector keyed by
+  (vec, group) and jitters within the group.  True near-dup clique
+  size is therefore ~EMB_CLUSTER regardless of the factor — the
+  round-4 scheme jittered every copy from the one base, so a
+  factor-100 scale-up gave every vector 99 true near-dups and the
+  dedup-family bench rows measured a quadratic pair volume no real
+  corpus has (r4 VERDICT).  Caveat: CASCADED runs compound cliques
+  (5 per stage) — generate density-sensitive fixtures in ONE stage
+  (sf0.1 → sf10 at factor 100), which also keeps group-0 membership
+  anchored to the original vectors.
 
 Output goes to a NEW directory (never the read-only testdata).
 Usage: python tools/gen_sf.py SRC_DIR DST_DIR FACTOR
@@ -37,6 +47,9 @@ import sys
 from pathlib import Path
 
 import duckdb
+
+#: near-dup clique size for replicated embeddings (see module docstring)
+EMB_CLUSTER = 5
 
 
 def stride_for(con: duckdb.DuckDBPyConnection, path: str, key: str) -> int:
@@ -113,7 +126,15 @@ def main() -> int:
                         ELSE list_transform(
                           list_zip(embedding,
                                    range(1, len(embedding) + 1)),
-                          z -> CAST(z[1] * (1.0 + (CAST(hash(
+                          z -> CAST(
+                            (CASE WHEN i // {EMB_CLUSTER} = 0 THEN z[1]
+                                  ELSE (CAST(hash(
+                                    vec_id * 7919
+                                    + CAST(z[2] AS BIGINT) * 104729
+                                    + (i // {EMB_CLUSTER}) * 13)
+                                    % 2001 AS BIGINT) - 1000) / 1000.0
+                             END)
+                            * (1.0 + (CAST(hash(
                                  vec_id * 1000 + CAST(z[2] AS BIGINT) * 7
                                  + i) % 101 AS BIGINT) - 50) * 1e-4)
                                AS FLOAT))

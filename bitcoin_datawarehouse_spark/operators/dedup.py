@@ -431,7 +431,24 @@ def band_keys_from_sets(docsets: DataFrame) -> DataFrame:
 #: measured strictly worse at every tested density and was deleted
 #: (see SCALING.md "Negative result") — the candidate-join plan below
 #: is the only registered consumer.
-_MINHASH_LSH_ORACLE = f"""
+def _minhash_lsh_oracle(hot_bucket_cap: int | None = None) -> str:
+    """Oracle builder shared by the uncapped gate row and the
+    hot-bucket-capped scale tier (the cap is applied identically on
+    both engines, so the tier stays hash-checkable)."""
+    if hot_bucket_cap is None:
+        cand_src = "bands"
+        cap_sql = ""
+    else:
+        cand_src = "wbands"
+        cap_sql = f"""
+    bcnt AS (
+      SELECT band, band_key, COUNT(*) AS c FROM bands GROUP BY 1, 2
+    ),
+    wbands AS (
+      SELECT b.* FROM bands b JOIN bcnt USING (band, band_key)
+      WHERE c <= {hot_bucket_cap}
+    ),"""
+    return f"""
     WITH {_SQL_SHING},
     mh AS (
       SELECT s.doc_id, g.seed,
@@ -446,11 +463,11 @@ _MINHASH_LSH_ORACLE = f"""
              md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
       FROM mh
       GROUP BY doc_id, seed // {MINHASH_BAND_SIZE}
-    ),
+    ),{cap_sql}
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      FROM {cand_src} a
+      JOIN {cand_src} b ON a.band = b.band AND a.band_key = b.band_key
                    AND a.doc_id < b.doc_id
     ),
     common AS (
@@ -470,17 +487,30 @@ _MINHASH_LSH_ORACLE = f"""
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12) + LSH(4 bands × 3) candidate pairs with exact
-    Jaccard verification.
+_MINHASH_LSH_ORACLE = _minhash_lsh_oracle()
 
-    shingle → 12 md5-keyed min-hashes → band buckets → bucket-equi-join
-    for candidates → exact Jaccard on candidates only.  This is the
-    scale path for near-dup at 100 TB: the only pairwise work happens
-    inside LSH buckets (tunable false-positive rate), everything else
-    is hash aggregation.  The md5-derived permutations make the
-    signature reproducible in any engine.
+
+#: hot-bucket cap for the registered capped scale tier: a band bucket
+#: with more members than this is boilerplate (every member pair would
+#: be a candidate — Σ bucket² is exactly where the minhash family's
+#: residual super-linearity lives, SCALING.md sf10 table), so the
+#: capped tier drops those buckets from candidate generation entirely.
+#: A true near-dup pair loses only the candidates it ONLY shared
+#: through mega-buckets — the standard production recall trade
+#: (public MinHash dedup implementations ship the same knob).
+MINHASH_HOT_BUCKET_CAP = 8
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, hot_bucket_cap: int | None = None
+) -> DataFrame:
+    """Shared body of the two registered MinHash-LSH instances.
+
+    With ``hot_bucket_cap``, band buckets holding more than cap docs
+    are excluded before the candidate self-join: the HOT bucket list
+    is tiny by construction (≤ total_band_rows/cap keys), so it
+    broadcasts and the exclusion is a map-side anti-join — no plan
+    stage ever materializes a mega-bucket's quadratic pair set.
     """
     # ONE Arrow pass computes, per document, its packed shingle set
     # AND its LSH band keys (each doc is one input row, so the 12
@@ -497,6 +527,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from racing to compute it redundantly
     docsets.count()
     bands = band_keys_from_sets(docsets)
+    if hot_bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > hot_bucket_cap)
+            .select("band", "band_key")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["band", "band_key"], "left_anti"
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -535,6 +575,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sz_a") + F.col("sz_b") - n_common)
             ).alias("jaccard"),
         )
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands × 3) candidate pairs with exact
+    Jaccard verification.
+
+    shingle → 12 md5-keyed min-hashes → band buckets → bucket-equi-join
+    for candidates → exact Jaccard on candidates only.  This is the
+    scale path for near-dup at 100 TB: the only pairwise work happens
+    inside LSH buckets (tunable false-positive rate), everything else
+    is hash aggregation.  The md5-derived permutations make the
+    signature reproducible in any engine.
+    """
+    return minhash_lsh_pairs(spark, sf_dir)
+
+
+@query(
+    "dedup_minhash_lsh_capped",
+    oracle=_minhash_lsh_oracle(MINHASH_HOT_BUCKET_CAP),
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate-guarded scale tier of ``dedup_minhash_lsh``:
+    band buckets with more than MINHASH_HOT_BUCKET_CAP members are
+    dropped from candidate generation (identically in the oracle, so
+    the tier stays hash-checkable).  At fixture density no bucket is
+    hot and the output matches the uncapped row; on a boilerplate-
+    heavy corpus the cap bounds Σ bucket² — the exact term the sf10
+    decade table shows going super-linear — at the cost of pairs
+    whose ONLY shared buckets are mega-buckets (pytest pins both
+    properties on planted corpora)."""
+    return minhash_lsh_pairs(
+        spark, sf_dir, hot_bucket_cap=MINHASH_HOT_BUCKET_CAP
     )
 
 

@@ -80,6 +80,10 @@ DRIVER_WINDOW: list[str] = [
     "text_quality_score",
     "text_language_id",
     "text_token_count",
+    # --- round-5 in-session flagship (took the seat of
+    # cogroup_asof_alignment, driver-green r4 — union coverage
+    # retained via CORRECTNESS_r04) ---
+    "dedup_minhash_lsh_capped",
     # --- retained r4 slots ---
     # streaming long tail (stream-stream interval join, quality gate)
     "streaming_attribution_join",
@@ -146,7 +150,6 @@ DRIVER_WINDOW: list[str] = [
     "decontam_minhash_fuzzy",
     "sql_correlated_subquery",
     "join_range_bucketized",
-    "cogroup_asof_alignment",
     "funnel_view_signup_purchase",
 ]
 

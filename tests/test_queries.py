@@ -739,3 +739,68 @@ def test_auto_lsh_width_selection_and_equivalence(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_minhash_hot_bucket_cap_semantics(spark, tmp_path):
+    """The boilerplate guard, pinned on planted corpora: (a) a planted
+    mega-clique of identical documents (every pair a candidate only
+    through hot buckets) is dropped by the capped tier while a small
+    genuine near-dup pair survives; (b) at sub-cap density the capped
+    output is bit-identical to the uncapped row."""
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        MINHASH_HOT_BUCKET_CAP,
+        minhash_lsh_pairs,
+    )
+
+    boiler = ("subscribe to our newsletter today for daily updates and "
+              "market insights delivered straight to your inbox")
+    rows = [(i, boiler) for i in range(40)]  # 40-way identical clique
+    shared = ("the quick brown fox jumps over the lazy dog near the wide "
+              "river bank every single morning while the cold autumn wind "
+              "keeps blowing gently across the quiet valley floor")
+    rows += [
+        (100, shared + " today"),
+        (101, shared + " tonight"),
+        (102, "a wholly unrelated document about parquet bucketing and "
+              "shuffle exchanges in spark"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            spark, str(tmp_path), hot_bucket_cap=MINHASH_HOT_BUCKET_CAP
+        ).collect()
+    }
+    clique_pairs = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert clique_pairs <= uncapped          # uncapped sees the clique
+    assert not (clique_pairs & capped)       # cap drops every clique pair
+    assert (100, 101) in capped              # the genuine pair survives
+    assert not any(102 in p for p in capped)
+
+    # sub-cap density: identical outputs (the fixture gate's property)
+    small = [(i, f"document {i} with its own entirely distinct words "
+                 f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(6)]
+    small += [(100, "the quick brown fox jumps over the lazy dog by the "
+                    "river bank"),
+              (101, "the quick brown fox jumps over the lazy dog by the "
+                    "river bend")]
+    spark.createDataFrame(
+        small, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    u2 = sorted(map(tuple, minhash_lsh_pairs(spark, str(tmp_path)).collect()))
+    c2 = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                spark, str(tmp_path), hot_bucket_cap=MINHASH_HOT_BUCKET_CAP
+            ).collect(),
+        )
+    )
+    assert u2 == c2 and len(u2) > 0

@@ -520,3 +520,72 @@ def test_stream_lsh_dedup_per_doc_backfill_after_partial_docsets(
         )
 
     assert state(idx) == state(one)
+
+
+def test_stream_ivf_ingest_matches_one_shot_and_replays_are_noop(
+    spark, tmp_path
+):
+    """Streaming vector ingest into the persisted IVF index: after
+    draining the stream, searches must be bit-identical to an index
+    built one-shot on the full corpus; a full replay from a fresh
+    checkpoint must be a no-op (idempotence anti-join)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import _normed
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.operators.similarity import N_QUERIES
+    from bitcoin_datawarehouse_spark.streaming.ann_stream import (
+        run_ivf_ingest_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = _normed(spark, SF_SMALL).select("vec_id", "e")
+    n = emb.count()
+    half = n // 2
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+
+    src = tmp_path / "vec_in"
+    emb.filter(
+        (F.col("vec_id") >= half) & (F.col("vec_id") < half + half // 2)
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    emb.filter(F.col("vec_id") >= half + half // 2).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+
+    idx = IvfIndex(
+        Warehouse(spark, str(tmp_path / "wh")), schema="ivf_s1", name="e"
+    )
+    idx.build(emb.filter(F.col("vec_id") < half))
+
+    stream = (
+        spark.readStream.schema("vec_id long, e array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_ivf_ingest_stream(stream, idx, str(tmp_path / "ck1"))
+    )
+
+    one = IvfIndex(
+        Warehouse(spark, str(tmp_path / "one")), schema="ivf_s2", name="e"
+    )
+    one.build(emb)
+    got = sorted(map(tuple, idx.search(queries).collect()))
+    want = sorted(map(tuple, one.search(queries).collect()))
+    assert got == want
+    n_rows = spark.table(idx.lists_name).count()
+    assert n_rows == n
+
+    # full replay, fresh checkpoint: no duplicate list entries
+    stream2 = (
+        spark.readStream.schema("vec_id long, e array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_ivf_ingest_stream(stream2, idx, str(tmp_path / "ck2"))
+    )
+    assert spark.table(idx.lists_name).count() == n_rows
+    assert sorted(map(tuple, idx.search(queries).collect())) == want

@@ -38,9 +38,24 @@ quadratically in exact clones:
 
 Output goes to a NEW directory (never the read-only testdata).
 Usage: python tools/gen_sf.py SRC_DIR DST_DIR FACTOR [--tables a,b,c]
+                                                    [--shared-head K]
 (``--tables`` restricts generation — e.g. only documents,embeddings
 for a kernel-family probe at a factor where the full fact tables
 would dominate generation time and disk.)
+
+``--shared-head K`` makes the document decoration Zipf-respecting:
+the K most frequent tokens of the SOURCE corpus stay undecorated in
+every copy (like real corpora, whose head vocabulary saturates) and
+only tail tokens get the per-copy suffix.  Default (K=0) decorates
+every token, which multiplies the corpus vocabulary by the factor —
+fine for dedup semantics (cross-copy shingles still differ wherever
+a tail token appears), but it makes vocabulary-keyed aggregates
+(bigram LMs, window-hash tables) grow linearly with the factor where
+a real corpus' head would saturate (measured: the sf100 decade's two
+super-linear rows, SCALING.md).  Cross-copy near-dup safety holds
+because any 3-token shingle containing ≥1 tail token still differs
+across copies; head-only shingles are shared — exactly as they are
+between unrelated documents of the base corpus.
 """
 
 from __future__ import annotations
@@ -67,6 +82,9 @@ def main() -> int:
         only = set(
             sys.argv[sys.argv.index("--tables") + 1].split(",")
         )
+    shared_head = 0
+    if "--shared-head" in sys.argv:
+        shared_head = int(sys.argv[sys.argv.index("--shared-head") + 1])
     Path(dst).mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 
@@ -83,6 +101,49 @@ def main() -> int:
     s_vec = stride_for(con, p("embeddings"), "vec_id")
 
     copies = f"(SELECT unnest(generate_series(0, {factor - 1})) AS i)"
+
+    # per-copy token decoration for documents: full (default) or
+    # Zipf-respecting (--shared-head K keeps the source corpus' K most
+    # frequent tokens undecorated — head vocabulary saturates as in a
+    # real corpus; see module docstring)
+    if shared_head:
+        head = [
+            r[0]
+            for r in con.execute(
+                f"""
+                SELECT t FROM (
+                  SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS t
+                  FROM '{p("documents")}')
+                GROUP BY t ORDER BY COUNT(*) DESC, t
+                LIMIT {shared_head}"""
+            ).fetchall()
+        ]
+        n_vocab = con.execute(
+            f"""SELECT COUNT(DISTINCT t) FROM (
+                  SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS t
+                  FROM '{p("documents")}')"""
+        ).fetchone()[0]
+        if shared_head >= n_vocab:
+            raise SystemExit(
+                f"--shared-head {shared_head} >= source vocabulary "
+                f"({n_vocab}): every token would stay undecorated and "
+                "copies would be EXACT duplicates — pick K well below "
+                "the vocabulary (the synthetic fixture's is tiny; "
+                "K≈10 shares only its stopword-like head)"
+            )
+        head_sql = ",".join(
+            "'" + t.replace("'", "''") + "'" for t in head
+        )
+        decorate = f"""array_to_string(
+            list_transform(string_split(text, ' '),
+              t -> CASE WHEN lower(t) IN ({head_sql}) THEN t
+                        ELSE t || 'c' || i END), ' ')"""
+    else:
+        decorate = "regexp_replace(text, '(\\S+)', '\\1c' || i, 'g')"
 
     jobs = {
         "region": f"SELECT * FROM '{p('region')}'",
@@ -119,13 +180,11 @@ def main() -> int:
         "documents": f"""
             SELECT doc_id + i * {s_doc} AS doc_id,
                    CASE WHEN i = 0 THEN text
-                        ELSE regexp_replace(text, '(\\S+)',
-                                            '\\1c' || i, 'g')
+                        ELSE {decorate}
                    END AS text,
                    lang, source,
                    CAST(length(CASE WHEN i = 0 THEN text
-                        ELSE regexp_replace(text, '(\\S+)',
-                                            '\\1c' || i, 'g')
+                        ELSE {decorate}
                    END) AS BIGINT) AS n_chars
             FROM '{p('documents')}' CROSS JOIN {copies}""",
         "embeddings": f"""

@@ -25,8 +25,25 @@ from pyspark.sql import DataFrame
 _TRACKED: list[DataFrame] = []
 
 
+def _still_cached(df: DataFrame) -> bool:
+    try:
+        lvl = df.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk)
+    except Exception:  # session gone — nothing left to track
+        return False
+
+
 def cache_tracked(df: DataFrame) -> DataFrame:
-    """``df.cache()`` + remember the handle for central release."""
+    """``df.cache()`` + remember the handle for central release.
+
+    Self-pruning: handles whose cache was already released at the
+    call site (streaming ingests register one frame per micro-batch
+    and unpersist in their own ``finally``) are dropped on the next
+    registration — a long-running stream that never calls
+    :func:`release_tracked_caches` would otherwise accrete one
+    logical-plan tree per trigger in driver memory.  The probe is a
+    driver-local storageLevel read, no job."""
+    _TRACKED[:] = [d for d in _TRACKED if _still_cached(d)]
     cached = df.cache()
     _TRACKED.append(cached)
     return cached

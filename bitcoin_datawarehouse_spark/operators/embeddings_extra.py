@@ -519,6 +519,25 @@ def nearest_centroid_kernel(
     return _nearest_centroid_kernel_impl(emb, cent, keep_vec=False)
 
 
+def collect_codebook(cent: DataFrame):
+    """(ids, cmat, cn) numpy codebook from a (centroid_id, ce, cn)
+    frame, centroid_id-ascending — the ONE owner of the
+    collect-to-numpy extraction every codebook consumer (assignment
+    kernels, the persisted IVF index's search/probe path) shares, for
+    the same single-owner reason as ``dim_ordered_dot_sq``: the sort
+    key and dtype choices here are part of the tie-break contract."""
+    import numpy as np
+
+    rows = sorted(
+        cent.select("centroid_id", "ce", "cn").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["ce"]) for r in rows], dtype=np.float64)
+    cn = np.array([float(r["cn"]) for r in rows], dtype=np.float64)
+    return ids, cmat, cn
+
+
 def _nearest_centroid_kernel_impl(
     emb: DataFrame, cent: DataFrame, keep_vec: bool
 ) -> DataFrame:
@@ -534,13 +553,7 @@ def _nearest_centroid_kernel_impl(
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = sorted(
-        cent.select("centroid_id", "ce", "cn").collect(),
-        key=lambda r: r["centroid_id"],
-    )
-    ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
-    cmat = np.array([list(r["ce"]) for r in rows], dtype=np.float64)
-    cn = np.array([float(r["cn"]) for r in rows], dtype=np.float64)
+    ids, cmat, cn = collect_codebook(cent)
     fields = [
         T.StructField("vec_id", T.LongType()),
         T.StructField("centroid_id", T.LongType()),

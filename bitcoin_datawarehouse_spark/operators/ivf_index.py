@@ -48,6 +48,7 @@ from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
     IVF_TOPK_ORACLE,
     _nearest_centroid_kernel_impl,
     _normed,
+    collect_codebook,
 )
 from bitcoin_datawarehouse_spark.operators.similarity import (
     N_QUERIES,
@@ -72,7 +73,18 @@ class IvfIndex:
     ) -> None:
         self.wh = warehouse
         self.schema = schema
-        self.lists_table = f"{name}_lists"
+        # The bucketed lists live in the session-GLOBAL catalog while
+        # the codebook lives under the warehouse root — so the lists
+        # table name carries a digest of the resolved root: two
+        # indexes with the same schema/name over DIFFERENT warehouses
+        # must not silently share (and clobber) one catalog table
+        # while their codebooks stay separate.
+        import hashlib as _hl
+
+        root_tag = _hl.md5(
+            str(warehouse.root.resolve()).encode()
+        ).hexdigest()[:8]
+        self.lists_table = f"{name}_lists_{root_tag}"
         self.centroids_table = f"{name}_centroids"
         self.n_centroids = n_centroids
         self.nprobe = nprobe
@@ -112,11 +124,9 @@ class IvfIndex:
         self.wh.write_atomic(
             cent, self.schema, self.centroids_table, coalesce=1
         )
-        lists = _nearest_centroid_kernel_impl(
-            emb.withColumn("nrm", norm_col(F.col("e"))),
-            cent,
-            keep_vec=True,
-        )
+        # (the kernel reads only (vec_id, e) from the corpus side —
+        # norms are computed in-kernel)
+        lists = _nearest_centroid_kernel_impl(emb, cent, keep_vec=True)
         # one bucket per centroid: a search probing p centroids reads
         # exactly p buckets' files (SelectedBucketsCount pruning); at
         # corpus scale use fewer buckets than centroids and pruning
@@ -135,17 +145,11 @@ class IvfIndex:
 
     def _codebook(self):
         """(ids, cmat, cn) numpy codebook, centroid_id-ascending —
-        the driver-side model every search/ingest shares."""
-        import numpy as np
-
-        rows = sorted(
-            self.wh.read(self.schema, self.centroids_table).collect(),
-            key=lambda r: r["centroid_id"],
+        the driver-side model every search/ingest shares (extraction
+        owned by ``embeddings_extra.collect_codebook``)."""
+        return collect_codebook(
+            self.wh.read(self.schema, self.centroids_table)
         )
-        ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
-        cmat = np.array([list(r["ce"]) for r in rows], dtype=np.float64)
-        cn = np.array([float(r["cn"]) for r in rows], dtype=np.float64)
-        return ids, cmat, cn
 
     # -- ingest ------------------------------------------------------------
     def ingest(self, new_emb: DataFrame) -> None:
@@ -155,11 +159,7 @@ class IvfIndex:
         of the existing lists' files."""
         cent = self.wh.read(self.schema, self.centroids_table)
         lists = _nearest_centroid_kernel_impl(
-            new_emb.select("vec_id", "e").withColumn(
-                "nrm", norm_col(F.col("e"))
-            ),
-            cent,
-            keep_vec=True,
+            new_emb.select("vec_id", "e"), cent, keep_vec=True
         )
         self.wh.append_bucketed(
             lists.select("centroid_id", "vec_id", "e"),
@@ -240,7 +240,11 @@ class IvfIndex:
         )
         qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
         qmat = np.array([list(r["qe"]) for r in qrows], dtype=np.float64)
-        cids, cmat, cn = self._codebook()
+        # cn (the stored JVM-fold norms) is not consumed here: the
+        # probe cosines recompute centroid norms inside the SAME
+        # dim_ordered_dot_sq pass as the dots, keeping every probe
+        # term on the one pinned accumulation order
+        cids, cmat, _cn = self._codebook()
 
         # driver-side probe selection: dim-ordered fold (bit-equal to
         # the JVM/DuckDB fold), ties to the smallest centroid_id
@@ -319,11 +323,22 @@ def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search the bounded query workload from the persisted lists.  The
     search plan alone has no corpus-sized exchange and bucket-prunes
     to the probed lists (plan-tested in tests/test_plans.py)."""
+    import os
     import tempfile
 
+    # ONE deterministic scratch warehouse, reused (and overwritten)
+    # across invocations: a per-call mkdtemp would leak a codebook
+    # dir per run and accrete a corpus-sized lists table per distinct
+    # catalog name in the session warehouse.  The returned DataFrame
+    # stays lazy (the driver collects after we return), so the table
+    # must survive the call — bounded residue: one copy, reclaimed by
+    # the next call's overwrite.
+    scratch = os.path.join(
+        tempfile.gettempdir(), "bds_ivf_index_scratch"
+    )
     emb = _normed(spark, sf_dir)
     idx = IvfIndex(
-        Warehouse(spark, tempfile.mkdtemp(prefix="ivf_wh_")),
+        Warehouse(spark, scratch),
         schema="ann_index",
         name="fixture",
     )

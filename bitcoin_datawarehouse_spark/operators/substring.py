@@ -52,6 +52,10 @@ from pyspark.sql import functions as F
 from bitcoin_datawarehouse_spark.functions.cachereg import (
     cache_tracked,
 )
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_STR_ROUND6,
+    str_round6,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -195,6 +199,14 @@ def _wins_sql(winnow_s: int | None) -> str:
 
 
 def _spans_oracle(winnow_s: int | None) -> str:
+    # dup_ratio is an integer-ratio quotient — exactly the class the
+    # CLAUDE.md rule routes through SQL_STR_ROUND6 (power-of-two
+    # denominators land on exact 1e-6 ties where native ROUND
+    # diverges across engines)
+    ratio = SQL_STR_ROUND6(
+        "CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)"
+        " / greatest(b.n_tokens, 1)"
+    )
     return f"""
     WITH {_wins_sql(winnow_s)},
     freq AS (SELECT h FROM swins GROUP BY h HAVING COUNT(*) >= 2),
@@ -218,8 +230,7 @@ def _spans_oracle(winnow_s: int | None) -> str:
            CAST(b.n_windows AS BIGINT) AS n_windows,
            CAST(COALESCE(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
            CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-           ROUND(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
-                 / greatest(b.n_tokens, 1), 6) AS dup_ratio
+           {ratio} AS dup_ratio
     FROM base b
     LEFT JOIN dupc d USING (doc_id)
     LEFT JOIN covc c USING (doc_id)
@@ -315,10 +326,9 @@ def substring_spans(
             F.coalesce(F.col("dup_tokens"), F.lit(0))
             .cast("long")
             .alias("dup_tokens"),
-            F.round(
+            str_round6(
                 F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
                 / F.greatest(F.col("n_tokens"), F.lit(1)),
-                6,
             ).alias("dup_ratio"),
         )
     )

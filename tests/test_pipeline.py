@@ -1068,3 +1068,25 @@ def test_ivf_index_with_trained_kmeans_quantizer(spark, tmp_path):
     for q, n in per_q.items():
         ranks = sorted(r["rnk"] for r in got if r["query_id"] == q)
         assert ranks == list(range(1, n + 1))
+
+
+def test_ivf_index_same_name_different_warehouses_do_not_alias(
+    spark, tmp_path
+):
+    """Two indexes with identical schema/name over DIFFERENT
+    warehouse roots must not share (and clobber) one session-catalog
+    lists table: after building B, A's searches still reflect A's
+    corpus."""
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    emb, queries = _ivf_fixture_parts(spark)
+    n = emb.count()
+    a = IvfIndex(Warehouse(spark, str(tmp_path / "a")))
+    b = IvfIndex(Warehouse(spark, str(tmp_path / "b")))
+    assert a.lists_name != b.lists_name
+    a.build(emb)
+    want = sorted(map(tuple, a.search(queries).collect()))
+    # B over a half corpus with the same default schema/name
+    b.build(emb.filter(F.col("vec_id") < n // 2))
+    assert sorted(map(tuple, a.search(queries).collect())) == want

@@ -453,3 +453,22 @@ def test_no_bare_cache_or_persist_outside_sanctioned_modules():
         "bare .cache()/.persist() outside sanctioned modules "
         "(use functions.cachereg.cache_tracked):\n" + "\n".join(offenders)
     )
+
+
+def test_cache_tracked_self_prunes_released_handles(spark):
+    """Streaming ingests register one cache per micro-batch and
+    unpersist at the call site; the registry must not accrete those
+    dead handles (one logical-plan tree per trigger, forever) — a
+    released handle is dropped at the next registration."""
+    from bitcoin_datawarehouse_spark.functions import cachereg
+
+    a = cachereg.cache_tracked(spark.range(5))
+    a.count()
+    a.unpersist()
+    assert any(d is a for d in cachereg._TRACKED)
+    b = cachereg.cache_tracked(spark.range(6))
+    try:
+        assert not any(d is a for d in cachereg._TRACKED)
+        assert any(d is b for d in cachereg._TRACKED)
+    finally:
+        cachereg.release_tracked_caches()

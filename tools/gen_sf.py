@@ -138,9 +138,20 @@ def main() -> int:
         head_sql = ",".join(
             "'" + t.replace("'", "''") + "'" for t in head
         )
+        # head membership tests the token's ALNUM form (the same
+        # [^a-z0-9]+ tokenizer that mined the head), so 'The,' still
+        # counts as head 'the'; empty splits (repeated spaces) pass
+        # through undecorated — appending would fabricate bare 'cN'
+        # tokens.  Whitespace tokens containing several alnum runs
+        # ('foo-bar') are compared as one concatenated form and
+        # decorated whole when not head — acceptable for the
+        # space-separated alnum fixture this targets.
         decorate = f"""array_to_string(
             list_transform(string_split(text, ' '),
-              t -> CASE WHEN lower(t) IN ({head_sql}) THEN t
+              t -> CASE WHEN t = '' THEN t
+                        WHEN regexp_replace(lower(t),
+                                            '[^a-z0-9]+', '', 'g')
+                             IN ({head_sql}) THEN t
                         ELSE t || 'c' || i END), ' ')"""
     else:
         decorate = "regexp_replace(text, '(\\S+)', '\\1c' || i, 'g')"

@@ -335,6 +335,21 @@ def text_lm_quality_buckets(
         )
     if mode != "approx":
         raise ValueError(f"unknown bucketing mode {mode!r}")
+    # Cache the DOC-SIZED scores frame (4 scalar cols/doc): the
+    # threshold aggregate and the output projection are two separate
+    # subtrees of the final action, and uncached each re-runs the
+    # whole LM join subgraph off the docbig cache — measured 2× the
+    # subgraph cost at sf100 (~300 s vs ~95 s; the fixture never
+    # showed it because a pass costs <1 s there).  This is reuse, not
+    # a rank barrier: the exact mode's persist exists to pin
+    # nondeterministic range-boundary sampling; here the cache is
+    # just the cheapest join point for a twice-read aggregate.
+    from bitcoin_datawarehouse_spark.functions.cachereg import (
+        cache_tracked,
+    )
+
+    scores = cache_tracked(scores)
+    scores.count()  # eager: both subtrees read it in one action
     thr = scores.agg(
         F.percentile_approx(
             "bits_per_token", [1 / 3, 2 / 3], accuracy

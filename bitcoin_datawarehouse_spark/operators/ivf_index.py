@@ -63,6 +63,11 @@ from bitcoin_datawarehouse_spark.registry import query
 class IvfIndex:
     """Persisted bucketed inverted-file index over an embedding corpus."""
 
+    #: auto-compact the lists table once it accretes this many parquet
+    #: files (each ingest appends its own files per bucket) — the same
+    #: maintenance default as LshDedupIndex.AUTO_COMPACT_FILES
+    AUTO_COMPACT_FILES = 64
+
     def __init__(
         self,
         warehouse: Warehouse,
@@ -70,6 +75,7 @@ class IvfIndex:
         name: str = "embeddings",
         n_centroids: int = IVF_N_CENTROIDS,
         nprobe: int = IVF_NPROBE,
+        auto_compact_files: int | None = AUTO_COMPACT_FILES,
     ) -> None:
         self.wh = warehouse
         self.schema = schema
@@ -88,6 +94,7 @@ class IvfIndex:
         self.centroids_table = f"{name}_centroids"
         self.n_centroids = n_centroids
         self.nprobe = nprobe
+        self.auto_compact_files = auto_compact_files
         #: session-catalog name of the bucketed lists table (bucketing
         #: metadata lives in the catalog, see Warehouse.write_bucketed)
         self.lists_name = f"{schema}_{self.lists_table}"
@@ -168,6 +175,21 @@ class IvfIndex:
             bucket_cols=["centroid_id"],
             n_buckets=self.n_centroids,
             sort_cols=["centroid_id"],
+        )
+        if (
+            self.auto_compact_files
+            and self._lists_file_count() >= self.auto_compact_files
+        ):
+            self.compact()
+
+    def _lists_file_count(self) -> int:
+        import glob as _glob
+
+        wdir = self.wh.spark.conf.get(
+            "spark.sql.warehouse.dir", ""
+        ).removeprefix("file:")
+        return len(
+            _glob.glob(f"{wdir}/{self.lists_name.lower()}/*.parquet")
         )
 
     def compact(self) -> int:

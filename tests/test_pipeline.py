@@ -1090,3 +1090,43 @@ def test_ivf_index_same_name_different_warehouses_do_not_alias(
     # B over a half corpus with the same default schema/name
     b.build(emb.filter(F.col("vec_id") < n // 2))
     assert sorted(map(tuple, a.search(queries).collect())) == want
+
+
+def test_ivf_index_auto_compact_triggers_and_preserves_search(
+    spark, tmp_path
+):
+    """With auto_compact_files set low, repeated ingests self-compact
+    mid-loop and searches stay bit-identical to a never-compacted
+    twin."""
+    import glob
+
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    emb, queries = _ivf_fixture_parts(spark)
+    n = emb.count()
+
+    auto = IvfIndex(
+        Warehouse(spark, str(tmp_path / "auto")),
+        schema="ivf_t7",
+        name="e",
+        auto_compact_files=20,
+    )
+    plain = IvfIndex(
+        Warehouse(spark, str(tmp_path / "plain")),
+        schema="ivf_t8",
+        name="e",
+        auto_compact_files=None,
+    )
+    for idx in (auto, plain):
+        idx.build(emb.filter(F.col("vec_id") < n // 2))
+        for lo in range(n // 2, n, 50):
+            idx.ingest(
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)
+                )
+            )
+    got = sorted(map(tuple, auto.search(queries).collect()))
+    want = sorted(map(tuple, plain.search(queries).collect()))
+    assert got == want
+    assert auto._lists_file_count() < plain._lists_file_count()

@@ -115,3 +115,18 @@ def test_bitcoin_demo_end_to_end(spark, tmp_path):
         "MINER", "EXCHANGE", "USER",
     }
     assert json.dumps(out["answers"]["daily_fees"], default=str)  # serializable
+
+
+def test_index_loops_demo_end_to_end(tmp_path):
+    """The persisted-index production loops demo: both loops complete,
+    the streamed documents/vectors are decided/searchable, and the
+    dedup ledger covers every streamed doc."""
+    from examples.index_loops_demo import main
+
+    out = main(str(tmp_path / "work"))
+    assert out["dedup"]["docs_streamed"] > 0
+    assert out["dedup"]["index_docs"] > out["dedup"]["docs_streamed"]
+    assert out["ann"]["queries_served"] > 0
+    assert out["ann"]["hits"] >= out["ann"]["queries_served"]
+    # new vectors became searchable without a rebuild
+    assert out["ann"]["streamed_vectors_in_results"] > 0

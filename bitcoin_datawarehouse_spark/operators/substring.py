@@ -83,9 +83,13 @@ def doc_windows(
     group of ``s`` consecutive windows starting at positions
     1..n_wins-s+1 (one whole-doc group when n_wins < s), the position
     of the group's minimum hash is selected.  The min compares the
-    first 64 bits of the md5 (uniformly random, so a tie within a
-    ≤ s-window group is ~s·2⁻⁶⁴ — never observed; the oracle compares
-    the full hex string, identical on every non-tie).
+    first 64 bits of the md5; ``np.argmin`` pins FIRST-POSITION on
+    ties.  Ties are real, not just ~s·2⁻⁶⁴ hash collisions: identical
+    adjacent windows occur whenever text repeats with period < W
+    inside one s-group ("ha ha ha …"), so the oracle pins the same
+    (h asc, pos asc) order explicitly via a composite arg_min key
+    (see ``_wins_sql``).  The only residual divergence is a 64-bit
+    *prefix* collision between distinct full hashes (~s·2⁻⁶⁴).
 
     Arrow-batched kernel for the same reason as ``doc_shingles``
     (dedup.py): higher-order-function lambdas are interpreted, and the
@@ -181,11 +185,20 @@ def _wins_sql(winnow_s: int | None) -> str:
     if winnow_s is None:
         return base + ",\n    swins AS (SELECT * FROM wins)"
     s = winnow_s
+    # tie-break must be EXPLICIT on both engines: identical adjacent
+    # windows are common in repetitive text (period < W inside one
+    # s-group, e.g. a token repeated 2W times), and DuckDB's arg_min
+    # tie order inside a window frame is not a documented guarantee.
+    # The kernel's np.argmin pins first-position; the oracle pins the
+    # same (h asc, pos asc) order via a fixed-width composite key —
+    # h is always 32 lowercase hex chars, so concatenating a
+    # zero-padded pos keeps lexicographic = (h, pos) lexicographic.
+    key = "w.h || lpad(CAST(w.pos AS VARCHAR), 10, '0')"
     return base + f""",
     nw AS (SELECT doc_id, COUNT(*) AS n_wins FROM wins GROUP BY doc_id),
     grp AS (
       SELECT w.doc_id, w.pos AS gstart, n.n_wins,
-             arg_min(w.pos, w.h) OVER (
+             arg_min(w.pos, {key}) OVER (
                PARTITION BY w.doc_id ORDER BY w.pos
                ROWS BETWEEN CURRENT ROW AND {s - 1} FOLLOWING
              ) AS selpos

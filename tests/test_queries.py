@@ -632,20 +632,44 @@ def test_substring_winnowed_flags_runs_at_any_alignment(spark, tmp_path):
         )
         clean_ids.append(doc_id)
         doc_id += 1
+    # plus repeated-token docs: a token repeated with period < W makes
+    # every window in an s-group IDENTICAL — the argmin tie case where
+    # kernel (np first-position) and oracle (composite arg_min key)
+    # must pin the same winner or dup_tokens/dup_ratio diverge
+    for rep in ("ha", "na na boo"):
+        for off in (0, 1):
+            pad_l = " ".join(f"p{doc_id}q{i}" for i in range(off + 2))
+            pad_r = " ".join(f"r{doc_id}s{i}" for i in range(3))
+            body = " ".join(rep.split() * (3 * run_len))
+            rows.append((doc_id, f"{pad_l} {body} {pad_r}"))
+            expect_dup.append(doc_id)
+            doc_id += 1
     spark.createDataFrame(
         rows, "doc_id long, text string"
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
 
-    got = {
-        r["doc_id"]: r
-        for r in QUERIES["dedup_substring_spans_winnowed"](
-            spark, str(tmp_path)
-        ).collect()
-    }
+    sdf = QUERIES["dedup_substring_spans_winnowed"](spark, str(tmp_path))
+    srows = sdf.collect()
+    got = {r["doc_id"]: r for r in srows}
     missed = [d for d in expect_dup if got[d]["n_dup_windows"] == 0]
     assert not missed, f"winnowing missed planted runs in docs {missed}"
     for d in clean_ids:
         assert got[d]["n_dup_windows"] == 0
+
+    # hash-gate rehearsal on the adversarial corpus: the fixture gate
+    # never contains periodic text, so the tie-break agreement between
+    # kernel and oracle is only proven here
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    res = con.execute(ORACLES["dedup_substring_spans_winnowed"])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert _normalize(
+        [tuple(r) for r in srows], sdf.columns
+    ) == _normalize(orows, ocols)
 
 
 def test_substring_hot_hash_cap_is_output_identical(spark, tmp_path):

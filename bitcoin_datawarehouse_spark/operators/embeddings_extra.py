@@ -667,11 +667,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines are bit-equal to the oracle's) and emits only k rows —
     replacing ~|candidates| interpreted 64-term HOF folds plus a
     window sort-shuffle with one vectorized pass per group.  The
-    query set rides in the kernel closure (it is the bounded search
-    workload, qn recomputed in the same dim order); candidate norms
-    are computed in-kernel too, so the corpus side ships (vec_id, e)
-    only.  Group count = |queries| — far above any cluster's core
-    count in a real serving batch.
+    query VECTOR rides the probe rows into the kernel (qn recomputed
+    in the same dim order) — never a driver collect, so the plan is
+    independent of the query-batch size; candidate norms are computed
+    in-kernel too, so the corpus side ships (vec_id, e) only.  Group
+    count = |queries| — far above any cluster's core count in a real
+    serving batch.
     """
     emb = _normed(spark, sf_dir)
     cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
@@ -688,13 +689,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wprobe = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("centroid_id")
     )
+    # query side stays DISTRIBUTED (only the codebook broadcasts):
+    # probe selection and the rerank must not depend on the query-
+    # batch size, so qe rides the probe rows into the kernel instead
+    # of a driver-collected closure dict
     probes = (
-        F.broadcast(qset)
-        .crossJoin(F.broadcast(cent))
-        .select("query_id", "centroid_id", qcos.alias("cos"))
+        qset.crossJoin(F.broadcast(cent))
+        .select("query_id", "qe", "centroid_id", qcos.alias("cos"))
         .withColumn("rn", F.row_number().over(wprobe))
         .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "centroid_id")
+        .select("query_id", "qe", "centroid_id")
     )
     # Inverted lists WITH vectors: each vector belongs to exactly one
     # centroid list, so probes ⋈ lists is already distinct per
@@ -711,19 +715,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes)
         .join(lists, "centroid_id")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", "ce2")
+        .select("query_id", "qe", "cand_id", "ce2")
     )
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-
-    qrows = sorted(
-        qset.select("query_id", "qe").collect(), key=lambda r: r["query_id"]
-    )
-    qids = [int(r["query_id"]) for r in qrows]
-    qmat = {qid: np.array(list(r["qe"]), dtype=np.float64)
-            for qid, r in zip(qids, qrows)}
 
     schema = T.StructType(
         [
@@ -736,7 +733,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rerank(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
-        q = qmat[qid]
+        q = np.array(pdf["qe"].iloc[0], dtype=np.float64)
         cand_ids = pdf["cand_id"].to_numpy(dtype=np.int64)
         cmat = np.array(list(pdf["ce2"]), dtype=np.float64)
         dot, cn, q_sq = dim_ordered_dot_sq(cmat, q[None, :])

@@ -16,9 +16,11 @@ domain's ``LshDedupIndex`` (lsh_index.py):
   (``Warehouse.write_bucketed``) — whole centroid lists land in one
   bucket's files.  The centroid codebook (a model, not data)
   persists as a tiny warehouse table.
-* ``search`` collects the bounded query workload, picks each query's
-  ``nprobe`` nearest centroids driver-side from the codebook (same
-  fold order and tie-break as the SQL oracle), and scans the
+* ``search`` picks each query's ``nprobe`` nearest centroids in an
+  Arrow kernel over the DISTRIBUTED query frame (the codebook rides
+  the closure; same fold order and tie-break as the SQL oracle) — no
+  collect of query vectors, so serving cost is independent of the
+  query-batch size — and scans the
   persisted lists with a LITERAL ``centroid_id IN (...)`` filter —
   on the bucketed layout Spark prunes unprobed buckets at planning
   time (``SelectedBucketsCount`` in the plan), so the scan itself is
@@ -56,6 +58,7 @@ from bitcoin_datawarehouse_spark.operators.similarity import (
     dim_ordered_dot_sq,
     norm_col,
 )
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
 from bitcoin_datawarehouse_spark.registry import query
 
@@ -183,14 +186,44 @@ class IvfIndex:
             self.compact()
 
     def _lists_file_count(self) -> int:
-        import glob as _glob
+        """Parquet file count at the lists table's location — the
+        auto-compaction trigger.  Counts through the Hadoop FS API so
+        ANY warehouse scheme (file:, hdfs:, s3a:) counts correctly; a
+        bare local glob returns 0 on remote schemes and would
+        silently disable the AUTO_COMPACT_FILES contract."""
+        spark = self.wh.spark
+        wdir = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = f"{wdir.rstrip('/')}/{self.lists_name.lower()}"
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(loc)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(hpath):
+                return 0
+            return sum(
+                1
+                for st in fs.listStatus(hpath)
+                if st.getPath().getName().endswith(".parquet")
+            )
+        except AttributeError:
+            # no JVM gateway (Spark Connect session): a local glob is
+            # only correct for a file: warehouse — for any other
+            # scheme, returning 0 would break the contract silently,
+            # so refuse loudly instead
+            scheme = wdir.split("://", 1)[0] if "://" in wdir else "file"
+            if scheme not in ("file", ""):
+                raise NotImplementedError(
+                    "IvfIndex file counting needs the Hadoop FS API "
+                    f"for warehouse scheme '{scheme}' and this session "
+                    "has no JVM gateway — pass auto_compact_files=None "
+                    "and run compact() explicitly"
+                ) from None
+            import glob as _glob
 
-        wdir = self.wh.spark.conf.get(
-            "spark.sql.warehouse.dir", ""
-        ).removeprefix("file:")
-        return len(
-            _glob.glob(f"{wdir}/{self.lists_name.lower()}/*.parquet")
-        )
+            local = wdir.removeprefix("file:")
+            return len(
+                _glob.glob(f"{local}/{self.lists_name.lower()}/*.parquet")
+            )
 
     def compact(self) -> int:
         """Rewrite the inverted lists as ONE bucketed write: every
@@ -201,8 +234,6 @@ class IvfIndex:
         search results bit-exactly (kernel folds are row-order
         independent per row; the final window re-sorts).  Returns the
         file count after compaction."""
-        import glob as _glob
-
         spark = self.wh.spark
         # stage through a plain warehouse table: write_bucketed DROPs
         # the target first, and DROP TABLE auto-uncaches dependent
@@ -223,12 +254,16 @@ class IvfIndex:
             )
         finally:
             self.wh.drop_table(self.schema, staging)
-        wdir = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
-            "file:"
-        )
-        return len(
-            _glob.glob(f"{wdir}/{self.lists_name.lower()}/*.parquet")
-        )
+        return self._lists_file_count()
+
+    #: broadcast the probe table only while it is plausibly executor-
+    #: memory-sized (rows × nprobe × dim doubles); beyond this the
+    #: join degrades to a shuffle of the PROBE side only — the lists
+    #: side is bucketed by centroid_id, so Spark reads it exchange-
+    #: free and shuffles the probes to the bucket layout.  A million-
+    #: query scoring batch therefore never serializes through the
+    #: driver or a single broadcast.
+    BROADCAST_PROBE_ROWS = 100_000
 
     # -- search ------------------------------------------------------------
     def search(
@@ -240,48 +275,70 @@ class IvfIndex:
         """Top-k nearest neighbors for ``queries`` (query_id, qe) from
         the persisted lists: (query_id, cand_id, cosine, rnk).
 
-        The query workload is bounded (a serving batch), so it
-        collects once; probe selection runs driver-side against the
-        codebook with the exact oracle fold order and tie-break
-        (cosine desc, centroid_id asc).  The probed centroid ids
-        become a LITERAL IN-filter on the bucketed scan — planning-
-        time bucket pruning — and a tiny broadcast probe table maps
-        each surviving list row to its probing queries.  Rerank is a
-        per-batch partial top-k kernel (union of per-batch winners ⊇
-        global winners); the final window ranks batches×queries×k
-        rows.  Bit-identical to ``similarity_ivf_topk``.
+        Probe selection runs IN A KERNEL over the distributed query
+        frame — the codebook (a model, not data) broadcasts into the
+        same dim-ordered fold the corpus-side assignment uses, with
+        the exact oracle tie-break (cosine desc, centroid_id asc) —
+        so serving cost is independent of the query-batch size: no
+        ``collect()`` of query vectors anywhere.  The only driver
+        materialization is the DISTINCT probed centroid set (bounded
+        by the codebook, needed as a LITERAL IN-filter for planning-
+        time bucket pruning); it doubles as the eager fill of the
+        probes cache (two subtrees read it: the distinct, the join).
+        Probes broadcast while batch-sized, else shuffle to the
+        lists' bucket layout.  Rerank is a per-batch partial top-k
+        kernel (union of per-batch winners ⊇ global winners); the
+        final window ranks batches×queries×k rows.  Bit-identical to
+        ``similarity_ivf_topk``.
         """
         import numpy as np
         import pandas as pd
         from pyspark.sql import types as T
 
         spark = queries.sparkSession
-        qrows = sorted(
-            queries.select("query_id", "qe").collect(),
-            key=lambda r: r["query_id"],
-        )
-        qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
-        qmat = np.array([list(r["qe"]) for r in qrows], dtype=np.float64)
         # cn (the stored JVM-fold norms) is not consumed here: the
         # probe cosines recompute centroid norms inside the SAME
         # dim_ordered_dot_sq pass as the dots, keeping every probe
         # term on the one pinned accumulation order
         cids, cmat, _cn = self._codebook()
+        nprobe = self.nprobe
 
-        # driver-side probe selection: dim-ordered fold (bit-equal to
-        # the JVM/DuckDB fold), ties to the smallest centroid_id
-        dot, c_sq, q_sq = dim_ordered_dot_sq(cmat, qmat)
-        qn = np.sqrt(q_sq)
-        cos = dot / np.outer(np.sqrt(c_sq), qn)
-        probe_rows = []
-        for qi in range(len(qids)):
-            order = np.lexsort((cids, -cos[:, qi]))[: self.nprobe]
-            probe_rows.extend(
-                (int(qids[qi]), int(cids[ci])) for ci in order
+        probe_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("centroid_id", T.LongType()),
+                T.StructField("qe", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def probe_gen(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                qmat = np.array(list(pdf["qe"]), dtype=np.float64)
+                dot, c_sq, q_sq = dim_ordered_dot_sq(cmat, qmat)
+                cos = dot / np.outer(np.sqrt(c_sq), np.sqrt(q_sq))
+                out_q, out_c, out_e = [], [], []
+                qid_arr = pdf["query_id"].to_numpy(dtype=np.int64)
+                for qi in range(len(qid_arr)):
+                    order = np.lexsort((cids, -cos[:, qi]))[:nprobe]
+                    out_q.extend([int(qid_arr[qi])] * len(order))
+                    out_c.extend(int(cids[ci]) for ci in order)
+                    out_e.extend([pdf["qe"].iloc[qi]] * len(order))
+                yield pd.DataFrame(
+                    {"query_id": out_q, "centroid_id": out_c, "qe": out_e}
+                )
+
+        probes = cache_tracked(
+            queries.select("query_id", "qe").mapInPandas(
+                probe_gen, probe_schema
             )
-        probed_cents = sorted({c for _, c in probe_rows})
-        probes = spark.createDataFrame(
-            probe_rows, "query_id long, centroid_id long"
+        )
+        # model-sized collect (≤ n_centroids values), NOT batch-sized;
+        # first action → fills the probes cache eagerly
+        probed_cents = sorted(
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
         )
 
         # bucketed scan with a literal IN-filter: planning-time bucket
@@ -289,15 +346,17 @@ class IvfIndex:
         lists = spark.table(self.lists_name).filter(
             F.col("centroid_id").isin(probed_cents)
         )
-        sub = (
+        probe_side = (
             F.broadcast(probes)
-            .join(lists, "centroid_id")
-            .select("query_id", F.col("vec_id").alias("cand_id"), "e")
+            if probes.count() <= self.BROADCAST_PROBE_ROWS
+            else probes
+        )
+        sub = probe_side.join(lists, "centroid_id").select(
+            "query_id", F.col("vec_id").alias("cand_id"), "e", "qe"
         )
         if exclude_self:
             sub = sub.filter(F.col("cand_id") != F.col("query_id"))
 
-        qvec = {int(q): qmat[i] for i, q in enumerate(qids)}
         schema = T.StructType(
             [
                 T.StructField("query_id", T.LongType()),
@@ -312,7 +371,7 @@ class IvfIndex:
                     continue
                 out_q, out_c, out_s = [], [], []
                 for qid, grp in pdf.groupby("query_id", sort=False):
-                    q = qvec[int(qid)]
+                    q = np.array(grp["qe"].iloc[0], dtype=np.float64)
                     cand = grp["cand_id"].to_numpy(dtype=np.int64)
                     gmat = np.array(list(grp["e"]), dtype=np.float64)
                     gdot, g_sq, qq = dim_ordered_dot_sq(gmat, q[None, :])
@@ -345,6 +404,8 @@ def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search the bounded query workload from the persisted lists.  The
     search plan alone has no corpus-sized exchange and bucket-prunes
     to the probed lists (plan-tested in tests/test_plans.py)."""
+    import getpass
+    import hashlib as _hl
     import os
     import tempfile
 
@@ -353,10 +414,22 @@ def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir per run and accrete a corpus-sized lists table per distinct
     # catalog name in the session warehouse.  The returned DataFrame
     # stays lazy (the driver collects after we return), so the table
-    # must survive the call — bounded residue: one copy, reclaimed by
-    # the next call's overwrite.
+    # must survive the call — bounded residue: one copy per
+    # (user, process, sf_dir), reclaimed by the next same-keyed
+    # call's overwrite.  Keyed per-user + per-process + per-fixture:
+    # a world-predictable shared /tmp path would let two concurrent
+    # runs (bench + check_oracle, or two users on a shared host)
+    # clobber each other's lists mid-collect — the returned frame is
+    # lazy, so a concurrent rebuild's DROP+rmtree would land under an
+    # in-flight scan; a pre-created dir by another user is also the
+    # classic /tmp squatting hazard.
     scratch = os.path.join(
-        tempfile.gettempdir(), "bds_ivf_index_scratch"
+        tempfile.gettempdir(),
+        "bds_ivf_{}_{}_{}".format(
+            getpass.getuser(),
+            os.getpid(),
+            _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
+        ),
     )
     emb = _normed(spark, sf_dir)
     idx = IvfIndex(

@@ -407,13 +407,24 @@ class Warehouse:
         # disk by a PREVIOUS session has no catalog entry, and
         # saveAsTable(overwrite) refuses to adopt it — drop both
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
-        wdir = self.spark.conf.get(
-            "spark.sql.warehouse.dir", ""
-        ).removeprefix("file:")
+        wdir = self.spark.conf.get("spark.sql.warehouse.dir", "")
         if wdir:
-            stale = Path(wdir) / name.lower()
-            if stale.exists():
-                shutil.rmtree(stale)
+            # Hadoop FS delete works for ANY warehouse scheme (file:,
+            # hdfs:, s3a:); a local-Path rmtree silently no-ops on
+            # remote schemes and the stale location then breaks the
+            # saveAsTable(overwrite) below
+            loc = f"{wdir.rstrip('/')}/{name.lower()}"
+            try:
+                hpath = self.spark._jvm.org.apache.hadoop.fs.Path(loc)
+                fs = hpath.getFileSystem(
+                    self.spark._jsc.hadoopConfiguration()
+                )
+                if fs.exists(hpath):
+                    fs.delete(hpath, True)
+            except AttributeError:  # Connect: no gateway, local only
+                stale = Path(wdir.removeprefix("file:")) / name.lower()
+                if stale.exists():
+                    shutil.rmtree(stale)
         writer = (
             df.write.mode("overwrite")
             .bucketBy(n_buckets, *bucket_cols)

@@ -959,8 +959,22 @@ def test_ivf_index_search_plan_has_no_corpus_exchange(spark, tmp_path):
     idx.build(emb)
     plan = df_plan(idx.search(queries))
 
-    # search never touches the raw corpus parquet — only the index
-    assert "embeddings.parquet" not in plan
+    # probe assignment is a KERNEL over the distributed query frame
+    # (r6: no driver collect of query vectors) — the probe stage is a
+    # MapInPandas whose input is the caller's query scan, never a
+    # LocalTableScan of driver-materialized probe rows
+    assert "probe_gen" in plan
+    assert "LocalTableScan" not in plan
+    # the CORPUS side is served from the index only: the one raw
+    # parquet read is the bounded query workload (its vec_id filter
+    # reaches the scan), not a corpus pass
+    assert plan.count("embeddings.parquet") <= 1
+    if "embeddings.parquet" in plan:
+        from bitcoin_datawarehouse_spark.plans.audit import (
+            assert_pushed_filter,
+        )
+
+        assert_pushed_filter(plan, "vec_id", table="embeddings.parquet")
     assert "Bucketed: true" in plan
     # planning-time bucket pruning to the probed lists
     import re

@@ -68,6 +68,11 @@ HEADLINE = [
     # tier, benched next to its stride-1 sibling so the sampling
     # lever's cost ratio is a recorded number per round
     "dedup_substring_spans_winnowed",
+    # round-6 addition (31 → 32): the auto-width LSH dedup is now the
+    # registered production default — benched next to the fixed tiers
+    # so the runtime rule's cost is a recorded number per round (at
+    # sf0.1 the rule picks 8 bits: between the 5- and 12-bit tiers)
+    "dedup_embedding_cosine_lsh_auto",
 ]
 
 

@@ -198,11 +198,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIDE_LSH_BITS = 12
 
 
-def _lsh_dedup_oracle(bits: int = None) -> str:
+def _lsh_dedup_oracle(bits: int = None, bits_expr: str = None) -> str:
     from bitcoin_datawarehouse_spark.operators.similarity import sigs_sql
 
     return f"""
-    WITH {sigs_sql(bits=bits)},
+    WITH {sigs_sql(bits=bits, bits_expr=bits_expr)},
     cands AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM sigs a
@@ -250,16 +250,37 @@ def auto_lsh_bits(
     return max(lo, min(hi, bits))
 
 
+#: the ``auto_lsh_bits`` rule as a self-contained SQL scalar — the
+#: auto variant's oracle computes the SAME corpus-count width rule in
+#: DuckDB, so it follows the Spark side at ANY scale factor instead
+#: of pinning one fixture width.  ROUND-half-away vs Python's
+#: banker's round can only differ on an exact .5 — log2 of a rational
+#: is irrational away from powers of two, and the equality is
+#: pytest-verified exhaustively for every N ≤ 3·10⁶
+#: (test_auto_lsh_sql_rule_matches_python).
+AUTO_BITS_SQL = (
+    f"SELECT GREATEST({AUTO_LSH_MIN_BITS}, LEAST({AUTO_LSH_MAX_BITS}, "
+    f"CAST(ROUND(LOG2(GREATEST(COUNT(*) / {AUTO_LSH_TARGET_BUCKET}.0, "
+    "1.0))) AS INT))) FROM embeddings"
+)
+
+
+@query(
+    "dedup_embedding_cosine_lsh_auto",
+    oracle=_lsh_dedup_oracle(bits_expr=AUTO_BITS_SQL),
+)
 def dedup_embedding_cosine_lsh_auto(
     spark: SparkSession, sf_dir: str, n_vectors: int | None = None
 ) -> DataFrame:
-    """The LSH embedding dedup with its width chosen AT RUNTIME from
-    the corpus size (one count() probe of the embeddings scan, or a
-    caller-supplied hint when the count is already known — e.g. from
-    table statistics).  Not a registered gate row: the oracle strings
-    are static per width, so each auto-selected width is covered by
-    the equivalence ``auto(N) ≡ _lsh_dedup(bits=auto_lsh_bits(N))``
-    plus the pinned fixed-width gates at 5 and 12 bits."""
+    """The registered PRODUCTION default of the LSH embedding dedup:
+    width chosen AT RUNTIME from the corpus size (one count() probe
+    of the embeddings scan, or a caller-supplied hint when the count
+    is already known — e.g. from table statistics).  The oracle is
+    width-adaptive too (:data:`AUTO_BITS_SQL` mirrors the rule in
+    SQL), so the hash gate exercises the auto rule itself rather than
+    a pinned width; cross-width equivalence
+    ``auto(N) ≡ _lsh_dedup(bits=auto_lsh_bits(N))`` stays
+    pytest-pinned alongside."""
     if n_vectors is None:
         n_vectors = load_table(spark, sf_dir, "embeddings").count()
     return _lsh_dedup(spark, sf_dir, bits=auto_lsh_bits(n_vectors))

@@ -195,10 +195,27 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # width is its own registered instance (e.g. the 8×12 wide variant of
 # embedding dedup in embeddings_extra.py).
 def sigs_sql(
-    tables: int = None, bits: int = None  # noqa: RUF013 — late defaults
+    tables: int = None,  # noqa: RUF013 — late defaults
+    bits: int = None,
+    bits_expr: str = None,
 ) -> str:
+    """``bits_expr`` (a self-contained SQL scalar expression, e.g. an
+    uncorrelated subquery over the corpus count) substitutes for the
+    integer width — the runtime-auto-width oracle computes the SAME
+    corpus-count rule as ``auto_lsh_bits`` in SQL, so the oracle
+    follows the Spark side at ANY scale factor instead of pinning one
+    fixture width."""
     tables = LSH_TABLES if tables is None else tables
     bits = LSH_BITS_PER_TABLE if bits is None else bits
+    # the width appears only as scalar terms, so an SQL expression
+    # substitutes cleanly; DuckDB evaluates an uncorrelated scalar
+    # subquery once
+    if bits_expr is not None:
+        hi_j = f"{tables} * ({bits_expr}) - 1"
+        b = f"({bits_expr})"
+    else:
+        hi_j = str(tables * bits - 1)
+        b = str(bits)
     # The projection sum is a DIM-ORDERED float64 left fold (list_zip
     # + list_reduce), not an order-independent decimal SUM over
     # exploded rows: the Spark side computes signatures per vector
@@ -223,16 +240,16 @@ def sigs_sql(
                (acc, x) -> acc + x) AS s
       FROM vsig
       CROSS JOIN (SELECT unnest(generate_series(0,
-                    {tables * bits - 1})) AS j) b
+                    {hi_j})) AS j) b
     ),
     sigs AS (
       SELECT vec_id,
-             j // {bits} AS tbl,
+             j // {b} AS tbl,
              CAST(SUM(CASE WHEN s > 0
-                           THEN 1 << (j % {bits})
+                           THEN 1 << (j % {b})
                            ELSE 0 END) AS BIGINT) AS bucket
       FROM proj
-      GROUP BY vec_id, j // {bits}
+      GROUP BY vec_id, j // {b}
     )"""
 
 

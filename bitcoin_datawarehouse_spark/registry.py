@@ -142,9 +142,12 @@ DRIVER_WINDOW: list[str] = [
     # agg_having, both driver-green r3 — union coverage retained)
     "text_token_histogram",
     "sql_recursive_date_spine",
-    # scale-tier LSH embedding dedup (8×12) — took the seat of
-    # agg_percentiles (driver-green r3, union coverage retained)
-    "dedup_embedding_cosine_lsh_wide",
+    # round-6 rotation: the runtime AUTO-WIDTH LSH embedding dedup is
+    # now the registered production default (its oracle computes the
+    # same corpus-count width rule in SQL) — took the seat of the
+    # fixed 8×12 tier dedup_embedding_cosine_lsh_wide (driver-green
+    # r4/r5, union coverage retained; its width-rule pytests stay)
+    "dedup_embedding_cosine_lsh_auto",
     # round-4 in-session flagship (took the seat of setop_except_all,
     # driver-green r3 — union coverage retained)
     "decontam_minhash_fuzzy",

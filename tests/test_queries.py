@@ -765,6 +765,40 @@ def test_auto_lsh_width_selection_and_equivalence(spark):
     assert got == want and len(got) > 0
 
 
+def test_auto_lsh_sql_rule_matches_python():
+    """The auto variant's ORACLE computes the width rule in SQL
+    (AUTO_BITS_SQL) — the gate only stays honest if the SQL rule
+    selects the IDENTICAL width as auto_lsh_bits at every corpus
+    size.  ROUND-half-away vs Python banker's rounding could in
+    principle differ on an exact .5; verify exhaustively for every
+    N ≤ 3·10⁶ (three decades past the sf0.1 corpus) plus decade
+    spot-checks to 10¹²."""
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        AUTO_LSH_MAX_BITS,
+        AUTO_LSH_MIN_BITS,
+        AUTO_LSH_TARGET_BUCKET,
+        auto_lsh_bits,
+    )
+
+    con = duckdb.connect()
+    rule = (
+        f"GREATEST({AUTO_LSH_MIN_BITS}, LEAST({AUTO_LSH_MAX_BITS}, "
+        f"CAST(ROUND(LOG2(GREATEST(n / {AUTO_LSH_TARGET_BUCKET}.0, "
+        "1.0))) AS INT)))"
+    )
+    rows = con.execute(
+        f"SELECT n, {rule} FROM "
+        "(SELECT unnest(generate_series(1, 3000000)) AS n)"
+    ).fetchall()
+    bad = [(n, s) for n, s in rows if s != auto_lsh_bits(n)]
+    assert not bad, f"SQL width rule diverges from python: {bad[:5]}"
+    for n in (10**7, 10**8, 10**9, 10**12):
+        (got,) = con.execute(
+            f"SELECT {rule} FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()
+        assert got == auto_lsh_bits(n), n
+
+
 def test_minhash_hot_bucket_cap_semantics(spark, tmp_path):
     """The boilerplate guard, pinned on planted corpora: (a) a planted
     mega-clique of identical documents (every pair a candidate only

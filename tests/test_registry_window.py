@@ -48,7 +48,12 @@ def test_round5_rotation_is_in_window():
     hold window seats until a driver round proves the CURRENT
     implementation (plus the pricing_summary decimal canary)."""
     rotation = {
-        # new round-5 registrations
+        # new round-6 registration: the runtime auto-width production
+        # default (its oracle computes the width rule in SQL)
+        "dedup_embedding_cosine_lsh_auto",
+        # rewritten in round 6 (kernel-side probe assignment / the
+        # explicit winnowing tie-break): must re-prove at the driver
+        "similarity_ivf_topk",
         "similarity_ivf_index_topk",
         "dedup_substring_spans_winnowed",
         # rewritten in round 4 after their last driver-green row

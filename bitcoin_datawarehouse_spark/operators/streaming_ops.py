@@ -25,6 +25,28 @@ from bitcoin_datawarehouse_spark.streaming.jobs import (
 )
 from bitcoin_datawarehouse_spark.tables import load_table
 
+#: file count for the re-materialized stream source dirs below.  Gate
+#: scaffolding only (the engine under test is downstream of the file
+#: source), but a ``coalesce(1)`` here made the SINGLE-file rewrite
+#: the harness bottleneck as the gate sf grows — a small fixed fan-out
+#: keeps the staging write parallel while still giving availableNow
+#: drains a handful of splits.  Results are micro-batch-count
+#: independent by construction (each gate query's docstring states
+#: why), so the file count is purely physical.
+GATE_SOURCE_FILES = 8
+
+
+def _stage_source(spark: SparkSession, sf_dir: str, table: str,
+                  prefix: str) -> str:
+    """Re-materialize a fixture table to a temp dir a file-source
+    stream can list (events also needs the batch reader's
+    TIMESTAMP(NANOS) handling first — tables.load_table)."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    load_table(spark, sf_dir, table).repartition(
+        GATE_SOURCE_FILES
+    ).write.mode("overwrite").parquet(tmp)
+    return tmp
+
 
 @query(
     "streaming_windowed_counts",
@@ -49,10 +71,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros-truncation first (tables.py), and a file-source stream
     needs a directory it can list.
     """
-    tmp = tempfile.mkdtemp(prefix="stream_events_")
-    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    tmp = _stage_source(spark, sf_dir, "events", "stream_events_")
     agg = windowed_event_counts(
         read_event_stream(spark, tmp),
         window="1 hour",
@@ -109,10 +128,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bitcoin_datawarehouse_spark.streaming.joins import attribution_join
 
-    tmp = tempfile.mkdtemp(prefix="stream_attrib_")
-    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    tmp = _stage_source(spark, sf_dir, "events", "stream_attrib_")
     joined = attribution_join(read_event_stream(spark, tmp))
     sink = f"stream_attrib_{uuid.uuid4().hex[:8]}"
     q = (
@@ -149,10 +165,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     real lateness horizon and accept horizon-scoped dedup; state
     lives in the RocksDB-backed store, purged per watermark advance.
     """
-    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
-    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    tmp = _stage_source(spark, sf_dir, "events", "stream_dedup_")
     dedup = (
         read_event_stream(spark, tmp)
         .withWatermark("ts", "3650 days")
@@ -202,10 +215,7 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_metrics_frame,
     )
 
-    tmp = tempfile.mkdtemp(prefix="stream_docs_")
-    load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    tmp = _stage_source(spark, sf_dir, "documents", "stream_docs_")
     schema = spark.read.parquet(tmp).schema
     src = spark.readStream.schema(schema).parquet(tmp)
     kept = gopher_metrics_frame(src).filter(gopher_keep_col())
@@ -245,10 +255,7 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits every aggregate's final value.  At scale the dimension is a
     warehouse table refreshed independently of the stream.
     """
-    tmp = tempfile.mkdtemp(prefix="stream_enrich_")
-    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    tmp = _stage_source(spark, sf_dir, "events", "stream_enrich_")
     customer = F.broadcast(
         load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment")

@@ -53,7 +53,11 @@ def run_ivf_ingest_stream(
         # catalog is shared, but a plan mixing frames from BOTH
         # sessions silently wrote nothing when the downstream
         # saveAsTable executed — single-session plans only)
-        fresh = batch_df.select("vec_id", "e")
+        # in-batch dedup FIRST: a noisy source emitting the same
+        # vec_id twice within one trigger would pass the anti-join
+        # (neither copy is persisted yet) and append both — exactly
+        # the duplicated-cand_id ranking corruption described above
+        fresh = batch_df.select("vec_id", "e").dropDuplicates(["vec_id"])
         seen = (
             batch_df.sparkSession.table(index.lists_name)
             .select("vec_id")

@@ -589,3 +589,46 @@ def test_stream_ivf_ingest_matches_one_shot_and_replays_are_noop(
     )
     assert spark.table(idx.lists_name).count() == n_rows
     assert sorted(map(tuple, idx.search(queries).collect())) == want
+
+
+def test_stream_ivf_ingest_dedups_within_one_micro_batch(spark, tmp_path):
+    """A noisy source emitting the same vec_id TWICE inside one
+    trigger: both copies pass the lists anti-join (neither is
+    persisted yet), so without the in-batch dropDuplicates the lists
+    would hold the vector twice and a duplicated cand_id would tie
+    with itself in search rankings.  Exactly one copy must land."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import _normed
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.streaming.ann_stream import (
+        run_ivf_ingest_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = _normed(spark, SF_SMALL).select("vec_id", "e")
+    n = emb.count()
+    half = n // 2
+    new = emb.filter(F.col("vec_id") >= half)
+    # ONE source file holding every new vector twice → one micro-batch
+    # with in-batch duplicates
+    src = tmp_path / "vec_in"
+    new.union(new).coalesce(1).write.parquet(str(src / "f0"))
+
+    idx = IvfIndex(
+        Warehouse(spark, str(tmp_path / "wh")), schema="ivf_s3", name="e"
+    )
+    idx.build(emb.filter(F.col("vec_id") < half))
+
+    stream = spark.readStream.schema("vec_id long, e array<double>").parquet(
+        str(src / "*")
+    )
+    run_stream_to_completion(
+        run_ivf_ingest_stream(stream, idx, str(tmp_path / "ck"))
+    )
+    lists = spark.table(idx.lists_name)
+    assert lists.count() == n
+    assert (
+        lists.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )

@@ -134,16 +134,33 @@ class Loader:
             path = str(self.wh.table_path(self.schema, self.table))
             if not self.wh.table_exists_partitioned(self.schema, self.table):
                 self.wh.create_schema(self.schema)
-                batch.write.mode("overwrite").partitionBy(
-                    partition_col
-                ).parquet(path)
+                _write_day_partitioned(batch, partition_col, path)
                 return
             touched = [
                 r[0] for r in batch.select(partition_col).distinct().collect()
             ]
-            old_slice = self.wh.read(self.schema, self.table).filter(
-                F.col(partition_col).isin(touched)
-            )
+            # read ONLY the touched partition directories: reading the
+            # table root lists EVERY partition dir before pruning —
+            # measured 2499-day sf10 fact: the full listing + dynamic-
+            # overwrite machinery made the 1-day merge SLOWER than a
+            # full-table rewrite (25.4 vs 12.4 s) until this pruned
+            # read (tools/probe_loader_scale.py; on an object store
+            # the listing gap is far larger).  basePath keeps the
+            # partition column in the schema; brand-new partition
+            # values have no dir yet and are skipped.
+            tp = self.wh.table_path(self.schema, self.table)
+            spark = batch.sparkSession
+            existing = [
+                str(tp / f"{partition_col}={v}")
+                for v in touched
+                if (tp / f"{partition_col}={v}").exists()
+            ]
+            if existing:
+                old_slice = spark.read.option(
+                    "basePath", str(tp)
+                ).parquet(*existing)
+            else:
+                old_slice = batch.limit(0)
             # same broadcast guard as load_incremental: a backfill-sized
             # batch must not be force-broadcast into the anti-join
             if batch.count() <= BROADCAST_BATCH_MAX_ROWS:
@@ -161,9 +178,7 @@ class Loader:
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
             try:
-                merged.write.mode("overwrite").partitionBy(
-                    partition_col
-                ).parquet(path)
+                _write_day_partitioned(merged, partition_col, path)
             finally:
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev
@@ -202,6 +217,27 @@ class Loader:
         if not self.wh.table_exists(self.schema, self.table):
             return 0
         return self.wh.read(self.schema, self.table).count()
+
+
+def _write_day_partitioned(
+    df: DataFrame, partition_col: str, path: str
+) -> None:
+    """PartitionBy write CLUSTERED on the partition column first.
+
+    Without the repartition every upstream task holds rows of ~every
+    partition value and opens one file per (task, value): a 2 499-day
+    fact seeded through 32 tasks wrote ~80 000 files (measured —
+    tools/probe_loader_scale.py; 169 s at 600 k rows, dominated by
+    file creation, and every later reader pays the open/footer cost
+    again).  Hash-clustering by the partition value writes ONE file
+    per touched partition per non-empty shuffle partition — 2 499
+    files for the same seed, 21× faster (8 s).  Very large single
+    days split naturally: add a second clustering column (e.g. a key)
+    when one day exceeds a task's comfortable output size.
+    """
+    df.repartition(F.col(partition_col)).write.mode(
+        "overwrite"
+    ).partitionBy(partition_col).parquet(path)
 
 
 def _dedupe_batch(

@@ -105,6 +105,71 @@ class RestPollingSource:
         return self.poll(self.execute(query_id, parameters))
 
 
+def http_transport(
+    base_url: str,
+    api_key: str | None = None,
+    api_key_header: str = "X-Dune-API-Key",
+    timeout: float = 30.0,
+) -> Callable[[str, str, dict | None], dict]:
+    """The real HTTP transport for :class:`RestPollingSource` — the
+    "one lambda" the module docstring promises, now code.  Built on
+    the public ``requests`` package (import-gated: the engine works
+    without it; only this factory needs it).  The default auth header
+    matches the reference's public Dune REST API
+    (``dune_extractor.py:36-42``); both are overridable for any other
+    execute-then-poll REST service.
+    """
+    try:
+        import requests
+    except ImportError as e:  # pragma: no cover - requests is public
+        raise ImportError(
+            "http_transport needs the public 'requests' package; "
+            "inject a custom transport callable instead if it is "
+            "unavailable"
+        ) from e
+
+    session = requests.Session()
+    if api_key:
+        session.headers[api_key_header] = api_key
+    base = base_url.rstrip("/")
+
+    def transport(method: str, path: str, body: dict | None) -> dict:
+        resp = session.request(
+            method, f"{base}/{path}", json=body, timeout=timeout
+        )
+        resp.raise_for_status()
+        return resp.json()
+
+    return transport
+
+
+def rest_source_from_env(
+    env: Any = None, **kwargs: Any
+) -> RestPollingSource | None:
+    """Env-gated deployable constructor: returns a live
+    :class:`RestPollingSource` when ``BDS_API_BASE_URL`` is set
+    (``BDS_API_KEY`` / ``BDS_API_KEY_HEADER`` optional), else None —
+    callers fall back to :class:`FileReplaySource` for offline runs.
+    ``kwargs`` pass through to ``RestPollingSource`` (poll timing).
+    """
+    import os
+
+    env = os.environ if env is None else env
+    base_url = env.get("BDS_API_BASE_URL")
+    if not base_url:
+        return None
+    return RestPollingSource(
+        http_transport(
+            base_url,
+            api_key=env.get("BDS_API_KEY"),
+            api_key_header=env.get(
+                "BDS_API_KEY_HEADER", "X-Dune-API-Key"
+            ),
+        ),
+        **kwargs,
+    )
+
+
 class StaticSource:
     """In-memory source for tests and local fixtures: a dict of
     query_id → (parameters → rows) callables or plain row lists."""

@@ -245,6 +245,92 @@ def test_source_parameter_injection():
     assert seen["body"] == {"query_parameters": {"date": "2025-01-01"}}
 
 
+def test_source_http_transport_against_local_stub_server():
+    """The real ``requests`` transport (r6, VERDICT #9) driven through
+    a loopback HTTP stub that replays the reference API's shape:
+    POST execute → execution_id, two PENDING GETs, then COMPLETED
+    with rows.  Asserts the full deployable path — URL layout, JSON
+    body encoding, auth header, raise_for_status — plus the env-gated
+    constructor both ways (unset → None, set → live source)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from bitcoin_datawarehouse_spark.pipeline.source import (
+        http_transport,
+        rest_source_from_env,
+    )
+
+    rows = [{"day": "2025-01-01", "amount_usd": 10.5}]
+    seen: dict = {"polls": 0}
+
+    class Stub(http.server.BaseHTTPRequestHandler):
+        def _send(self, doc, code=200):
+            body = _json.dumps(doc).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            seen["post_path"] = self.path
+            seen["post_body"] = _json.loads(self.rfile.read(n))
+            seen["api_key"] = self.headers.get("X-Dune-API-Key")
+            self._send({"execution_id": "exec-9"})
+
+        def do_GET(self):
+            if not self.path.endswith("/results"):
+                self._send({"error": "not found"}, code=404)
+                return
+            seen["get_path"] = self.path
+            seen["polls"] += 1
+            if seen["polls"] < 3:
+                self._send({"state": "QUERY_STATE_PENDING"})
+            else:
+                self._send({
+                    "state": "QUERY_STATE_COMPLETED",
+                    "result": {"rows": rows},
+                })
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), Stub)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        env = {
+            "BDS_API_BASE_URL": f"http://127.0.0.1:{port}/api/v1",
+            "BDS_API_KEY": "k-123",
+        }
+        assert rest_source_from_env(env={}) is None  # gated off
+        src = rest_source_from_env(
+            env=env, poll_interval=0.0, sleep=lambda s: None
+        )
+        got = src.fetch(4242, parameters="2025-01-01")
+        assert got == rows
+        assert seen["post_path"] == "/api/v1/query/4242/execute"
+        assert seen["post_body"] == {
+            "query_parameters": {"date": "2025-01-01"}
+        }
+        assert seen["api_key"] == "k-123"
+        assert seen["get_path"] == "/api/v1/execution/exec-9/results"
+        assert seen["polls"] == 3
+
+        # a non-2xx must surface, not parse
+        bad = http_transport(f"http://127.0.0.1:{port}")
+        import requests
+
+        with pytest.raises(requests.HTTPError):
+            bad("GET", "execution/exec-9/nonexistent", None)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 # ---------------------------------------------------------------------------
 # end-to-end pipeline runs
 # ---------------------------------------------------------------------------
@@ -503,6 +589,50 @@ def test_partitioned_merge_touches_only_batch_partitions(spark, wh):
     assert all(got[11 + i] == float(1 + i) for i in range(3))  # day 2 others
     assert all(got[i] == float(i) for i in range(4))  # day 1 intact
     assert len(got) == 9  # 4 (day1) + 4 original day2 rows + 1 insert
+
+
+def test_partitioned_merge_schema_evolution_behavior_and_read_path(
+    spark, wh
+):
+    """Pin the documented caveat (loader.py docstring): a batch with
+    NEW columns rewrites only the touched partitions, so old
+    partitions stay on the old footer.  (a) the failure shape: a
+    plain parquet read may resolve to one footer and silently drop
+    the new column from old-footer rows or the old read misses it
+    entirely; (b) the sanctioned read path: ``mergeSchema`` resolves
+    the union schema with nulls where a partition predates the
+    column."""
+    ld = Loader(wh, "bitcoin", "evo")
+    day1 = [{"id": i, "day": "2025-01-01", "v": float(i)} for i in range(3)]
+    ld.load_incremental_partitioned(
+        rows_df(spark, day1), ["id"], partition_col="day"
+    )
+    # evolve: day-2 batch carries a NEW column
+    day2 = [
+        {"id": 10 + i, "day": "2025-01-02", "v": float(i), "src": "api"}
+        for i in range(3)
+    ]
+    ld.load_incremental_partitioned(
+        rows_df(spark, day2), ["id"], partition_col="day"
+    )
+    path = str(wh.table_path("bitcoin", "evo"))
+
+    # (a) failure shape, pinned: without mergeSchema Spark takes ONE
+    # representative footer — whichever it picks, the result cannot
+    # faithfully expose both partitions' columns
+    plain = spark.read.parquet(path)
+    assert set(plain.columns) in (
+        {"id", "day", "v"},          # old footer won: src silently gone
+        {"id", "day", "v", "src"},   # new footer won: old rows null-fill
+    )
+
+    # (b) the sanctioned read path
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "day", "v", "src"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert len(rows) == 6
+    assert all(rows[i]["src"] is None for i in range(3))  # pre-evolution
+    assert all(rows[10 + i]["src"] == "api" for i in range(3))
 
 
 def test_snapshot_rollback_recovers_bad_batch(spark, tmp_path):

@@ -118,17 +118,21 @@ def doc_windows(
             poss: list[int | None] = []
             hs: list[str | None] = []
             nts: list[int | None] = []
+            md5 = hashlib.md5
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 tk = [t for t in pat.split(txt.lower()) if t]
-                win_h = [
-                    hashlib.md5(
-                        " ".join(tk[i : i + _W]).encode()
-                    ).hexdigest()
+                # raw digests only; the hex string (the output/oracle
+                # surface) is rendered ONLY for selected windows — the
+                # per-window hexdigest + int(hex, 16) parse was the
+                # kernel's single largest term (measured ~20% of
+                # kernel wall; .hex() of a digest is the same string)
+                digs = [
+                    md5(" ".join(tk[i : i + _W]).encode()).digest()
                     for i in range(len(tk) - _W + 1)
                 ]
-                if s and win_h:
-                    h64 = np.array(
-                        [int(h[:16], 16) for h in win_h], dtype=np.uint64
+                if s and digs:
+                    h64 = np.frombuffer(
+                        b"".join([d[:8] for d in digs]), dtype=">u8"
                     )
                     if len(h64) < s:
                         sel = {int(h64.argmin())}
@@ -144,11 +148,11 @@ def doc_windows(
                         )
                     keep = sorted(sel)
                 else:
-                    keep = range(len(win_h))
+                    keep = range(len(digs))
                 for i in keep:
                     ids.append(did)
                     poss.append(i + 1)
-                    hs.append(win_h[i])
+                    hs.append(digs[i].hex())
                     nts.append(None)
                 ids.append(did)
                 poss.append(None)

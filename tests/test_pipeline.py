@@ -591,6 +591,45 @@ def test_partitioned_merge_touches_only_batch_partitions(spark, wh):
     assert len(got) == 9  # 4 (day1) + 4 original day2 rows + 1 insert
 
 
+def test_partitioned_merge_new_and_mixed_partition_batches(spark, wh):
+    """The pruned touched-dir read (r6): a batch whose partition
+    values have NO existing directory must merge as a pure insert
+    (the read-empty branch), and a MIXED batch (one existing day
+    updated + one brand-new day) must upsert the former and append
+    the latter in a single call."""
+    ld = Loader(wh, "bitcoin", "prune")
+    day1 = [{"id": i, "day": "2025-01-01", "v": float(i)} for i in range(3)]
+    ld.load_incremental_partitioned(
+        rows_df(spark, day1), ["id"], partition_col="day"
+    )
+    # batch of ONLY a new day: no touched dir exists yet
+    ld.load_incremental_partitioned(
+        rows_df(spark, [{"id": 50, "day": "2025-01-05", "v": 5.0}]),
+        ["id"],
+        partition_col="day",
+    )
+    got = {r["id"]: r for r in wh.read("bitcoin", "prune").collect()}
+    assert len(got) == 4 and got[50]["day"] == "2025-01-05"
+
+    # mixed batch: update id=0 in day 1, insert a new day 2025-01-09
+    ld.load_incremental_partitioned(
+        rows_df(
+            spark,
+            [
+                {"id": 0, "day": "2025-01-01", "v": 99.0},
+                {"id": 90, "day": "2025-01-09", "v": 9.0},
+            ],
+        ),
+        ["id"],
+        partition_col="day",
+    )
+    got = {r["id"]: r for r in wh.read("bitcoin", "prune").collect()}
+    assert len(got) == 5
+    assert got[0]["v"] == 99.0 and got[0]["day"] == "2025-01-01"
+    assert got[90]["day"] == "2025-01-09"
+    assert got[1]["v"] == 1.0 and got[2]["v"] == 2.0  # untouched rows
+
+
 def test_partitioned_merge_schema_evolution_behavior_and_read_path(
     spark, wh
 ):

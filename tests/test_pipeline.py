@@ -609,7 +609,7 @@ def test_partitioned_merge_new_and_mixed_partition_batches(spark, wh):
         partition_col="day",
     )
     got = {r["id"]: r for r in wh.read("bitcoin", "prune").collect()}
-    assert len(got) == 4 and got[50]["day"] == "2025-01-05"
+    assert len(got) == 4 and str(got[50]["day"]) == "2025-01-05"
 
     # mixed batch: update id=0 in day 1, insert a new day 2025-01-09
     ld.load_incremental_partitioned(
@@ -625,8 +625,8 @@ def test_partitioned_merge_new_and_mixed_partition_batches(spark, wh):
     )
     got = {r["id"]: r for r in wh.read("bitcoin", "prune").collect()}
     assert len(got) == 5
-    assert got[0]["v"] == 99.0 and got[0]["day"] == "2025-01-01"
-    assert got[90]["day"] == "2025-01-09"
+    assert got[0]["v"] == 99.0 and str(got[0]["day"]) == "2025-01-01"
+    assert str(got[90]["day"]) == "2025-01-09"
     assert got[1]["v"] == 1.0 and got[2]["v"] == 2.0  # untouched rows
 
 

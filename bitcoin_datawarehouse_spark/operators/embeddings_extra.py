@@ -559,6 +559,60 @@ def collect_codebook(cent: DataFrame):
     return ids, cmat, cn
 
 
+def probe_assignments(
+    queries: DataFrame, cids, cmat, nprobe: int
+) -> DataFrame:
+    """(query_id, centroid_id, qe): each query's ``nprobe`` nearest
+    centroids — ONE shuffle-free Arrow kernel over the distributed
+    query frame (query_id, qe), with the codebook riding the closure.
+
+    The single owner of query-side probe selection (both
+    ``similarity_ivf_topk`` and the persisted ``IvfIndex.search`` use
+    it): cosines accumulate through ``dim_ordered_dot_sq`` — bit-equal
+    to the JVM/DuckDB fold — and ties go to the smallest centroid_id,
+    matching the SQL oracle's ROW_NUMBER pick exactly.  The query
+    vector is carried through so the downstream rerank never needs a
+    driver-collected closure dict; serving cost is independent of the
+    query-batch size.  This replaced a crossJoin + row_number window
+    (a query-keyed shuffle per search) at both call sites.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        dim_ordered_dot_sq,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("qe", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def probe_gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qmat = np.array(list(pdf["qe"]), dtype=np.float64)
+            dot, c_sq, q_sq = dim_ordered_dot_sq(cmat, qmat)
+            cos = dot / np.outer(np.sqrt(c_sq), np.sqrt(q_sq))
+            out_q, out_c, out_e = [], [], []
+            qid_arr = pdf["query_id"].to_numpy(dtype=np.int64)
+            for qi in range(len(qid_arr)):
+                order = np.lexsort((cids, -cos[:, qi]))[:nprobe]
+                out_q.extend([int(qid_arr[qi])] * len(order))
+                out_c.extend(int(cids[ci]) for ci in order)
+                out_e.extend([pdf["qe"].iloc[qi]] * len(order))
+            yield pd.DataFrame(
+                {"query_id": out_q, "centroid_id": out_c, "qe": out_e}
+            )
+
+    return queries.select("query_id", "qe").mapInPandas(probe_gen, schema)
+
+
 def _nearest_centroid_kernel_impl(
     emb: DataFrame, cent: DataFrame, keep_vec: bool
 ) -> DataFrame:
@@ -704,23 +758,15 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qset = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
     )
-    qcos = dot_col(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    wprobe = W.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("centroid_id")
-    )
-    # query side stays DISTRIBUTED (only the codebook broadcasts):
-    # probe selection and the rerank must not depend on the query-
-    # batch size, so qe rides the probe rows into the kernel instead
-    # of a driver-collected closure dict
-    probes = (
-        qset.crossJoin(F.broadcast(cent))
-        .select("query_id", "qe", "centroid_id", qcos.alias("cos"))
-        .withColumn("rn", F.row_number().over(wprobe))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "qe", "centroid_id")
-    )
+    # query side stays DISTRIBUTED (only the codebook rides the
+    # kernel closure): probe selection and the rerank must not depend
+    # on the query-batch size — qe rides the probe rows into the
+    # rerank instead of a driver-collected closure dict, and the
+    # shared probe kernel replaces a crossJoin + row_number window
+    # (one query-keyed shuffle saved per search)
+    cb_ids, cb_mat, _cb_n = collect_codebook(cent)
+    probes = probe_assignments(qset, cb_ids, cb_mat, IVF_NPROBE)
     # Inverted lists WITH vectors: each vector belongs to exactly one
     # centroid list, so probes ⋈ lists is already distinct per
     # (query_id, cand_id) — no dedup shuffle — and carrying `e`

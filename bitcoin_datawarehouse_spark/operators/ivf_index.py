@@ -51,6 +51,7 @@ from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
     _nearest_centroid_kernel_impl,
     _normed,
     collect_codebook,
+    probe_assignments,
 )
 from bitcoin_datawarehouse_spark.operators.similarity import (
     N_QUERIES,
@@ -301,38 +302,8 @@ class IvfIndex:
         # dim_ordered_dot_sq pass as the dots, keeping every probe
         # term on the one pinned accumulation order
         cids, cmat, _cn = self._codebook()
-        nprobe = self.nprobe
-
-        probe_schema = T.StructType(
-            [
-                T.StructField("query_id", T.LongType()),
-                T.StructField("centroid_id", T.LongType()),
-                T.StructField("qe", T.ArrayType(T.DoubleType())),
-            ]
-        )
-
-        def probe_gen(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                qmat = np.array(list(pdf["qe"]), dtype=np.float64)
-                dot, c_sq, q_sq = dim_ordered_dot_sq(cmat, qmat)
-                cos = dot / np.outer(np.sqrt(c_sq), np.sqrt(q_sq))
-                out_q, out_c, out_e = [], [], []
-                qid_arr = pdf["query_id"].to_numpy(dtype=np.int64)
-                for qi in range(len(qid_arr)):
-                    order = np.lexsort((cids, -cos[:, qi]))[:nprobe]
-                    out_q.extend([int(qid_arr[qi])] * len(order))
-                    out_c.extend(int(cids[ci]) for ci in order)
-                    out_e.extend([pdf["qe"].iloc[qi]] * len(order))
-                yield pd.DataFrame(
-                    {"query_id": out_q, "centroid_id": out_c, "qe": out_e}
-                )
-
         probes = cache_tracked(
-            queries.select("query_id", "qe").mapInPandas(
-                probe_gen, probe_schema
-            )
+            probe_assignments(queries, cids, cmat, self.nprobe)
         )
         # model-sized collect (≤ n_centroids values), NOT batch-sized;
         # first action → fills the probes cache eagerly

@@ -311,11 +311,14 @@ SHUFFLE_BUDGET = {
     "join_star_regional_revenue": 1,
     "dedup_minhash_lsh": 3,
     "dedup_incremental_batch": 4,
-    # assignment-kernel repartition + probes' tiny window + the
-    # per-query rerank group shuffle; the corpus passes the plan ONCE
-    # (vectors ride the inverted lists through the broadcast probe
-    # join — no vec_id re-shuffle, no candidate-dedup exchange)
-    "similarity_ivf_topk": 3,
+    # assignment-kernel repartition + the per-query rerank group
+    # shuffle; the corpus passes the plan ONCE (vectors ride the
+    # inverted lists through the broadcast probe join — no vec_id
+    # re-shuffle, no candidate-dedup exchange).  r6 re-pin 3 → 2:
+    # probe selection moved from a crossJoin + row_number window (one
+    # query-keyed exchange) into the shared shuffle-free Arrow probe
+    # kernel (embeddings_extra.probe_assignments)
+    "similarity_ivf_topk": 2,
     "trainprep_corpus_pipeline": 3,
     # kernel repartition + w1-partitioned cache + per-doc score agg +
     # the distributed-rank block (range/pid/bounded-counts exchanges) —

@@ -103,6 +103,7 @@ class Loader:
         unique_keys: list[str],
         partition_col: str,
         order_col: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> None:
         """Partition-scoped merge: upsert ``df`` into a Hive-partitioned
         target, rewriting ONLY the partitions the batch touches.
@@ -134,20 +135,23 @@ class Loader:
             path = str(self.wh.table_path(self.schema, self.table))
             if not self.wh.table_exists_partitioned(self.schema, self.table):
                 self.wh.create_schema(self.schema)
-                _write_day_partitioned(batch, partition_col, path)
+                _write_day_partitioned(
+                    batch, partition_col, path, max_records_per_file
+                )
                 return
             touched = [
                 r[0] for r in batch.select(partition_col).distinct().collect()
             ]
             # read ONLY the touched partition directories: reading the
-            # table root lists EVERY partition dir before pruning —
-            # measured 2499-day sf10 fact: the full listing + dynamic-
-            # overwrite machinery made the 1-day merge SLOWER than a
-            # full-table rewrite (25.4 vs 12.4 s) until this pruned
-            # read (tools/probe_loader_scale.py; on an object store
-            # the listing gap is far larger).  basePath keeps the
-            # partition column in the schema; brand-new partition
-            # values have no dir yet and are skipped.
+            # table root lists EVERY partition dir before pruning.  On
+            # the local-NVMe probe the full 2499-dir listing was a
+            # ~2 s constant (tools/probe_loader_scale.py — NOT the
+            # dominant term there; a probe artifact was); on an object
+            # store with 100k partitions the listing is the difference
+            # between seconds and minutes, which is why the pruned
+            # read is kept.  basePath keeps the partition column in
+            # the schema; brand-new partition values have no dir yet
+            # and are skipped.
             tp = self.wh.table_path(self.schema, self.table)
             spark = batch.sparkSession
             existing = [
@@ -178,7 +182,9 @@ class Loader:
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
             try:
-                _write_day_partitioned(merged, partition_col, path)
+                _write_day_partitioned(
+                    merged, partition_col, path, max_records_per_file
+                )
             finally:
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev
@@ -220,7 +226,10 @@ class Loader:
 
 
 def _write_day_partitioned(
-    df: DataFrame, partition_col: str, path: str
+    df: DataFrame,
+    partition_col: str,
+    path: str,
+    max_records_per_file: int | None = None,
 ) -> None:
     """PartitionBy write CLUSTERED on the partition column first.
 
@@ -231,13 +240,20 @@ def _write_day_partitioned(
     file creation, and every later reader pays the open/footer cost
     again).  Hash-clustering by the partition value writes ONE file
     per touched partition per non-empty shuffle partition — 2 499
-    files for the same seed, 21× faster (8 s).  Very large single
-    days split naturally: add a second clustering column (e.g. a key)
-    when one day exceeds a task's comfortable output size.
+    files for the same seed, 21× faster (8 s).
+
+    ``max_records_per_file`` is the hot-partition lever: one cluster
+    key means ONE task writes a whole partition, and at 100 TB a hot
+    day can exceed a single comfortable file.  The writer option
+    rolls a task's output to a new file every N records — no extra
+    shuffle, and a salted repartition would be undone by AQE
+    coalescing anyway (measured: the salted variant still wrote one
+    file per day at fixture scale).
     """
-    df.repartition(F.col(partition_col)).write.mode(
-        "overwrite"
-    ).partitionBy(partition_col).parquet(path)
+    writer = df.repartition(F.col(partition_col)).write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(partition_col).parquet(path)
 
 
 def _dedupe_batch(

@@ -630,6 +630,41 @@ def test_partitioned_merge_new_and_mixed_partition_batches(spark, wh):
     assert got[1]["v"] == 1.0 and got[2]["v"] == 2.0  # untouched rows
 
 
+def test_partitioned_write_hot_partition_split(spark, wh):
+    """max_records_per_file is the hot-day lever: with the default a
+    whole partition is one task's single file; with a record cap the
+    writer rolls files within the partition dir — results identical,
+    multiple files per hot partition."""
+    import os
+
+    rows = [
+        {"id": i, "day": "2025-02-0%d" % (1 + i % 2), "v": float(i)}
+        for i in range(400)
+    ]
+    ld1 = Loader(wh, "bitcoin", "hot1")
+    ld1.load_incremental_partitioned(
+        rows_df(spark, rows), ["id"], partition_col="day"
+    )
+    ld4 = Loader(wh, "bitcoin", "hot4")
+    ld4.load_incremental_partitioned(
+        rows_df(spark, rows),
+        ["id"],
+        partition_col="day",
+        max_records_per_file=50,
+    )
+
+    def files_in(table, day):
+        p = wh.table_path("bitcoin", table) / f"day={day}"
+        return [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+    for day in ("2025-02-01", "2025-02-02"):
+        assert len(files_in("hot1", day)) == 1
+        assert len(files_in("hot4", day)) == 4  # 200 rows / 50-cap
+    a = sorted(map(tuple, wh.read("bitcoin", "hot1").collect()))
+    b = sorted(map(tuple, wh.read("bitcoin", "hot4").collect()))
+    assert a == b and len(a) == 400
+
+
 def test_partitioned_merge_schema_evolution_behavior_and_read_path(
     spark, wh
 ):

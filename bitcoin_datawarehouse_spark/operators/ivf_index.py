@@ -59,7 +59,6 @@ from bitcoin_datawarehouse_spark.operators.similarity import (
     dim_ordered_dot_sq,
     norm_col,
 )
-from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
 from bitcoin_datawarehouse_spark.registry import query
 
@@ -192,13 +191,17 @@ class IvfIndex:
         ANY warehouse scheme (file:, hdfs:, s3a:) counts correctly; a
         bare local glob returns 0 on remote schemes and would
         silently disable the AUTO_COMPACT_FILES contract."""
+        from bitcoin_datawarehouse_spark.pipeline.catalog import (
+            _require_local_scheme,
+            hadoop_fs,
+        )
+
         spark = self.wh.spark
         wdir = spark.conf.get("spark.sql.warehouse.dir", "")
         loc = f"{wdir.rstrip('/')}/{self.lists_name.lower()}"
-        try:
-            jvm = spark._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(loc)
-            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs_path = hadoop_fs(spark, loc)
+        if fs_path is not None:
+            fs, hpath = fs_path
             if not fs.exists(hpath):
                 return 0
             return sum(
@@ -206,25 +209,21 @@ class IvfIndex:
                 for st in fs.listStatus(hpath)
                 if st.getPath().getName().endswith(".parquet")
             )
-        except AttributeError:
-            # no JVM gateway (Spark Connect session): a local glob is
-            # only correct for a file: warehouse — for any other
-            # scheme, returning 0 would break the contract silently,
-            # so refuse loudly instead
-            scheme = wdir.split("://", 1)[0] if "://" in wdir else "file"
-            if scheme not in ("file", ""):
-                raise NotImplementedError(
-                    "IvfIndex file counting needs the Hadoop FS API "
-                    f"for warehouse scheme '{scheme}' and this session "
-                    "has no JVM gateway — pass auto_compact_files=None "
-                    "and run compact() explicitly"
-                ) from None
-            import glob as _glob
+        # no JVM gateway (Spark Connect session): a local glob is only
+        # correct for a file: warehouse — for any other scheme,
+        # returning 0 would break the AUTO_COMPACT_FILES contract
+        # silently, so refuse loudly instead
+        _require_local_scheme(
+            wdir,
+            "IvfIndex file counting (pass auto_compact_files=None and "
+            "run compact() explicitly)",
+        )
+        import glob as _glob
 
-            local = wdir.removeprefix("file:")
-            return len(
-                _glob.glob(f"{local}/{self.lists_name.lower()}/*.parquet")
-            )
+        local = wdir.removeprefix("file:")
+        return len(
+            _glob.glob(f"{local}/{self.lists_name.lower()}/*.parquet")
+        )
 
     def compact(self) -> int:
         """Rewrite the inverted lists as ONE bucketed write: every
@@ -234,7 +233,10 @@ class IvfIndex:
         through ``write_bucketed`` preserves the bucket layout — and
         search results bit-exactly (kernel folds are row-order
         independent per row; the final window re-sorts).  Returns the
-        file count after compaction."""
+        file count after compaction, or -1 when the session cannot
+        count files (no JVM gateway + non-local warehouse) — the
+        compaction itself has SUCCEEDED at that point, so raising
+        would report a phantom failure (review-caught)."""
         spark = self.wh.spark
         # stage through a plain warehouse table: write_bucketed DROPs
         # the target first, and DROP TABLE auto-uncaches dependent
@@ -255,7 +257,10 @@ class IvfIndex:
             )
         finally:
             self.wh.drop_table(self.schema, staging)
-        return self._lists_file_count()
+        try:
+            return self._lists_file_count()
+        except NotImplementedError:
+            return -1
 
     #: broadcast the probe table only while it is plausibly executor-
     #: memory-sized (rows × nprobe × dim doubles); beyond this the
@@ -284,13 +289,16 @@ class IvfIndex:
         ``collect()`` of query vectors anywhere.  The only driver
         materialization is the DISTINCT probed centroid set (bounded
         by the codebook, needed as a LITERAL IN-filter for planning-
-        time bucket pruning); it doubles as the eager fill of the
-        probes cache (two subtrees read it: the distinct, the join).
-        Probes broadcast while batch-sized, else shuffle to the
-        lists' bucket layout.  Rerank is a per-batch partial top-k
-        kernel (union of per-batch winners ⊇ global winners); the
-        final window ranks batches×queries×k rows.  Bit-identical to
-        ``similarity_ivf_topk``.
+        time bucket pruning).  That costs a SECOND execution of the
+        cheap probe kernel (the main plan re-runs it inline) —
+        deliberately NOT a cache: search returns a lazy frame with no
+        release hook, and a tracked cache per call would accrete
+        batch-sized executor storage across a serving loop
+        (review-caught).  Probes broadcast while batch-sized, else
+        shuffle to the lists' bucket layout.  Rerank is a per-batch
+        partial top-k kernel (union of per-batch winners ⊇ global
+        winners); the final window ranks batches×queries×k rows.
+        Bit-identical to ``similarity_ivf_topk``.
         """
         import numpy as np
         import pandas as pd
@@ -302,11 +310,8 @@ class IvfIndex:
         # dim_ordered_dot_sq pass as the dots, keeping every probe
         # term on the one pinned accumulation order
         cids, cmat, _cn = self._codebook()
-        probes = cache_tracked(
-            probe_assignments(queries, cids, cmat, self.nprobe)
-        )
-        # model-sized collect (≤ n_centroids values), NOT batch-sized;
-        # first action → fills the probes cache eagerly
+        probes = probe_assignments(queries, cids, cmat, self.nprobe)
+        # model-sized collect (≤ n_centroids values), NOT batch-sized
         probed_cents = sorted(
             r["centroid_id"]
             for r in probes.select("centroid_id").distinct().collect()
@@ -317,9 +322,14 @@ class IvfIndex:
         lists = spark.table(self.lists_name).filter(
             F.col("centroid_id").isin(probed_cents)
         )
+        # exact by construction (each query emits ≤ nprobe rows) and
+        # avoids a third probe-kernel execution: the gate only needs
+        # the ROW COUNT, which the query side gives with a cheap
+        # column-pruned count
+        n_probe_rows = queries.count() * self.nprobe
         probe_side = (
             F.broadcast(probes)
-            if probes.count() <= self.BROADCAST_PROBE_ROWS
+            if n_probe_rows <= self.BROADCAST_PROBE_ROWS
             else probes
         )
         sub = probe_side.join(lists, "centroid_id").select(

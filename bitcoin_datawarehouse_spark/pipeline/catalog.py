@@ -30,6 +30,31 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def hadoop_fs(spark: SparkSession, loc: str):
+    """(fs, path) through the JVM Hadoop FS API — works for ANY
+    warehouse scheme (file:, hdfs:, s3a:) — or None when the session
+    has no JVM gateway (Spark Connect).  The ONE owner of scheme-
+    aware filesystem access for catalog-backed locations; callers
+    must pair a None with either a file:-scheme local fallback or a
+    loud refusal (``_require_local_scheme``), never a silent no-op."""
+    try:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(loc)
+        return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+    except AttributeError:
+        return None
+
+
+def _require_local_scheme(wdir: str, what: str) -> None:
+    """Raise when a no-gateway session would silently skip ``what``
+    on a non-local warehouse scheme."""
+    scheme = wdir.split("://", 1)[0] if "://" in wdir else "file"
+    if scheme not in ("file", ""):
+        raise NotImplementedError(
+            f"{what} needs the Hadoop FS API for warehouse scheme "
+            f"'{scheme}' and this session has no JVM gateway"
+        )
+
+
 def lakehouse_pair(
     spark: SparkSession,
     lake_root: str,
@@ -414,14 +439,19 @@ class Warehouse:
             # remote schemes and the stale location then breaks the
             # saveAsTable(overwrite) below
             loc = f"{wdir.rstrip('/')}/{name.lower()}"
-            try:
-                hpath = self.spark._jvm.org.apache.hadoop.fs.Path(loc)
-                fs = hpath.getFileSystem(
-                    self.spark._jsc.hadoopConfiguration()
-                )
+            fs_path = hadoop_fs(self.spark, loc)
+            if fs_path is not None:
+                fs, hpath = fs_path
                 if fs.exists(hpath):
                     fs.delete(hpath, True)
-            except AttributeError:  # Connect: no gateway, local only
+            else:
+                # no JVM gateway (Spark Connect): a local rmtree is
+                # only correct for a file: warehouse — anywhere else
+                # a silent no-op leaves the stale location in place
+                # and the overwrite below fails or adopts stale data,
+                # so refuse loudly (same contract as IvfIndex's file
+                # counting)
+                _require_local_scheme(wdir, "write_bucketed stale-dir cleanup")
                 stale = Path(wdir.removeprefix("file:")) / name.lower()
                 if stale.exists():
                     shutil.rmtree(stale)

@@ -142,22 +142,29 @@ class Loader:
             touched = [
                 r[0] for r in batch.select(partition_col).distinct().collect()
             ]
-            # read ONLY the touched partition directories: reading the
-            # table root lists EVERY partition dir before pruning.  On
-            # the local-NVMe probe the full 2499-dir listing was a
-            # ~2 s constant (tools/probe_loader_scale.py — NOT the
-            # dominant term there; a probe artifact was); on an object
-            # store with 100k partitions the listing is the difference
-            # between seconds and minutes, which is why the pruned
-            # read is kept.  basePath keeps the partition column in
-            # the schema; brand-new partition values have no dir yet
-            # and are skipped.
+            # read ONLY the touched partition directories: a Spark
+            # read of the table root builds a file index over EVERY
+            # partition before pruning.  On the local-NVMe probe that
+            # listing was a ~2 s constant (tools/probe_loader_scale.py
+            # — NOT the dominant term there; a probe artifact was),
+            # but at 100k partitions it is the difference between
+            # seconds and minutes, so the pruned read stays.  The dir
+            # lookup goes through a NAMES-ONLY scandir + Hive
+            # unescape, never `tp / f"{col}={v}"` string building —
+            # Spark %XX-escapes special chars in partition dir names
+            # (a ':' in a timestamp day, a literal '%'), and a raw-
+            # value existence probe would silently treat such an
+            # EXISTING partition as new, dropping its history in the
+            # dynamic overwrite (review-caught).  basePath keeps the
+            # partition column in the schema; genuinely-new partition
+            # values have no dir yet and merge as pure inserts.
             tp = self.wh.table_path(self.schema, self.table)
             spark = batch.sparkSession
+            by_value = _partition_dirs(tp, partition_col)
             existing = [
-                str(tp / f"{partition_col}={v}")
+                by_value[_part_key(v)]
                 for v in touched
-                if (tp / f"{partition_col}={v}").exists()
+                if _part_key(v) in by_value
             ]
             if existing:
                 old_slice = spark.read.option(
@@ -223,6 +230,35 @@ class Loader:
         if not self.wh.table_exists(self.schema, self.table):
             return 0
         return self.wh.read(self.schema, self.table).count()
+
+
+#: Hive's sentinel directory for NULL partition values
+_HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_key(value) -> str:
+    """The comparable string form of a partition value (Spark writes
+    the value's string form, Hive-escaped, into the dir name; NULL
+    becomes the Hive sentinel)."""
+    return _HIVE_NULL_PART if value is None else str(value)
+
+
+def _partition_dirs(table_path, partition_col: str) -> dict[str, str]:
+    """{unescaped partition value -> partition dir path} from a
+    NAMES-ONLY scandir of the table root (no per-file stat, no Spark
+    file index).  Dir names unescape with urllib's unquote — Hive
+    escaping is exactly %XX on the reserved character set."""
+    import os
+    from urllib.parse import unquote
+
+    prefix = f"{partition_col}="
+    out: dict[str, str] = {}
+    if not table_path.exists():
+        return out
+    for entry in os.scandir(table_path):
+        if entry.is_dir() and entry.name.startswith(prefix):
+            out[unquote(entry.name[len(prefix):])] = entry.path
+    return out
 
 
 def _write_day_partitioned(

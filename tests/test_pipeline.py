@@ -630,6 +630,48 @@ def test_partitioned_merge_new_and_mixed_partition_batches(spark, wh):
     assert got[1]["v"] == 1.0 and got[2]["v"] == 2.0  # untouched rows
 
 
+def test_partitioned_merge_survives_hive_escaped_partition_values(
+    spark, wh
+):
+    """Review-caught data-loss shape: Spark %XX-escapes special chars
+    in partition DIR names (':' in a timestamp-like value, literal
+    '%'), so a raw-value path probe would treat the existing
+    partition as new and the dynamic overwrite would drop every
+    pre-existing row not in the batch.  The names-only scandir +
+    unquote lookup must find such partitions."""
+    ld = Loader(wh, "bitcoin", "esc")
+    weird = ["2025-01-01 00:00:00", "a%b", "x:y"]
+    seed = [
+        {"id": 10 * i + j, "part": p, "v": float(j)}
+        for i, p in enumerate(weird)
+        for j in range(3)
+    ]
+    ld.load_incremental_partitioned(
+        rows_df(spark, seed), ["id"], partition_col="part"
+    )
+    # dirs really are escaped on disk (the hazard exists)
+    import os
+
+    names = os.listdir(wh.table_path("bitcoin", "esc"))
+    assert any("%3A" in n for n in names), names
+
+    # merge ONE updated row + ONE new row into each weird partition
+    batch = []
+    for i, p in enumerate(weird):
+        batch.append({"id": 10 * i, "part": p, "v": 99.0})      # update
+        batch.append({"id": 10 * i + 7, "part": p, "v": 7.0})   # insert
+    ld.load_incremental_partitioned(
+        rows_df(spark, batch), ["id"], partition_col="part"
+    )
+    got = {r["id"]: r for r in wh.read("bitcoin", "esc").collect()}
+    assert len(got) == len(seed) + len(weird)  # nothing lost
+    for i, p in enumerate(weird):
+        assert got[10 * i]["v"] == 99.0
+        assert got[10 * i + 1]["v"] == 1.0  # pre-existing row survived
+        assert got[10 * i + 7]["v"] == 7.0
+        assert got[10 * i]["part"] == p
+
+
 def test_partitioned_write_hot_partition_split(spark, wh):
     """max_records_per_file is the hot-day lever: with the default a
     whole partition is one task's single file; with a record cap the

@@ -134,6 +134,14 @@ def main() -> int:
         t0 = time.perf_counter()
         ivf.ingest(batch)
         t_ing = time.perf_counter() - t0
+        # search() holds no tracked caches (r6 review fix), but keep
+        # the probe honest against any future cache reuse between
+        # identical per-iteration plans
+        from bitcoin_datawarehouse_spark.functions.cachereg import (
+            release_tracked_caches,
+        )
+
+        release_tracked_caches()
         t0 = time.perf_counter()
         n_res = ivf.search(queries).count()
         t_srch = time.perf_counter() - t0

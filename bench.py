@@ -73,6 +73,11 @@ HEADLINE = [
     # so the runtime rule's cost is a recorded number per round (at
     # sf0.1 the rule picks 8 bits: between the 5- and 12-bit tiers)
     "dedup_embedding_cosine_lsh_auto",
+    # round-6 addition (32 → 33): SemDeDup semantic pruning — the
+    # cluster-then-decide kernel benched next to the exact pair grid
+    # it bounds (its DuckDB oracle pays the intra-cluster self-join
+    # this plan keeps task-local)
+    "dedup_semantic_semdedup",
 ]
 
 

@@ -1,0 +1,190 @@
+"""Semantic deduplication (SemDeDup-shaped, arXiv:2303.09540).
+
+Exact-match, MinHash, and substring dedup catch copies; embedding
+cosine dedup (embeddings_extra.py) catches paraphrases pair-by-pair.
+SemDeDup is the corpus-scale policy on top: cluster the embedding
+space with a coarse quantizer, then WITHIN each cluster drop every
+member that has an above-threshold cosine neighbour closer to the
+cluster centroid than itself — keeping, per duplicate neighbourhood,
+the example farthest from the centroid (the paper's rule: boundary
+examples are the informative ones; the near-centroid copies are the
+redundant mass).
+
+Why clustering is the point, not an optimization: the pair search is
+confined to cluster members, so candidate work is Σ(cluster size)²
+instead of N² — with K grown ∝ N (exactly how IVF_N_CENTROIDS scales
+for the ANN family) cluster sizes stay bounded and the whole pass is
+ONE shuffle (hash by centroid_id) plus task-local numpy.  No
+reference counterpart (the reference outsources analytics entirely;
+SURVEY §2.12 north-star family).
+
+Engine-parity contract (same as every cosine kernel in the repo):
+all dot/norm accumulation runs dimension-by-dimension through
+``dim_ordered_dot_sq`` — bit-equal to the JVM ``zip_with`` fold and
+DuckDB's ``list_reduce`` — so the keep/drop comparisons (pair cosine
+vs τ, centroid-cosine orderings) decide identically in the kernel
+and the SQL oracle.  The exposed ``cos_centroid`` goes through the
+``str_round6`` / ``SQL_STR_ROUND6`` 6-dp surface; the comparisons
+use full precision on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_STR_ROUND6,
+    str_round6,
+)
+from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+    _SQL_COS,
+    _SQL_IVF_COMMON,
+    COSINE_DUP_THRESHOLD,
+    IVF_N_CENTROIDS,
+    _nearest_centroid_kernel_impl,
+    _normed,
+    collect_codebook,
+)
+from bitcoin_datawarehouse_spark.registry import query
+
+
+def semdedup_flags(
+    emb: DataFrame, cent: DataFrame, tau: float
+) -> DataFrame:
+    """(vec_id, centroid_id, cos_c, keep) for every vector in ``emb``.
+
+    ``emb`` must be (vec_id, e, nrm) with e array<double>; ``cent``
+    must be (centroid_id, ce, cn) — the same quantizer contract as
+    the IVF family, so a trained ``kmeans_fit`` codebook drops in
+    unchanged.
+
+    Plan shape: one shuffle-free Arrow assignment pass (codebook in
+    the closure, the vector rides through — the inverted-list trick
+    from ``_nearest_centroid_kernel_impl``), then ONE hash shuffle by
+    centroid_id into a per-cluster kernel that finishes everything
+    task-locally: member×member cosine grid, member→centroid cosines,
+    and the keep decision.  ``cos_c`` is full precision here; callers
+    expose it through :func:`str_round6`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        dim_ordered_dot_sq,
+    )
+
+    ids, cmat, cn = collect_codebook(cent)
+    assigned = _nearest_centroid_kernel_impl(emb, cent, keep_vec=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("cos_c", T.DoubleType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def cluster_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["centroid_id"].iloc[0])
+        ci = int(np.searchsorted(ids, cid))
+        vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        emat = np.array(list(pdf["e"]), dtype=np.float64)
+        # one fused dim-ordered pass yields the member×member dot grid
+        # AND the squared norms (norms bit-equal to norm_col's fold)
+        dot, e_sq, _ = dim_ordered_dot_sq(emat, emat)
+        nrm = np.sqrt(e_sq)
+        # member → own-centroid cosine, same fold order
+        cdot, _, _ = dim_ordered_dot_sq(emat, cmat[ci : ci + 1, :])
+        cos_c = cdot[:, 0] / (nrm * cn[ci])
+        m = len(vids)
+        if m == 1:
+            keep = np.array([True])
+        else:
+            pair = dot / np.outer(nrm, nrm)
+            dup = pair >= tau
+            np.fill_diagonal(dup, False)
+            # j precedes i in the keep order iff (cos_c, vec_id) is
+            # strictly smaller — the paper keeps the member FARTHEST
+            # from the centroid, ties to the smallest vec_id
+            precede = cos_c[None, :] < cos_c[:, None]
+            tie = cos_c[None, :] == cos_c[:, None]
+            precede |= tie & (vids[None, :] < vids[:, None])
+            keep = ~np.any(dup & precede, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": vids,
+                "centroid_id": np.full(m, cid, dtype=np.int64),
+                "cos_c": cos_c,
+                "keep": keep,
+            }
+        )
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        cluster_kernel, schema
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {_SQL_IVF_COMMON},
+    m AS (
+      SELECT a.vec_id, a.centroid_id,
+             {_SQL_COS.format(a="x", b="c")} AS cos_c,
+             x.e, x.nrm
+      FROM assign a
+      JOIN n x ON x.vec_id = a.vec_id
+      JOIN cent c ON c.vec_id = a.centroid_id
+    ),
+    drops AS (
+      SELECT DISTINCT i.vec_id
+      FROM m i
+      JOIN m j
+        ON i.centroid_id = j.centroid_id
+       AND i.vec_id <> j.vec_id
+       AND (j.cos_c < i.cos_c
+            OR (j.cos_c = i.cos_c AND j.vec_id < i.vec_id))
+       AND {_SQL_COS.format(a="i", b="j")} >= {COSINE_DUP_THRESHOLD}
+    )
+    SELECT m.vec_id, m.centroid_id,
+           {SQL_STR_ROUND6("m.cos_c")} AS cos_centroid,
+           d.vec_id IS NULL AS keep
+    FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id
+"""
+
+
+@query("dedup_semantic_semdedup", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_semdedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup semantic-duplicate pruning over the embeddings table:
+    every vector with its cluster, its (6-dp) cosine to the cluster
+    centroid, and the keep/drop decision under τ =
+    ``COSINE_DUP_THRESHOLD`` (≈p99.9 of the fixture pair
+    distribution; production paraphrase corpora use 0.9+).
+
+    Quantizer here is the fixed smallest-vec_ids codebook (the
+    hash-gateable stand-in shared with ``similarity_ivf_assign``); a
+    trained ``kmeans_fit`` codebook drops in unchanged — the
+    clustering quality changes, the operator does not.
+
+    Scale: the oracle's intra-cluster self-join is O(Σ m_k²) —
+    SemDeDup's designed cost — but the Spark plan never materializes
+    pair rows: clusters land whole in one ``applyInPandas`` task each
+    (bounded by N/K with K grown ∝ N, the IVF sizing rule) and the
+    grid is task-local numpy.  One shuffle total.
+    """
+    emb = _normed(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    flags = semdedup_flags(emb, cent, COSINE_DUP_THRESHOLD)
+    return flags.select(
+        "vec_id",
+        "centroid_id",
+        str_round6(F.col("cos_c")).alias("cos_centroid"),
+        "keep",
+    )

@@ -88,8 +88,11 @@ DRIVER_WINDOW: list[str] = [
     # streaming long tail (stream-stream interval join, quality gate)
     "streaming_attribution_join",
     "streaming_quality_filter",
-    # embedding dedup (exact-grid audit) + IVF brute assign + clusters
-    "dedup_embedding_cosine",
+    # round-6 in-session flagship: SemDeDup semantic pruning (cluster
+    # + intra-cluster cosine keep/drop) — took the seat of the
+    # exact-grid audit dedup_embedding_cosine (driver-green r1/r2/r5,
+    # implementation unchanged; union coverage retained)
+    "dedup_semantic_semdedup",
     "similarity_ivf_assign",
     "dedup_canonical_docs",
     # text statistics long tail
@@ -210,4 +213,5 @@ def load_all_operators() -> None:
         incremental,
         behavior,
         ivf_index,
+        semdedup,
     )

@@ -319,6 +319,11 @@ SHUFFLE_BUDGET = {
     # query-keyed exchange) into the shared shuffle-free Arrow probe
     # kernel (embeddings_extra.probe_assignments)
     "similarity_ivf_topk": 2,
+    # round-robin repartition into the assignment kernel + ONE hash
+    # shuffle by centroid_id into the per-cluster decision kernel —
+    # the whole intra-cluster pair grid is task-local (a 3rd exchange
+    # would mean pair rows started materializing through a join)
+    "dedup_semantic_semdedup": 2,
     "trainprep_corpus_pipeline": 3,
     # kernel repartition + w1-partitioned cache + per-doc score agg +
     # the distributed-rank block (range/pid/bounded-counts exchanges) —

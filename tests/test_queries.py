@@ -214,6 +214,75 @@ def test_lsh_dedup_recall_vs_exact(spark):
     assert len(lsh) / len(exact) >= 0.4
 
 
+def test_semdedup_planted_keep_rule(spark):
+    """SemDeDup semantics on planted clusters: within a duplicate
+    neighbourhood the member FARTHEST from the centroid survives
+    (lowest centroid-cosine), ties go to the smallest vec_id, and
+    non-duplicate / singleton members are untouched."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.semdedup import (
+        semdedup_flags,
+    )
+    from bitcoin_datawarehouse_spark.operators.similarity import norm_col
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, ce array<double>",
+    ).withColumn("cn", norm_col(F.col("ce")))
+    emb = spark.createDataFrame(
+        [
+            # cluster 0: v10/v11 pair-cos ≈ 0.982 ≥ τ; v11 is farther
+            # from the centroid (cos_c 0.958 < 0.995) → v10 drops
+            (10, [1.0, 0.1, 0.0, 0.0]),
+            (11, [1.0, 0.3, 0.0, 0.0]),
+            # cluster 0, below τ to both → kept
+            (12, [0.9, -0.4, 0.1, 0.0]),
+            # cluster 1 non-duplicate (cos to v21/v22 ≈ 0.927 < τ)
+            (20, [0.0, 1.0, 0.4, 0.0]),
+            # cluster 1 IDENTICAL twins: cos_c tie → smaller id wins
+            (21, [0.05, 1.0, 0.0, 0.0]),
+            (22, [0.05, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, e array<double>",
+    ).withColumn("nrm", norm_col(F.col("e")))
+
+    rows = {
+        r["vec_id"]: r
+        for r in semdedup_flags(emb, cent, tau=0.95).collect()
+    }
+    assert {v: r["centroid_id"] for v, r in rows.items()} == {
+        10: 0, 11: 0, 12: 0, 20: 1, 21: 1, 22: 1,
+    }
+    assert {v: r["keep"] for v, r in rows.items()} == {
+        10: False, 11: True, 12: True, 20: True, 21: True, 22: False,
+    }
+
+
+def test_semdedup_drops_are_same_cluster_exact_pairs(spark):
+    """Corpus cross-check vs the exact pair grid: every dropped vector
+    shares an above-threshold exact-grid pair with some same-cluster
+    member, and every vector in no such pair is kept."""
+    flags = {
+        r["vec_id"]: r
+        for r in QUERIES["dedup_semantic_semdedup"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    cluster_of = {v: r["centroid_id"] for v, r in flags.items()}
+    paired = set()
+    for r in QUERIES["dedup_embedding_cosine"](spark, SF_SMALL).collect():
+        if cluster_of[r["vec_a"]] == cluster_of[r["vec_b"]]:
+            paired.add(r["vec_a"])
+            paired.add(r["vec_b"])
+    dropped = {v for v, r in flags.items() if not r["keep"]}
+    assert dropped, "fixture yields no semantic drops — threshold drifted"
+    assert dropped <= paired, "dropped a vector with no in-cluster dup"
+    assert all(
+        flags[v]["keep"] for v in set(flags) - paired
+    ), "a vector with no in-cluster duplicate was dropped"
+
+
 def test_wide_lsh_full_recall_on_true_near_dups(spark, tmp_path):
     """The scale-tier (8×12) LSH dedup's core claim: widening buckets
     sheds junk candidates WITHOUT losing true near-dups, because

@@ -39,13 +39,17 @@ from bitcoin_datawarehouse_spark.functions.numeric import (
 )
 from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
     _SQL_COS,
-    _SQL_IVF_COMMON,
+    _SQL_NORMED,
     COSINE_DUP_THRESHOLD,
     IVF_N_CENTROIDS,
     _nearest_centroid_kernel_impl,
     _normed,
     collect_codebook,
 )
+
+#: embedding dimensionality of the corpus contract (64 for the
+#: fixture tables) — the d in the K* = √(N/d) sizing rule
+EMB_DIM = 64
 from bitcoin_datawarehouse_spark.registry import query
 
 
@@ -127,8 +131,25 @@ def semdedup_flags(
     )
 
 
-_SEMDEDUP_ORACLE = f"""
-    WITH {_SQL_IVF_COMMON},
+def _semdedup_oracle(k_expr: str) -> str:
+    """Oracle builder parametrized by the centroid-count expression —
+    a literal for the fixed-K gate variant, a scalar subquery for the
+    runtime auto-K rule (the ``AUTO_BITS_SQL`` pattern: the oracle
+    follows the Spark side at ANY scale factor instead of pinning one
+    fixture K)."""
+    return f"""
+    WITH {_SQL_NORMED},
+    cent AS (SELECT * FROM n WHERE vec_id < ({k_expr})),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT x.vec_id, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {_SQL_COS.format(a="x", b="c")} DESC, c.vec_id
+               ) AS rn
+        FROM n x CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
     m AS (
       SELECT a.vec_id, a.centroid_id,
              {_SQL_COS.format(a="x", b="c")} AS cos_c,
@@ -154,7 +175,30 @@ _SEMDEDUP_ORACLE = f"""
 """
 
 
-@query("dedup_semantic_semdedup", oracle=_SEMDEDUP_ORACLE)
+def _semdedup_query(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """Shared body of the fixed-K and auto-K registered variants:
+    smallest-``k`` vec_ids as the codebook, flags, 6-dp surface."""
+    emb = _normed(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    flags = semdedup_flags(emb, cent, COSINE_DUP_THRESHOLD)
+    return flags.select(
+        "vec_id",
+        "centroid_id",
+        str_round6(F.col("cos_c")).alias("cos_centroid"),
+        "keep",
+    )
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=_semdedup_oracle(str(IVF_N_CENTROIDS)),
+)
 def dedup_semantic_semdedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -175,16 +219,56 @@ def dedup_semantic_semdedup(
     (bounded by N/K with K grown ∝ N, the IVF sizing rule) and the
     grid is task-local numpy.  One shuffle total.
     """
-    emb = _normed(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("e").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
-    flags = semdedup_flags(emb, cent, COSINE_DUP_THRESHOLD)
-    return flags.select(
-        "vec_id",
-        "centroid_id",
-        str_round6(F.col("cos_c")).alias("cos_centroid"),
-        "keep",
-    )
+    return _semdedup_query(spark, sf_dir, IVF_N_CENTROIDS)
+
+
+#: auto-K sizing: total cost = assignment N·K·d + intra-cluster pair
+#: grids ≈ N²·d/K (expected cluster size N/K); balancing the two
+#: terms gives K* = √(N/d) — cluster sizes grow as √(N·d) instead of
+#: N, so neither term ever goes quadratic.  The floor is the
+#: fixture-proven 16 (every fixture decade up to sf0.1 lands on it,
+#: so auto ≡ fixed there and the pinned-K gate stays representative);
+#: the ceiling keeps the driver-collected codebook model-sized
+#: (65536×64 doubles = 32 MB, comfortably broadcastable).  CEIL, not
+#: ROUND: √(N/d) can land exactly on .5 (N = d·(x²+x) + d/4), where
+#: ROUND-half-away (DuckDB) and banker's (Python) disagree — CEIL is
+#: tie-free, and IEEE division + correctly-rounded sqrt make both
+#: engines see the identical double (exhaustive-range pytest).
+SEMDEDUP_MIN_K = IVF_N_CENTROIDS
+SEMDEDUP_MAX_K = 65536
+
+
+def auto_semdedup_k(n_vectors: int, dim: int = EMB_DIM) -> int:
+    """K* = ceil(√(N/d)), clamped to [fixture floor, codebook cap]."""
+    import math
+
+    if n_vectors <= 0:
+        return SEMDEDUP_MIN_K
+    k = math.ceil(math.sqrt(n_vectors / float(dim)))
+    return max(SEMDEDUP_MIN_K, min(SEMDEDUP_MAX_K, k))
+
+
+#: the rule as a self-contained SQL scalar (the AUTO_BITS_SQL
+#: pattern) — the auto variant's oracle recomputes K from the corpus
+#: it runs on, so the gate exercises the sizing rule itself at any
+#: scale factor.
+AUTO_K_SQL = (
+    f"SELECT GREATEST({SEMDEDUP_MIN_K}, LEAST({SEMDEDUP_MAX_K}, "
+    f"CAST(CEIL(SQRT(COUNT(*) / {EMB_DIM}.0)) AS INT))) FROM embeddings"
+)
+
+
+@query("dedup_semantic_semdedup_auto", oracle=_semdedup_oracle(AUTO_K_SQL))
+def dedup_semantic_semdedup_auto(
+    spark: SparkSession, sf_dir: str, n_vectors: int | None = None
+) -> DataFrame:
+    """The PRODUCTION default of the SemDeDup pass: cluster count
+    chosen AT RUNTIME from the corpus size (one count() probe, or a
+    caller-supplied hint when the count is already known) by the
+    cost-balancing rule K* = ceil(√(N/d)).  The oracle is K-adaptive
+    too (:data:`AUTO_K_SQL`), so the hash gate checks the rule
+    itself; ``auto(N) ≡ fixed(auto_semdedup_k(N))`` and the SQL≡
+    python rule equality stay pytest-pinned alongside."""
+    if n_vectors is None:
+        n_vectors = _normed(spark, sf_dir).count()
+    return _semdedup_query(spark, sf_dir, auto_semdedup_k(n_vectors))

@@ -93,7 +93,10 @@ DRIVER_WINDOW: list[str] = [
     # exact-grid audit dedup_embedding_cosine (driver-green r1/r2/r5,
     # implementation unchanged; union coverage retained)
     "dedup_semantic_semdedup",
-    "similarity_ivf_assign",
+    # its runtime auto-K production default (K-adaptive oracle) —
+    # took the seat of similarity_ivf_assign (driver-green r5,
+    # implementation unchanged; union coverage retained)
+    "dedup_semantic_semdedup_auto",
     "dedup_canonical_docs",
     # text statistics long tail
     "text_repetition_stats",

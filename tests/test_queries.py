@@ -283,6 +283,61 @@ def test_semdedup_drops_are_same_cluster_exact_pairs(spark):
     ), "a vector with no in-cluster duplicate was dropped"
 
 
+def test_auto_semdedup_sql_rule_matches_python():
+    """The auto variant's oracle computes K* = ceil(sqrt(N/d)) in SQL
+    (AUTO_K_SQL) — honest only if it selects the IDENTICAL K as
+    auto_semdedup_k at every corpus size.  CEIL was chosen precisely
+    because ROUND has reachable .5 ties here (N = d(x²+x) + d/4);
+    verify exhaustively for every N ≤ 3·10⁶ plus decade spot-checks,
+    including the tie-constructed sizes."""
+    from bitcoin_datawarehouse_spark.operators.semdedup import (
+        EMB_DIM,
+        SEMDEDUP_MAX_K,
+        SEMDEDUP_MIN_K,
+        auto_semdedup_k,
+    )
+
+    con = duckdb.connect()
+    rule = (
+        f"GREATEST({SEMDEDUP_MIN_K}, LEAST({SEMDEDUP_MAX_K}, "
+        f"CAST(CEIL(SQRT(n / {EMB_DIM}.0)) AS INT)))"
+    )
+    rows = con.execute(
+        f"SELECT n, {rule} FROM "
+        "(SELECT unnest(generate_series(1, 3000000)) AS n)"
+    ).fetchall()
+    bad = [(n, s) for n, s in rows if s != auto_semdedup_k(n)]
+    assert not bad, f"SQL K rule diverges from python: {bad[:5]}"
+    ties = [EMB_DIM * (x * x + x) + EMB_DIM // 4 for x in (1, 10, 177)]
+    for n in ties + [10**7, 10**9, 10**12]:
+        (got,) = con.execute(
+            f"SELECT {rule} FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()
+        assert got == auto_semdedup_k(n), n
+
+
+def test_auto_semdedup_equals_fixed_at_fixture(spark):
+    """Every fixture decade up to sf0.1 lands on the K floor, so the
+    auto variant must reproduce the fixed-K flagship bit-for-bit —
+    the same auto≡fixed contract the LSH auto width carries."""
+    from bitcoin_datawarehouse_spark.operators.semdedup import (
+        auto_semdedup_k,
+    )
+
+    assert auto_semdedup_k(2000) == 16  # the sf0.01 corpus
+    fixed = {
+        tuple(r) for r in QUERIES["dedup_semantic_semdedup"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    auto = {
+        tuple(r) for r in QUERIES["dedup_semantic_semdedup_auto"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert fixed == auto
+
+
 def test_wide_lsh_full_recall_on_true_near_dups(spark, tmp_path):
     """The scale-tier (8×12) LSH dedup's core claim: widening buckets
     sheds junk candidates WITHOUT losing true near-dups, because

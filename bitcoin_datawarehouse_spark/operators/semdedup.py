@@ -91,32 +91,47 @@ def semdedup_flags(
         ]
     )
 
+    # per-task peak memory is capped by evaluating the pair grid in
+    # ROW BLOCKS of ~2^23 cells (a few hundred MB of temporaries)
+    # instead of materializing the full m×m grid: at sf100 the auto-K
+    # rule yields clusters of ~11k members, where a full grid is
+    # ~1 GB and its boolean/temp copies would stack several GB per
+    # concurrent task.  Blocking changes neither values nor order —
+    # each pair's dot still accumulates dimension-by-dimension.
+    BLOCK_CELLS = 1 << 23
+
     def cluster_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         cid = int(pdf["centroid_id"].iloc[0])
         ci = int(np.searchsorted(ids, cid))
         vids = pdf["vec_id"].to_numpy(dtype=np.int64)
         emat = np.array(list(pdf["e"]), dtype=np.float64)
-        # one fused dim-ordered pass yields the member×member dot grid
-        # AND the squared norms (norms bit-equal to norm_col's fold)
-        dot, e_sq, _ = dim_ordered_dot_sq(emat, emat)
-        nrm = np.sqrt(e_sq)
-        # member → own-centroid cosine, same fold order
-        cdot, _, _ = dim_ordered_dot_sq(emat, cmat[ci : ci + 1, :])
-        cos_c = cdot[:, 0] / (nrm * cn[ci])
         m = len(vids)
-        if m == 1:
-            keep = np.array([True])
-        else:
-            pair = dot / np.outer(nrm, nrm)
+        # member → own-centroid cosine; a_sq is the dim-ordered sum of
+        # squares, so nrm is bit-equal to norm_col's fold
+        cdot, e_sq, _ = dim_ordered_dot_sq(emat, cmat[ci : ci + 1, :])
+        nrm = np.sqrt(e_sq)
+        cos_c = cdot[:, 0] / (nrm * cn[ci])
+        # j precedes i in the keep order iff (cos_c, vec_id) is
+        # strictly smaller — the paper keeps the member FARTHEST from
+        # the centroid, ties to the smallest vec_id.  (cos_c, vec_id)
+        # is unique per member, so the lexsort rank encodes the whole
+        # precedence relation and the block test is one comparison.
+        order = np.lexsort((vids, cos_c))
+        rank = np.empty(m, dtype=np.int64)
+        rank[order] = np.arange(m)
+        keep = np.ones(m, dtype=bool)
+        for s in range(0, m, max(1, BLOCK_CELLS // m)):
+            blk = emat[s : s + max(1, BLOCK_CELLS // m)]
+            b = blk.shape[0]
+            acc = np.zeros((b, m))
+            for j in range(emat.shape[1]):
+                acc += np.outer(blk[:, j], emat[:, j])
+            pair = acc / np.outer(nrm[s : s + b], nrm)
             dup = pair >= tau
-            np.fill_diagonal(dup, False)
-            # j precedes i in the keep order iff (cos_c, vec_id) is
-            # strictly smaller — the paper keeps the member FARTHEST
-            # from the centroid, ties to the smallest vec_id
-            precede = cos_c[None, :] < cos_c[:, None]
-            tie = cos_c[None, :] == cos_c[:, None]
-            precede |= tie & (vids[None, :] < vids[:, None])
-            keep = ~np.any(dup & precede, axis=1)
+            rows = np.arange(s, s + b)
+            dup[np.arange(b), rows] = False  # self-pairs
+            precede = rank[None, :] < rank[rows][:, None]
+            keep[rows] = ~np.any(dup & precede, axis=1)
         return pd.DataFrame(
             {
                 "vec_id": vids,

@@ -78,6 +78,11 @@ HEADLINE = [
     # it bounds (its DuckDB oracle pays the intra-cluster self-join
     # this plan keeps task-local)
     "dedup_semantic_semdedup",
+    # round-6 addition (33 → 34): PQ ADC top-k — the 128×-compressed
+    # search path benched next to the exact brute-force it
+    # approximates (its in-plan encode stage included; production
+    # reads the persisted pq_code column)
+    "similarity_pq_adc_topk",
 ]
 
 

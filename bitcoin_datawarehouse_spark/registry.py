@@ -97,10 +97,14 @@ DRIVER_WINDOW: list[str] = [
     # took the seat of similarity_ivf_assign (driver-green r5,
     # implementation unchanged; union coverage retained)
     "dedup_semantic_semdedup_auto",
-    "dedup_canonical_docs",
+    # round-6 in-session flagships: product quantization (encode +
+    # ADC top-k) — took the seats of dedup_canonical_docs and
+    # text_tfidf_topk (both driver-green r5, implementations
+    # unchanged; union coverage retained)
+    "similarity_pq_encode",
+    "similarity_pq_adc_topk",
     # text statistics long tail
     "text_repetition_stats",
-    "text_tfidf_topk",
     # SQL surface: scalar subqueries
     "sql_scalar_subqueries",
     # training prep long tail
@@ -217,4 +221,5 @@ def load_all_operators() -> None:
         behavior,
         ivf_index,
         semdedup,
+        pq,
     )

@@ -324,7 +324,8 @@ def test_auto_semdedup_equals_fixed_at_fixture(spark):
         auto_semdedup_k,
     )
 
-    assert auto_semdedup_k(2000) == 16  # the sf0.01 corpus
+    assert auto_semdedup_k(2000) == 16  # the sf0.1 corpus
+    assert auto_semdedup_k(500) == 16  # the sf0.01 gate corpus
     fixed = {
         tuple(r) for r in QUERIES["dedup_semantic_semdedup"](
             spark, SF_SMALL
@@ -336,6 +337,55 @@ def test_auto_semdedup_equals_fixed_at_fixture(spark):
         ).collect()
     }
     assert fixed == auto
+
+
+def test_pq_encode_identities_and_packing(spark):
+    """PQ encode invariants on the fixture corpus: every codebook
+    seed vector (vec_id < 16) is its own nearest sub-centroid in
+    every subspace — vec k must encode to the nibble-repeated pattern
+    k·0x11111111 — and every packed code fits 8 nibbles."""
+    rows = {
+        r["vec_id"]: r["pq_code"]
+        for r in QUERIES["similarity_pq_encode"](spark, SF_SMALL).collect()
+    }
+    assert len(rows) == 500
+    for k in range(16):
+        assert rows[k] == k * 0x11111111, (k, hex(rows[k]))
+    assert all(0 <= c < (1 << 32) for c in rows.values())
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """Quantization loss isolated: ADC approximates squared L2, so
+    its honest baseline is the EXACT L2 top-k (computed here in
+    numpy), not the cosine ranking.  Pins recall well above chance
+    (chance ≈ k/N = 1%) and exactly-k ranked rows per query."""
+    import numpy as np
+
+    from bitcoin_datawarehouse_spark.tables import load_table
+
+    emb = sorted(
+        load_table(spark, SF_SMALL, "embeddings").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    mat = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    exact = set()
+    for qi in range(10):
+        d2 = ((mat - mat[qi]) ** 2).sum(axis=1)
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], d2[mask]))[:5]
+        exact |= {(ids[qi], int(ids[mask][o])) for o in order}
+
+    adc_rows = QUERIES["similarity_pq_adc_topk"](spark, SF_SMALL).collect()
+    adc = {(r["query_id"], r["cand_id"]) for r in adc_rows}
+    per_query = {}
+    for r in adc_rows:
+        per_query.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(
+        sorted(v) == list(range(1, 6)) for v in per_query.values()
+    )
+    recall = len(exact & adc) / len(exact)
+    assert recall >= 0.2, recall
 
 
 def test_wide_lsh_full_recall_on_true_near_dups(spark, tmp_path):

@@ -324,6 +324,11 @@ SHUFFLE_BUDGET = {
     # the whole intra-cluster pair grid is task-local (a 3rd exchange
     # would mean pair rows started materializing through a join)
     "dedup_semantic_semdedup": 2,
+    # round-robin repartition into the encode kernel + the final
+    # partitions×queries×k rank window — the ADC scoring itself adds
+    # no exchange (codes flow straight from the encode kernel into
+    # the scoring kernel, LUTs in the closure)
+    "similarity_pq_adc_topk": 2,
     "trainprep_corpus_pipeline": 3,
     # kernel repartition + w1-partitioned cache + per-doc score agg +
     # the distributed-rank block (range/pid/bounded-counts exchanges) —

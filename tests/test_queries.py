@@ -388,6 +388,38 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     assert recall >= 0.2, recall
 
 
+def test_pq_adc_ranks_planted_twin_first(spark, tmp_path):
+    """The claim PQ actually makes at production thresholds: a TRUE
+    near-duplicate (±0.5% jitter, the gen_sf decorrelation model)
+    quantizes to (nearly) the same codes as its twin, so ADC ranks it
+    first — quantization error hurts ranking among far-apart
+    near-random vectors (recall test above), not among real
+    near-dups."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # vec_id 0..9 = the query set, 0..15 = the codebook seeds
+    base = rng.standard_normal((40, 64))
+    for vid in range(40):
+        rows.append((vid, [float(x) for x in base[vid]]))
+    for q in range(10):
+        jit = base[q] * (1.0 + rng.uniform(-0.005, 0.005, 64))
+        rows.append((100 + q, [float(x) for x in jit]))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    top1 = {
+        r["query_id"]: r["cand_id"]
+        for r in QUERIES["similarity_pq_adc_topk"](
+            spark, str(tmp_path)
+        ).collect()
+        if r["rnk"] == 1
+    }
+    assert top1 == {q: 100 + q for q in range(10)}, top1
+
+
 def test_wide_lsh_full_recall_on_true_near_dups(spark, tmp_path):
     """The scale-tier (8×12) LSH dedup's core claim: widening buckets
     sheds junk candidates WITHOUT losing true near-dups, because

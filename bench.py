@@ -83,6 +83,9 @@ HEADLINE = [
     # approximates (its in-plan encode stage included; production
     # reads the persisted pq_code column)
     "similarity_pq_adc_topk",
+    # round-6 addition (34 → 35): the IVF-PQ composition — bucket
+    # pruning × code compression, benched next to both halves
+    "similarity_ivfpq_topk",
 ]
 
 

@@ -132,9 +132,15 @@ _SQL_D2 = (
 )
 
 #: per-vector per-subspace slices, the seed sub-codebooks, and the
-#: per-(vector, subspace) assigned code — shared by encode and ADC
-_SQL_PQ_COMMON = f"""
-  v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+#: per-(vector, subspace) assigned code — assumes a ``v(vec_id, e)``
+#: CTE is already in scope (so the fragment composes with the IVF
+#: CTE block, which defines its own ``v``)
+_SQL_V = (
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+    " FROM embeddings)"
+)
+
+_SQL_PQ_CODES = f"""
   sub AS (
     SELECT vec_id, m,
            e[(m * {PQ_SUB_DIM} + 1):(m * {PQ_SUB_DIM} + {PQ_SUB_DIM})] AS se
@@ -159,7 +165,8 @@ _SQL_PQ_COMMON = f"""
 @query(
     "similarity_pq_encode",
     oracle=f"""
-    WITH {_SQL_PQ_COMMON}
+    WITH {_SQL_V},
+    {_SQL_PQ_CODES}
     SELECT vec_id,
            CAST(SUM(code << (4 * m)) AS BIGINT) AS pq_code
     FROM codes GROUP BY vec_id
@@ -187,7 +194,8 @@ _ADC_PIVOT = ",\n             ".join(
 @query(
     "similarity_pq_adc_topk",
     oracle=f"""
-    WITH {_SQL_PQ_COMMON},
+    WITH {_SQL_V},
+    {_SQL_PQ_CODES},
     lut AS (
       SELECT q.vec_id AS query_id, c.m, c.code,
              {_SQL_D2.format(a="q.se", b="c.ce")} AS d2
@@ -292,6 +300,226 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy("adist", "cand_id")
     return (
         partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            str_round6(F.col("adist")).alias("adc_dist"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def _assign_and_encode(emb: DataFrame, cent: DataFrame, cb) -> DataFrame:
+    """(vec_id, centroid_id, pq_code) in ONE shuffle-free Arrow pass —
+    the IVF-PQ inverted-list row: coarse assignment (same
+    dim-ordered argmax contract as ``nearest_centroid_kernel``) and
+    the nibble-packed PQ code, both from the same vector batch.  At
+    warehouse scale this is the row ``IvfIndex.build`` would persist
+    bucketed by centroid_id, with ``pq_code`` as the payload instead
+    of the raw array (128× less list storage)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        collect_codebook,
+    )
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        dim_ordered_dot_sq,
+    )
+
+    ids, cmat, cn = collect_codebook(cent)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("pq_code", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.array(list(pdf["e"]), dtype=np.float64)
+            dot, e_sq, _ = dim_ordered_dot_sq(emat, cmat)
+            cos = dot / np.outer(np.sqrt(e_sq), cn)
+            best = np.argmax(cos, axis=1)  # first max → smallest id
+            packed = np.zeros(len(emat), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = emat[:, m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM]
+                codes = np.argmin(_sub_d2(sub, cb[m]), axis=1)
+                packed |= codes.astype(np.int64) << (4 * m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "centroid_id": ids[best],
+                    "pq_code": packed,
+                }
+            )
+
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    return emb.select("vec_id", "e").repartition(par).mapInPandas(
+        gen, schema
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        _SQL_COS,
+        _SQL_IVF_COMMON,
+        IVF_NPROBE,
+    )
+
+    return f"""
+    WITH {_SQL_IVF_COMMON},
+    {_SQL_PQ_CODES},
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_COS.format(a="q", b="c")} DESC, c.vec_id
+               ) AS rn
+        FROM n q CROSS JOIN cent c
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.m, c.code,
+             {_SQL_D2.format(a="q.se", b="c.ce")} AS d2
+      FROM sub q JOIN cb c ON c.m = q.m
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    adc0 AS (
+      SELECT p.query_id, a.vec_id AS cand_id,
+             {_ADC_PIVOT}
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+                   AND a.vec_id <> p.query_id
+      JOIN codes k ON k.vec_id = a.vec_id
+      JOIN lut l ON l.query_id = p.query_id
+               AND l.m = k.m AND l.code = k.code
+      GROUP BY p.query_id, a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, {_ADC_TOTAL} AS adist,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {_ADC_TOTAL}, cand_id
+             ) AS rnk
+      FROM adc0
+    )
+    SELECT query_id, cand_id,
+           {SQL_STR_ROUND6("adist")} AS adc_dist,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@query("similarity_ivfpq_topk", oracle=_ivfpq_oracle())
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN composition (the faiss IVF+PQ
+    layout): coarse-probe the nprobe nearest inverted lists, then
+    ADC-score ONLY those lists' members over their 4-byte codes.
+    Per-query work is nprobe/K of the corpus × (8 lookups + 7 adds),
+    and the scanned payload is the packed code column, not the raw
+    vectors — the two scale levers (bucket pruning, 128× payload
+    compression) composed.
+
+    Metric note: coarse cells and probes use the IVF family's cosine
+    contract (so the inverted lists are literally the ones
+    ``similarity_ivf_topk``/``IvfIndex`` build); within a probed cell
+    the ranking is ADC squared-L2 over codes — swap either half
+    independently.  Plan shape: ONE corpus kernel emits (centroid_id,
+    vec_id, pq_code) — the row a persisted index would store bucketed
+    — the 20-row probe frame broadcasts into it, the scoring kernel
+    rebuilds each query's 8×16 LUT from the closure's codebooks, and
+    the final window ranks candidates×queries rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        IVF_N_CENTROIDS,
+        IVF_NPROBE,
+        _normed,
+        probe_assignments,
+    )
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        collect_codebook,
+    )
+
+    emb = _normed(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cb = _collect_subcodebooks(emb)
+    cids, cmat, _cn = collect_codebook(cent)
+
+    lists = _assign_and_encode(emb, cent, cb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    probes = probe_assignments(queries, cids, cmat, IVF_NPROBE)
+    cand = lists.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("adist", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        luts = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_c, out_d = [], [], []
+            packed = pdf["pq_code"].to_numpy(dtype=np.int64)
+            nibbles = [
+                (packed >> (4 * m)) & 0xF for m in range(PQ_M)
+            ]
+            for qid, idx in pdf.groupby("query_id").groups.items():
+                if qid not in luts:
+                    qe = np.array(
+                        pdf.loc[idx[0], "qe"], dtype=np.float64
+                    )[None, :]
+                    luts[qid] = [
+                        _sub_d2(
+                            qe[:, m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM],
+                            cb[m],
+                        )[0]
+                        for m in range(PQ_M)
+                    ]
+                lut = luts[qid]
+                pos = pdf.index.get_indexer(idx)
+                # subspace-ordered accumulation — the SQL's d0+…+d7
+                total = lut[0][nibbles[0][pos]].copy()
+                for m in range(1, PQ_M):
+                    total = total + lut[m][nibbles[m][pos]]
+                out_q.extend([int(qid)] * len(pos))
+                out_c.extend(
+                    pdf["vec_id"].to_numpy(dtype=np.int64)[pos]
+                )
+                out_d.extend(total)
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "adist": out_d}
+            )
+
+    scored = cand.mapInPandas(gen, schema)
+    w = W.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select(
             "query_id",

@@ -103,6 +103,10 @@ DRIVER_WINDOW: list[str] = [
     # unchanged; union coverage retained)
     "similarity_pq_encode",
     "similarity_pq_adc_topk",
+    # …and their composition with the coarse quantizer — the faiss
+    # IVF-PQ layout (took the seat of trainprep_stratified_sample,
+    # driver-green r5, unchanged; union coverage retained)
+    "similarity_ivfpq_topk",
     # text statistics long tail
     "text_repetition_stats",
     # SQL surface: scalar subqueries
@@ -112,7 +116,6 @@ DRIVER_WINDOW: list[str] = [
     "trainprep_quantize_int8",
     "trainprep_domain_mixture",
     "trainprep_token_budget",
-    "trainprep_stratified_sample",
     # behavioral analytics: weekly cohort retention
     "cohort_weekly_retention",
     # multimodal byte-exact digest twins

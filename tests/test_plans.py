@@ -329,6 +329,9 @@ SHUFFLE_BUDGET = {
     # no exchange (codes flow straight from the encode kernel into
     # the scoring kernel, LUTs in the closure)
     "similarity_pq_adc_topk": 2,
+    # same two (corpus-kernel repartition + rank window); the probe
+    # frame reaches the lists via a BroadcastHashJoin, not a shuffle
+    "similarity_ivfpq_topk": 2,
     "trainprep_corpus_pipeline": 3,
     # kernel repartition + w1-partitioned cache + per-doc score agg +
     # the distributed-rank block (range/pid/bounded-counts exchanges) —

@@ -47,9 +47,6 @@ from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
     collect_codebook,
 )
 
-#: embedding dimensionality of the corpus contract (64 for the
-#: fixture tables) — the d in the K* = √(N/d) sizing rule
-EMB_DIM = 64
 from bitcoin_datawarehouse_spark.registry import query
 
 
@@ -238,28 +235,31 @@ def dedup_semantic_semdedup(
 
 
 #: auto-K sizing: total cost = assignment N·K·d + intra-cluster pair
-#: grids ≈ N²·d/K (expected cluster size N/K); balancing the two
-#: terms gives K* = √(N/d) — cluster sizes grow as √(N·d) instead of
-#: N, so neither term ever goes quadratic.  The floor is the
-#: fixture-proven 16 (every fixture decade up to sf0.1 lands on it,
-#: so auto ≡ fixed there and the pinned-K gate stays representative);
-#: the ceiling keeps the driver-collected codebook model-sized
-#: (65536×64 doubles = 32 MB, comfortably broadcastable).  CEIL, not
-#: ROUND: √(N/d) can land exactly on .5 (N = d·(x²+x) + d/4), where
-#: ROUND-half-away (DuckDB) and banker's (Python) disagree — CEIL is
-#: tie-free, and IEEE division + correctly-rounded sqrt make both
-#: engines see the identical double (exhaustive-range pytest).
+#: grids N²·d/K (N²/K cells, each a d-term dim-ordered accumulation —
+#: the d multiplies BOTH terms and cancels); balancing gives
+#: K* = √N, cluster sizes grow as √N, and neither term ever goes
+#: quadratic.  An earlier revision balanced against N²/K (dropping
+#: the grid's d) and registered K* = √(N/d) — under-sizing K by √d
+#: left the grids d× heavier than assignment, MEASURED 24-31 s vs
+#: 4.3-4.7 s at sf10 (K 56 vs 448) when the algebra was rechecked;
+#: SCALING.md records the correction.  The floor is the
+#: IVF-quantizer-shared 16; the ceiling keeps the driver-collected
+#: codebook model-sized (65536×64 doubles = 32 MB, comfortably
+#: broadcastable).  CEIL, not ROUND: CEIL is tie-free (√N = x.5
+#: exactly would need N = x²+x+¼, not an integer), and
+#: correctly-rounded IEEE sqrt makes both engines see the identical
+#: double (exhaustive-range pytest).
 SEMDEDUP_MIN_K = IVF_N_CENTROIDS
 SEMDEDUP_MAX_K = 65536
 
 
-def auto_semdedup_k(n_vectors: int, dim: int = EMB_DIM) -> int:
-    """K* = ceil(√(N/d)), clamped to [fixture floor, codebook cap]."""
+def auto_semdedup_k(n_vectors: int) -> int:
+    """K* = ceil(√N), clamped to [quantizer floor, codebook cap]."""
     import math
 
     if n_vectors <= 0:
         return SEMDEDUP_MIN_K
-    k = math.ceil(math.sqrt(n_vectors / float(dim)))
+    k = math.ceil(math.sqrt(n_vectors))
     return max(SEMDEDUP_MIN_K, min(SEMDEDUP_MAX_K, k))
 
 
@@ -269,7 +269,7 @@ def auto_semdedup_k(n_vectors: int, dim: int = EMB_DIM) -> int:
 #: scale factor.
 AUTO_K_SQL = (
     f"SELECT GREATEST({SEMDEDUP_MIN_K}, LEAST({SEMDEDUP_MAX_K}, "
-    f"CAST(CEIL(SQRT(COUNT(*) / {EMB_DIM}.0)) AS INT))) FROM embeddings"
+    f"CAST(CEIL(SQRT(COUNT(*))) AS INT))) FROM embeddings"
 )
 
 
@@ -280,7 +280,7 @@ def dedup_semantic_semdedup_auto(
     """The PRODUCTION default of the SemDeDup pass: cluster count
     chosen AT RUNTIME from the corpus size (one count() probe, or a
     caller-supplied hint when the count is already known) by the
-    cost-balancing rule K* = ceil(√(N/d)).  The oracle is K-adaptive
+    cost-balancing rule K* = ceil(√N).  The oracle is K-adaptive
     too (:data:`AUTO_K_SQL`), so the hash gate checks the rule
     itself; ``auto(N) ≡ fixed(auto_semdedup_k(N))`` and the SQL≡
     python rule equality stay pytest-pinned alongside."""

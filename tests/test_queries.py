@@ -284,14 +284,12 @@ def test_semdedup_drops_are_same_cluster_exact_pairs(spark):
 
 
 def test_auto_semdedup_sql_rule_matches_python():
-    """The auto variant's oracle computes K* = ceil(sqrt(N/d)) in SQL
+    """The auto variant's oracle computes K* = ceil(sqrt(N)) in SQL
     (AUTO_K_SQL) — honest only if it selects the IDENTICAL K as
-    auto_semdedup_k at every corpus size.  CEIL was chosen precisely
-    because ROUND has reachable .5 ties here (N = d(x²+x) + d/4);
-    verify exhaustively for every N ≤ 3·10⁶ plus decade spot-checks,
-    including the tie-constructed sizes."""
+    auto_semdedup_k at every corpus size.  CEIL is tie-free (an
+    exact-.5 sqrt would need N = x²+x+¼); verify exhaustively for
+    every N ≤ 3·10⁶ plus decade spot-checks."""
     from bitcoin_datawarehouse_spark.operators.semdedup import (
-        EMB_DIM,
         SEMDEDUP_MAX_K,
         SEMDEDUP_MIN_K,
         auto_semdedup_k,
@@ -300,7 +298,7 @@ def test_auto_semdedup_sql_rule_matches_python():
     con = duckdb.connect()
     rule = (
         f"GREATEST({SEMDEDUP_MIN_K}, LEAST({SEMDEDUP_MAX_K}, "
-        f"CAST(CEIL(SQRT(n / {EMB_DIM}.0)) AS INT)))"
+        "CAST(CEIL(SQRT(n)) AS INT)))"
     )
     rows = con.execute(
         f"SELECT n, {rule} FROM "
@@ -308,28 +306,28 @@ def test_auto_semdedup_sql_rule_matches_python():
     ).fetchall()
     bad = [(n, s) for n, s in rows if s != auto_semdedup_k(n)]
     assert not bad, f"SQL K rule diverges from python: {bad[:5]}"
-    ties = [EMB_DIM * (x * x + x) + EMB_DIM // 4 for x in (1, 10, 177)]
-    for n in ties + [10**7, 10**9, 10**12]:
+    for n in (10**7, 10**9, 10**12):
         (got,) = con.execute(
             f"SELECT {rule} FROM (SELECT CAST({n} AS BIGINT) AS n)"
         ).fetchone()
         assert got == auto_semdedup_k(n), n
 
 
-def test_auto_semdedup_equals_fixed_at_fixture(spark):
-    """Every fixture decade up to sf0.1 lands on the K floor, so the
-    auto variant must reproduce the fixed-K flagship bit-for-bit —
-    the same auto≡fixed contract the LSH auto width carries."""
+def test_auto_semdedup_equals_fixed_k_run(spark):
+    """auto(N) must reproduce a fixed-K run at K = auto_semdedup_k(N)
+    bit-for-bit — the same auto≡fixed contract the LSH auto width
+    carries (the gate corpus sits above the 16 floor: 500 → K 23, so
+    the auto variant genuinely exercises the rule there)."""
     from bitcoin_datawarehouse_spark.operators.semdedup import (
+        _semdedup_query,
         auto_semdedup_k,
     )
 
-    assert auto_semdedup_k(2000) == 16  # the sf0.1 corpus
-    assert auto_semdedup_k(500) == 16  # the sf0.01 gate corpus
+    assert auto_semdedup_k(500) == 23  # the sf0.001/sf0.01 corpora
+    assert auto_semdedup_k(200) == 16  # floor engages below 256
+    k = auto_semdedup_k(500)
     fixed = {
-        tuple(r) for r in QUERIES["dedup_semantic_semdedup"](
-            spark, SF_SMALL
-        ).collect()
+        tuple(r) for r in _semdedup_query(spark, SF_SMALL, k).collect()
     }
     auto = {
         tuple(r) for r in QUERIES["dedup_semantic_semdedup_auto"](

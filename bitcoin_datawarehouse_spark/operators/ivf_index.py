@@ -79,7 +79,18 @@ class IvfIndex:
         n_centroids: int = IVF_N_CENTROIDS,
         nprobe: int = IVF_NPROBE,
         auto_compact_files: int | None = AUTO_COMPACT_FILES,
+        payload: str = "vec",
     ) -> None:
+        if payload not in ("vec", "pq"):
+            raise ValueError(f"payload must be 'vec' or 'pq': {payload!r}")
+        #: what the inverted lists carry per member: the raw vector
+        #: (``vec`` — exact cosine rerank at search) or the
+        #: nibble-packed product-quantization code (``pq`` — ADC
+        #: rerank over 4-byte codes; the faiss IVF-PQ layout, 128×
+        #: less list storage).  Build/ingest/compact/bucket-pruning
+        #: machinery is payload-agnostic; only the list row and the
+        #: rerank kernel differ.
+        self.payload = payload
         self.wh = warehouse
         self.schema = schema
         # The bucketed lists live in the session-GLOBAL catalog while
@@ -93,8 +104,12 @@ class IvfIndex:
         root_tag = _hl.md5(
             str(warehouse.root.resolve()).encode()
         ).hexdigest()[:8]
-        self.lists_table = f"{name}_lists_{root_tag}"
+        # payload-tagged so a vec and a pq index under the same
+        # schema/name never share (and corrupt) one lists table
+        tag = "lists" if payload == "vec" else "pqlists"
+        self.lists_table = f"{name}_{tag}_{root_tag}"
         self.centroids_table = f"{name}_centroids"
+        self.pq_codebook_table = f"{name}_pq_codebook"
         self.n_centroids = n_centroids
         self.nprobe = nprobe
         self.auto_compact_files = auto_compact_files
@@ -105,7 +120,10 @@ class IvfIndex:
 
     # -- build -------------------------------------------------------------
     def build(
-        self, emb: DataFrame, centroids: DataFrame | None = None
+        self,
+        emb: DataFrame,
+        centroids: DataFrame | None = None,
+        sub_codebooks=None,
     ) -> None:
         """Assign ``emb`` (vec_id, e) to centroids and persist the
         bucketed inverted lists + the codebook.
@@ -134,21 +152,73 @@ class IvfIndex:
         self.wh.write_atomic(
             cent, self.schema, self.centroids_table, coalesce=1
         )
-        # (the kernel reads only (vec_id, e) from the corpus side —
-        # norms are computed in-kernel)
-        lists = _nearest_centroid_kernel_impl(emb, cent, keep_vec=True)
+        if self.payload == "pq":
+            # the PQ sub-codebooks are part of the persisted model —
+            # default to the deterministic smallest-vec_ids seed (a
+            # per-subspace trained codebook passes in unchanged)
+            from bitcoin_datawarehouse_spark.operators.pq import (
+                _assign_and_encode,
+                _collect_subcodebooks,
+            )
+
+            cb = (
+                _collect_subcodebooks(emb)
+                if sub_codebooks is None
+                else sub_codebooks
+            )
+            self._write_pq_codebooks(emb.sparkSession, cb)
+            lists = _assign_and_encode(emb, cent, cb)
+            cols = ["centroid_id", "vec_id", "pq_code"]
+        else:
+            # (the kernel reads only (vec_id, e) from the corpus side
+            # — norms are computed in-kernel)
+            lists = _nearest_centroid_kernel_impl(
+                emb, cent, keep_vec=True
+            )
+            cols = ["centroid_id", "vec_id", "e"]
         # one bucket per centroid: a search probing p centroids reads
         # exactly p buckets' files (SelectedBucketsCount pruning); at
         # corpus scale use fewer buckets than centroids and pruning
         # still cuts the scan by the same hash-membership logic
         self.wh.write_bucketed(
-            lists.select("centroid_id", "vec_id", "e"),
+            lists.select(*cols),
             self.schema,
             self.lists_table,
             bucket_cols=["centroid_id"],
             n_buckets=self.n_centroids,
             sort_cols=["centroid_id"],
         )
+
+    def _write_pq_codebooks(self, spark: SparkSession, cb) -> None:
+        rows = [
+            (m, c, [float(x) for x in cb[m][c]])
+            for m in range(cb.shape[0])
+            for c in range(cb.shape[1])
+        ]
+        self.wh.write_atomic(
+            spark.createDataFrame(
+                rows, "m int, code int, ce array<double>"
+            ),
+            self.schema,
+            self.pq_codebook_table,
+            coalesce=1,
+        )
+
+    def _pq_codebooks(self):
+        """(M, K, SUB_DIM) numpy sub-codebooks from the persisted
+        model table, (m, code)-ascending."""
+        import numpy as np
+
+        rows = sorted(
+            self.wh.read(self.schema, self.pq_codebook_table).collect(),
+            key=lambda r: (r["m"], r["code"]),
+        )
+        m_count = rows[-1]["m"] + 1
+        k = rows[-1]["code"] + 1
+        mat = np.array(
+            [list(r["ce"]) for r in rows], dtype=np.float64
+        )
+        return mat.reshape(m_count, k, -1)
 
     def exists(self) -> bool:
         return self.wh.table_exists(self.schema, self.centroids_table)
@@ -168,11 +238,22 @@ class IvfIndex:
         the same bucket layout.  Cost ∝ batch; no rebuild, no touch
         of the existing lists' files."""
         cent = self.wh.read(self.schema, self.centroids_table)
-        lists = _nearest_centroid_kernel_impl(
-            new_emb.select("vec_id", "e"), cent, keep_vec=True
-        )
+        if self.payload == "pq":
+            from bitcoin_datawarehouse_spark.operators.pq import (
+                _assign_and_encode,
+            )
+
+            lists = _assign_and_encode(
+                new_emb.select("vec_id", "e"), cent, self._pq_codebooks()
+            )
+            cols = ["centroid_id", "vec_id", "pq_code"]
+        else:
+            lists = _nearest_centroid_kernel_impl(
+                new_emb.select("vec_id", "e"), cent, keep_vec=True
+            )
+            cols = ["centroid_id", "vec_id", "e"]
         self.wh.append_bucketed(
-            lists.select("centroid_id", "vec_id", "e"),
+            lists.select(*cols),
             self.schema,
             self.lists_table,
             bucket_cols=["centroid_id"],
@@ -332,11 +413,15 @@ class IvfIndex:
             if n_probe_rows <= self.BROADCAST_PROBE_ROWS
             else probes
         )
+        payload_col = "pq_code" if self.payload == "pq" else "e"
         sub = probe_side.join(lists, "centroid_id").select(
-            "query_id", F.col("vec_id").alias("cand_id"), "e", "qe"
+            "query_id", F.col("vec_id").alias("cand_id"), payload_col, "qe"
         )
         if exclude_self:
             sub = sub.filter(F.col("cand_id") != F.col("query_id"))
+
+        if self.payload == "pq":
+            return self._search_pq(sub, top_k)
 
         schema = T.StructType(
             [
@@ -373,6 +458,91 @@ class IvfIndex:
             partial.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= top_k)
             .select("query_id", "cand_id", "cosine", "rnk")
+        )
+
+    def _search_pq(self, sub: DataFrame, top_k: int) -> DataFrame:
+        """ADC rerank half of :meth:`search` for the ``pq`` payload:
+        (query_id, cand_id, adc_dist, rnk) — bit-identical to
+        ``similarity_ivfpq_topk`` (same subspace-ordered total, same
+        tie-break), so both share one SQL oracle.  Per-batch partial
+        top-k (the union of per-batch winners contains the global
+        winners under the (adist, cand_id) total order), final window
+        over batches×queries×k rows."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from bitcoin_datawarehouse_spark.functions.numeric import (
+            str_round6,
+        )
+        from bitcoin_datawarehouse_spark.operators.pq import (
+            PQ_M,
+            PQ_SUB_DIM,
+            _sub_d2,
+        )
+
+        cb = self._pq_codebooks()
+        schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("cand_id", T.LongType()),
+                T.StructField("adist", T.DoubleType()),
+            ]
+        )
+
+        def partial_adc(batches):
+            luts = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out_q, out_c, out_d = [], [], []
+                packed = pdf["pq_code"].to_numpy(dtype=np.int64)
+                nibbles = [
+                    (packed >> (4 * m)) & 0xF for m in range(PQ_M)
+                ]
+                cand_all = pdf["cand_id"].to_numpy(dtype=np.int64)
+                for qid, idx in pdf.groupby(
+                    "query_id", sort=False
+                ).groups.items():
+                    if qid not in luts:
+                        qe = np.array(
+                            pdf.loc[idx[0], "qe"], dtype=np.float64
+                        )[None, :]
+                        luts[qid] = [
+                            _sub_d2(
+                                qe[
+                                    :,
+                                    m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM,
+                                ],
+                                cb[m],
+                            )[0]
+                            for m in range(PQ_M)
+                        ]
+                    lut = luts[qid]
+                    pos = pdf.index.get_indexer(idx)
+                    # subspace-ordered accumulation — the SQL's d0+…+d7
+                    total = lut[0][nibbles[0][pos]].copy()
+                    for m in range(1, PQ_M):
+                        total = total + lut[m][nibbles[m][pos]]
+                    order = np.lexsort((cand_all[pos], total))[:top_k]
+                    out_q.extend([int(qid)] * len(order))
+                    out_c.extend(cand_all[pos][order])
+                    out_d.extend(total[order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "cand_id": out_c, "adist": out_d}
+                )
+
+        partial = sub.mapInPandas(partial_adc, schema)
+        w = W.partitionBy("query_id").orderBy("adist", "cand_id")
+        return (
+            partial.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .select(
+                "query_id",
+                "cand_id",
+                str_round6(F.col("adist")).alias("adc_dist"),
+                F.col("rnk").cast("int").alias("rnk"),
+            )
         )
 
 
@@ -417,6 +587,53 @@ def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         Warehouse(spark, scratch),
         schema="ann_index",
         name="fixture",
+    )
+    idx.build(emb.select("vec_id", "e"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return idx.search(queries)
+
+
+def _ivfpq_index_oracle() -> str:
+    from bitcoin_datawarehouse_spark.operators.pq import _ivfpq_oracle
+
+    return _ivfpq_oracle()
+
+
+@query("similarity_ivfpq_index_topk", oracle=_ivfpq_index_oracle())
+def similarity_ivfpq_index_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ served from the PERSISTED index — the production twin
+    of ``similarity_ivfpq_topk`` (same oracle, bit-identical rows):
+    build writes (centroid_id, vec_id, pq_code) inverted lists
+    BUCKETED by centroid_id plus the sub-codebook model table, search
+    bucket-prunes to the probed lists and ADC-reranks over the 4-byte
+    codes.  The raw vectors are never read at search time — the
+    128×-compressed lists ARE the serving store."""
+    import getpass
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    # same scratch-warehouse keying rationale as
+    # similarity_ivf_index_topk above (per-user + per-process +
+    # per-fixture; lazy result frame must survive the call)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "bds_ivf_{}_{}_{}".format(
+            getpass.getuser(),
+            os.getpid(),
+            _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
+        ),
+    )
+    emb = _normed(spark, sf_dir)
+    idx = IvfIndex(
+        Warehouse(spark, scratch),
+        schema="ann_index",
+        name="fixture_pq",
+        payload="pq",
     )
     idx.build(emb.select("vec_id", "e"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(

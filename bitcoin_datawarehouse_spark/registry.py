@@ -107,6 +107,11 @@ DRIVER_WINDOW: list[str] = [
     # IVF-PQ layout (took the seat of trainprep_stratified_sample,
     # driver-green r5, unchanged; union coverage retained)
     "similarity_ivfpq_topk",
+    # …served from the persisted bucketed index (shared oracle with
+    # the in-plan twin; took the seat of multimodal_frame_digest,
+    # driver-green r5, unchanged — resize_digest retains the
+    # multimodal digest-twin family coverage)
+    "similarity_ivfpq_index_topk",
     # text statistics long tail
     "text_repetition_stats",
     # SQL surface: scalar subqueries
@@ -120,7 +125,6 @@ DRIVER_WINDOW: list[str] = [
     "cohort_weekly_retention",
     # multimodal byte-exact digest twins
     "multimodal_resize_digest",
-    "multimodal_frame_digest",
     # --- retained round-3 slots (driver-green r3, kept in-window) ---
     # pipeline ELT semantics (reference K6/K7/K8, F3)
     "pipeline_merge_upsert",

@@ -1269,6 +1269,54 @@ def test_ivf_index_ingest_batches_match_one_shot_build(spark, tmp_path):
     assert any(r[1] >= half for r in got)
 
 
+def test_ivfpq_index_matches_inplan_and_incremental_ingest(
+    spark, tmp_path
+):
+    """The ``pq`` payload, pinned on both contracts at once: (a) a
+    one-shot persisted IVF-PQ index serves rows BIT-IDENTICAL to the
+    plan-recomputed ``similarity_ivfpq_topk`` gate (shared oracle);
+    (b) build-half-then-ingest-half is bit-identical to the one-shot
+    build (assignment AND encoding against the same persisted
+    codebooks)."""
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+    from bitcoin_datawarehouse_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    emb, queries = _ivf_fixture_parts(spark)
+    n = emb.count()
+    half = n // 2
+
+    one = IvfIndex(
+        Warehouse(spark, str(tmp_path / "one")),
+        schema="ivfpq_t1",
+        name="e",
+        payload="pq",
+    )
+    one.build(emb)
+    want = sorted(map(tuple, one.search(queries).collect()))
+
+    inplan = sorted(
+        map(
+            tuple,
+            QUERIES["similarity_ivfpq_topk"](spark, SF_SMALL).collect(),
+        )
+    )
+    assert want == inplan
+
+    inc = IvfIndex(
+        Warehouse(spark, str(tmp_path / "inc")),
+        schema="ivfpq_t2",
+        name="e",
+        payload="pq",
+    )
+    inc.build(emb.filter(F.col("vec_id") < half))
+    inc.ingest(emb.filter(F.col("vec_id") >= half))
+    got = sorted(map(tuple, inc.search(queries).collect()))
+    assert got == want
+    assert any(r[1] >= half for r in got)
+
+
 def test_ivf_index_compact_preserves_search(spark, tmp_path):
     """Ingest-accreted small files compact into one bucketed rewrite;
     searches stay bit-identical and the file count drops."""

@@ -133,12 +133,50 @@ def run_ann_loop(spark, workdir: Path) -> dict:
     }
 
 
+def run_ivfpq_loop(spark, workdir: Path) -> dict:
+    """The compressed serving tier: same inverted-file layout, lists
+    carry nibble-packed PQ codes instead of raw vectors — search
+    never reads an embedding array.  Reports the measured on-disk
+    list-storage ratio vs the vec-payload index built above."""
+    import glob
+    import os
+
+    emb = _normed(spark, SF_DIR).select("vec_id", "e")
+    index = IvfIndex(
+        Warehouse(spark, str(workdir / "pq_wh")), payload="pq"
+    )
+    index.build(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    hits = index.search(queries).collect()
+
+    wdir = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def dir_bytes(table_name: str) -> int:
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{wdir}/{table_name.lower()}/*.parquet")
+        )
+
+    vec_lists = IvfIndex(Warehouse(spark, str(workdir / "ann_wh")))
+    return {
+        "queries_served": len({r["query_id"] for r in hits}),
+        "hits": len(hits),
+        "pq_list_bytes": dir_bytes(index.lists_name),
+        "vec_list_bytes": dir_bytes(vec_lists.lists_name),
+    }
+
+
 def main(workdir: str | None = None) -> dict:
     work = Path(workdir or tempfile.mkdtemp(prefix="index_loops_"))
     spark = get_spark("index-loops-demo", cpus=8, shuffle_partitions=8)
     out = {
         "dedup": run_dedup_loop(spark, work),
         "ann": run_ann_loop(spark, work),
+        "ivfpq": run_ivfpq_loop(spark, work),
     }
     print(out)
     return out

@@ -130,3 +130,10 @@ def test_index_loops_demo_end_to_end(tmp_path):
     assert out["ann"]["hits"] >= out["ann"]["queries_served"]
     # new vectors became searchable without a rebuild
     assert out["ann"]["streamed_vectors_in_results"] > 0
+    # the PQ serving tier answers every query from code-payload lists
+    # that are measurably smaller than the vec-payload lists (~3× at
+    # 500 rows where vec_id + parquet metadata floors dominate; the
+    # per-vector payload ratio is 512 B → 4 B, so the on-disk ratio
+    # approaches it as lists grow)
+    assert out["ivfpq"]["queries_served"] == out["ann"]["queries_served"]
+    assert out["ivfpq"]["pq_list_bytes"] * 2 < out["ivfpq"]["vec_list_bytes"]

@@ -161,12 +161,34 @@ def run_ivfpq_loop(spark, workdir: Path) -> dict:
             for f in glob.glob(f"{wdir}/{table_name.lower()}/*.parquet")
         )
 
+    def payload_bytes(table_name: str, col: str) -> int:
+        # compressed bytes of the payload COLUMN only, summed from
+        # parquet row-group metadata — per-file footer floors (~0.5 KB
+        # each across hundreds of tiny demo-scale files) would
+        # otherwise drown the 4-byte-per-vector code payload
+        import pyarrow.parquet as papq
+
+        total = 0
+        for f in glob.glob(
+            f"{wdir}/{table_name.lower()}/**/*.parquet", recursive=True
+        ):
+            md = papq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema.split(".")[0] == col:
+                        total += c.total_compressed_size
+        return total
+
     vec_lists = IvfIndex(Warehouse(spark, str(workdir / "ann_wh")))
     return {
         "queries_served": len({r["query_id"] for r in hits}),
         "hits": len(hits),
         "pq_list_bytes": dir_bytes(index.lists_name),
         "vec_list_bytes": dir_bytes(vec_lists.lists_name),
+        "pq_payload_bytes": payload_bytes(index.lists_name, "pq_code"),
+        "vec_payload_bytes": payload_bytes(vec_lists.lists_name, "e"),
     }
 
 

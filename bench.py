@@ -86,6 +86,12 @@ HEADLINE = [
     # round-6 addition (34 → 35): the IVF-PQ composition — bucket
     # pruning × code compression, benched next to both halves
     "similarity_ivfpq_topk",
+    # round-6 additions (35 → 37): the TPC-H long-tail composed
+    # shapes — the 7-table conditional-ratio tree (Q8) and the
+    # grouped-HAVING semi-gated top-k (Q18) join the relational core
+    # so composed multi-join perf is a recorded number per round
+    "tpch_q8_market_share",
+    "tpch_q18_large_volume_customers",
 ]
 
 

@@ -1,0 +1,607 @@
+"""TPC-H long-tail composed shapes (Q7/Q8/Q9/Q12/Q14/Q17/Q18/Q19/Q22).
+
+Round-6 widening of the composed §2.11 surface (SURVEY.md — the
+analytical queries the reference outsources behind its five Dune
+``query_id``s, etl_job.csv:2-6): each query here exercises a distinct
+optimizer/execution pattern the existing Q1/Q3/Q5/Q10 quartet does
+not —
+
+* Q7: two legs of the SAME dimension (nation) with a DISJUNCTIVE
+  cross-leg pair predicate; year extraction in the group key.
+* Q8: conditional-aggregate RATIO (market share) with the
+  engine-neutral string-routed decimal→double chain.
+* Q9: expression profit with a LIKE-filtered part leg.
+* Q12: CASE-count pivot over a derived late-shipment predicate
+  (timestamp interval arithmetic on both engines).
+* Q14: single-row conditional-ratio aggregate.
+* Q17: per-group threshold from a re-aggregation of the SAME fact
+  (self-agg join), then a sum gated by it.
+* Q18: grouped-HAVING semi-join gate (IN over an aggregate) feeding a
+  top-k by a total order.
+* Q19: OR-of-ANDs predicate spanning both join sides (disjunctive
+  pushdown — per-leg prefilters land in the scans, the compound
+  residual rides the join).
+* Q22: scalar-subquery threshold + NOT-EXISTS anti-join over a
+  grouped rollup.
+
+Fixture adaptations (TESTDATA.md tables; documented, deliberate):
+the fixture has no ``partsupp`` and no ``l_shipmode``/``l_commitdate``
+— Q9's supply cost is replaced by a retail-price cost basis, Q12
+pivots on ``l_linestatus`` with a ship-lag predicate, and Q17/Q19 use
+``p_brand``/``p_size`` in place of container predicates.  Money sums
+follow functions/numeric.py (DECIMAL(38,10) accumulate, 2-dp DOUBLE
+surface); exposed ratios are 6-dp via the string route.
+
+At 100 TB: every dimension leg broadcasts (nation/region/part/
+customer/supplier are thin), the only shuffles are fact⋈fact joins on
+their keys and the final hash aggregates; selective literals reach
+the parquet scans (plan-tested for the quartet in tests/test_plans.py
+and spot-checked here via the same builder helpers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    DEC,
+    SQL_DEC,
+    SQL_DSUM,
+    SQL_STR_ROUND6,
+    dsum,
+    str_round6,
+)
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+_REV = "l.l_extendedprice * (1 - l.l_discount)"
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT
+      n1.n_name AS supp_nation,
+      n2.n_name AS cust_nation,
+      CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+      {SQL_DSUM(_REV, "revenue")}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between two nations by year — the
+    nation dimension joins TWICE (supplier leg, customer leg) with a
+    disjunctive pair predicate across the legs.
+
+    At scale: both nation legs broadcast; the pair predicate cannot
+    prefilter either leg alone to one nation (it is a disjunction
+    over the pair), but it DOES imply ``n_name IN (a, b)`` per leg —
+    applied below as a pushed prefilter so each broadcast side is two
+    rows, with the exact pair disjunction as the residual.
+    """
+    pair = ("NATION_3", "NATION_7")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(_rev_col(), "revenue"))
+    )
+
+
+# Q8's market share: both sums go decimal→string→double (each parse is
+# correctly rounded from the identical decimal, so the quotient is
+# bit-identical across engines), then 6-dp string-routed rounding.
+_Q8_NATION = "NATION_3"
+_Q8_NUM = (
+    f"CAST(CAST(SUM({SQL_DEC('CASE WHEN n1.n_name = ' + repr(_Q8_NATION) + ' THEN ' + _REV + ' ELSE 0.0 END')}) AS STRING) AS DOUBLE)"
+)
+_Q8_DEN = f"CAST(CAST(SUM({SQL_DEC(_REV)}) AS STRING) AS DOUBLE)"
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT
+      CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+      {SQL_STR_ROUND6(f"{_Q8_NUM} / {_Q8_DEN}")} AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'LARGE'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of regional volume per year — a
+    7-table join feeding a conditional-aggregate ratio.
+
+    At scale: part/customer/supplier/nation/region all broadcast;
+    orders⋈lineitem is the lone shuffle; the share divides two
+    decimal sums through the engine-neutral string route (see
+    functions/numeric.py — a direct decimal→double cast is 1 ulp
+    apart between engines and CAN flip the 6th decimal).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    vol = _rev_col()
+    num = (
+        F.sum(
+            F.when(F.col("supp_nation") == _Q8_NATION, vol)
+            .otherwise(F.lit(0.0))
+            .cast(DEC)
+        )
+        .cast("string")
+        .cast("double")
+    )
+    den = F.sum(vol.cast(DEC)).cast("string").cast("double")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(str_round6(num / den).alias("mkt_share"))
+    )
+
+
+# Q9 adaptation: the fixture has no partsupp/ps_supplycost, so the
+# cost basis is a retail-price term — the SHAPE (profit expression
+# combining lineitem and part columns, LIKE-filtered part leg,
+# nation×year rollup) is what the query pins.
+_Q9_AMOUNT = (
+    f"{_REV} - 0.1 * p.p_retailprice * l.l_quantity"
+)
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT
+      n.n_name AS nation,
+      CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+      {SQL_DSUM(_Q9_AMOUNT, "sum_profit")}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year over a
+    LIKE-filtered slice of parts (cost basis adapted — no partsupp in
+    the fixture, see module docstring).
+
+    At scale: the LIKE filter prunes part BEFORE its broadcast; the
+    profit expression folds into the scan projection; one shuffle
+    (orders⋈lineitem) plus the final nation×year hash aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _rev_col() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"))
+    )
+
+
+@query(
+    "tpch_q12_lateship_priority",
+    oracle="""
+    SELECT
+      l.l_linestatus,
+      SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_lateship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: CASE-count pivot of order priority over
+    late-shipped lines (ship lag ≥ 30 days; ``l_linestatus`` stands
+    in for the fixture's missing ``l_shipmode``).
+
+    At scale: the lag predicate is a post-join residual (it spans
+    both sides) but the join itself is the key-partitioned
+    orders⋈lineitem shuffle; the CASE counts are map-side partial
+    longs. Timestamp+interval arithmetic is exact integer math on
+    both engines — no float contract needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q14_NUM = (
+    f"CAST(CAST(SUM({SQL_DEC('CASE WHEN p.p_type = ' + repr('PROMO') + ' THEN ' + _REV + ' ELSE 0.0 END')}) AS STRING) AS DOUBLE)"
+)
+_Q14_DEN = f"CAST(CAST(SUM({SQL_DEC(_REV)}) AS STRING) AS DOUBLE)"
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT
+      {SQL_STR_ROUND6(f"(100.0 * {_Q14_NUM}) / {_Q14_DEN}")} AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo share of one month's revenue — a single-row
+    conditional-ratio aggregate over a broadcast part join.
+
+    At scale: the month filter prunes lineitem row groups at the
+    scan; part broadcasts; the whole query is one map-side-combined
+    global aggregate. The ratio follows the string-routed chain with
+    the SAME association as the oracle (``(100.0 * num) / den``) so
+    the double arithmetic is bit-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = _rev_col()
+    num = (
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", vol)
+            .otherwise(F.lit(0.0))
+            .cast(DEC)
+        )
+        .cast("string")
+        .cast("double")
+    )
+    den = F.sum(vol.cast(DEC)).cast("string").cast("double")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(str_round6((F.lit(100.0) * num) / den).alias("promo_revenue"))
+    )
+
+
+# Q17's per-part threshold: 0.2 × mean quantity, with the mean built
+# from the deterministic chain (decimal sum → string → double,
+# ÷ exact count) so the BOUNDARY COMPARISON l_quantity < thresh cannot
+# flip a row between engines.
+_Q17_THRESH = (
+    f"0.2 * (CAST(CAST(SUM({SQL_DEC('l2.l_quantity')}) AS STRING)"
+    f" AS DOUBLE) / COUNT(l2.l_quantity))"
+)
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT
+      {SQL_STR_ROUND6(f"CAST(CAST(SUM({SQL_DEC('l.l_extendedprice')}) AS STRING) AS DOUBLE) / 7.0")} AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN (
+      SELECT l2.l_partkey, {_Q17_THRESH} AS qty_thresh
+      FROM lineitem l2
+      GROUP BY l2.l_partkey
+    ) t ON l.l_partkey = t.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+      AND p.p_size <= 10
+      AND l.l_quantity < t.qty_thresh
+    """,
+)
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q17 shape: revenue lost to small-quantity orders — the fact
+    re-aggregates itself per part to build a 20%-of-mean threshold,
+    then gates its own rows on it (written as a self-agg join, the
+    decorrelated form of TPC-H's correlated subquery).
+
+    At scale: the per-part aggregate and the probe side shuffle on
+    the same key (l_partkey) — co-partitioned, no extra exchange;
+    the brand/size filters prune part before its broadcast. The
+    threshold chain is deterministic end-to-end so the strict ``<``
+    cannot disagree across engines on a boundary row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast(DEC))
+                .cast("string")
+                .cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_thresh")
+    )
+    total = (
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("string").cast("double")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(str_round6(total / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+    SELECT
+      c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+      {SQL_DSUM("l.l_quantity", "sum_qty")}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l2.l_orderkey FROM lineitem l2
+      GROUP BY l2.l_orderkey
+      HAVING SUM({SQL_DEC("l2.l_quantity")}) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q18 shape: customers with orders totalling >300 units — a
+    grouped-HAVING aggregate acts as a semi-join gate (IN) on the
+    fact, then a top-100 by a total order.
+
+    At scale: the HAVING aggregate and the gated join both key on
+    l_orderkey/o_orderkey — one co-partitioned shuffle family; the
+    qualifying-order set is small (HAVING is selective) so Spark's
+    planner can broadcast it as a semi side under AQE. The decimal
+    HAVING comparison is exact on both engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .filter(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(
+            F.broadcast(big), F.col("l_orderkey") == F.col("big_orderkey"),
+            "leftsemi",
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+_Q19_PRED = """(
+      (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+    )"""
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {SQL_DSUM(_REV, "revenue")}
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_Q19_PRED}
+    """,
+)
+def tpch_q19_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q19 shape: revenue under an OR-of-ANDs predicate whose legs
+    span BOTH join sides (brand/size from part, quantity from
+    lineitem).
+
+    At scale: Catalyst extracts the per-side implications of the
+    disjunction — ``p_brand IN (…) AND p_size BETWEEN 1 AND 15`` onto
+    the part scan, ``l_quantity BETWEEN 1 AND 30`` onto the lineitem
+    scan — so both scans prune before the broadcast join; the full
+    compound stays as the join residual.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#2") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#3") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#4") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(dsum(_rev_col(), "revenue"))
+    )
+
+
+# Q22's positive-balance mean threshold, deterministic chain (the
+# strict > comparison sits on it).
+_Q22_AVG = (
+    f"CAST(CAST(SUM({SQL_DEC('c2.c_acctbal')}) AS STRING) AS DOUBLE)"
+    f" / COUNT(c2.c_acctbal)"
+)
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    oracle=f"""
+    SELECT
+      c.c_nationkey,
+      COUNT(*) AS numcust,
+      {SQL_DSUM("c.c_acctbal", "totacctbal")}
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT {_Q22_AVG} FROM customer c2 WHERE c2.c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: rich-but-dormant customers per nation — a scalar
+    subquery (global positive-balance mean) gates the filter, a
+    NOT-EXISTS anti-join removes customers with any RECENT order
+    (every fixture customer has some order, so the dormancy window
+    keeps the gate non-empty), and the survivors roll up per nation.
+
+    At scale: the scalar mean is a one-row broadcast (cross-join of
+    an aggregate, never a collect); the anti join broadcasts the
+    DISTINCT custkey projection of orders only if small — here it is
+    keyed the same as the probe so it shuffles on o_custkey at worst.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(DEC))
+                .cast("string")
+                .cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )

@@ -112,13 +112,20 @@ DRIVER_WINDOW: list[str] = [
     # driver-green r5, unchanged — resize_digest retains the
     # multimodal digest-twin family coverage)
     "similarity_ivfpq_index_topk",
-    # text statistics long tail
-    "text_repetition_stats",
-    # SQL surface: scalar subqueries
-    "sql_scalar_subqueries",
+    # round-6 in-session flagships: the TPC-H long-tail composed
+    # shapes (operators/tpch_extra.py) — four representative patterns
+    # enter the window (double-nation disjunctive pair join; string-
+    # routed conditional-aggregate ratio; self-agg threshold gate;
+    # grouped-HAVING semi gate + total-order top-k).  They took the
+    # seats of text_repetition_stats, sql_scalar_subqueries,
+    # trainprep_pack_sequences, trainprep_quantize_int8 (all
+    # driver-green r5, implementations unchanged; union coverage
+    # retained, and each family keeps other in-window slots).
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
     # training prep long tail
-    "trainprep_pack_sequences",
-    "trainprep_quantize_int8",
     "trainprep_domain_mixture",
     "trainprep_token_budget",
     # behavioral analytics: weekly cohort retention
@@ -218,6 +225,7 @@ def load_all_operators() -> None:
         sql_surface,
         window_extra,
         tpch,
+        tpch_extra,
         kmeans,
         trainprep,
         curation,

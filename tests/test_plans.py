@@ -177,6 +177,69 @@ def test_tpch_q10_filters_reach_scans(plan_of):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch_q7_pair_legs_broadcast(plan_of):
+    # both nation legs broadcast; the ship-date range reaches the
+    # lineitem scan; the pair disjunction never becomes a cartesian
+    plan = plan_of("tpch_q7_volume_shipping")
+    assert_broadcast_join(plan)
+    assert_pushed_filter(plan, "l_shipdate")
+    assert_no_cartesian(plan)
+    assert_partial_aggregation(plan)
+
+
+def test_tpch_q8_seven_table_tree_one_shuffle(plan_of):
+    # 7-table tree: every dimension leg broadcast, orders⋈lineitem is
+    # the ONLY exchange feeding the year aggregate
+    import re
+
+    plan = plan_of("tpch_q8_market_share")
+    assert_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan
+    assert_no_cartesian(plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_tpch_q17_threshold_join_copartitioned(plan_of):
+    # the self-agg threshold and its probe shuffle on the SAME key —
+    # two exchanges total (fact→agg, fact→probe), no third for the
+    # gated join itself
+    import re
+
+    plan = plan_of("tpch_q17_small_quantity_revenue")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert_no_cartesian(plan)
+
+
+def test_tpch_q18_having_gate_is_semi_join(plan_of):
+    # the grouped-HAVING qualifying set gates the fact as a broadcast
+    # LEFT SEMI (never a re-aggregation per probe row); top-100 is
+    # TakeOrdered
+    plan = plan_of("tpch_q18_large_volume_customers")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert_no_cartesian(plan)
+
+
+def test_tpch_q19_disjunction_prunes_both_scans(plan_of):
+    # Catalyst extracts the per-side implications of the OR-of-ANDs:
+    # quantity bounds land in the lineitem scan, brand/size bounds in
+    # the part scan — both prune BEFORE the broadcast join
+    plan = plan_of("tpch_q19_disjunctive_revenue")
+    assert_pushed_filter(plan, "l_quantity")
+    assert_pushed_filter(plan, "p_brand")
+    assert_broadcast_join(plan)
+    assert_no_cartesian(plan)
+
+
+def test_tpch_q22_scalar_is_one_row_broadcast(plan_of):
+    # the scalar mean arrives as a 1-row BroadcastNestedLoopJoin (the
+    # sanctioned shape for a scalar cross join — NOT a collect), and
+    # the dormancy gate is an anti join
+    plan = plan_of("tpch_q22_dormant_customers")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
 def test_trainprep_split_is_stateless_projection(plan_of):
     # the hash split must be a pure projection: no shuffle at all
     plan = plan_of("trainprep_hash_split")

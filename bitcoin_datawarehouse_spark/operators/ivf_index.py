@@ -33,6 +33,12 @@ domain's ``LshDedupIndex`` (lsh_index.py):
   codebook and appends them to the lists in the SAME bucket layout
   (``Warehouse.append_bucketed``) — per-ingest cost ∝ batch, and
   subsequent searches see the new vectors with no rebuild.
+* ``delete`` tombstones vectors in a deletes-sized sidecar table
+  (the deletion-vector / merge-on-read pattern — a bucketed table
+  has no per-bucket overwrite, so eager removal would be a full
+  rewrite per delete): ``search`` anti-joins the sidecar (broadcast)
+  and ``compact`` applies it physically and clears it.  Re-ingesting
+  a tombstoned vec_id un-deletes it.
 
 Search results are BIT-IDENTICAL to ``similarity_ivf_topk`` (same
 kernel fold order, same tie-breaks), so both share one SQL oracle —
@@ -108,6 +114,12 @@ class IvfIndex:
         # schema/name never share (and corrupt) one lists table
         tag = "lists" if payload == "vec" else "pqlists"
         self.lists_table = f"{name}_{tag}_{root_tag}"
+        #: deletion-vector (tombstone) sidecar for :meth:`delete` —
+        #: merge-on-read: search anti-joins it, compact() applies it
+        #: physically.  Lives under the warehouse ROOT (not the
+        #: session catalog): it must follow its lists table's
+        #: warehouse, and a plain table needs no bucket metadata.
+        self.deletes_table = f"{name}_{tag}_{root_tag}_deletes"
         self.centroids_table = f"{name}_centroids"
         self.pq_codebook_table = f"{name}_pq_codebook"
         self.n_centroids = n_centroids
@@ -260,11 +272,62 @@ class IvfIndex:
             n_buckets=self.n_centroids,
             sort_cols=["centroid_id"],
         )
+        # re-ingesting a previously-deleted vec_id un-deletes it: the
+        # tombstone must not hide the NEW row.  Rewrite cost ∝ the
+        # tombstone table (deletes-sized, never corpus-sized).
+        if self.wh.table_exists(self.schema, self.deletes_table):
+            remaining = self.wh.read(
+                self.schema, self.deletes_table
+            ).join(
+                F.broadcast(new_emb.select("vec_id")), "vec_id", "left_anti"
+            )
+            self.wh.write_atomic(
+                remaining, self.schema, self.deletes_table, coalesce=1
+            )
         if (
             self.auto_compact_files
             and self._lists_file_count() >= self.auto_compact_files
         ):
             self.compact()
+
+    # -- delete ------------------------------------------------------------
+    def delete(self, vec_ids) -> None:
+        """Tombstone vectors — the deletion-vector / merge-on-read
+        pattern (Delta deletion vectors, Lucene live-docs): a bucketed
+        table has no per-bucket overwrite, so a surgical rewrite per
+        delete would be either a full-table rewrite or a layout break.
+        Instead deletes land in a tiny sidecar table; ``search``
+        anti-joins it (broadcast, deletes-sized) and :meth:`compact`
+        applies it physically and clears it.  Cost ∝ deletes, never
+        ∝ corpus.
+
+        ``vec_ids``: an iterable of ids or a DataFrame with a
+        ``vec_id`` column.  Deleting an id that seeded a CENTROID
+        removes it as a candidate only — the codebook is a persisted
+        model, not corpus membership (same contract as FAISS
+        IDSelector removal: the coarse quantizer is untouched).
+        """
+        spark = self.wh.spark
+        if not isinstance(vec_ids, DataFrame):
+            vec_ids = spark.createDataFrame(
+                [(int(v),) for v in vec_ids], "vec_id long"
+            )
+        dels = vec_ids.select("vec_id").distinct()
+        if self.wh.table_exists(self.schema, self.deletes_table):
+            self.wh.append(dels, self.schema, self.deletes_table)
+        else:
+            self.wh.write_atomic(
+                dels, self.schema, self.deletes_table, coalesce=1
+            )
+
+    def _live_lists(self) -> DataFrame:
+        """The lists table with tombstones merged on read (broadcast
+        anti-join against the deletes sidecar, if any)."""
+        lists = self.wh.spark.table(self.lists_name)
+        if self.wh.table_exists(self.schema, self.deletes_table):
+            dels = self.wh.read(self.schema, self.deletes_table)
+            lists = lists.join(F.broadcast(dels), "vec_id", "left_anti")
+        return lists
 
     def _lists_file_count(self) -> int:
         """Parquet file count at the lists table's location — the
@@ -324,8 +387,12 @@ class IvfIndex:
         # plans — a cache of spark.table(lists) would be invalidated
         # mid-rewrite and recompute against deleted files
         staging = f"{self.lists_table}__compact_src"
+        # stage the LIVE rows: compaction is where merge-on-read
+        # tombstones (delete()) apply physically — the rewritten lists
+        # carry no deleted rows, so the sidecar can be cleared
+        cols = spark.table(self.lists_name).columns
         self.wh.write_atomic(
-            spark.table(self.lists_name), self.schema, staging
+            self._live_lists().select(*cols), self.schema, staging
         )
         try:
             self.wh.write_bucketed(
@@ -338,6 +405,8 @@ class IvfIndex:
             )
         finally:
             self.wh.drop_table(self.schema, staging)
+        if self.wh.table_exists(self.schema, self.deletes_table):
+            self.wh.drop_table(self.schema, self.deletes_table)
         try:
             return self._lists_file_count()
         except NotImplementedError:
@@ -399,8 +468,9 @@ class IvfIndex:
         )
 
         # bucketed scan with a literal IN-filter: planning-time bucket
-        # pruning reads only the probed lists' files
-        lists = spark.table(self.lists_name).filter(
+        # pruning reads only the probed lists' files; tombstoned rows
+        # (delete()) drop via a broadcast anti-join on the sidecar
+        lists = self._live_lists().filter(
             F.col("centroid_id").isin(probed_cents)
         )
         # exact by construction (each query emits ≤ nprobe rows) and

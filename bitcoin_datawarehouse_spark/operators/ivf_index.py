@@ -248,7 +248,25 @@ class IvfIndex:
         """Assign a batch of NEW vectors (vec_id, e) against the
         persisted codebook and append them to the inverted lists in
         the same bucket layout.  Cost ∝ batch; no rebuild, no touch
-        of the existing lists' files."""
+        of the existing lists' files.
+
+        Re-ingesting a TOMBSTONED vec_id un-deletes it with the new
+        row winning: tombstones are applied physically first (one
+        compact — the old row must not resurface next to the new one,
+        and the new vector may differ), then the batch appends.  The
+        intersection probe is a broadcast of the deletes-sized
+        sidecar against the batch, so the common non-intersecting
+        ingest stays ∝ batch."""
+        if self.wh.table_exists(self.schema, self.deletes_table):
+            dels = self.wh.read(self.schema, self.deletes_table)
+            hit = (
+                new_emb.select("vec_id")
+                .join(F.broadcast(dels), "vec_id", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                self.compact()
         cent = self.wh.read(self.schema, self.centroids_table)
         if self.payload == "pq":
             from bitcoin_datawarehouse_spark.operators.pq import (
@@ -272,18 +290,6 @@ class IvfIndex:
             n_buckets=self.n_centroids,
             sort_cols=["centroid_id"],
         )
-        # re-ingesting a previously-deleted vec_id un-deletes it: the
-        # tombstone must not hide the NEW row.  Rewrite cost ∝ the
-        # tombstone table (deletes-sized, never corpus-sized).
-        if self.wh.table_exists(self.schema, self.deletes_table):
-            remaining = self.wh.read(
-                self.schema, self.deletes_table
-            ).join(
-                F.broadcast(new_emb.select("vec_id")), "vec_id", "left_anti"
-            )
-            self.wh.write_atomic(
-                remaining, self.schema, self.deletes_table, coalesce=1
-            )
         if (
             self.auto_compact_files
             and self._lists_file_count() >= self.auto_compact_files

@@ -1389,12 +1389,23 @@ def test_ivf_index_delete_merge_on_read_then_physical(spark, tmp_path):
     assert not idx.wh.table_exists(idx.schema, idx.deletes_table)
     assert sorted(map(tuple, idx.search(queries).collect())) == want
 
-    # un-delete: delete + re-ingest restores the original results
+    # un-delete: delete + re-ingest restores the original results,
+    # with the new row WINNING (tombstones apply physically before
+    # the append — no duplicate/stale row survives per victim)
     idx.delete(victims)
     idx.ingest(emb.filter(F.col("vec_id").isin(victims)))
     assert sorted(map(tuple, idx.search(queries).collect())) == sorted(
         map(tuple, base)
     )
+    per_victim = (
+        spark.table(idx.lists_name)
+        .filter(F.col("vec_id").isin(victims))
+        .groupBy("vec_id")
+        .count()
+        .collect()
+    )
+    assert len(per_victim) == len(victims)
+    assert all(r["count"] == 1 for r in per_victim)
 
 
 def test_ivf_index_with_trained_kmeans_quantizer(spark, tmp_path):

@@ -23,6 +23,12 @@ the incoming batch per ingest:
   and emits one keep/drop decision per batch doc.  It then appends
   the batch's rows to both tables, so the next ingest sees them.
 
+* ``remove`` un-indexes documents (takedown/retraction) through a
+  deletion-vector sidecar — decide plans anti-join it on read, and
+  ``apply_removals``/``compact`` (or a re-ingest of a removed id)
+  applies it physically.  Past ledger decisions stand; removed docs
+  simply stop deciding future arrivals.
+
 Decision semantics are ARRIVAL-ORDERED: a document is a duplicate iff
 it matches (Jaccard ≥ threshold) any document that arrived before it
 — everything already in the index, or an earlier ``doc_id`` within
@@ -81,6 +87,10 @@ class LshDedupIndex:
         self.bands_table = f"{name}_bands"
         self.docsets_table = f"{name}_docsets"
         self.decisions_table = f"{name}_decisions"
+        #: deletion-vector sidecar for :meth:`remove` (takedowns /
+        #: retractions): decide plans anti-join it on read,
+        #: :meth:`apply_removals` rewrites it away physically
+        self.removed_table = f"{name}_removed"
         self.threshold = threshold
         self.auto_compact_files = auto_compact_files
         warehouse.create_schema(schema)
@@ -89,11 +99,75 @@ class LshDedupIndex:
     def exists(self) -> bool:
         return self.wh.table_exists(self.schema, self.docsets_table)
 
+    def _removed(self) -> DataFrame | None:
+        if self.wh.table_exists(self.schema, self.removed_table):
+            return self.wh.read(self.schema, self.removed_table)
+        return None
+
+    def _minus_removed(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read: tombstoned docs drop via a broadcast
+        anti-join against the removals sidecar (removals-sized)."""
+        r = self._removed()
+        return (
+            df.join(F.broadcast(r), "doc_id", "left_anti")
+            if r is not None
+            else df
+        )
+
     def _bands(self) -> DataFrame:
-        return self.wh.read(self.schema, self.bands_table)
+        return self._minus_removed(
+            self.wh.read(self.schema, self.bands_table)
+        )
 
     def _docsets(self) -> DataFrame:
-        return self.wh.read(self.schema, self.docsets_table)
+        return self._minus_removed(
+            self.wh.read(self.schema, self.docsets_table)
+        )
+
+    # -- removal -----------------------------------------------------------
+    def remove(self, doc_ids) -> None:
+        """Un-index documents (takedown / retraction) — the same
+        deletion-vector pattern as ``IvfIndex.delete``: tombstones
+        land in a tiny sidecar, every decide plan anti-joins it
+        (broadcast), :meth:`apply_removals` applies it physically.
+        Cost ∝ removals, never ∝ corpus.
+
+        Semantics: a removed document no longer decides FUTURE
+        arrivals (it can't be anyone's match); PAST decisions in the
+        ledger are recorded history and stand.  Re-ingesting a
+        removed doc_id re-indexes it fresh (see :meth:`ingest_batch`).
+
+        ``doc_ids``: an iterable of ids or a DataFrame with a
+        ``doc_id`` column.
+        """
+        spark = self.wh.spark
+        if not isinstance(doc_ids, DataFrame):
+            doc_ids = spark.createDataFrame(
+                [(int(v),) for v in doc_ids], "doc_id long"
+            )
+        dels = doc_ids.select("doc_id").distinct()
+        if self.wh.table_exists(self.schema, self.removed_table):
+            self.wh.append(dels, self.schema, self.removed_table)
+        else:
+            self.wh.write_atomic(
+                dels, self.schema, self.removed_table, coalesce=1
+            )
+
+    def apply_removals(self) -> None:
+        """Rewrite bands/docsets WITHOUT the tombstoned docs and clear
+        the sidecar (atomic per table — a crash between rewrites
+        leaves the sidecar in place, so reads stay correct and a
+        replay completes the apply idempotently)."""
+        r = self._removed()
+        if r is None:
+            return
+        for table in (self.bands_table, self.docsets_table):
+            if self.wh.table_exists(self.schema, table):
+                live = self.wh.read(self.schema, table).join(
+                    F.broadcast(r), "doc_id", "left_anti"
+                )
+                self.wh.write_atomic(live, self.schema, table)
+        self.wh.drop_table(self.schema, self.removed_table)
 
     def _append(self, batch_docsets: DataFrame) -> None:
         """Fold the batch into the two index tables, IDEMPOTENTLY.
@@ -126,8 +200,12 @@ class LshDedupIndex:
 
     def compact(self) -> tuple[tuple[int, int], tuple[int, int]]:
         """Rewrite both index tables into ~target-sized files (see
-        ``Warehouse.compact``).  Returns ((bands_before, bands_after),
+        ``Warehouse.compact``), applying any pending removals
+        physically first (the rewrite is the natural place to drop
+        tombstoned rows — same lifecycle as ``IvfIndex.compact``).
+        Returns ((bands_before, bands_after),
         (docsets_before, docsets_after))."""
+        self.apply_removals()
         return (
             self.wh.compact(self.schema, self.bands_table),
             self.wh.compact(self.schema, self.docsets_table),
@@ -267,11 +345,28 @@ class LshDedupIndex:
         collect) BEFORE the batch is appended to the index tables:
         the decision plan reads those tables lazily, and appending
         first would make every batch doc match itself.
+
+        A batch that RE-INGESTS a removed doc_id applies the
+        removals physically first: ``_append``'s idempotent replay
+        anti-joins against the doc_ids physically present in each
+        table, so a tombstoned-but-present doc would otherwise block
+        its own re-ingest (and un-tombstoning would resurface the
+        STALE rows next to the new ones).  The intersection probe
+        broadcasts the removals-sized sidecar against the batch —
+        the common non-intersecting ingest stays ∝ batch.
         """
         batch = cache_tracked(
             batch_docsets.select("doc_id", "shs", "sz", "band_keys")
         )
         batch.count()  # eager fill — several subtrees read this cache
+        r = self._removed()
+        if r is not None and (
+            batch.select("doc_id")
+            .join(F.broadcast(r), "doc_id", "left_semi")
+            .limit(1)
+            .count()
+        ):
+            self.apply_removals()
         decisions = self.decide_batch(batch)
         self.wh.write_atomic(decisions, self.schema, self.decisions_table)
         self._append(batch)

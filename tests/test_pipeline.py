@@ -1022,6 +1022,54 @@ def test_lsh_index_sequential_batches_match_one_shot(spark, wh, tmp_path):
     assert want[6][1] is True and want[6][2] == 3
 
 
+def test_lsh_index_remove_unindexes_and_reingest_is_fresh(spark, wh, tmp_path):
+    """The removal loop: (a) after ``remove``, a future arrival no
+    longer matches the removed docs — decisions identical to an index
+    that never held them (merge-on-read path, no physical apply);
+    (b) re-ingesting a removed doc_id applies removals physically
+    first and decides FRESH against the current index; (c) exactly
+    one physical copy of the re-ingested doc's rows survives."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    full = _docsets_for(spark, _CORPUS).cache()
+    full.count()
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "a")))
+    idx.ingest_batch(full.filter(F.col("doc_id") <= 3))  # 2 dups of 1
+    idx.remove([1, 2])
+
+    # doc 4 is a near-dup of 1 (and close to 2) — with both removed it
+    # must decide exactly as in a twin index that never indexed them
+    got = sorted(
+        map(tuple, idx.ingest_batch(full.filter(F.col("doc_id") == 4)).collect())
+    )
+    twin = LshDedupIndex(Warehouse(spark, str(tmp_path / "b")))
+    twin.ingest_batch(full.filter(F.col("doc_id") == 3))
+    want = sorted(
+        map(tuple, twin.ingest_batch(full.filter(F.col("doc_id") == 4)).collect())
+    )
+    assert got == want
+    assert got[0][1] is False  # clean — its only matches were removed
+
+    # sidecar still pending (merge-on-read, no physical apply yet)
+    assert idx.wh.table_exists(idx.schema, idx.removed_table)
+
+    # re-ingest of removed doc 1: physical apply fires, then a FRESH
+    # decision against the current index — 4 (its near-dup) is now the
+    # earlier arrival, so 1 comes back as a duplicate OF 4
+    d1 = {r["doc_id"]: r for r in idx.ingest_batch(
+        full.filter(F.col("doc_id") == 1)
+    ).collect()}
+    assert d1[1]["is_dup"] is True and d1[1]["match_id"] == 4
+    assert not idx.wh.table_exists(idx.schema, idx.removed_table)
+    # exactly one physical copy of doc 1; doc 2 is gone for good
+    docsets = idx.wh.read(idx.schema, idx.docsets_table)
+    assert docsets.filter(F.col("doc_id") == 1).count() == 1
+    assert docsets.filter(F.col("doc_id") == 2).count() == 0
+    full.unpersist()
+
+
 def test_lsh_index_decide_plan_reads_index_not_corpus(spark, wh, tmp_path):
     """The per-ingest decision plan must read the persisted band/docset
     tables — never re-tokenize or even scan the raw documents table."""

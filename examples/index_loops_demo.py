@@ -123,12 +123,22 @@ def run_ann_loop(spark, workdir: Path) -> dict:
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     hits = index.search(queries).collect()
+
+    # lifecycle close-out: take down a few served vectors (deletion-
+    # vector tombstones) — they vanish from results with no rebuild
+    victims = sorted({r["cand_id"] for r in hits})[:3]
+    index.delete(victims)
+    after = index.search(queries).collect()
     return {
         "indexed_vectors": index.wh.spark.table(index.lists_name).count(),
         "queries_served": len({r["query_id"] for r in hits}),
         "hits": len(hits),
         "streamed_vectors_in_results": sum(
             1 for r in hits if r["cand_id"] >= half
+        ),
+        "deleted": len(victims),
+        "deleted_still_served": sum(
+            1 for r in after if r["cand_id"] in set(victims)
         ),
     }
 

@@ -130,6 +130,9 @@ def test_index_loops_demo_end_to_end(tmp_path):
     assert out["ann"]["hits"] >= out["ann"]["queries_served"]
     # new vectors became searchable without a rebuild
     assert out["ann"]["streamed_vectors_in_results"] > 0
+    # ...and taken-down vectors stopped being served, also no rebuild
+    assert out["ann"]["deleted"] > 0
+    assert out["ann"]["deleted_still_served"] == 0
     # the PQ serving tier answers every query from code-payload lists;
     # the storage claim is on the payload COLUMN (512 B/vec float32 →
     # 4 B/vec nibble-packed code, so ≥10× compressed even at 500 rows)

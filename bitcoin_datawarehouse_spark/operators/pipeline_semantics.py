@@ -117,3 +117,102 @@ def pipeline_watermark_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") > F.col("w"))
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+@query(
+    "pipeline_scd2_history",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+      FROM customer
+    )
+    SELECT c_custkey, seg, bal,
+           TIMESTAMP '2024-01-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM base WHERE c_custkey % 3 <> 0
+    UNION ALL
+    SELECT c_custkey, seg, bal,
+           TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', FALSE
+    FROM base WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, 'MOVED', bal, TIMESTAMP '2024-02-01', NULL, TRUE
+    FROM base WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NEW', bal,
+           TIMESTAMP '2024-02-01', NULL, TRUE
+    FROM base WHERE c_custkey % 3 = 0
+    """,
+)
+def pipeline_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (``Loader.load_scd2``,
+    loader.py:318) as a pure read: day-1 loads every customer, day-2
+    re-delivers with a third of the segments changed plus a tranche of
+    brand-new keys — the result is the full Kimball history (closed
+    version + open version per changed key, untouched open versions
+    elsewhere).
+
+    The Spark side runs the loader's actual dataflow shapes — the
+    null-safe change-detection join, the semi/anti split of the
+    current slice, the open-version insert — not a literal UNION of
+    the expected slices (that is the ORACLE's job).  At scale: one
+    key-partitioned join of current×batch (batch broadcast when
+    small) + pass-through of history; the oracle's closed-form UNION
+    is what the history must equal, which is exactly what
+    tests/test_pipeline.py pins against the stateful loader too.
+    """
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    d1 = F.lit("2024-01-01").cast("timestamp")
+    d2 = F.lit("2024-02-01").cast("timestamp")
+    open_to = F.lit(None).cast("timestamp")
+
+    # day-1 target: every key current since d1
+    cur = (
+        base.withColumn("valid_from", d1)
+        .withColumn("valid_to", open_to)
+        .withColumn("is_current", F.lit(True))
+    )
+    # day-2 batch: a third change segment; a new-key tranche arrives
+    changed_in = base.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "seg", F.lit("MOVED")
+    )
+    new_in = base.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("seg"),
+        "bal",
+    )
+    batch = changed_in.unionByName(new_in)
+
+    # the loader's change detector: null-safe compare of non-key cols
+    keys = ["c_custkey"]
+    pair = cur.alias("t").join(F.broadcast(batch).alias("b"), keys)
+    diff = ~(
+        F.col("t.seg").eqNullSafe(F.col("b.seg"))
+        & F.col("t.bal").eqNullSafe(F.col("b.bal"))
+    )
+    changed_keys = pair.filter(diff).select(*keys)
+    ck = F.broadcast(changed_keys)
+    closed = (
+        cur.join(ck, keys, "leftsemi")
+        .withColumn("valid_to", d2)
+        .withColumn("is_current", F.lit(False))
+    )
+    kept = cur.join(ck, keys, "left_anti")
+    new_keys = batch.select(*keys).join(
+        cur.select(*keys), keys, "left_anti"
+    )
+    opened = (
+        batch.join(
+            F.broadcast(changed_keys.unionByName(new_keys)),
+            keys,
+            "leftsemi",
+        )
+        .withColumn("valid_from", d2)
+        .withColumn("valid_to", open_to)
+        .withColumn("is_current", F.lit(True))
+    )
+    return kept.unionByName(closed).unionByName(opened)

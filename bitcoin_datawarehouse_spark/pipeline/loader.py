@@ -199,6 +199,125 @@ class Loader:
         finally:
             batch.unpersist()
 
+    def load_scd2(
+        self,
+        df: DataFrame,
+        unique_keys: list[str],
+        batch_ts: str,
+        compare_cols: list[str] | None = None,
+        order_col: str | None = None,
+    ) -> None:
+        """Slowly-changing-dimension Type-2 merge: keep FULL history.
+
+        The target carries the batch's business columns plus
+        ``valid_from``/``valid_to`` timestamps and ``is_current`` —
+        the standard Kimball SCD2 layout.  Per load:
+
+        * a key whose ``compare_cols`` (default: every non-key
+          column) CHANGED gets its current version closed
+          (``valid_to = batch_ts``, ``is_current = false``) and a new
+          open version inserted;
+        * a NEW key gets its first open version;
+        * an unchanged key is untouched — re-delivering an identical
+          batch is a NO-OP (crash/replay-safe by value, not by
+          bookkeeping);
+        * closed history rows always pass through unmodified.
+
+        ``batch_ts`` is an explicit timestamp string, never NOW():
+        versions must be reproducible under replay, and loads must
+        arrive in nondecreasing ``batch_ts`` order (enforced — an
+        out-of-order batch would silently interleave history).
+
+        Scale shape: one key-partitioned join of the CURRENT slice
+        against the batch (batch broadcast when small) decides
+        changed/new; history rows are a pass-through scan-and-rewrite
+        — the same read-once/write-once contract as
+        :meth:`load_incremental`.  At fact scale, partition the
+        target by a date bucket of ``valid_from`` and this becomes
+        partition-scoped exactly like
+        :meth:`load_incremental_partitioned`.
+        """
+        ts = F.lit(batch_ts).cast("timestamp")
+        open_to = F.lit(None).cast("timestamp")
+        batch = cache_tracked(_dedupe_batch(df, unique_keys, order_col))
+        try:
+            stamped = (
+                batch.withColumn("valid_from", ts)
+                .withColumn("valid_to", open_to)
+                .withColumn("is_current", F.lit(True))
+            )
+            if not self.wh.table_exists(self.schema, self.table):
+                self.wh.write_atomic(stamped, self.schema, self.table)
+                return
+            old = self.wh.read(self.schema, self.table)
+            cur = old.filter(F.col("is_current"))
+            hist = old.filter(~F.col("is_current"))
+            max_from = cur.agg(F.max("valid_from")).first()[0]
+            import datetime as _dt
+
+            if max_from is not None and _dt.datetime.fromisoformat(
+                batch_ts
+            ) < max_from.replace(tzinfo=None):
+                raise ValueError(
+                    f"{self.schema}.{self.table}: SCD2 batch_ts "
+                    f"{batch_ts!r} precedes current valid_from "
+                    f"{max_from} — loads must be time-ordered"
+                )
+            cmp_cols = compare_cols or [
+                c for c in batch.columns if c not in unique_keys
+            ]
+            small = batch.count() <= BROADCAST_BATCH_MAX_ROWS
+            b = F.broadcast(batch) if small else batch
+            # null-safe comparison: a NULL→value (or value→NULL) change
+            # must open a version, so <=> not =
+            diff = ~_all_equal(cmp_cols)
+            changed_keys = cache_tracked(
+                cur.alias("t")
+                .join(b.alias("b"), unique_keys)
+                .filter(diff)
+                .select(*unique_keys)
+            )
+            changed_keys.count()  # eager: three consumers below
+            ck = F.broadcast(changed_keys) if small else changed_keys
+            closed = (
+                cur.join(ck, unique_keys, "leftsemi")
+                .withColumn("valid_to", ts)
+                .withColumn("is_current", F.lit(False))
+            )
+            kept_cur = cur.join(ck, unique_keys, "left_anti")
+            new_keys = batch.select(*unique_keys).join(
+                cur.select(*unique_keys), unique_keys, "left_anti"
+            )
+            insert_keys = changed_keys.unionByName(new_keys)
+            ik = F.broadcast(insert_keys) if small else insert_keys
+            opened = stamped.join(ik, unique_keys, "leftsemi")
+            merged = (
+                hist.unionByName(closed)
+                .unionByName(kept_cur)
+                .unionByName(opened)
+            )
+            self.wh.write_atomic(merged, self.schema, self.table)
+            changed_keys.unpersist()
+        finally:
+            batch.unpersist()
+
+    def current_of(self) -> DataFrame:
+        """The dimension AS OF now — the ``is_current`` slice of an
+        SCD2 target (the frame queries join against)."""
+        return self.wh.read(self.schema, self.table).filter(
+            F.col("is_current")
+        )
+
+    def as_of(self, ts: str) -> DataFrame:
+        """Point-in-time slice of an SCD2 target: the version valid at
+        ``ts`` (``valid_from <= ts < valid_to``, open-ended current
+        rows included) — time travel by predicate, no snapshots."""
+        t = F.lit(ts).cast("timestamp")
+        return self.wh.read(self.schema, self.table).filter(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+
     def delete_by_condition(self, condition: str | Column) -> int:
         """DELETE WHERE (reference pg_loader.py:272-294) as a
         filter-rewrite; returns rows deleted."""
@@ -290,6 +409,15 @@ def _write_day_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(partition_col).parquet(path)
+
+
+def _all_equal(cols: list[str]) -> Column:
+    """AND-fold of null-safe equality between the ``t`` (target) and
+    ``b`` (batch) sides of an aliased join — SCD2's change detector."""
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(f"t.{c}").eqNullSafe(F.col(f"b.{c}"))
+    return cond
 
 
 def _dedupe_batch(

@@ -128,8 +128,6 @@ DRIVER_WINDOW: list[str] = [
     # training prep long tail
     "trainprep_domain_mixture",
     "trainprep_token_budget",
-    # behavioral analytics: weekly cohort retention
-    "cohort_weekly_retention",
     # multimodal byte-exact digest twins
     "multimodal_resize_digest",
     # --- retained round-3 slots (driver-green r3, kept in-window) ---
@@ -137,6 +135,11 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_merge_upsert",
     "pipeline_delete_where",
     "pipeline_watermark_extract",
+    # round-6 in-session flagship: SCD Type-2 history merge
+    # (Loader.load_scd2 + the read-only dataflow twin) — took the
+    # seat of cohort_weekly_retention (driver-green r5, unchanged;
+    # the behavior family keeps funnel_view_signup_purchase in-window)
+    "pipeline_scd2_history",
     # streaming engine parity
     "streaming_windowed_counts",
     "streaming_dedup_exact",

@@ -80,6 +80,85 @@ def test_incremental_upsert_new_row_wins(spark, wh):
     assert got == {1: (99.0, "new"), 2: (20.0, "keep"), 3: (30.0, "ins")}
 
 
+def test_scd2_history_change_new_null_replay_and_slices(spark, wh):
+    """SCD Type-2 loader end to end: a changed key closes its version
+    and opens a new one, a new key opens its first, an unchanged key
+    is untouched, NULL→value counts as a change (null-safe compare),
+    replaying an identical batch is a no-op, out-of-order batch_ts
+    raises, and current_of/as_of slice the history correctly."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    ld = Loader(wh, "dim", "cust")
+    ld.load_scd2(
+        rows_df(spark, [
+            {"id": 1, "seg": "A", "bal": 10.0},
+            {"id": 2, "seg": "B", "bal": 20.0},
+            {"id": 3, "seg": None, "bal": 30.0},
+        ]),
+        unique_keys=["id"],
+        batch_ts="2024-01-01",
+    )
+    ld.load_scd2(
+        rows_df(spark, [
+            {"id": 1, "seg": "A2", "bal": 10.0},   # changed
+            {"id": 2, "seg": "B", "bal": 20.0},    # unchanged
+            {"id": 3, "seg": "C", "bal": 30.0},    # NULL -> value
+            {"id": 4, "seg": "D", "bal": 40.0},    # new key
+        ]),
+        unique_keys=["id"],
+        batch_ts="2024-02-01",
+    )
+    rows = {
+        (r["id"], r["seg"]): (
+            r["valid_from"].date().isoformat(),
+            r["valid_to"].date().isoformat() if r["valid_to"] else None,
+            r["is_current"],
+        )
+        for r in wh.read("dim", "cust").collect()
+    }
+    assert rows == {
+        (1, "A"): ("2024-01-01", "2024-02-01", False),
+        (1, "A2"): ("2024-02-01", None, True),
+        (2, "B"): ("2024-01-01", None, True),
+        (3, None): ("2024-01-01", "2024-02-01", False),
+        (3, "C"): ("2024-02-01", None, True),
+        (4, "D"): ("2024-02-01", None, True),
+    }
+    # replay the identical batch: value-level no-op
+    before = sorted(map(tuple, wh.read("dim", "cust").collect()), key=repr)
+    ld.load_scd2(
+        rows_df(spark, [
+            {"id": 1, "seg": "A2", "bal": 10.0},
+            {"id": 2, "seg": "B", "bal": 20.0},
+            {"id": 3, "seg": "C", "bal": 30.0},
+            {"id": 4, "seg": "D", "bal": 40.0},
+        ]),
+        unique_keys=["id"],
+        batch_ts="2024-02-01",
+    )
+    assert sorted(
+        map(tuple, wh.read("dim", "cust").collect()), key=repr
+    ) == before
+    # out-of-order load refuses
+    with _pytest.raises(ValueError, match="time-ordered"):
+        ld.load_scd2(
+            rows_df(spark, [{"id": 1, "seg": "X", "bal": 1.0}]),
+            unique_keys=["id"],
+            batch_ts="2023-12-31",
+        )
+    # slices: current is one open row per key; as_of mid-January sees v1
+    cur = {r["id"]: r["seg"] for r in ld.current_of().collect()}
+    assert cur == {1: "A2", 2: "B", 3: "C", 4: "D"}
+    jan = {r["id"]: r["seg"] for r in ld.as_of("2024-01-15").collect()}
+    assert jan == {1: "A", 2: "B", 3: None}
+    assert all(
+        r["valid_from"] <= dt.datetime(2024, 1, 15)
+        for r in ld.as_of("2024-01-15").collect()
+    )
+
+
 def test_incremental_intra_batch_dupes_resolved(spark, wh):
     ld = Loader(wh, "bitcoin", "t")
     ld.load_incremental(

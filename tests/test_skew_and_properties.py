@@ -109,6 +109,65 @@ def test_merge_matches_model(spark, tmp_path_factory, batches):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@given(batches=st.lists(batch_strategy, min_size=1, max_size=3))
+def test_scd2_matches_model(spark, tmp_path_factory, batches):
+    """Sequential SCD2 loads == a history model: per key, each value
+    CHANGE closes the open version at the batch date and opens a new
+    one; same-value re-delivery is a no-op; within a batch the last
+    occurrence (max ord) wins."""
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    ld = Loader(wh, "s", "d")
+    model: dict[int, list[list]] = {}  # key -> [[v, from, to], ...]
+    loaded = False
+    for i, batch in enumerate(batches):
+        ts = f"2024-01-{i + 1:02d}"
+        rows = [
+            {"k": k, "v": v, "ord": j} for j, (k, v) in enumerate(batch)
+        ]
+        if not rows:
+            continue
+        loaded = True
+        last = {r["k"]: r["v"] for r in rows}  # max-ord occurrence wins
+        for k, v in last.items():
+            if k not in model:
+                model[k] = [[v, ts, None]]
+            else:
+                cur = model[k][-1]
+                if cur[0] != v:
+                    cur[2] = ts
+                    model[k].append([v, ts, None])
+        ld.load_scd2(
+            rows_to_df(spark, rows),
+            unique_keys=["k"],
+            batch_ts=ts,
+            compare_cols=["v"],
+            order_col="ord",
+        )
+    if not loaded:
+        return
+    got = sorted(
+        (
+            r["k"],
+            r["v"],
+            r["valid_from"].date().isoformat(),
+            r["valid_to"].date().isoformat() if r["valid_to"] else None,
+            r["is_current"],
+        )
+        for r in wh.read("s", "d").collect()
+    )
+    want = sorted(
+        (k, v, f, t, t is None)
+        for k, vers in model.items()
+        for (v, f, t) in vers
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 @given(batch=batch_strategy)
 def test_full_refresh_then_delete_model(spark, tmp_path_factory, batch):
     """Full refresh replaces; delete-by-predicate removes exactly the

@@ -125,9 +125,17 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q8_market_share",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
-    # training prep long tail
-    "trainprep_domain_mixture",
-    "trainprep_token_budget",
+    # …and the remaining five of the round-6 TPC-H long tail (every
+    # new oracle-backed query must hold a window seat until a driver
+    # round verifies it — test_registry_window pins the invariant).
+    # Seats from trainprep_domain_mixture, trainprep_token_budget,
+    # funnel_view_signup_purchase, join_range_bucketized,
+    # sql_correlated_subquery (all driver-green r5, unchanged).
+    "tpch_q9_product_profit",
+    "tpch_q12_lateship_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
     # multimodal byte-exact digest twins
     "multimodal_resize_digest",
     # --- retained round-3 slots (driver-green r3, kept in-window) ---
@@ -138,7 +146,8 @@ DRIVER_WINDOW: list[str] = [
     # round-6 in-session flagship: SCD Type-2 history merge
     # (Loader.load_scd2 + the read-only dataflow twin) — took the
     # seat of cohort_weekly_retention (driver-green r5, unchanged;
-    # the behavior family keeps funnel_view_signup_purchase in-window)
+    # the behavior family rotates fully out this round — funnel's
+    # seat went to the TPC-H block above, union coverage retained)
     "pipeline_scd2_history",
     # streaming engine parity
     "streaming_windowed_counts",
@@ -178,9 +187,6 @@ DRIVER_WINDOW: list[str] = [
     # round-4 in-session flagship (took the seat of setop_except_all,
     # driver-green r3 — union coverage retained)
     "decontam_minhash_fuzzy",
-    "sql_correlated_subquery",
-    "join_range_bucketized",
-    "funnel_view_signup_purchase",
 ]
 
 

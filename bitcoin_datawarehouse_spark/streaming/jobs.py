@@ -147,6 +147,63 @@ def merge_stream_into_table(
     )
 
 
+def scd2_stream_into_table(
+    events: DataFrame,
+    wh: Warehouse,
+    schema: str,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    compare_cols: list[str] | None = None,
+) -> StreamingQuery:
+    """SCD Type-2 dimension maintenance as a continuous process: each
+    micro-batch runs ``Loader.load_scd2``, so a changed key closes its
+    open version and a new one opens — streaming dimension history.
+
+    ``batch_ts`` is the micro-batch's ``MAX(ts_col)`` — derived from
+    the DATA, not the wall clock, so a checkpoint replay of the last
+    uncommitted batch re-applies with the IDENTICAL stamp and the
+    loader's value-level no-op makes the loop exactly-once without
+    bookkeeping.  ``compare_cols`` defaults to every column except
+    the keys and ``ts_col`` (the event time rides along as payload
+    but must not read as a change).  The loader's time-ordered guard
+    applies per batch: a source feeding DECREASING event-time batches
+    fails loudly instead of interleaving history.
+
+    Every frame inside the closure builds from the micro-batch's own
+    session (the foreachBatch session-mixing rule — streaming/
+    ann_stream.py's silent-no-write lesson).
+    """
+
+    def scd2_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bwh = Warehouse(batch_df.sparkSession, str(wh.root))
+        ts = batch_df.agg(F.max(ts_col)).first()[0]
+        cmp_cols = compare_cols or [
+            c
+            for c in batch_df.columns
+            if c not in keys and c != ts_col
+        ]
+        Loader(bwh, schema, table).load_scd2(
+            batch_df,
+            unique_keys=keys,
+            batch_ts=ts.isoformat(sep=" ")
+            if hasattr(ts, "isoformat")
+            else str(ts),
+            compare_cols=cmp_cols,
+            order_col=ts_col,
+        )
+
+    return (
+        events.writeStream.foreachBatch(scd2_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_completion(query: StreamingQuery, timeout_s: float = 300.0) -> None:
     """Await an availableNow-triggered stream (drains all input, stops)."""
     if not query.awaitTermination(timeout_s):

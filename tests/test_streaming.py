@@ -108,6 +108,66 @@ def test_stream_merge_idempotent_and_exactly_once(spark, events_dir, tmp_path):
     assert Loader(wh, "analytics", "events").get_record_count() == n_batch
 
 
+def test_stream_scd2_matches_batchwise_loader(spark, tmp_path):
+    """Streaming SCD2 ≡ the batch loader applied per micro-batch: two
+    event-time-ordered files stream through scd2_stream_into_table;
+    the resulting history table is bit-identical to calling
+    Loader.load_scd2 twice with the same batches and stamps."""
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        scd2_stream_into_table,
+    )
+
+    day1 = [
+        {"id": 1, "seg": "A", "ts": "2024-01-01 00:00:00"},
+        {"id": 2, "seg": "B", "ts": "2024-01-01 00:00:00"},
+    ]
+    day2 = [
+        {"id": 1, "seg": "A2", "ts": "2024-02-01 00:00:00"},  # changed
+        {"id": 2, "seg": "B", "ts": "2024-02-01 00:00:00"},   # unchanged
+        {"id": 3, "seg": "C", "ts": "2024-02-01 00:00:00"},   # new
+    ]
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(r["id"], r["seg"], r["ts"]) for r in rows],
+            "id long, seg string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = tmp_path / "src"
+    df_of(day1).coalesce(1).write.parquet(str(src / "f0"))
+    df_of(day2).coalesce(1).write.parquet(str(src / "f1"))
+
+    swh = Warehouse(spark, str(tmp_path / "stream_wh"))
+    stream = (
+        spark.readStream.schema("id long, seg string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        scd2_stream_into_table(
+            stream, swh, "dim", "cust", keys=["id"],
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+    )
+
+    bwh = Warehouse(spark, str(tmp_path / "batch_wh"))
+    ld = Loader(bwh, "dim", "cust")
+    for rows, ts in ((day1, "2024-01-01 00:00:00"),
+                     (day2, "2024-02-01 00:00:00")):
+        ld.load_scd2(
+            df_of(rows), unique_keys=["id"], batch_ts=ts,
+            compare_cols=["seg"], order_col="ts",
+        )
+    got = sorted(map(tuple, swh.read("dim", "cust").collect()), key=repr)
+    want = sorted(map(tuple, bwh.read("dim", "cust").collect()), key=repr)
+    assert got == want
+    # the history itself: 1 closed + 3 open versions
+    cur = {r["id"]: r["seg"] for r in swh.read("dim", "cust")
+           .filter(F.col("is_current")).collect()}
+    assert cur == {1: "A2", 2: "B", 3: "C"}
+    assert swh.read("dim", "cust").filter(~F.col("is_current")).count() == 1
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = [

@@ -101,3 +101,123 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cols")
     )
     return one.select(F.explode("cols").alias("c")).select("c.*")
+
+
+# ---------------------------------------------------------------------------
+# distribution drift between two snapshots
+# ---------------------------------------------------------------------------
+
+from bitcoin_datawarehouse_spark.functions.numeric import (  # noqa: E402
+    DEC,
+    SQL_DEC,
+    SQL_STR_ROUND6,
+    str_round6,
+)
+
+#: fixed bucket width for the drift histogram — FIXED edges (not
+#: quantiles) so the binning is deterministic and both engines bucket
+#: identically; a monitoring deployment pins edges per column anyway
+#: (quantile edges re-estimated per run would make drift readings
+#: incomparable run-over-run)
+_DRIFT_BUCKET = 50_000.0
+
+_DRIFT_SQL = f"""
+WITH ref AS (
+  SELECT CAST(FLOOR(o_totalprice / {_DRIFT_BUCKET}) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+cur AS (
+  SELECT CAST(FLOOR(o_totalprice / {_DRIFT_BUCKET}) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+         CAST(COALESCE(r.n, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur
+  FROM ref r FULL OUTER JOIN cur c ON r.bucket = c.bucket
+),
+probs AS (
+  SELECT bucket, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) / SUM(n_ref) OVER () AS p_ref_full,
+         CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS p_cur_full
+  FROM joined
+)
+SELECT bucket, n_ref, n_cur,
+       {SQL_STR_ROUND6("p_ref_full")} AS p_ref,
+       {SQL_STR_ROUND6("p_cur_full")} AS p_cur,
+       {SQL_STR_ROUND6(
+           "0.5 * CAST(CAST(SUM(" + SQL_DEC("ABS(p_ref_full - p_cur_full)")
+           + ") OVER () AS STRING) AS DOUBLE)"
+       )} AS tv_total
+FROM probs
+"""
+
+
+@query("profile_drift_tv", oracle=_DRIFT_SQL)
+def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two snapshots of a column — the
+    monitoring primitive a production loader runs after each load
+    (alert when the incoming batch's distribution departs from the
+    reference window).
+
+    Metric: per-bucket frequencies over FIXED bucket edges plus the
+    total-variation distance ``0.5·Σ|p_ref − p_cur|``.  TV is chosen
+    over PSI deliberately: PSI's ``ln`` is a libm call whose last-ulp
+    behavior differs across engines (the same hazard class
+    functions/numeric.py documents for ROUND), while TV's chain —
+    exact integer counts, one correctly-rounded double division per
+    bucket, exact-decimal |diff| accumulation — is bit-reproducible
+    end to end.  (A deployment wanting PSI adds it as a column; the
+    binning and plumbing are identical, only the gate would weaken to
+    rows-only.)
+
+    Scale shape: two filtered aggregates over the fact (both pushed
+    to the scan), a full-outer join on the bounded bucket set, and
+    window sums over ~20 bucket rows — the unpartitioned windows are
+    bounded by the bucket count by construction, never by the data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    bucket = F.floor(F.col("o_totalprice") / _DRIFT_BUCKET).cast("bigint")
+    ref = (
+        o.filter(F.col("o_orderdate") < cut)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+    cur = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy()  # bounded: one row per bucket (~price range / width)
+    joined = (
+        ref.join(cur, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("rn"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("cn"), F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    p_ref_full = F.col("n_ref").cast("double") / F.sum("n_ref").over(w)
+    p_cur_full = F.col("n_cur").cast("double") / F.sum("n_cur").over(w)
+    tv = (
+        F.lit(0.5)
+        * F.sum(F.abs(p_ref_full - p_cur_full).cast(DEC))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    return joined.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        str_round6(p_ref_full).alias("p_ref"),
+        str_round6(p_cur_full).alias("p_cur"),
+        str_round6(tv).alias("tv_total"),
+    )

@@ -157,7 +157,6 @@ DRIVER_WINDOW: list[str] = [
     "text_gopher_rules",
     "text_pii_scan",
     # training prep flagships
-    "trainprep_global_shuffle",
     "trainprep_hash_split",
     "trainprep_corpus_pipeline",
     # IVF / k-means ANN
@@ -174,6 +173,11 @@ DRIVER_WINDOW: list[str] = [
     "text_lm_quality",
     "text_lm_quality_approx",
     "profile_column_stats",
+    # round-6 in-session flagship: snapshot drift profiling (fixed
+    # buckets + total-variation distance, transcendental-free chain)
+    # — took the seat of trainprep_global_shuffle (driver-green r5,
+    # unchanged; trainprep keeps hash_split + corpus_pipeline slots)
+    "profile_drift_tv",
     # round-4 in-session flagships (took the seats of join_full_outer /
     # agg_having, both driver-green r3 — union coverage retained)
     "text_token_histogram",

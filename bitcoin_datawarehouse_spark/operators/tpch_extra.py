@@ -401,12 +401,22 @@ def tpch_q17_small_quantity_revenue(
     the same key (l_partkey) — co-partitioned, no extra exchange;
     the brand/size filters prune part before its broadcast. The
     threshold chain is deterministic end-to-end so the strict ``<``
-    cannot disagree across engines on a boundary row.
+    cannot disagree across engines on a boundary row.  On a lineitem
+    table BUCKETED by l_partkey both fact passes read pre-hashed and
+    the plan carries ZERO exchanges (tools/probe_bucketed_q17.py
+    measures it at sf10).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
+    return q17_shape(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
     )
+
+
+def q17_shape(li: DataFrame, p: DataFrame) -> DataFrame:
+    """The Q17 dataflow over given lineitem/part frames — shared by
+    the registered query (parquet scan) and the bucketed-layout probe
+    (bucketed table scan)."""
+    p = p.filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10))
     thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (
             F.lit(0.2)

@@ -216,3 +216,89 @@ def pipeline_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.lit(True))
     )
     return kept.unionByName(closed).unionByName(opened)
+
+
+@query(
+    "pipeline_scd2_point_in_time_join",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment AS seg FROM customer
+    ),
+    hist AS (
+      SELECT c_custkey, seg,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             TIMESTAMP '1997-01-01' AS valid_to
+      FROM base WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 'MOVED',
+             TIMESTAMP '1997-01-01', CAST(NULL AS TIMESTAMP)
+      FROM base WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, seg, TIMESTAMP '1995-01-01', NULL
+      FROM base WHERE c_custkey % 3 <> 0
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, h.seg
+    FROM orders o
+    JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    """,
+)
+def pipeline_scd2_point_in_time_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCD2 CONSUMPTION pattern: every fact row joins the
+    dimension version that was valid AT FACT TIME (`valid_from <= t <
+    valid_to`) — how a warehouse reports "segment as it was when the
+    order was placed", not as it is today.
+
+    At scale this is an equi-join on the key with a validity-interval
+    residual — NOT a range join across keys: the interval predicate
+    rides the custkey hash join as a post-condition, so the plan is
+    the ordinary broadcast/shuffle fact⋈dim join (each key has a
+    handful of versions; the residual filters them).  The history
+    here is the same two-version shape ``pipeline_scd2_history``
+    builds, dated so the fixture's 1995-2001 order dates SPAN the
+    version boundary — about a third of the %3==0 facts land on each
+    side of 1997-01-01, so the join genuinely selects versions by
+    time, not degenerately.
+    """
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    d1 = F.lit("1995-01-01").cast("timestamp")
+    d2 = F.lit("1997-01-01").cast("timestamp")
+    open_to = F.lit(None).cast("timestamp")
+    third = base.filter(F.col("c_custkey") % 3 == 0)
+    hist = (
+        third.select(
+            "c_custkey", "seg",
+            d1.alias("valid_from"), d2.alias("valid_to"),
+        )
+        .unionByName(
+            third.select(
+                "c_custkey", F.lit("MOVED").alias("seg"),
+                d2.alias("valid_from"), open_to.alias("valid_to"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 3 != 0).select(
+                "c_custkey", "seg",
+                d1.alias("valid_from"), open_to.alias("valid_to"),
+            )
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(hist),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "seg")
+    )

@@ -149,6 +149,11 @@ DRIVER_WINDOW: list[str] = [
     # the behavior family rotates fully out this round — funnel's
     # seat went to the TPC-H block above, union coverage retained)
     "pipeline_scd2_history",
+    # …and its consumption pattern: the point-in-time fact⋈dimension
+    # join (version valid at fact time) — took the seat of
+    # trainprep_hash_split (driver-green r5, unchanged; trainprep
+    # keeps the corpus_pipeline composite in-window)
+    "pipeline_scd2_point_in_time_join",
     # streaming engine parity
     "streaming_windowed_counts",
     "streaming_dedup_exact",
@@ -157,7 +162,6 @@ DRIVER_WINDOW: list[str] = [
     "text_gopher_rules",
     "text_pii_scan",
     # training prep flagships
-    "trainprep_hash_split",
     "trainprep_corpus_pipeline",
     # IVF / k-means ANN
     "similarity_ivf_topk",

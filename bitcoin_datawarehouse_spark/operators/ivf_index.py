@@ -151,6 +151,12 @@ class IvfIndex:
         kernel output — build is where the corpus-sized exchange
         lives, paid once instead of per search.
         """
+        # a REBUILD starts from a clean slate: a stale deletes sidecar
+        # from the previous index generation would silently suppress
+        # (and, at the next compact, physically remove) vectors that
+        # exist in the new build (review-caught)
+        if self.wh.table_exists(self.schema, self.deletes_table):
+            self.wh.drop_table(self.schema, self.deletes_table)
         emb = emb.select("vec_id", "e")
         if centroids is None:
             centroids = emb.filter(
@@ -318,7 +324,10 @@ class IvfIndex:
             vec_ids = spark.createDataFrame(
                 [(int(v),) for v in vec_ids], "vec_id long"
             )
-        dels = vec_ids.select("vec_id").distinct()
+        # coalesce(1) on BOTH paths: the distinct() shuffle would
+        # otherwise append shuffle-partition-many near-empty files per
+        # call, and the sidecar is broadcast by EVERY search
+        dels = vec_ids.select("vec_id").distinct().coalesce(1)
         if self.wh.table_exists(self.schema, self.deletes_table):
             self.wh.append(dels, self.schema, self.deletes_table)
         else:

@@ -145,7 +145,10 @@ class LshDedupIndex:
             doc_ids = spark.createDataFrame(
                 [(int(v),) for v in doc_ids], "doc_id long"
             )
-        dels = doc_ids.select("doc_id").distinct()
+        # coalesce(1) on BOTH paths: the distinct() shuffle would
+        # otherwise append shuffle-partition-many near-empty files per
+        # call, and the sidecar is broadcast by EVERY decide plan
+        dels = doc_ids.select("doc_id").distinct().coalesce(1)
         if self.wh.table_exists(self.schema, self.removed_table):
             self.wh.append(dels, self.schema, self.removed_table)
         else:

@@ -139,7 +139,7 @@ def pipeline_watermark_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, 'MOVED', bal, TIMESTAMP '2024-02-01', NULL, TRUE
     FROM base WHERE c_custkey % 3 = 0
     UNION ALL
-    SELECT c_custkey + 1000000, 'NEW', bal,
+    SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM base), 'NEW', bal,
            TIMESTAMP '2024-02-01', NULL, TRUE
     FROM base WHERE c_custkey % 3 = 0
     """,
@@ -176,14 +176,28 @@ def pipeline_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("valid_to", open_to)
         .withColumn("is_current", F.lit(True))
     )
-    # day-2 batch: a third change segment; a new-key tranche arrives
+    # day-2 batch: a third change segment; a new-key tranche arrives.
+    # The new-key offset is RUNTIME-ADAPTIVE (max+1, mirrored as a
+    # scalar subquery in the oracle): a fixed +1000000 collided with
+    # real custkeys at sf>=10 (gen_sf strides keys by 100000), where
+    # the oracle's closed-form UNION and this dataflow would diverge
+    # on the collided keys (review-caught).
     changed_in = base.filter(F.col("c_custkey") % 3 == 0).withColumn(
         "seg", F.lit("MOVED")
     )
-    new_in = base.filter(F.col("c_custkey") % 3 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"),
-        F.lit("NEW").alias("seg"),
-        "bal",
+    offset = base.agg(
+        (F.max("c_custkey") + 1).alias("new_key_offset")
+    )
+    new_in = (
+        base.filter(F.col("c_custkey") % 3 == 0)
+        .crossJoin(F.broadcast(offset))
+        .select(
+            (F.col("c_custkey") + F.col("new_key_offset")).alias(
+                "c_custkey"
+            ),
+            F.lit("NEW").alias("seg"),
+            "bal",
+        )
     )
     batch = changed_in.unionByName(new_in)
 

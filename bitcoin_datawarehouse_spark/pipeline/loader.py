@@ -249,7 +249,13 @@ class Loader:
             if not self.wh.table_exists(self.schema, self.table):
                 self.wh.write_atomic(stamped, self.schema, self.table)
                 return
-            old = self.wh.read(self.schema, self.table)
+            # the target feeds FIVE subtrees of this load (max_from
+            # probe + hist/closed/kept_cur/new_keys legs of the one
+            # write action) — cache it or each re-scans the parquet
+            # (CLAUDE.md shared-subgraph rule; review-caught: the
+            # docstring's read-once contract was not what the plan did)
+            old = cache_tracked(self.wh.read(self.schema, self.table))
+            old.count()  # eager fill — concurrent subtrees of one action
             cur = old.filter(F.col("is_current"))
             hist = old.filter(~F.col("is_current"))
             max_from = cur.agg(F.max("valid_from")).first()[0]
@@ -298,6 +304,7 @@ class Loader:
             )
             self.wh.write_atomic(merged, self.schema, self.table)
             changed_keys.unpersist()
+            old.unpersist()
         finally:
             batch.unpersist()
 

@@ -180,7 +180,9 @@ DRIVER_WINDOW: list[str] = [
     # round-6 in-session flagship: snapshot drift profiling (fixed
     # buckets + total-variation distance, transcendental-free chain)
     # — took the seat of trainprep_global_shuffle (driver-green r5,
-    # unchanged; trainprep keeps hash_split + corpus_pipeline slots)
+    # unchanged; of the trainprep family only the corpus_pipeline
+    # composite stays in-window — hash_split's seat went to the SCD2
+    # point-in-time join)
     "profile_drift_tv",
     # round-4 in-session flagships (took the seats of join_full_outer /
     # agg_having, both driver-green r3 — union coverage retained)

@@ -1534,6 +1534,14 @@ def test_ivf_index_delete_merge_on_read_then_physical(spark, tmp_path):
     assert len(per_victim) == len(victims)
     assert all(r["count"] == 1 for r in per_victim)
 
+    # a REBUILD starts clean: stale tombstones must not suppress
+    # vectors present in the new build (review-caught)
+    idx.delete(victims)
+    idx.build(emb)
+    assert not idx.wh.table_exists(idx.schema, idx.deletes_table)
+    rebuilt = sorted(map(tuple, idx.search(queries).collect()))
+    assert rebuilt == sorted(map(tuple, base))
+
 
 def test_ivf_index_with_trained_kmeans_quantizer(spark, tmp_path):
     """The codebook is pluggable: a Lloyd-trained quantizer

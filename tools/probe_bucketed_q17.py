@@ -28,21 +28,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from bitcoin_datawarehouse_spark.operators.tpch_extra import (  # noqa: E402
     q17_shape,
 )
 from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse  # noqa: E402
+from bitcoin_datawarehouse_spark.plans.audit import df_plan  # noqa: E402
 from bitcoin_datawarehouse_spark.session import get_spark  # noqa: E402
 from bitcoin_datawarehouse_spark.tables import load_table  # noqa: E402
 
 
 def n_exchanges(df) -> int:
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    return len(re.findall(r"\(\d+\) Exchange", plan))
+    return len(re.findall(r"\(\d+\) Exchange", df_plan(df)))
 
 
 def timed(df) -> list[float]:

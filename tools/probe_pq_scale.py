@@ -39,10 +39,12 @@ def main() -> int:
         return 2
     load_all_operators()
     spark = get_spark("pq-probe", shuffle_partitions=96)
-    for name in NAMES:  # warm: codegen + JIT + Arrow path
-        QUERIES[name](spark, "/root/testdata/sf0.1").write.format(
-            "noop"
-        ).mode("overwrite").save()
+    # warm (codegen + JIT + Arrow path) against the FIRST passed
+    # dir — a hardcoded fixture path crashes on other hosts
+    for name in NAMES:
+        QUERIES[name](spark, dirs[0]).write.format("noop").mode(
+            "overwrite"
+        ).save()
     for d in dirs:
         out = {"dir": d}
         for name in NAMES:

@@ -40,8 +40,9 @@ def main() -> int:
     spark = get_spark("semdedup-probe", shuffle_partitions=96)
     fn = QUERIES["dedup_semantic_semdedup_auto"]
 
-    # warm: codegen + JIT + Arrow path on the small driver fixture
-    fn(spark, "/root/testdata/sf0.1").write.format("noop").mode(
+    # warm (codegen + JIT + Arrow path) against the first passed
+    # dir — a hardcoded fixture path crashes on other hosts
+    fn(spark, dirs[0]).write.format("noop").mode(
         "overwrite"
     ).save()
 

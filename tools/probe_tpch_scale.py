@@ -47,10 +47,12 @@ def main() -> int:
         return 2
     load_all_operators()
     spark = get_spark("tpch-probe", shuffle_partitions=96)
-    for name in NAMES:  # warm: codegen + JIT
-        QUERIES[name](spark, "/root/testdata/sf0.1").write.format(
-            "noop"
-        ).mode("overwrite").save()
+    # warm (codegen + JIT) against the FIRST passed dir — a hardcoded
+    # fixture path would crash on hosts whose fixtures live elsewhere
+    for name in NAMES:
+        QUERIES[name](spark, dirs[0]).write.format("noop").mode(
+            "overwrite"
+        ).save()
     for d in dirs:
         out = {"dir": d}
         for name in NAMES:

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.functions.numeric import (
+    DEC,
+    SQL_DEC,
     SQL_STR_ROUND6,
     str_round6,
 )
@@ -528,4 +530,104 @@ def trainprep_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "doc_id", F.row_number().over(w).alias("sample_rank")
         )
         .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture planning (multilingual-sampling standard)
+# ---------------------------------------------------------------------------
+
+#: training-doc budget the temperature plan allocates (fixture-sized)
+MIX_TEMP_BUDGET = 300
+
+#: source → domain rollup used by the temperature plan.  The fixture's
+#: 20 sources are uniform (25 docs each) — a temperature renorm over
+#: uniform shares is degenerate — so the plan groups them into four
+#: domains with skewed sizes (10/6/3/1 sources), the shape real
+#: corpora have (a dominant web crawl, long-tail curated sets).
+_TEMP_DOMAIN_SQL = """CASE
+      WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+      WHEN CAST(substr(source, 4) AS INT) < 16 THEN 'books'
+      WHEN CAST(substr(source, 4) AS INT) < 19 THEN 'code'
+      ELSE 'wiki' END"""
+
+@query(
+    "trainprep_mixture_temperature",
+    oracle=f"""
+    WITH dom AS (
+      SELECT {_TEMP_DOMAIN_SQL} AS domain, COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS q_full
+      FROM dom
+    ),
+    shares AS (
+      SELECT domain, n_docs, q_full,
+             SQRT(q_full)
+               / CAST(CAST(SUM({SQL_DEC("SQRT(q_full)")}) OVER ()
+                      AS STRING) AS DOUBLE) AS p_full
+      FROM q
+    )
+    SELECT domain, n_docs,
+           {SQL_STR_ROUND6("q_full")} AS natural_share,
+           {SQL_STR_ROUND6("p_full")} AS temp_share,
+           {SQL_STR_ROUND6(
+               f"LEAST(1.0, (p_full * {MIX_TEMP_BUDGET}) / n_docs)"
+           )} AS keep_rate,
+           CAST(FLOOR(LEAST(1.0, (p_full * {MIX_TEMP_BUDGET}) / n_docs)
+                      * n_docs) AS BIGINT) AS alloc_docs
+    FROM shares
+    """,
+)
+def trainprep_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based mixture plan (the multilingual-sampling
+    standard: sample domains ∝ q^α, α<1 upweights the tail): per
+    domain, its natural share, the temperature share, and the keep
+    rate that hits a global doc budget.
+
+    α is 0.5 DELIBERATELY: SQRT is IEEE-correctly-rounded in both
+    engines, so the whole chain (exact counts → one division → sqrt →
+    exact-decimal renorm sum → division) is bit-reproducible and the
+    query hash-gates.  A production α=0.3 needs POW = exp/ln — libm
+    calls with engine-divergent last ulps (the PSI lesson,
+    profile_drift_tv) — and would drop this to a rows-only gate.
+
+    Scale shape: one hash aggregate over the corpus, then window
+    arithmetic over #domains rows (bounded by construction).  The
+    per-doc selection step composes exactly like
+    trainprep_domain_mixture's md5-bucket filter with
+    ``keep_rate*256`` as the threshold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_ix = F.substring(F.col("source"), 4, 10).cast("int")
+    domain = (
+        F.when(src_ix < 10, "web")
+        .when(src_ix < 16, "books")
+        .when(src_ix < 19, "code")
+        .otherwise("wiki")
+    )
+    dom = docs.groupBy(domain.alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = W.partitionBy()  # bounded: one row per domain
+    q_full = F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
+    sq = F.sqrt(q_full)
+    p_full = sq / (
+        F.sum(sq.cast(DEC)).over(w).cast("string").cast("double")
+    )
+    keep = F.least(
+        F.lit(1.0), (p_full * MIX_TEMP_BUDGET) / F.col("n_docs")
+    )
+    return dom.select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        str_round6(q_full).alias("natural_share"),
+        str_round6(p_full).alias("temp_share"),
+        str_round6(keep).alias("keep_rate"),
+        F.floor(keep * F.col("n_docs")).cast("bigint").alias("alloc_docs"),
     )

@@ -157,12 +157,17 @@ DRIVER_WINDOW: list[str] = [
     # streaming engine parity
     "streaming_windowed_counts",
     "streaming_dedup_exact",
-    # corpus curation
-    "decontam_ngram_overlap",
+    # corpus curation (ngram_overlap's seat went to the round-6
+    # temperature-mixture plan below — driver-green r3-r5, unchanged;
+    # decontam_minhash_fuzzy keeps the family in-window)
     "text_gopher_rules",
     "text_pii_scan",
     # training prep flagships
     "trainprep_corpus_pipeline",
+    # round-6 in-session flagship: temperature-based mixture planning
+    # (α=0.5 — sqrt is IEEE-exact in both engines, so the renorm
+    # chain hash-gates; pow/ln would be rows-only)
+    "trainprep_mixture_temperature",
     # IVF / k-means ANN
     "similarity_ivf_topk",
     "similarity_ivf_kmeans_assign",

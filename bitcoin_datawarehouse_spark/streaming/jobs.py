@@ -204,6 +204,90 @@ def scd2_stream_into_table(
     )
 
 
+def drift_monitor_stream(
+    events: DataFrame,
+    wh: Warehouse,
+    schema: str,
+    ledger_table: str,
+    reference: list[tuple[int, int]],
+    value_col: str,
+    bucket_width: float,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming drift monitor: per micro-batch, the total-variation
+    distance between the batch's ``value_col`` distribution and a
+    PINNED reference histogram, appended to a drift ledger — the
+    alerting loop `profile_drift_tv` is the batch version of
+    ("refuse/flag the load when the incoming distribution departs").
+
+    ``reference`` is a small collected histogram ``[(bucket, n), …]``
+    (model-sized, like a codebook — pinning it is the point: drift is
+    measured against a FIXED baseline, not a moving one).  It is
+    re-created inside each micro-batch from the driver-held list, so
+    no main-session frame ever mixes into the batch session (the
+    foreachBatch rule).  The ledger row carries (batch_id, n_rows,
+    tv) — batch_id, not wall clock, so replays are recognizable and
+    the ledger is reproducible.
+
+    The TV chain matches profile_drift_tv: exact counts, one
+    correctly-rounded division per bucket, exact-decimal |diff|
+    accumulation — bit-reproducible, so the pytest pins the streamed
+    ledger against batch-computed values exactly.
+    """
+    from bitcoin_datawarehouse_spark.functions.numeric import (
+        DEC,
+        str_round6,
+    )
+
+    n_ref_total = sum(n for _, n in reference)
+
+    def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bspark = batch_df.sparkSession
+        bwh = Warehouse(bspark, str(wh.root))
+        ref = bspark.createDataFrame(
+            list(reference), "bucket bigint, n_ref bigint"
+        )
+        cur = batch_df.groupBy(
+            F.floor(F.col(value_col) / bucket_width)
+            .cast("bigint")
+            .alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n_cur"))
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy()  # bounded: one row per bucket
+        joined = ref.join(cur, "bucket", "full_outer").select(
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+        p_ref = F.col("n_ref").cast("double") / F.lit(float(n_ref_total))
+        p_cur = F.col("n_cur").cast("double") / F.sum("n_cur").over(w)
+        tv = (
+            F.lit(0.5)
+            * F.sum(F.abs(p_ref - p_cur).cast(DEC))
+            .over(w)
+            .cast("string")
+            .cast("double")
+        )
+        row = (
+            joined.select(
+                F.lit(batch_id).alias("batch_id"),
+                F.sum("n_cur").over(w).alias("n_rows"),
+                str_round6(tv).alias("tv"),
+            )
+            .limit(1)
+        )
+        bwh.append(row.coalesce(1), schema, ledger_table)
+
+    return (
+        events.writeStream.foreachBatch(monitor_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_completion(query: StreamingQuery, timeout_s: float = 300.0) -> None:
     """Await an availableNow-triggered stream (drains all input, stops)."""
     if not query.awaitTermination(timeout_s):

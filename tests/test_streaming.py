@@ -168,6 +168,71 @@ def test_stream_scd2_matches_batchwise_loader(spark, tmp_path):
     assert swh.read("dim", "cust").filter(~F.col("is_current")).count() == 1
 
 
+def test_stream_drift_monitor_ledger_matches_batch_tv(spark, tmp_path):
+    """The streaming drift monitor appends one ledger row per
+    micro-batch whose TV distance equals the batch-computed value
+    against the same pinned reference — and a genuinely shifted batch
+    reads as more drifted than an in-distribution one."""
+    from decimal import Decimal
+
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        drift_monitor_stream,
+    )
+
+    width = 10.0
+    # reference: uniform over buckets 0..3 (values 0..39)
+    reference = [(b, 25) for b in range(4)]
+
+    def df_of(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+    in_dist = [5, 15, 25, 35] * 5          # matches the reference shape
+    shifted = [85, 95, 105, 115] * 5       # fully outside its support
+    src = tmp_path / "src"
+    df_of(in_dist).coalesce(1).write.parquet(str(src / "f0"))
+    df_of(shifted).coalesce(1).write.parquet(str(src / "f1"))
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        drift_monitor_stream(
+            stream, wh, "monitor", "drift", reference,
+            value_col="v", bucket_width=width,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+    )
+    ledger = {
+        r["batch_id"]: (r["n_rows"], r["tv"])
+        for r in wh.read("monitor", "drift").collect()
+    }
+    assert len(ledger) == 2
+    tvs = sorted(tv for _, tv in ledger.values())
+
+    def batch_tv(vals):
+        # same chain as the monitor: exact counts, one division per
+        # bucket, exact-decimal |diff| accumulation
+        from collections import Counter
+
+        cur = Counter(int(v // width) for v in vals)
+        n_ref = sum(n for _, n in reference)
+        refd = dict(reference)
+        buckets = set(refd) | set(cur)
+        acc = Decimal(0)
+        for b in buckets:
+            d = abs(refd.get(b, 0) / n_ref - cur.get(b, 0) / len(vals))
+            acc += Decimal(str(d)).quantize(Decimal("1E-10"))
+        return float(
+            Decimal(str(0.5 * float(acc))).quantize(Decimal("1E-6"))
+        )
+
+    assert tvs == sorted([batch_tv(in_dist), batch_tv(shifted)])
+    assert batch_tv(in_dist) == 0.0 and batch_tv(shifted) == 1.0
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = [

@@ -147,6 +147,48 @@ def merge_stream_into_table(
     )
 
 
+def merge_stream_into_partitioned_table(
+    events: DataFrame,
+    wh: Warehouse,
+    schema: str,
+    table: str,
+    keys: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+    order_col: str | None = "ts",
+) -> StreamingQuery:
+    """The fact-scale streaming merge: each micro-batch upserts
+    through ``Loader.load_incremental_partitioned``, rewriting ONLY
+    the partitions the batch touches.
+
+    ``merge_stream_into_table`` rewrites the whole target per
+    micro-batch — right for dimension-sized targets, O(N·history) for
+    a long-running stream into a growing fact (measured: the sf10 row
+    in SCALING.md's streaming table).  Here a steady stream of
+    current-day events costs O(touched partitions) per trigger
+    forever.  Same idempotence story: replays upsert the same keys
+    into the same partitions.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bwh = Warehouse(batch_df.sparkSession, str(wh.root))
+        Loader(bwh, schema, table).load_incremental_partitioned(
+            batch_df,
+            unique_keys=keys,
+            partition_col=partition_col,
+            order_col=order_col,
+        )
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def scd2_stream_into_table(
     events: DataFrame,
     wh: Warehouse,

@@ -108,6 +108,72 @@ def test_stream_merge_idempotent_and_exactly_once(spark, events_dir, tmp_path):
     assert Loader(wh, "analytics", "events").get_record_count() == n_batch
 
 
+def test_stream_merge_partitioned_matches_batch_and_replays(spark, tmp_path):
+    """The fact-scale streaming merge: micro-batched
+    load_incremental_partitioned ends bit-identical to one batch
+    partitioned load of the same rows, and a full fresh-checkpoint
+    replay is a no-op (key merge per partition)."""
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        merge_stream_into_partitioned_table,
+    )
+
+    events = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("day", F.to_date("ts"))
+    )
+    n = events.count()
+    src = tmp_path / "src"
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).repartition(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    day_schema = EVENTS_SCHEMA.add("day", "date")
+
+    def stream():
+        return (
+            spark.readStream.schema(day_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    swh = Warehouse(spark, str(tmp_path / "swh"))
+    run_stream_to_completion(
+        merge_stream_into_partitioned_table(
+            stream(), swh, "s", "events", keys=["event_id", "day"],
+            partition_col="day", checkpoint_dir=str(tmp_path / "ck1"),
+        )
+    )
+    got = spark.read.option(
+        "basePath", str(swh.table_path("s", "events"))
+    ).parquet(str(swh.table_path("s", "events")))
+    assert got.count() == n
+
+    bwh = Warehouse(spark, str(tmp_path / "bwh"))
+    Loader(bwh, "s", "events").load_incremental_partitioned(
+        events, unique_keys=["event_id", "day"], partition_col="day",
+        order_col="ts",
+    )
+    want = spark.read.option(
+        "basePath", str(bwh.table_path("s", "events"))
+    ).parquet(str(bwh.table_path("s", "events")))
+    cols = sorted(want.columns)
+    assert sorted(
+        map(tuple, got.select(*cols).collect()), key=repr
+    ) == sorted(map(tuple, want.select(*cols).collect()), key=repr)
+
+    # fresh-checkpoint replay: same keys upsert into same partitions
+    run_stream_to_completion(
+        merge_stream_into_partitioned_table(
+            stream(), swh, "s", "events", keys=["event_id", "day"],
+            partition_col="day", checkpoint_dir=str(tmp_path / "ck2"),
+        )
+    )
+    got2 = spark.read.option(
+        "basePath", str(swh.table_path("s", "events"))
+    ).parquet(str(swh.table_path("s", "events")))
+    assert got2.count() == n
+
+
 def test_stream_scd2_matches_batchwise_loader(spark, tmp_path):
     """Streaming SCD2 ≡ the batch loader applied per micro-batch: two
     event-time-ordered files stream through scd2_stream_into_table;

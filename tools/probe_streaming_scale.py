@@ -97,6 +97,45 @@ def main() -> int:
         out["merge_stream_s"] = round(wall, 1)
         out["merge_stream_rows_per_s"] = int(n / wall)
         assert wh.read("s", "events").count() == n
+
+        # partition-scoped merge leg: batches arrive in EVENT-TIME
+        # order (the streaming reality), so each touches ~1/N of the
+        # day partitions — the cost model under test
+        from bitcoin_datawarehouse_spark.streaming.jobs import (
+            merge_stream_into_partitioned_table,
+        )
+
+        stage2 = Path(tempfile.mkdtemp(prefix="stream_stage2_"))
+        ev_day = events.withColumn("day", F.to_date("ts"))
+        bounds = ev_day.select(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        span = (bounds["hi"] - bounds["lo"]) / N_FILES
+        for i in range(N_FILES):
+            lo = bounds["lo"] + i * span
+            hi = bounds["hi"] if i == N_FILES - 1 else lo + span
+            sl = ev_day.filter(
+                (F.col("ts") >= F.lit(lo))
+                & (F.col("ts") <= F.lit(hi) if i == N_FILES - 1
+                   else F.col("ts") < F.lit(hi))
+            )
+            sl.repartition(1).write.parquet(str(stage2 / f"f{i}"))
+        day_schema = EVENTS_SCHEMA.add("day", "date")
+        pwh = Warehouse(spark, tempfile.mkdtemp(prefix="stream_pwh_"))
+        t0 = time.time()
+        run_stream_to_completion(
+            merge_stream_into_partitioned_table(
+                spark.readStream.schema(day_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(stage2 / "*")),
+                pwh, "s", "events",
+                keys=["event_id", "day"], partition_col="day",
+                checkpoint_dir=tempfile.mkdtemp(prefix="ckp_"),
+            )
+        )
+        wall = time.time() - t0
+        out["merge_partitioned_s"] = round(wall, 1)
+        out["merge_partitioned_rows_per_s"] = int(n / wall)
         print(json.dumps(out), flush=True)
     return 0
 

@@ -287,3 +287,105 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_completion(q)
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink)
+
+
+#: drift-gate constants: value-bucket width and the event-time split
+#: between the pinned reference window and the monitored stream
+DRIFT_BUCKET_W = 50.0
+DRIFT_SPLIT = "2024-01-16"
+
+_DRIFT_STREAM_SQL = f"""
+WITH ref AS (
+  SELECT CAST(FLOOR(value / {DRIFT_BUCKET_W}) AS BIGINT) AS bucket,
+         COUNT(*) AS n_ref
+  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{DRIFT_SPLIT}'
+  GROUP BY 1
+),
+cur AS (
+  SELECT CAST(FLOOR(value / {DRIFT_BUCKET_W}) AS BIGINT) AS bucket,
+         COUNT(*) AS n_cur
+  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{DRIFT_SPLIT}'
+  GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+  FROM ref r FULL OUTER JOIN cur c ON r.bucket = c.bucket
+),
+probs AS (
+  SELECT n_cur,
+         CAST(n_ref AS DOUBLE)
+           / (SELECT CAST(SUM(n_ref) AS DOUBLE) FROM ref) AS p_ref,
+         CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS p_cur
+  FROM joined
+)
+SELECT CAST(SUM(n_cur) OVER () AS BIGINT) AS n_rows,
+       {{tv}} AS tv
+FROM probs
+LIMIT 1
+"""
+
+
+def _drift_tv_sql() -> str:
+    from bitcoin_datawarehouse_spark.functions.numeric import (
+        SQL_DEC,
+        SQL_STR_ROUND6,
+    )
+
+    tv = SQL_STR_ROUND6(
+        "0.5 * CAST(CAST(SUM(" + SQL_DEC("ABS(p_ref - p_cur)")
+        + ") OVER () AS STRING) AS DOUBLE)"
+    )
+    return _DRIFT_STREAM_SQL.format(tv=tv)
+
+
+@query("streaming_drift_monitor", oracle=_drift_tv_sql())
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring at the streaming door: the SECOND HALF of the
+    event history streams through ``drift_monitor_stream`` against a
+    reference histogram pinned from the FIRST half — the ledger's TV
+    distance must equal the batch/SQL computation of the same two
+    windows.
+
+    Micro-batch independence: the staged source drains as ONE
+    availableNow batch (8 files, far under the file-source's default
+    1000-files-per-trigger), so the single ledger row covers exactly
+    the monitored window; the ledger exposes (n_rows, tv) — batch_id
+    is execution detail.  The reference histogram is a driver-held
+    model list (codebook-sized), which is the monitor's design: drift
+    is measured against a FIXED baseline.
+    """
+    import tempfile as _tf
+
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        drift_monitor_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    reference = [
+        (r["bucket"], r["n"])
+        for r in ev.filter(F.col("ts") < split)
+        .groupBy(
+            F.floor(F.col("value") / DRIFT_BUCKET_W)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    tmp = _tf.mkdtemp(prefix="stream_drift_")
+    ev.filter(F.col("ts") >= split).repartition(
+        GATE_SOURCE_FILES
+    ).write.mode("overwrite").parquet(tmp)
+    wh = Warehouse(spark, _tf.mkdtemp(prefix="stream_drift_wh_"))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(tmp)
+    q = drift_monitor_stream(
+        stream, wh, "monitor", "drift", reference,
+        value_col="value", bucket_width=DRIFT_BUCKET_W,
+        checkpoint_dir=_tf.mkdtemp(prefix="stream_drift_ck_"),
+    )
+    run_stream_to_completion(q)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return wh.read("monitor", "drift").select("n_rows", "tv")

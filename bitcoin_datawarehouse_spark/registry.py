@@ -87,7 +87,11 @@ DRIVER_WINDOW: list[str] = [
     # --- retained r4 slots ---
     # streaming long tail (stream-stream interval join, quality gate)
     "streaming_attribution_join",
-    "streaming_quality_filter",
+    # round-6 in-session flagship: drift monitoring at the streaming
+    # door (ledger TV vs the batch/SQL twin) — took the seat of
+    # streaming_quality_filter (driver-green r3-r5, unchanged; the
+    # streaming family keeps four other in-window slots)
+    "streaming_drift_monitor",
     # round-6 in-session flagship: SemDeDup semantic pruning (cluster
     # + intra-cluster cosine keep/drop) — took the seat of the
     # exact-grid audit dedup_embedding_cosine (driver-green r1/r2/r5,

@@ -92,6 +92,11 @@ HEADLINE = [
     # so composed multi-join perf is a recorded number per round
     "tpch_q8_market_share",
     "tpch_q18_large_volume_customers",
+    # round-6 addition (37 → 38): paragraph-level exact dedup — the
+    # sub-document boilerplate pass benched next to the whole-doc
+    # exact and MinHash families it complements (kernel chunker + one
+    # hash-partitioned window + per-doc reassembly)
+    "dedup_paragraphs",
 ]
 
 

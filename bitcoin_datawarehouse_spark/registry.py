@@ -84,9 +84,16 @@ DRIVER_WINDOW: list[str] = [
     # cogroup_asof_alignment, driver-green r4 — union coverage
     # retained via CORRECTNESS_r04) ---
     "dedup_minhash_lsh_capped",
-    # --- retained r4 slots ---
-    # streaming long tail (stream-stream interval join, quality gate)
-    "streaming_attribution_join",
+    # round-6 in-session flagships: paragraph-level exact dedup
+    # (CCNet/RefinedWeb sub-document boilerplate removal — per-doc
+    # digest twin + per-source boilerplate profile).  They took the
+    # seats of streaming_attribution_join (driver-green r3-r5,
+    # unchanged; streaming keeps windowed_counts / dedup_exact /
+    # drift_monitor in-window) and text_pii_scan (driver-green r3-r5,
+    # unchanged; curation keeps gopher_rules + decontam_minhash_fuzzy
+    # in-window).
+    "dedup_paragraphs",
+    "dedup_paragraphs_by_source",
     # round-6 in-session flagship: drift monitoring at the streaming
     # door (ledger TV vs the batch/SQL twin) — took the seat of
     # streaming_quality_filter (driver-green r3-r5, unchanged; the
@@ -163,9 +170,9 @@ DRIVER_WINDOW: list[str] = [
     "streaming_dedup_exact",
     # corpus curation (ngram_overlap's seat went to the round-6
     # temperature-mixture plan below — driver-green r3-r5, unchanged;
+    # pii_scan's to the paragraph-dedup pair above;
     # decontam_minhash_fuzzy keeps the family in-window)
     "text_gopher_rules",
-    "text_pii_scan",
     # training prep flagships
     "trainprep_corpus_pipeline",
     # round-6 in-session flagship: temperature-based mixture planning
@@ -265,4 +272,5 @@ def load_all_operators() -> None:
         ivf_index,
         semdedup,
         pq,
+        paragraph,
     )

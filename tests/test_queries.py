@@ -1117,3 +1117,38 @@ def test_minhash_hot_bucket_cap_semantics(spark, tmp_path):
         )
     )
     assert u2 == c2 and len(u2) > 0
+
+
+def test_paragraph_dedup_on_planted_rows(spark):
+    """Global first-occurrence paragraph dedup, pinned on planted docs:
+    a paragraph repeated across docs AND within one doc survives only
+    at its first (doc_id, pos); reassembly is byte-exact."""
+    import hashlib
+
+    from bitcoin_datawarehouse_spark.operators.paragraph import (
+        PARA_W,
+        dedup_paragraphs_frame,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(PARA_W))      # boilerplate chunk
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(PARA_W))
+    rows = [
+        # doc 1: boiler, unique, boiler AGAIN (within-doc dup)
+        (1, "web", f"{boiler} {u('a')} {boiler}"),
+        # doc 2: unique, boiler (cross-doc dup)
+        (2, "web", f"{u('c')} {boiler}"),
+        # doc 3: all unique + a short tail chunk (< PARA_W tokens)
+        (3, "news", f"{u('d')} tail1 tail2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in dedup_paragraphs_frame(docs).collect()}
+
+    assert got[1]["n_paras"] == 3 and got[1]["n_kept"] == 2
+    assert got[2]["n_paras"] == 2 and got[2]["n_kept"] == 1
+    assert got[3]["n_paras"] == 2 and got[3]["n_kept"] == 2
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1 keeps [boiler, a...] in order; doc 2 keeps only its unique
+    assert got[1]["dedup_md5"] == md5(boiler + "\n" + u("a"))
+    assert got[2]["dedup_md5"] == md5(u("c"))
+    assert got[3]["dedup_md5"] == md5(u("d") + "\n" + "tail1 tail2")

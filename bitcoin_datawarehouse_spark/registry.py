@@ -192,7 +192,15 @@ DRIVER_WINDOW: list[str] = [
     # retained via CORRECTNESS_r03).
     "text_lm_quality",
     "text_lm_quality_approx",
-    "profile_column_stats",
+    # round-6 in-session flagships: time-series gap-fill (dense
+    # 15-min spine + LOCF) and its gaps-and-islands run statistics —
+    # the hypertable operator family.  They took the seats of
+    # profile_column_stats (driver-green r5, unchanged; profiling
+    # keeps profile_drift_tv in-window) and text_token_histogram
+    # (driver-green r4/r5, unchanged; the text family keeps five
+    # other in-window slots).
+    "events_gapfill_locf",
+    "events_gap_islands",
     # round-6 in-session flagship: snapshot drift profiling (fixed
     # buckets + total-variation distance, transcendental-free chain)
     # — took the seat of trainprep_global_shuffle (driver-green r5,
@@ -200,9 +208,9 @@ DRIVER_WINDOW: list[str] = [
     # composite stays in-window — hash_split's seat went to the SCD2
     # point-in-time join)
     "profile_drift_tv",
-    # round-4 in-session flagships (took the seats of join_full_outer /
-    # agg_having, both driver-green r3 — union coverage retained)
-    "text_token_histogram",
+    # round-4 in-session flagship (took the seat of join_full_outer,
+    # driver-green r3 — union coverage retained; its histogram
+    # sibling's seat went to the gap-fill pair above)
     "sql_recursive_date_spine",
     # round-6 rotation: the runtime AUTO-WIDTH LSH embedding dedup is
     # now the registered production default (its oracle computes the
@@ -273,4 +281,5 @@ def load_all_operators() -> None:
         semdedup,
         pq,
         paragraph,
+        gapfill,
     )

@@ -1152,3 +1152,55 @@ def test_paragraph_dedup_on_planted_rows(spark):
     assert got[1]["dedup_md5"] == md5(boiler + "\n" + u("a"))
     assert got[2]["dedup_md5"] == md5(u("c"))
     assert got[3]["dedup_md5"] == md5(u("d") + "\n" + "tail1 tail2")
+
+
+def test_gapfill_locf_on_planted_gaps(spark):
+    """Dense spine + LOCF + islands, pinned on a hand-built series:
+    type 'a' observes buckets {0, 3, 4, 7} of an 8-bucket range (gap
+    runs [1,2] and [5,6]); type 'b' has no gaps at all."""
+    import datetime as dt
+
+    from bitcoin_datawarehouse_spark.operators.gapfill import (
+        BUCKET_S,
+        dense_locf_frame,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda et, idx, n: [
+        (et, t0 + dt.timedelta(seconds=idx * BUCKET_S + 5 * j))
+        for j in range(n)
+    ]
+    rows = (
+        mk("a", 0, 3) + mk("a", 3, 1) + mk("a", 4, 2) + mk("a", 7, 1)
+        + mk("b", 0, 1) + mk("b", 1, 2)
+    )
+    e = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    dense = dense_locf_frame(e).collect()
+
+    a = sorted((r for r in dense if r["event_type"] == "a"),
+               key=lambda r: r["b"])
+    assert [r["n_events"] for r in a] == [3, 3, 3, 1, 2, 2, 2, 1]
+    assert [r["filled"] for r in a] == [
+        False, True, True, False, False, True, True, False]
+    b = sorted((r for r in dense if r["event_type"] == "b"),
+               key=lambda r: r["b"])
+    assert [(r["n_events"], r["filled"]) for r in b] == [
+        (1, False), (2, False)]
+
+    # islands over the same frame: two runs for 'a' (len 2 and 2)
+    from pyspark.sql import Window as W, functions as F
+
+    seq = W.partitionBy("event_type").orderBy("b")
+    gaps = (
+        dense_locf_frame(e)
+        .where("filled")
+        .select(
+            "event_type",
+            ((F.col("b") / BUCKET_S).cast("long")
+             - F.row_number().over(seq)).alias("grp"),
+        )
+    )
+    runs = gaps.groupBy("event_type", "grp").count().collect()
+    a_runs = sorted(r["count"] for r in runs if r["event_type"] == "a")
+    assert a_runs == [2, 2]
+    assert not [r for r in runs if r["event_type"] == "b"]

@@ -97,6 +97,11 @@ HEADLINE = [
     # exact and MinHash families it complements (kernel chunker + one
     # hash-partitioned window + per-doc reassembly)
     "dedup_paragraphs",
+    # round-6 addition (38 → 39): time-series gap-fill — dense spine
+    # + LOCF; the hypertable path benched next to its sparse sibling
+    # time_bucket_hourly... (the islands stats ride the same dense
+    # frame and stay gate-only)
+    "events_gapfill_locf",
 ]
 
 

@@ -11,6 +11,7 @@ from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bitcoin_datawarehouse_spark.pipeline import Loader, Warehouse
 from bitcoin_datawarehouse_spark.streaming.jobs import (
@@ -127,7 +128,11 @@ def test_stream_merge_partitioned_matches_batch_and_replays(spark, tmp_path):
         events.filter(F.col("event_id") % 3 == i).repartition(1).write.parquet(
             str(src / f"f{i}")
         )
-    day_schema = EVENTS_SCHEMA.add("day", "date")
+    # StructType.add MUTATES self — copy first, or the shared
+    # EVENTS_SCHEMA grows a "day" field and every later test in the
+    # suite fails on 6-tuple rows (order-dependent: each test passes
+    # alone).  Bitten once; keep the copy.
+    day_schema = T.StructType(list(EVENTS_SCHEMA.fields)).add("day", "date")
 
     def stream():
         return (

@@ -147,8 +147,16 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q14_promo_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_dormant_customers",
-    # multimodal byte-exact digest twins
-    "multimodal_resize_digest",
+    # round-6 in-session flagships: entity resolution (blocked fuzzy
+    # name pairs + connected-component entity clusters over the
+    # distance-1 match graph).  They took the seats of
+    # multimodal_resize_digest (driver-green r5, unchanged — the
+    # multimodal family rotates out this round under union coverage,
+    # same precedent as behavior in the SCD2 rotation) and
+    # dedup_incremental_batch (driver-green r3-r5, unchanged; the
+    # dedup family keeps eight other in-window slots).
+    "er_fuzzy_name_pairs",
+    "er_entity_clusters",
     # --- retained round-3 slots (driver-green r3, kept in-window) ---
     # pipeline ELT semantics (reference K6/K7/K8, F3)
     "pipeline_merge_upsert",
@@ -182,9 +190,10 @@ DRIVER_WINDOW: list[str] = [
     # IVF / k-means ANN
     "similarity_ivf_topk",
     "similarity_ivf_kmeans_assign",
-    # substring / incremental / embedding dedup
+    # substring / embedding dedup (the stride-1 substring slot stays:
+    # its shared kernel was re-profiled this round; incremental's seat
+    # went to the ER pair — driver-green r3-r5, unchanged)
     "dedup_substring_spans",
-    "dedup_incremental_batch",
     "dedup_embedding_cosine_lsh",
     # LM quality (exact oracle mode + production approx-threshold
     # mode, both hash-gated) + profiling.  The approx slot took the
@@ -282,4 +291,5 @@ def load_all_operators() -> None:
         pq,
         paragraph,
         gapfill,
+        er,
     )

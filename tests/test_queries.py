@@ -1204,3 +1204,34 @@ def test_gapfill_locf_on_planted_gaps(spark):
     a_runs = sorted(r["count"] for r in runs if r["event_type"] == "a")
     assert a_runs == [2, 2]
     assert not [r for r in runs if r["event_type"] == "b"]
+
+
+def test_er_clusters_finer_than_blocks_and_pairs_scored(spark):
+    """ER invariants at sf0.001: the distance-1 entity clustering is
+    strictly FINER than the nation blocking (transitivity over a tight
+    threshold yields entities, not blocks), every canonical id is its
+    cluster's min member, and pair scores respect the threshold."""
+    from bitcoin_datawarehouse_spark.operators.er import (
+        ER_PAIR_MAX_DIST,
+        er_entity_clusters,
+        er_fuzzy_name_pairs,
+    )
+    from tests.conftest import SF_SMALL
+
+    pairs = er_fuzzy_name_pairs(spark, SF_SMALL).collect()
+    assert pairs and all(r["dist"] <= ER_PAIR_MAX_DIST for r in pairs)
+    assert all(r["custkey_a"] < r["custkey_b"] for r in pairs)
+
+    labels = er_entity_clusters(spark, SF_SMALL).collect()
+    assert len(labels) == 150
+    by_entity = {}
+    for r in labels:
+        by_entity.setdefault(r["entity_id"], []).append(r)
+    # finer than the 25 nation blocks, but not all singletons
+    assert 25 < len(by_entity) < 150
+    for eid, members in by_entity.items():
+        keys = sorted(m["c_custkey"] for m in members)
+        assert eid == keys[0]
+        assert [m for m in members if m["is_canonical"]] == [
+            m for m in members if m["c_custkey"] == keys[0]
+        ]

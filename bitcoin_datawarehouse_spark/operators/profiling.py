@@ -221,3 +221,87 @@ def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         str_round6(p_cur_full).alias("p_cur"),
         str_round6(tv).alias("tv_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric correlation profiling (round 6)
+# ---------------------------------------------------------------------------
+
+from bitcoin_datawarehouse_spark.functions.numeric import (  # noqa: E402
+    DEC,
+    SQL_DEC,
+    SQL_STR_ROUND6,
+    str_round6,
+)
+
+#: identical final formula evaluated by both engines over the
+#: string-routed decimal sums — every operand and operation in the
+#: same order, so the double arithmetic is IEEE-identical
+_CORR_FORMULA = (
+    "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))"
+)
+
+
+@query(
+    "profile_numeric_correlation",
+    oracle=f"""
+    WITH corr_sums AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        CAST(CAST(SUM({SQL_DEC("l_quantity")}) AS STRING) AS DOUBLE) AS sx,
+        CAST(CAST(SUM({SQL_DEC("l_extendedprice")}) AS STRING) AS DOUBLE)
+          AS sy,
+        CAST(CAST(SUM({SQL_DEC("l_quantity * l_extendedprice")}) AS STRING)
+          AS DOUBLE) AS sxy,
+        CAST(CAST(SUM({SQL_DEC("l_quantity * l_quantity")}) AS STRING)
+          AS DOUBLE) AS sxx,
+        CAST(CAST(SUM({SQL_DEC("l_extendedprice * l_extendedprice")})
+          AS STRING) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+      CAST(n AS BIGINT) AS n_rows,
+      {SQL_STR_ROUND6(_CORR_FORMULA)} AS corr_qty_price
+    FROM corr_sums
+    """,
+)
+def profile_numeric_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson correlation of (l_quantity, l_extendedprice) per
+    return flag — the profiling pass that surfaces linear column
+    relationships (a data-quality signal: a broken feed decorrelates
+    quantity from price).
+
+    Numeric contract: the five moment sums accumulate in exact
+    DECIMAL(38,10) (order-independent — a map-side-combined shuffle
+    can't change them), convert to double through the STRING route
+    (direct decimal→double casts sit 1 ulp apart across engines), and
+    the closed-form correlation is one identical double expression on
+    both sides: per-row squares reach ~1e10, which is exactly the
+    |value| ≳ 1e8 regime where direct double→decimal casts diverge
+    (functions/numeric.py SQL_DEC docstring) — every cast here is
+    string-routed.  sqrt is correctly rounded in both engines.  One
+    aggregate pass, shuffle carries six numbers per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dec_sum_dbl(col: Column, alias: str) -> Column:
+        return (
+            F.sum(col.cast(DEC)).cast("string").cast("double").alias(alias)
+        )
+
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dec_sum_dbl(x, "sx"),
+        dec_sum_dbl(y, "sy"),
+        dec_sum_dbl(x * y, "sxy"),
+        dec_sum_dbl(x * x, "sxx"),
+        dec_sum_dbl(y * y, "syy"),
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        str_round6(F.expr(_CORR_FORMULA)).alias("corr_qty_price"),
+    )

@@ -181,8 +181,12 @@ DRIVER_WINDOW: list[str] = [
     # pii_scan's to the paragraph-dedup pair above;
     # decontam_minhash_fuzzy keeps the family in-window)
     "text_gopher_rules",
-    # training prep flagships
-    "trainprep_corpus_pipeline",
+    # round-6 in-session flagship: Pearson correlation profiling
+    # (string-routed decimal moments, identical closed-form double
+    # expression both engines) — took the seat of
+    # trainprep_corpus_pipeline (driver-green r5, composite itself
+    # unchanged; trainprep keeps mixture_temperature in-window)
+    "profile_numeric_correlation",
     # round-6 in-session flagship: temperature-based mixture planning
     # (α=0.5 — sqrt is IEEE-exact in both engines, so the renorm
     # chain hash-gates; pow/ln would be rows-only)

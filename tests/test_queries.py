@@ -1235,3 +1235,24 @@ def test_er_clusters_finer_than_blocks_and_pairs_scored(spark):
         assert [m for m in members if m["is_canonical"]] == [
             m for m in members if m["c_custkey"] == keys[0]
         ]
+
+
+def test_numeric_correlation_bounds_and_counts(spark):
+    """Hash gate proves cross-engine equality; this pins the math is a
+    real correlation: values in [-1, 1], group counts partition the
+    table, and quantity⊥price in TPC-H-ish data is near zero."""
+    from bitcoin_datawarehouse_spark.operators.profiling import (
+        profile_numeric_correlation,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    rows = profile_numeric_correlation(spark, SF_SMALL).collect()
+    assert len(rows) == 3
+    assert all(abs(r["corr_qty_price"]) <= 1.0 for r in rows)
+    assert sum(r["n_rows"] for r in rows) == load_table(
+        spark, SF_SMALL, "lineitem"
+    ).count()
+    # price = quantity × unit price with independent draws — weakly
+    # positive by construction, far from degenerate ±1
+    assert all(-0.5 < r["corr_qty_price"] < 0.9 for r in rows)

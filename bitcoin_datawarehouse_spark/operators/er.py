@@ -146,3 +146,113 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("entity_id"),
         (F.col("vertex") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PassJoin-shaped candidate generation (the scale path for fuzzy pairs)
+# ---------------------------------------------------------------------------
+
+#: 3 contiguous segments of the 18-char name (k+1 segments for k=2);
+#: (1-based start, length) — generic thirds, nothing digit-specific
+_PJ_SEGMENTS = [(1, 6), (7, 6), (13, 6)]
+
+
+def er_fuzzy_pairs_passjoin_frame(c: DataFrame, max_dist: int) -> DataFrame:
+    """Same output as the naive blocked join, via PassJoin pigeonhole
+    candidates (Li/Deng/Feng, ICDE'11 "PassJoin"): partition one side
+    into ``k+1`` contiguous segments — at edit distance ≤ k at least
+    one segment of A occurs in B at a position shifted by at most k
+    (pigeonhole over the ≤ k edit operations).  The probe side
+    therefore emits each segment window at shifts −k..k; candidates
+    are an EQUI-join on (block, segment-id, segment-text) — never a
+    within-block cross join — and the exact metric verifies only
+    candidates.
+
+    Candidate cost: Σ_key |A_key|·|B_key| with segment-text keys —
+    block² divided by segment selectivity.  On sequentially-numbered
+    fixture names the leading segment is low-entropy (all
+    "Custom"), so the win concentrates in the digit segments;
+    real-world name entropy spreads it across all passes.  Measured
+    (SCALING.md): 100× candidate collapse on entropy names; on the
+    adversarial fixture it degrades to block² candidates but still
+    wins 1.4× wall (narrow rows, one Levenshtein per distinct pair,
+    (block, seg) keys spread the join past the 25-block skew).
+
+    Recall is structural for ANY name lengths: ≤ k edits each touch
+    at most one of the k+1 DISJOINT segments (covering not required),
+    so one segment survives verbatim at a shift ≤ k.  Names shorter
+    than a segment window truncate both sides identically (empty
+    matches empty — over-generates within the block, never misses).
+    """
+    k = max_dist
+    seg_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg_id"),
+                F.substring("c_name", start, ln).alias("seg"),
+            )
+            for i, (start, ln) in enumerate(_PJ_SEGMENTS)
+        ]
+    )
+    probe_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg_id"),
+                F.substring("c_name", start + d, ln).alias("seg"),
+            )
+            for i, (start, ln) in enumerate(_PJ_SEGMENTS)
+            for d in range(-k, k + 1)
+            if start + d >= 1
+        ]
+    )
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        F.explode(seg_keys).alias("sk"),
+    ).select("key_a", "name_a", "c_nationkey", "sk.seg_id", "sk.seg")
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+        F.explode(probe_keys).alias("sk"),
+    ).select("key_b", "name_b", "c_nationkey", "sk.seg_id", "sk.seg")
+    return (
+        a.join(b, ["c_nationkey", "seg_id", "seg"])
+        .where(F.col("key_a") != F.col("key_b"))
+        .select(
+            F.least("key_a", "key_b").alias("custkey_a"),
+            F.greatest("key_a", "key_b").alias("custkey_b"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("name_a"))
+            .otherwise(F.col("name_b"))
+            .alias("na"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("name_b"))
+            .otherwise(F.col("name_a"))
+            .alias("nb"),
+        )
+        .dropDuplicates(["custkey_a", "custkey_b"])
+        .withColumn("dist", F.levenshtein("na", "nb"))
+        .where(F.col("dist") <= k)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            "nationkey",
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )
+
+
+@query("er_fuzzy_name_pairs_passjoin", oracle=_sql_pairs(ER_PAIR_MAX_DIST))
+def er_fuzzy_name_pairs_passjoin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PassJoin candidates + exact verify — IDENTICAL output (and
+    oracle) to ``er_fuzzy_name_pairs``, different candidate plan: the
+    hash gate proves the pigeonhole algorithm equals the naive
+    within-block quadratic cross-engine AND cross-algorithm.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return er_fuzzy_pairs_passjoin_frame(c, ER_PAIR_MAX_DIST)

@@ -221,10 +221,12 @@ DRIVER_WINDOW: list[str] = [
     # composite stays in-window — hash_split's seat went to the SCD2
     # point-in-time join)
     "profile_drift_tv",
-    # round-4 in-session flagship (took the seat of join_full_outer,
-    # driver-green r3 — union coverage retained; its histogram
-    # sibling's seat went to the gap-fill pair above)
-    "sql_recursive_date_spine",
+    # round-6 in-session flagship: PassJoin candidate generation for
+    # the ER pair surface (same oracle as the naive blocked join —
+    # the hash gate proves cross-ALGORITHM equality too).  Took the
+    # seat of sql_recursive_date_spine (driver-green r4/r5,
+    # unchanged; join_full_outer precedent — union coverage retained)
+    "er_fuzzy_name_pairs_passjoin",
     # round-6 rotation: the runtime AUTO-WIDTH LSH embedding dedup is
     # now the registered production default (its oracle computes the
     # same corpus-count width rule in SQL) — took the seat of the

@@ -1237,6 +1237,76 @@ def test_er_clusters_finer_than_blocks_and_pairs_scored(spark):
         ]
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_er_passjoin_equals_naive_and_catches_indels(spark):
+    """The PassJoin candidate plan is exactly the naive blocked join's
+    output at SF_SMALL, and — the part the fixture can't exercise with
+    its fixed-width names — shifted probe windows recover pairs whose
+    edits are INSERT/DELETE (segment positions shift by the net indel
+    count), verified against a brute-force Levenshtein DP."""
+    from bitcoin_datawarehouse_spark.operators.er import (
+        ER_PAIR_MAX_DIST,
+        er_fuzzy_name_pairs,
+        er_fuzzy_name_pairs_passjoin,
+        er_fuzzy_pairs_passjoin_frame,
+    )
+    from tests.conftest import SF_SMALL
+
+    naive = sorted(
+        tuple(r) for r in er_fuzzy_name_pairs(spark, SF_SMALL).collect()
+    )
+    pj = sorted(
+        tuple(r)
+        for r in er_fuzzy_name_pairs_passjoin(spark, SF_SMALL).collect()
+    )
+    assert naive and pj == naive
+
+    # planted indel corpus: same entity under dropped / doubled chars
+    # (lengths differ, so every true pair here crosses a length edit);
+    # plus same-length sub pairs in each segment and far-apart decoys
+    base = "Customer#000004711"
+    names = [
+        base,                      # 1: reference
+        base[:9] + base[10:],      # 2: one digit deleted  (dist 1)
+        base[:9] + "00" + base[9:],  # 3: two inserted       (dist 2)
+        base.replace("C", "K", 1),   # 4: sub in segment 0   (dist 1)
+        base[:8] + "X" + base[9:],   # 5: sub in segment 1   (dist 1)
+        base[:17] + "9",             # 6: sub in segment 2   (dist 1)
+        "Supplier#000004711",        # 7: decoy (dist > 2)
+        base[:6] + base[8:],         # 8: two deleted        (dist 2)
+    ]
+    rows = [(i + 1, n, 0) for i, n in enumerate(names)]
+    c = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long"
+    )
+    got = {
+        (r["custkey_a"], r["custkey_b"], r["dist"])
+        for r in er_fuzzy_pairs_passjoin_frame(
+            c, ER_PAIR_MAX_DIST
+        ).collect()
+    }
+    want = {
+        (ka, kb, _lev(na, nb))
+        for ka, na, _ in rows
+        for kb, nb, _ in rows
+        if ka < kb and _lev(na, nb) <= ER_PAIR_MAX_DIST
+    }
+    assert got == want
+    # the indel pairs specifically are present (1,2), (1,3), (1,8)
+    assert {(1, 2), (1, 3), (1, 8)} <= {(a, b) for a, b, _ in want}
+
+
 def test_numeric_correlation_bounds_and_counts(spark):
     """Hash gate proves cross-engine equality; this pins the math is a
     real correlation: values in [-1, 1], group counts partition the

@@ -305,3 +305,102 @@ def profile_numeric_correlation(
         F.col("n").cast("long").alias("n_rows"),
         str_round6(F.expr(_CORR_FORMULA)).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear trend (round 6): regression line + fit per segment
+# ---------------------------------------------------------------------------
+
+#: closed forms purely in the five string-routed moment sums — the
+#: identical expression text runs on both engines, so the double
+#: arithmetic is IEEE-identical (the profile_numeric_correlation
+#: contract, extended from corr to the full regression line)
+_TREND_DENOM = "(n*sxx - sx*sx)"
+_TREND_SLOPE = f"(n*sxy - sx*sy) / {_TREND_DENOM}"
+_TREND_INTERCEPT = f"(sy*sxx - sx*sxy) / {_TREND_DENOM}"
+_TREND_R2 = (
+    f"((n*sxy - sx*sy) * (n*sxy - sx*sy))"
+    f" / ({_TREND_DENOM} * (n*syy - sy*sy))"
+)
+
+
+@query(
+    "profile_group_trend",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderpriority,
+        CAST(date_diff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+        o_totalprice AS y
+      FROM orders
+    ),
+    moments AS (
+      SELECT o_orderpriority,
+        COUNT(*) AS n,
+        CAST(CAST(SUM({SQL_DEC("x")}) AS STRING) AS DOUBLE) AS sx,
+        CAST(CAST(SUM({SQL_DEC("y")}) AS STRING) AS DOUBLE) AS sy,
+        CAST(CAST(SUM({SQL_DEC("x * y")}) AS STRING) AS DOUBLE) AS sxy,
+        CAST(CAST(SUM({SQL_DEC("x * x")}) AS STRING) AS DOUBLE) AS sxx,
+        CAST(CAST(SUM({SQL_DEC("y * y")}) AS STRING) AS DOUBLE) AS syy
+      FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+      CAST(n AS BIGINT) AS n_rows,
+      {SQL_STR_ROUND6(_TREND_SLOPE)} AS slope_per_day,
+      {SQL_STR_ROUND6(_TREND_INTERCEPT)} AS intercept,
+      {SQL_STR_ROUND6(_TREND_R2)} AS r2
+    FROM moments
+    """,
+)
+def profile_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend line of order value over time, per priority
+    segment: slope (currency/day), intercept (fitted value at the
+    1995-01-01 epoch), and R² — the profiling pass that turns "is
+    revenue drifting?" into one aggregate over the fact table (a
+    monitoring deployment compares slopes across loads the way
+    ``profile_drift_tv`` compares distributions).
+
+    Numeric contract = ``profile_numeric_correlation`` extended to the
+    full regression line: x (day index, exact small integer as double)
+    and y accumulate five moments in exact DECIMAL(38,10) — per-row
+    ``x·y`` reaches ~1e9 and ``y²`` ~1e11, squarely the |value| ≳ 1e8
+    regime where direct double→decimal casts diverge, so every
+    oracle-side cast is string-routed (SQL_DEC) — then slope /
+    intercept / R² are closed forms in the moment sums, the identical
+    expression text on both engines, exposed via str_round6.
+
+    One aggregate pass; the shuffle carries six numbers per group.  At
+    100 TB this is the cheapest query in the profiling family — a
+    map-side-combined hash aggregate over however many segments the
+    GROUP BY has.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+
+    def dec_sum_dbl(col: Column, alias: str) -> Column:
+        return (
+            F.sum(col.cast(DEC)).cast("string").cast("double").alias(alias)
+        )
+
+    moments = pts.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dec_sum_dbl(x, "sx"),
+        dec_sum_dbl(y, "sy"),
+        dec_sum_dbl(x * y, "sxy"),
+        dec_sum_dbl(x * x, "sxx"),
+        dec_sum_dbl(y * y, "syy"),
+    )
+    return moments.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_rows"),
+        str_round6(F.expr(_TREND_SLOPE)).alias("slope_per_day"),
+        str_round6(F.expr(_TREND_INTERCEPT)).alias("intercept"),
+        str_round6(F.expr(_TREND_R2)).alias("r2"),
+    )

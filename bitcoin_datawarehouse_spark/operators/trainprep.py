@@ -631,3 +631,98 @@ def trainprep_mixture_temperature(
         str_round6(keep).alias("keep_rate"),
         F.floor(keep * F.col("n_docs")).cast("bigint").alias("alloc_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted Poisson sampling (importance sampling by document weight)
+# ---------------------------------------------------------------------------
+
+#: expected sample size the inclusion probabilities are scaled to
+WEIGHTED_SAMPLE_K = 120
+
+#: one md5 nibble → 0..15 (the trainprep_hash_split pattern, extended
+#: to 8 nibbles = an exact 32-bit uniform draw per document)
+_NIB_SQL = (
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),"
+    " {i}, 1)) - 1)"
+)
+_U32_SQL = " + ".join(
+    f"{_NIB_SQL.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+)
+
+
+@query(
+    "trainprep_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS weight,
+             CAST(({_U32_SQL}) AS DOUBLE) / 4294967296.0 AS u
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS DOUBLE) AS sw FROM w)
+    SELECT doc_id, source, weight,
+           {SQL_STR_ROUND6(
+               f"LEAST(CAST(1.0 AS DOUBLE),"
+               f" {WEIGHTED_SAMPLE_K} * CAST(weight AS DOUBLE) / sw)"
+           )} AS incl_p
+    FROM w, tot
+    WHERE u < LEAST(CAST(1.0 AS DOUBLE),
+                    {WEIGHTED_SAMPLE_K} * CAST(weight AS DOUBLE) / sw)
+    """,
+)
+def trainprep_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weight-proportional Poisson sample: keep a document with
+    probability ``min(1, K·w/Σw)`` — expected size K, inclusion
+    probability ∝ weight (here ``length(text)``: token-budget-
+    proportional sampling, the standard way to sample a fixed training
+    budget so long documents aren't under-represented per token).
+
+    Deterministic and engine-neutral END TO END, no RNG state: the
+    uniform draw is 8 md5 nibbles → an exact 32-bit integer / 2³² (both
+    steps exact in double), Σw is an exact BIGINT sum, and the
+    threshold ``K·w/Σw`` is one correctly-rounded double division —
+    identical bits in both engines, so the SAME documents are kept
+    (re-running, growing the corpus, or switching engines never flips
+    a kept doc except through Σw itself, which is the point of Poisson
+    sampling: membership is per-doc independent).
+
+    At 100 TB: one scalar aggregate (Σw, map-side combined) broadcast
+    into a stateless filter projection — no shuffle of the corpus, no
+    per-stratum sort (contrast ``trainprep_stratified_sample``'s
+    rank).  The exposed ``incl_p`` is the Horvitz-Thompson inverse
+    weight's denominator for downstream unbiased estimates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(hx, i, 1)
+    ) - 1
+    u32 = sum(
+        (
+            nib(i + 1).cast("long") * F.lit(16 ** (7 - i)).cast("long")
+            for i in range(8)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("weight"),
+        (u32.cast("double") / F.lit(4294967296.0)).alias("u"),
+    )
+    sw = w.agg(F.sum("weight").cast("double").alias("sw"))
+    p = F.least(
+        F.lit(1.0),
+        F.lit(WEIGHTED_SAMPLE_K) * F.col("weight").cast("double")
+        / F.col("sw"),
+    )
+    return (
+        w.crossJoin(F.broadcast(sw))
+        .where(F.col("u") < p)
+        .select(
+            "doc_id", "source", "weight", str_round6(p).alias("incl_p")
+        )
+    )

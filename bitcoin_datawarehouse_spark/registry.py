@@ -160,8 +160,13 @@ DRIVER_WINDOW: list[str] = [
     # --- retained round-3 slots (driver-green r3, kept in-window) ---
     # pipeline ELT semantics (reference K6/K7/K8, F3)
     "pipeline_merge_upsert",
-    "pipeline_delete_where",
     "pipeline_watermark_extract",
+    # round-6 in-session flagship: CDC snapshot diff (full-outer
+    # keyed diff → insert/update/delete change feed; apply round-trip
+    # pytest-pinned) — took the seat of pipeline_delete_where
+    # (driver-green r3-r5, unchanged; the pipeline family keeps
+    # merge_upsert, watermark_extract and the SCD2 pair in-window)
+    "cdc_snapshot_diff",
     # round-6 in-session flagship: SCD Type-2 history merge
     # (Loader.load_scd2 + the read-only dataflow twin) — took the
     # seat of cohort_weekly_retention (driver-green r5, unchanged;
@@ -173,9 +178,14 @@ DRIVER_WINDOW: list[str] = [
     # trainprep_hash_split (driver-green r5, unchanged; trainprep
     # keeps the corpus_pipeline composite in-window)
     "pipeline_scd2_point_in_time_join",
-    # streaming engine parity
+    # streaming engine parity (dedup_exact's seat went to the
+    # round-6 weighted Poisson sample — driver-green r3-r5,
+    # unchanged; streaming keeps windowed_counts + drift_monitor)
     "streaming_windowed_counts",
-    "streaming_dedup_exact",
+    # round-6 in-session flagship: weight-proportional Poisson
+    # sampling (md5-nibble exact 32-bit uniform, scalar-broadcast
+    # Σw, stateless filter — no corpus shuffle)
+    "trainprep_weighted_sample",
     # corpus curation (ngram_overlap's seat went to the round-6
     # temperature-mixture plan below — driver-green r3-r5, unchanged;
     # pii_scan's to the paragraph-dedup pair above;
@@ -191,9 +201,14 @@ DRIVER_WINDOW: list[str] = [
     # (α=0.5 — sqrt is IEEE-exact in both engines, so the renorm
     # chain hash-gates; pow/ln would be rows-only)
     "trainprep_mixture_temperature",
-    # IVF / k-means ANN
+    # IVF / k-means ANN (kmeans_assign's seat went to the round-6
+    # per-group trend — driver-green r5, unchanged; the similarity
+    # family keeps ivf_topk plus the four PQ/IVF-PQ slots)
     "similarity_ivf_topk",
-    "similarity_ivf_kmeans_assign",
+    # round-6 in-session flagship: per-group least-squares trend
+    # line (the correlation numeric contract extended to slope /
+    # intercept / R²)
+    "profile_group_trend",
     # substring / embedding dedup (the stride-1 substring slot stays:
     # its shared kernel was re-profiled this round; incremental's seat
     # went to the ER pair — driver-green r3-r5, unchanged)
@@ -298,4 +313,5 @@ def load_all_operators() -> None:
         paragraph,
         gapfill,
         er,
+        cdc,
     )

@@ -1326,3 +1326,157 @@ def test_numeric_correlation_bounds_and_counts(spark):
     # price = quantity × unit price with independent draws — weakly
     # positive by construction, far from degenerate ±1
     assert all(-0.5 < r["corr_qty_price"] < 0.9 for r in rows)
+
+
+def test_cdc_snapshot_diff_classifies_and_apply_roundtrips(spark):
+    """Planted snapshots cover every op class (insert, delete,
+    update-one-col, update-both, NULL→value, value→NULL, unchanged);
+    apply_changes(old, diff) must reproduce new EXACTLY."""
+    from bitcoin_datawarehouse_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    schema = "k long, price double, status string"
+    old = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),   # unchanged
+            (2, 20.0, "B"),   # price update
+            (3, 30.0, "C"),   # both-column update
+            (4, 40.0, None),  # NULL -> value (update)
+            (5, 50.0, "E"),   # value -> NULL (update)
+            (6, 60.0, "F"),   # deleted
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, 21.0, "B"),
+            (3, 31.0, "D"),
+            (4, 40.0, "X"),
+            (5, 50.0, None),
+            (7, 70.0, "G"),   # inserted
+        ],
+        schema,
+    )
+    diff = snapshot_diff(old, new, ["k"], ["price", "status"])
+    got = {r["k"]: r["op"] for r in diff.collect()}
+    assert got == {
+        2: "update",
+        3: "update",
+        4: "update",
+        5: "update",
+        6: "delete",
+        7: "insert",
+    }
+    replayed = apply_changes(old, diff, ["k"], ["price", "status"])
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_cdc_snapshot_diff_query_partitions_key_space(spark):
+    """On the fixture derivation: keys ≡3 (mod 10) are exactly the
+    inserts, ≡7 the deletes, and every update really differs."""
+    from bitcoin_datawarehouse_spark.operators.cdc import cdc_snapshot_diff
+    from tests.conftest import SF_SMALL
+
+    rows = cdc_snapshot_diff(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r["op"] == "insert":
+            assert r["o_orderkey"] % 10 == 3
+            assert r["old_o_totalprice"] is None
+        elif r["op"] == "delete":
+            assert r["o_orderkey"] % 10 == 7
+            assert r["new_o_totalprice"] is None
+        else:
+            assert r["op"] == "update"
+            assert (
+                r["old_o_totalprice"] != r["new_o_totalprice"]
+                or r["old_o_orderstatus"] != r["new_o_orderstatus"]
+            )
+
+
+def test_trainprep_weighted_sample_matches_python_reimplementation(spark):
+    """The kept set is a pure function of (doc_id, length, Σw): an
+    independent hashlib/IEEE reimplementation must select the IDENTICAL
+    documents — the determinism claim, verified outside both engines."""
+    import hashlib
+
+    from bitcoin_datawarehouse_spark.operators.trainprep import (
+        WEIGHTED_SAMPLE_K,
+        trainprep_weighted_sample,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    weights = {
+        r["doc_id"]: len(r["text"]) for r in docs.collect()
+    }
+    sw = float(sum(weights.values()))
+    expected = set()
+    for doc_id, w in weights.items():
+        u = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        if u < min(1.0, WEIGHTED_SAMPLE_K * float(w) / sw):
+            expected.add(doc_id)
+    got = trainprep_weighted_sample(spark, SF_SMALL).collect()
+    assert {r["doc_id"] for r in got} == expected
+    # expected-size contract: within 4 sigma of K (binomial bound)
+    assert abs(len(got) - WEIGHTED_SAMPLE_K) < 4 * WEIGHTED_SAMPLE_K**0.5
+    assert all(0.0 < r["incl_p"] <= 1.0 for r in got)
+
+
+def test_profile_group_trend_matches_numpy_least_squares(spark):
+    """Slope/intercept/R² agree with numpy's independent least-squares
+    on the collected points, per group, at the exposed 6-dp surface."""
+    import numpy as np
+
+    from bitcoin_datawarehouse_spark.operators.profiling import (
+        profile_group_trend,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    pts = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01")
+            ).cast("double").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .collect()
+    )
+    by_group: dict[str, list[tuple[float, float]]] = {}
+    for r in pts:
+        by_group.setdefault(r["o_orderpriority"], []).append(
+            (r["x"], r["y"])
+        )
+    rows = {
+        r["o_orderpriority"]: r
+        for r in profile_group_trend(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(by_group)
+    for g, xy in by_group.items():
+        x = np.array([p[0] for p in xy])
+        y = np.array([p[1] for p in xy])
+        slope, intercept = np.polyfit(x, y, 1)
+        pred = slope * x + intercept
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot
+        assert rows[g]["n_rows"] == len(xy)
+        assert abs(rows[g]["slope_per_day"] - slope) < 5e-6
+        assert abs(rows[g]["intercept"] - intercept) < 5e-6
+        assert abs(rows[g]["r2"] - r2) < 5e-6
+        assert 0.0 <= rows[g]["r2"] <= 1.0

@@ -102,6 +102,14 @@ HEADLINE = [
     # time_bucket_hourly... (the islands stats ride the same dense
     # frame and stay gate-only)
     "events_gapfill_locf",
+    # round-6 additions (39 → 42): the session's three new flagship
+    # families — the CDC keyed snapshot diff (one co-partitioned
+    # full-outer), the weight-proportional Poisson sample (scalar
+    # broadcast + stateless filter — the cheapest sampling plan), and
+    # the per-group regression trend (one six-number hash aggregate)
+    "cdc_snapshot_diff",
+    "trainprep_weighted_sample",
+    "profile_group_trend",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Storage-layout operators: z-order clustering for multi-dimensional
+data skipping.
+
+A 100 TB fact table answers single-dimension range scans well if it is
+sorted by that dimension — and terribly on every other dimension,
+because each parquet row group's min/max for the un-sorted columns
+span the whole domain.  Z-ordering (bit-interleaving order-preserving
+bucket ids, functions/zorder.py) makes contiguous key ranges small
+hyper-rectangles, so row-group stats stay tight on BOTH interleaved
+dimensions and 2-D predicates prune most of the table
+(tools/probe_zorder.py measures the effect at sf10; SCALING.md).
+
+The gate query exposes the z-cell map of `orders` over
+(customer, order-day): runtime-adaptive bucket scales (scalar MAX
+subqueries — the AUTO_BITS_SQL precedent), exact monotone integer
+bucketing, and the Morton interleave — all integer arithmetic, so the
+DuckDB oracle computes bit-identical cell ids with `<<`/`&`/`|`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.zorder import (
+    bucketize,
+    sql_bucketize,
+    sql_zorder2,
+    zorder2,
+)
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+#: z-key resolution per dimension (16 bits each → 32-bit Morton key)
+Z_BITS = 16
+
+
+@query(
+    "storage_zorder_cells",
+    oracle=f"""
+    WITH scale AS (
+      SELECT CAST(MAX(o_custkey) + 1 AS BIGINT) AS mc,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(MAX(o_orderdate) AS DATE)) + 1 AS BIGINT)
+               AS md
+      FROM orders
+    ),
+    buckets AS (
+      SELECT
+        {sql_bucketize("o_custkey", "mc", Z_BITS)} AS cust_bucket,
+        {sql_bucketize(
+            "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
+            "md",
+            Z_BITS,
+        )} AS day_bucket
+      FROM orders, scale
+    ),
+    cells AS (
+      SELECT cust_bucket, day_bucket, COUNT(*) AS n_orders
+      FROM buckets GROUP BY cust_bucket, day_bucket
+    )
+    SELECT {sql_zorder2("cust_bucket", "day_bucket")} AS zcell,
+           cust_bucket, day_bucket,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM cells
+    """,
+)
+def storage_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-cell map of `orders` over (customer, order day): the Morton
+    key every row would be clustered by, with per-cell row counts —
+    the planning view a layout job inspects before rewriting a table
+    (cell skew here = range-partition skew there).
+
+    One scalar-aggregate broadcast (the two bucket scales) + one hash
+    aggregate on the bucket pair; the interleave runs once per
+    DISTINCT cell, after the aggregate.  Everything is exact integer
+    arithmetic (monotone ``(v<<16)//(max+1)`` bucketing + magic-number
+    bit spread), hash-gated bit-for-bit against the SQL mirror.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    scale = orders.agg(
+        (F.max("o_custkey") + 1).cast("long").alias("mc"),
+        (
+            F.datediff(F.to_date(F.max("o_orderdate")), F.lit("1995-01-01"))
+            + 1
+        )
+        .cast("long")
+        .alias("md"),
+    )
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+    cells = (
+        orders.crossJoin(F.broadcast(scale))
+        .select(
+            bucketize(F.col("o_custkey"), F.col("mc"), Z_BITS).alias(
+                "cust_bucket"
+            ),
+            bucketize(day, F.col("md"), Z_BITS).alias("day_bucket"),
+        )
+        .groupBy("cust_bucket", "day_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return cells.select(
+        zorder2(F.col("cust_bucket"), F.col("day_bucket")).alias("zcell"),
+        "cust_bucket",
+        "day_bucket",
+        "n_orders",
+    )

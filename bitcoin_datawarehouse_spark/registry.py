@@ -186,11 +186,16 @@ DRIVER_WINDOW: list[str] = [
     # sampling (md5-nibble exact 32-bit uniform, scalar-broadcast
     # Σw, stateless filter — no corpus shuffle)
     "trainprep_weighted_sample",
-    # corpus curation (ngram_overlap's seat went to the round-6
-    # temperature-mixture plan below — driver-green r3-r5, unchanged;
-    # pii_scan's to the paragraph-dedup pair above;
-    # decontam_minhash_fuzzy keeps the family in-window)
-    "text_gopher_rules",
+    # corpus curation: ngram_overlap's seat went to the round-6
+    # temperature-mixture plan below, pii_scan's to the paragraph-
+    # dedup pair above, and gopher_rules' to the z-order cell map
+    # (all driver-green r3-r5, unchanged; decontam_minhash_fuzzy
+    # keeps the curation family in-window).
+    # Round-6 in-session flagship: z-order clustering cell map
+    # (runtime-adaptive integer bucketing + Morton interleave,
+    # bit-identical SQL mirror; the layout behind the measured
+    # row-group pruning probe in SCALING.md)
+    "storage_zorder_cells",
     # round-6 in-session flagship: Pearson correlation profiling
     # (string-routed decimal moments, identical closed-form double
     # expression both engines) — took the seat of
@@ -314,4 +319,5 @@ def load_all_operators() -> None:
         gapfill,
         er,
         cdc,
+        storage,
     )

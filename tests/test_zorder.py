@@ -1,0 +1,137 @@
+"""Z-order clustering: interleave correctness, bucketize engine
+parity, and the data-skipping property the layout exists for."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.zorder import (
+    bucketize,
+    write_zordered,
+    zorder2,
+)
+
+
+def _morton_ref(a: int, b: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_zorder2_matches_bitwise_reference(spark, pairs):
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder2(F.col("a"), F.col("b")).alias("z"))
+        .collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == _morton_ref(a, b)
+
+
+@given(
+    v=st.integers(0, 2**31 - 1),
+    d=st.one_of(
+        st.integers(1, 2**37 - 1),
+        # adversarial: divisors just under the documented 2^37 bound
+        st.integers(2**37 - 2**16, 2**37 - 1),
+    ),
+)
+@settings(max_examples=2000, deadline=None)
+def test_bucketize_double_floor_equals_integer_division(v, d):
+    """The Spark side floors a DOUBLE quotient; the oracle divides in
+    exact integers.  The zorder.bucketize docstring's argument says
+    they agree for divisors < 2^37 — pin it across the range,
+    including just under the boundary."""
+    n = v << 16
+    assert math.floor(n / d) == n // d
+
+
+def test_write_zordered_prunes_2d_predicates_where_1d_sort_cannot(
+    spark, tmp_path
+):
+    """The point of the layout: on a synthetic 2-D grid, a rectangle
+    predicate must intersect (by parquet row-group min/max stats) far
+    fewer row groups in the z-ordered copy than in the copy sorted by
+    x alone — and both layouts hold identical data."""
+    import pyarrow.parquet as pq
+
+    n_side = 256  # 64k rows on a 256x256 grid
+    grid = spark.range(n_side * n_side).select(
+        (F.col("id") % n_side).alias("x"),
+        (F.col("id") / n_side).cast("long").alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "x")
+    write_zordered(
+        grid, zpath, zorder2(F.col("x"), F.col("y")), num_files=16
+    )
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    def intersecting_groups(path: str, lo: int, hi: int) -> tuple[int, int]:
+        """(row groups whose y-stats intersect [lo, hi], total)."""
+        hit = total = 0
+        import pathlib
+
+        for f in pathlib.Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            ycol = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }["y"]
+            for g in range(md.num_row_groups):
+                s = md.row_group(g).column(ycol).statistics
+                total += 1
+                if s.min <= hi and s.max >= lo:
+                    hit += 1
+        return hit, total
+
+    # identical data in both copies
+    assert (
+        spark.read.parquet(zpath).orderBy("x", "y").collect()
+        == spark.read.parquet(xpath).orderBy("x", "y").collect()
+    )
+    # a narrow y-band: the x-sorted layout cannot skip on y at all
+    z_hit, z_total = intersecting_groups(zpath, 100, 107)
+    x_hit, x_total = intersecting_groups(xpath, 100, 107)
+    assert x_hit == x_total, "x-sorted layout has no y locality"
+    assert z_hit < z_total / 2, (
+        f"z-order should prune >half the row groups: {z_hit}/{z_total}"
+    )
+
+
+def test_storage_zorder_cells_counts_partition_the_table(spark):
+    from bitcoin_datawarehouse_spark.operators.storage import (
+        storage_zorder_cells,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    cells = storage_zorder_cells(spark, SF_SMALL).collect()
+    n = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_orders"] for r in cells) == n
+    for r in cells:
+        assert 0 <= r["cust_bucket"] < 2**16
+        assert 0 <= r["day_bucket"] < 2**16
+        assert r["zcell"] == _morton_ref(r["cust_bucket"], r["day_bucket"])

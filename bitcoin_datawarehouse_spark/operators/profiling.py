@@ -404,3 +404,93 @@ def profile_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         str_round6(F.expr(_TREND_INTERCEPT)).alias("intercept"),
         str_round6(F.expr(_TREND_R2)).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiling (round 6): the pre-flight check for the skew levers
+# ---------------------------------------------------------------------------
+
+def _skew_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS keycol, n_rows, n_keys,
+           {SQL_STR_ROUND6("CAST(maxc AS DOUBLE) / n_rows")} AS top1_share,
+           {SQL_STR_ROUND6("CAST(t10 AS DOUBLE) / n_rows")} AS top10_share,
+           {SQL_STR_ROUND6(
+               "CAST(sumsq AS DOUBLE)"
+               " / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))"
+           )} AS hhi
+    FROM (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq,
+             CAST(MAX(cnt) AS BIGINT) AS maxc
+      FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY {col})
+    ), (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS t10 FROM (
+        SELECT COUNT(*) AS cnt FROM orders GROUP BY {col}
+        ORDER BY cnt DESC, {col} LIMIT 10
+      )
+    )
+    """
+
+
+_SKEW_COLS = ["o_custkey", "o_orderpriority"]
+
+
+@query(
+    "profile_key_skew",
+    oracle=" UNION ALL ".join(_skew_sql(c) for c in _SKEW_COLS),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew diagnostic per candidate shuffle key:
+    top-1 / top-10 share and the Herfindahl index (Σ share² — the
+    expected same-partition collision mass, i.e. exactly the Σ|bucket|²
+    term the LSH hot-bucket cap and the salted-join lever bound).  Run
+    this BEFORE picking join/agg keys at scale: `functions/skew.py`'s
+    salting and the AQE-blind-spot rule (CLAUDE.md) are the actions
+    this view selects between.
+
+    Transcendental-free on purpose (no entropy/ln — the TV-over-PSI
+    lesson): every exposed ratio is an exact-integer quotient through
+    str_round6, so the view hash-gates.  Per key: one map-combined
+    count aggregate, a 4-number reduction over it, and a distributed
+    top-10 (TakeOrdered — no unpartitioned window, no driver sort of
+    the key space; ties broken by key value, both engines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def one(col: str) -> DataFrame:
+        counts = orders.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        tot = counts.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("cnt"))
+            .cast("bigint")
+            .alias("sumsq"),
+            F.max("cnt").cast("bigint").alias("maxc"),
+        )
+        t10 = (
+            counts.orderBy(F.desc("cnt"), F.col(col))
+            .limit(10)
+            .agg(F.sum("cnt").cast("bigint").alias("t10"))
+        )
+        n = F.col("n_rows").cast("double")
+        return tot.crossJoin(t10).select(
+            F.lit(col).alias("keycol"),
+            "n_rows",
+            "n_keys",
+            str_round6(F.col("maxc").cast("double") / n).alias(
+                "top1_share"
+            ),
+            str_round6(F.col("t10").cast("double") / n).alias(
+                "top10_share"
+            ),
+            str_round6(
+                F.col("sumsq").cast("double") / (n * n)
+            ).alias("hhi"),
+        )
+
+    out = one(_SKEW_COLS[0])
+    for c in _SKEW_COLS[1:]:
+        out = out.unionByName(one(c))
+    return out

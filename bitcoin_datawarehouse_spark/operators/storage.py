@@ -105,3 +105,76 @@ def storage_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_bucket",
         "n_orders",
     )
+
+
+# ---------------------------------------------------------------------------
+# file-skipping manifest: Delta/Iceberg-style stats without the format
+# ---------------------------------------------------------------------------
+
+def build_manifest(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file statistics manifest of a parquet directory: row count
+    + min/max of each listed column, keyed by file path — ONE scan,
+    grouped on the reader's ``_metadata.file_path``.
+
+    At 100 TB the point is not row-group pruning (the parquet reader
+    already does that from footers) but FILE pruning without touching
+    footers at all: a million-file table costs a million footer reads
+    per planned scan, while this manifest is one small table consulted
+    once.  Pairs with :func:`write_zordered` — z-clustered files have
+    tight per-file min/max on every interleaved dimension, so the
+    manifest prunes multi-dimensional predicates (measured in
+    tests/test_zorder.py and SCALING.md).  Rebuild (or append, via the
+    same aggregate over only the new files) after each load.
+    """
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file_path"), *cols
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy("file_path").agg(*aggs)
+
+
+def manifest_pruned_read(
+    spark: SparkSession,
+    manifest: DataFrame,
+    ranges: dict[str, tuple],
+) -> tuple[DataFrame, int, int]:
+    """Read only the files whose manifest stats intersect every
+    ``col: (lo, hi)`` range, then re-apply the exact predicate.
+
+    Returns ``(frame, files_read, files_total)``.  The manifest is
+    file-count-sized (collected driver-side deliberately — that IS the
+    design: planning state small enough to hold, so the executors
+    never list or open skipped files).  Correctness does not depend on
+    manifest freshness precision: stats are conservative (a stale-wide
+    range only reads more), and the exact predicate re-applies on the
+    surviving rows.
+    """
+    rows = manifest.collect()
+    if not rows:
+        raise ValueError("empty manifest — build it over a written table")
+    keep = [
+        r["file_path"]
+        for r in rows
+        if all(
+            r[f"min_{c}"] <= hi and r[f"max_{c}"] >= lo
+            for c, (lo, hi) in ranges.items()
+        )
+    ]
+    pred = None
+    for c, (lo, hi) in ranges.items():
+        p = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+        pred = p if pred is None else (pred & p)
+    if not keep:
+        base = spark.read.parquet(
+            *[r["file_path"] for r in rows[:1]]
+        ).where(F.lit(False))
+        return base, 0, len(rows)
+    return (
+        spark.read.parquet(*keep).where(pred),
+        len(keep),
+        len(rows),
+    )

@@ -219,12 +219,15 @@ DRIVER_WINDOW: list[str] = [
     # went to the ER pair — driver-green r3-r5, unchanged)
     "dedup_substring_spans",
     "dedup_embedding_cosine_lsh",
-    # LM quality (exact oracle mode + production approx-threshold
-    # mode, both hash-gated) + profiling.  The approx slot took the
-    # seat of agg_string_concat (driver-green r3 — union coverage
-    # retained via CORRECTNESS_r03).
-    "text_lm_quality",
+    # LM quality: the production approx-threshold mode keeps the
+    # family in-window; the exact mode's seat (driver-green r5, both
+    # modes unchanged in r6) went to the key-skew diagnostic below.
     "text_lm_quality_approx",
+    # round-6 in-session flagship: key-distribution skew profiling
+    # (top-1/top-10 share + Herfindahl Σ share² — the collision-mass
+    # term the hot-bucket cap and salted join bound; transcendental-
+    # free so it hash-gates; distributed top-10, no driver sort)
+    "profile_key_skew",
     # round-6 in-session flagships: time-series gap-fill (dense
     # 15-min spine + LOCF) and its gaps-and-islands run statistics —
     # the hypertable operator family.  They took the seats of

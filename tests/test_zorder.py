@@ -135,3 +135,42 @@ def test_storage_zorder_cells_counts_partition_the_table(spark):
         assert 0 <= r["cust_bucket"] < 2**16
         assert 0 <= r["day_bucket"] < 2**16
         assert r["zcell"] == _morton_ref(r["cust_bucket"], r["day_bucket"])
+
+
+def test_manifest_pruned_read_equals_full_scan_and_skips_files(
+    spark, tmp_path
+):
+    """The file-skipping manifest over a z-ordered write: the pruned
+    read returns EXACTLY the full scan's rows for a 2-D range while
+    opening a minority of the files; an empty-result range reads zero
+    files."""
+    from bitcoin_datawarehouse_spark.operators.storage import (
+        build_manifest,
+        manifest_pruned_read,
+    )
+
+    n_side = 128
+    grid = spark.range(n_side * n_side).select(
+        (F.col("id") % n_side).alias("x"),
+        (F.col("id") / n_side).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "zgrid")
+    write_zordered(grid, path, zorder2(F.col("x"), F.col("y")), 16)
+    man = build_manifest(spark, path, ["x", "y"])
+    assert man.count() == 16
+    ranges = {"x": (10, 30), "y": (100, 120)}
+    pruned, read, total = manifest_pruned_read(spark, man, ranges)
+    expect = sorted(
+        (r["x"], r["y"])
+        for r in grid.where(
+            (F.col("x") >= 10) & (F.col("x") <= 30)
+            & (F.col("y") >= 100) & (F.col("y") <= 120)
+        ).collect()
+    )
+    got = sorted((r["x"], r["y"]) for r in pruned.collect())
+    assert got == expect and expect
+    assert read < total / 2, f"manifest should skip most files: {read}/{total}"
+    empty, read0, _ = manifest_pruned_read(
+        spark, man, {"x": (500, 600), "y": (0, 5)}
+    )
+    assert read0 == 0 and empty.count() == 0

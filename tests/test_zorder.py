@@ -174,3 +174,122 @@ def test_manifest_pruned_read_equals_full_scan_and_skips_files(
         spark, man, {"x": (500, 600), "y": (0, 5)}
     )
     assert read0 == 0 and empty.count() == 0
+
+
+def _ztab_fixture_rows(spark, lo, hi, n_side=64, stride=1, offset=0):
+    base = spark.range(lo, hi)
+    if stride > 1:
+        base = base.where(F.col("id") % stride == offset)
+    return base.select(
+        (F.col("id") % n_side).alias("x"),
+        ((F.col("id") / n_side).cast("long") % n_side).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+
+def test_ztable_loop_ingest_equals_oneshot_and_compact_is_local(
+    spark, tmp_path
+):
+    """The storage production loop: seed + two ingests hold exactly the
+    one-shot seed's data; compact() rewrites ONLY over-threshold blocks
+    (every other block directory byte-identical) and changes nothing
+    about the table's content."""
+    import hashlib
+    import pathlib
+
+    from bitcoin_datawarehouse_spark.operators.ztable import ZOrderedTable
+
+    dims = [("x", 64), ("y", 64)]
+    one = ZOrderedTable(
+        spark, str(tmp_path / "one"), dims, block_bits=2
+    )
+    one.seed(_ztab_fixture_rows(spark, 0, 3000))
+
+    tab = ZOrderedTable(
+        spark,
+        str(tmp_path / "loop"),
+        dims,
+        block_bits=2,
+        max_files_per_block=2,
+    )
+    tab.seed(_ztab_fixture_rows(spark, 0, 3000, stride=3, offset=0))
+    # second handle re-opens from the sidecar (no dims passed)
+    again = ZOrderedTable(
+        spark, str(tmp_path / "loop"), max_files_per_block=2
+    )
+    assert again.dims == [("x", 64), ("y", 64)]
+    for off in (1, 2):
+        again.ingest(
+            _ztab_fixture_rows(spark, 0, 3000, stride=3, offset=off)
+        )
+
+    def content(t):
+        return sorted(
+            (r["x"], r["y"], r["payload"])
+            for r in t.read_all().collect()
+        )
+
+    assert content(again) == content(one)
+
+    def digests(t):
+        out = {}
+        for d in pathlib.Path(t.path, "data").glob("zblock=*"):
+            for f in sorted(d.glob("*.parquet")):
+                out[f"{d.name}/{f.name}"] = hashlib.md5(
+                    f.read_bytes()
+                ).hexdigest()
+        return out
+
+    before = digests(again)
+    over = {
+        d.name
+        for d in pathlib.Path(again.path, "data").glob("zblock=*")
+        if len(list(d.glob("*.parquet"))) > 2
+    }
+    assert over, "fixture must push some blocks over the threshold"
+    rewritten = set(again.compact())
+    assert rewritten == over
+    after = digests(again)
+    untouched = {
+        k: v for k, v in before.items() if k.split("/")[0] not in rewritten
+    }
+    assert untouched == {
+        k: v for k, v in after.items() if k.split("/")[0] not in rewritten
+    }
+    for b in rewritten:
+        assert (
+            len([k for k in after if k.startswith(b + "/")]) == 1
+        ), "compacted block should be one file"
+    assert content(again) == content(one)
+
+
+def test_ztable_read_range_prunes_blocks_and_matches_filter(
+    spark, tmp_path
+):
+    from bitcoin_datawarehouse_spark.operators.ztable import ZOrderedTable
+
+    tab = ZOrderedTable(
+        spark, str(tmp_path / "t"), [("x", 64), ("y", 64)], block_bits=3
+    )
+    tab.seed(_ztab_fixture_rows(spark, 0, 4096))
+    ranges = {"x": (5, 12), "y": (40, 47)}
+    df, read, total = tab.read_range(ranges)
+    got = sorted((r["x"], r["y"], r["payload"]) for r in df.collect())
+    want = sorted(
+        (r["x"], r["y"], r["payload"])
+        for r in tab.read_all()
+        .where(
+            (F.col("x") >= 5) & (F.col("x") <= 12)
+            & (F.col("y") >= 40) & (F.col("y") <= 47)
+        )
+        .collect()
+    )
+    assert got == want and want
+    assert read < total / 2, f"block pruning expected: {read}/{total}"
+    # out-of-domain rectangle reads nothing
+    empty, r0, _ = tab.read_range({"x": (63, 63), "y": (0, 0)})
+    assert empty.count() == (
+        tab.read_all()
+        .where((F.col("x") == 63) & (F.col("y") == 0))
+        .count()
+    )

@@ -158,9 +158,16 @@ DRIVER_WINDOW: list[str] = [
     "er_fuzzy_name_pairs",
     "er_entity_clusters",
     # --- retained round-3 slots (driver-green r3, kept in-window) ---
-    # pipeline ELT semantics (reference K6/K7/K8, F3)
+    # pipeline ELT semantics (reference K6/K7; watermark_extract's
+    # seat went to the PageRank flagship below — driver-green r3-r5,
+    # unchanged; the pipeline family keeps merge_upsert, the SCD2
+    # pair and the CDC diff in-window)
     "pipeline_merge_upsert",
-    "pipeline_watermark_extract",
+    # round-6 in-session flagship: weighted PageRank over the
+    # event-type transition graph — an ITERATED fixpoint under the
+    # full hash gate (decimal-exact superstep sums, ten unrolled
+    # CTEs in the oracle)
+    "graph_pagerank_event_transitions",
     # round-6 in-session flagship: CDC snapshot diff (full-outer
     # keyed diff → insert/update/delete change feed; apply round-trip
     # pytest-pinned) — took the seat of pipeline_delete_where
@@ -323,4 +330,5 @@ def load_all_operators() -> None:
         er,
         cdc,
         storage,
+        pagerank,
     )

@@ -1480,3 +1480,54 @@ def test_profile_group_trend_matches_numpy_least_squares(spark):
         assert abs(rows[g]["intercept"] - intercept) < 5e-6
         assert abs(rows[g]["r2"] - r2) < 5e-6
         assert 0.0 <= rows[g]["r2"] <= 1.0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """The hash gate proves engine parity; this pins the math — an
+    independent numpy power iteration over the same transition graph
+    reproduces every rank at the exposed 6-dp surface, and total mass
+    is conserved (no dangling nodes in the fixture graph)."""
+    import numpy as np
+
+    from bitcoin_datawarehouse_spark.operators.pagerank import (
+        PR_ITERS,
+        graph_pagerank_event_transitions,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w_user).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .count()
+        .collect()
+    )
+    nodes = sorted({r["src"] for r in edges} | {r["dst"] for r in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    m = np.zeros((n, n))
+    for r in edges:
+        m[idx[r["dst"]], idx[r["src"]]] += r["count"]
+    outw = m.sum(axis=0)
+    assert (outw > 0).all(), "fixture graph must have no dangling nodes"
+    p = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERS):
+        p = 0.15 / n + 0.85 * (m / outw) @ p
+    got = {
+        r["node"]: r["pagerank"]
+        for r in graph_pagerank_event_transitions(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - p[idx[v]]) < 5e-6, (v, got[v], p[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 5e-6

@@ -263,9 +263,13 @@ DRIVER_WINDOW: list[str] = [
     # fixed 8×12 tier dedup_embedding_cosine_lsh_wide (driver-green
     # r4/r5, union coverage retained; its width-rule pytests stay)
     "dedup_embedding_cosine_lsh_auto",
-    # round-4 in-session flagship (took the seat of setop_except_all,
-    # driver-green r3 — union coverage retained)
-    "decontam_minhash_fuzzy",
+    # round-6 in-session flagship: market-basket brand affinity
+    # (within-order pair join — Σ basket², never catalog² — with
+    # lift through the 6-dp string route).  Took the seat of
+    # decontam_minhash_fuzzy (driver-green r4/r5, unchanged; the
+    # curation family rotates fully out this round under union
+    # coverage — the multimodal/behavior precedent)
+    "affinity_brand_pairs",
 ]
 
 
@@ -331,4 +335,5 @@ def load_all_operators() -> None:
         cdc,
         storage,
         pagerank,
+        affinity,
     )

@@ -1531,3 +1531,61 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in nodes:
         assert abs(got[v] - p[idx[v]]) < 5e-6, (v, got[v], p[idx[v]])
     assert abs(sum(got.values()) - 1.0) < 5e-6
+
+
+def test_affinity_brand_pairs_matches_python_reimplementation(spark):
+    """Exact pair counts, marginals, and lift recomputed independently
+    in python from the raw basket contents at SF_SMALL."""
+    from collections import Counter
+    from itertools import combinations
+
+    from bitcoin_datawarehouse_spark.operators.affinity import (
+        AFFINITY_MIN_SUPPORT,
+        affinity_brand_pairs,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load_table(spark, SF_SMALL, "part").collect()
+    }
+    baskets: dict[int, set[str]] = {}
+    for r in li.collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(
+            part[r["l_partkey"]]
+        )
+    n_orders = len(baskets)
+    marg = Counter(b for s in baskets.values() for b in s)
+    both = Counter(
+        pair
+        for s in baskets.values()
+        for pair in combinations(sorted(s), 2)
+    )
+    want = {
+        (a, b): (
+            n,
+            marg[a],
+            marg[b],
+            round(n * n_orders / (marg[a] * marg[b]), 6),
+        )
+        for (a, b), n in both.items()
+        if n >= AFFINITY_MIN_SUPPORT
+    }
+    got = {
+        (r["brand_a"], r["brand_b"]): (
+            r["n_both"],
+            r["n_a"],
+            r["n_b"],
+            r["lift"],
+        )
+        for r in affinity_brand_pairs(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want) and want
+    for k, (n, na, nb, lift) in want.items():
+        gn, gna, gnb, glift = got[k]
+        assert (gn, gna, gnb) == (n, na, nb), k
+        assert abs(glift - lift) < 2e-6, (k, glift, lift)

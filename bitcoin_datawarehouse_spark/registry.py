@@ -157,12 +157,12 @@ DRIVER_WINDOW: list[str] = [
     # dedup family keeps eight other in-window slots).
     "er_fuzzy_name_pairs",
     "er_entity_clusters",
-    # --- retained round-3 slots (driver-green r3, kept in-window) ---
-    # pipeline ELT semantics (reference K6/K7; watermark_extract's
-    # seat went to the PageRank flagship below — driver-green r3-r5,
-    # unchanged; the pipeline family keeps merge_upsert, the SCD2
-    # pair and the CDC diff in-window)
-    "pipeline_merge_upsert",
+    # pipeline ELT semantics: merge_upsert and watermark_extract
+    # (driver-green r3-r5, unchanged) rotated out this session — the
+    # pipeline family keeps the SCD2 pair and the CDC diff in-window;
+    # their seats went to the PageRank flagship below and the TPC-H
+    # tail block.
+    "tpch_q4_priority_check",
     # round-6 in-session flagship: weighted PageRank over the
     # event-type transition graph — an ITERATED fixpoint under the
     # full hash gate (decimal-exact superstep sums, ten unrolled
@@ -185,10 +185,11 @@ DRIVER_WINDOW: list[str] = [
     # trainprep_hash_split (driver-green r5, unchanged; trainprep
     # keeps the corpus_pipeline composite in-window)
     "pipeline_scd2_point_in_time_join",
-    # streaming engine parity (dedup_exact's seat went to the
-    # round-6 weighted Poisson sample — driver-green r3-r5,
-    # unchanged; streaming keeps windowed_counts + drift_monitor)
-    "streaming_windowed_counts",
+    # streaming engine parity: dedup_exact's and windowed_counts'
+    # seats (driver-green r3-r5, unchanged) went to the weighted
+    # Poisson sample and the TPC-H tail — drift_monitor keeps the
+    # streaming family in-window.
+    "tpch_q6_forecast_revenue",
     # round-6 in-session flagship: weight-proportional Poisson
     # sampling (md5-nibble exact 32-bit uniform, scalar-broadcast
     # Σw, stateless filter — no corpus shuffle)
@@ -221,15 +222,18 @@ DRIVER_WINDOW: list[str] = [
     # line (the correlation numeric contract extended to slope /
     # intercept / R²)
     "profile_group_trend",
-    # substring / embedding dedup (the stride-1 substring slot stays:
-    # its shared kernel was re-profiled this round; incremental's seat
-    # went to the ER pair — driver-green r3-r5, unchanged)
-    "dedup_substring_spans",
-    "dedup_embedding_cosine_lsh",
-    # LM quality: the production approx-threshold mode keeps the
-    # family in-window; the exact mode's seat (driver-green r5, both
-    # modes unchanged in r6) went to the key-skew diagnostic below.
-    "text_lm_quality_approx",
+    # substring / embedding dedup rotated fully out this session
+    # (stride-1 spans and the fixed 8×5 LSH tier — driver-green
+    # r3-r5, unchanged; the dedup family keeps the winnowed spans,
+    # the capped MinHash, the paragraph pair and the auto-width LSH
+    # in-window); their seats went to the TPC-H tail.
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    # LM quality rotated fully out this session (exact + approx,
+    # both driver-green r5, unchanged in r6 — union coverage
+    # retained); seats went to the key-skew diagnostic below and the
+    # Q21 double-correlation.
+    "tpch_q21_waiting_suppliers",
     # round-6 in-session flagship: key-distribution skew profiling
     # (top-1/top-10 share + Herfindahl Σ share² — the collision-mass
     # term the hot-bucket cap and salted join bound; transcendental-

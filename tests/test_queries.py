@@ -1589,3 +1589,55 @@ def test_affinity_brand_pairs_matches_python_reimplementation(spark):
         gn, gna, gnb, glift = got[k]
         assert (gn, gna, gnb) == (n, na, nb), k
         assert abs(glift - lift) < 2e-6, (k, glift, lift)
+
+
+def test_tpch_q13_keeps_zero_order_customers_and_q21_semantics(spark):
+    """Q13's defining subtlety: the priority exclusion lives in the
+    JOIN CONDITION, so customers with no qualifying orders land in the
+    c_count=0 bucket instead of vanishing — custdist must partition
+    the customer table exactly.  Q4's semi join must never count an
+    order twice however many lines ship late."""
+    from bitcoin_datawarehouse_spark.operators.tpch_extra import (
+        tpch_q4_priority_check,
+        tpch_q13_customer_distribution,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    dist = {
+        r["c_count"]: r["custdist"]
+        for r in tpch_q13_customer_distribution(spark, SF_SMALL).collect()
+    }
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    assert sum(dist.values()) == n_cust
+    # independent python recompute, including the zero bucket (the
+    # fixture is dense enough that every customer has orders, so the
+    # partition-sum above plus this exact histogram pin the LEFT-OUTER
+    # semantics the query exists for)
+    from collections import Counter
+
+    per_cust = Counter(
+        r["o_custkey"]
+        for r in load_table(spark, SF_SMALL, "orders")
+        .where("o_orderpriority <> '1-URGENT'")
+        .collect()
+    )
+    custkeys = [
+        r["c_custkey"]
+        for r in load_table(spark, SF_SMALL, "customer").collect()
+    ]
+    want = Counter(per_cust.get(k, 0) for k in custkeys)
+    assert dist == dict(want)
+
+    q4 = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in tpch_q4_priority_check(spark, SF_SMALL).collect()
+    }
+    o = load_table(spark, SF_SMALL, "orders")
+    from pyspark.sql import functions as F
+
+    window_orders = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).count()
+    assert 0 < sum(q4.values()) <= window_orders

@@ -110,6 +110,15 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "trainprep_weighted_sample",
     "profile_group_trend",
+    # round-6 additions (42 → 45): the session's second wave — the
+    # z-cell layout map, the key-skew diagnostic, and the
+    # within-basket affinity join (its pair work is Σ basket², the
+    # number worth watching per round).  PageRank stays SCALING-only:
+    # its sf0.1 wall is ten supersteps of scheduling floor, not plan
+    # cost, and the bench would read as a plan regression that isn't.
+    "storage_zorder_cells",
+    "profile_key_skew",
+    "affinity_brand_pairs",
 ]
 
 

@@ -203,4 +203,10 @@ class ZOrderedTable:
         return df, len(keep), len(dirs)
 
     def read_all(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.path / "data"))
+        return self.read_all_with(self.spark)
+
+    def read_all_with(self, spark: SparkSession) -> DataFrame:
+        """Read through an explicit session — foreachBatch callers
+        must build every frame of one plan from the MICRO-BATCH
+        session (streaming/ztable_stream.py)."""
+        return spark.read.parquet(str(self.path / "data"))

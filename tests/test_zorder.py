@@ -293,3 +293,76 @@ def test_ztable_read_range_prunes_blocks_and_matches_filter(
         .where((F.col("x") == 63) & (F.col("y") == 0))
         .count()
     )
+
+
+def test_ztable_streaming_ingest_equals_batch_and_replay_is_noop(
+    spark, tmp_path
+):
+    """The storage tier's streaming arrival path: streamed micro-batch
+    ingests produce the IDENTICAL table content as the batch loop,
+    auto-compaction keeps per-block file counts bounded while the
+    stream runs, and a full replay from a fresh checkpoint appends
+    nothing (the anti-join replay guard)."""
+    from bitcoin_datawarehouse_spark.operators.ztable import ZOrderedTable
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        run_stream_to_completion,
+    )
+    from bitcoin_datawarehouse_spark.streaming.ztable_stream import (
+        run_ztable_ingest_stream,
+    )
+
+    all_rows = _ztab_fixture_rows(spark, 0, 3200)
+    src = tmp_path / "in"
+    # four single-file arrivals after the seed's [0, 800)
+    for i, (lo, hi) in enumerate(
+        [(800, 1400), (1400, 2000), (2000, 2600), (2600, 3200)]
+    ):
+        all_rows.where(
+            (F.col("payload") >= lo) & (F.col("payload") < hi)
+        ).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    tab = ZOrderedTable(
+        spark,
+        str(tmp_path / "t"),
+        [("x", 64), ("y", 64)],
+        block_bits=2,
+        max_files_per_block=2,
+    )
+    tab.seed(_ztab_fixture_rows(spark, 0, 800))
+
+    def stream():
+        return (
+            spark.readStream.schema("x long, y long, payload long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    run_stream_to_completion(
+        run_ztable_ingest_stream(
+            stream(), tab, "payload", str(tmp_path / "ck1")
+        )
+    )
+    one = ZOrderedTable(
+        spark, str(tmp_path / "one"), [("x", 64), ("y", 64)], block_bits=2
+    )
+    one.seed(_ztab_fixture_rows(spark, 0, 3200))
+
+    def content(t):
+        return sorted(
+            (r["x"], r["y"], r["payload"]) for r in t.read_all().collect()
+        )
+
+    assert content(tab) == content(one)
+    # auto-compaction bounded the per-block file count while streaming
+    import pathlib
+
+    for d in pathlib.Path(tab.path, "data").glob("zblock=*"):
+        assert len(list(d.glob("*.parquet"))) <= 2 + 1, d
+
+    # full replay from a fresh checkpoint: the anti-join makes it a no-op
+    run_stream_to_completion(
+        run_ztable_ingest_stream(
+            stream(), tab, "payload", str(tmp_path / "ck2")
+        )
+    )
+    assert content(tab) == content(one)

@@ -1641,3 +1641,31 @@ def test_tpch_q13_keeps_zero_order_customers_and_q21_semantics(spark):
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     ).count()
     assert 0 < sum(q4.values()) <= window_orders
+
+
+def test_profile_key_skew_bounds_and_row_conservation(spark):
+    """Hash gate proves engine parity; this pins the math: shares are
+    ordered and bounded, and the Herfindahl index sits between its
+    uniform lower bound (1/n_keys) and its max-share upper bound
+    (Σs² ≤ top1·Σs = top1)."""
+    from bitcoin_datawarehouse_spark.operators.profiling import (
+        profile_key_skew,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    rows = profile_key_skew(spark, SF_SMALL).collect()
+    n_orders = load_table(spark, SF_SMALL, "orders").count()
+    assert {r["keycol"] for r in rows} == {"o_custkey", "o_orderpriority"}
+    for r in rows:
+        assert r["n_rows"] == n_orders
+        assert 0 < r["top1_share"] <= r["top10_share"] <= 1.0
+        assert (
+            1.0 / r["n_keys"] - 2e-6
+            <= r["hhi"]
+            <= r["top1_share"] + 2e-6
+        )
+    by = {r["keycol"]: r for r in rows}
+    # the 5-value priority key is massively more concentrated than
+    # the customer key — the diagnostic must rank them accordingly
+    assert by["o_orderpriority"]["hhi"] > 10 * by["o_custkey"]["hhi"]

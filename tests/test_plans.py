@@ -551,3 +551,61 @@ def test_cache_tracked_self_prunes_released_handles(spark):
         assert any(d is b for d in cachereg._TRACKED)
     finally:
         cachereg.release_tracked_caches()
+
+
+def test_tpch_q6_all_predicates_reach_scan(plan_of):
+    # the pure pushdown witness: date range, discount band, and
+    # quantity cap must ALL land in the parquet scan; the aggregate
+    # is map-side partial; nothing joins
+    plan = plan_of("tpch_q6_forecast_revenue")
+    assert_pushed_filter(plan, "l_shipdate")
+    assert_pushed_filter(plan, "l_discount")
+    assert_pushed_filter(plan, "l_quantity")
+    assert_partial_aggregation(plan)
+    assert "Join" not in plan
+
+
+def test_tpch_q4_exists_is_semi_join(plan_of):
+    # correlated EXISTS = LEFT SEMI with the lateness residual; the
+    # quarter filter reaches the orders scan; the semi join must not
+    # degrade to a nested loop (equi key + residual)
+    plan = plan_of("tpch_q4_priority_check")
+    assert "LeftSemi" in plan
+    assert_pushed_filter(plan, "o_orderdate")
+    assert_no_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q13_outer_join_keeps_condition_out_of_scan(plan_of):
+    # the priority exclusion lives in the JOIN CONDITION — it must
+    # NOT be pushed into the orders scan as a row filter on the
+    # outer side's preserved rows... it MAY prune the right side
+    # (null-supplying) scan, which is semantics-preserving; what the
+    # plan must show is a real outer join + two aggregates
+    plan = plan_of("tpch_q13_customer_distribution")
+    assert "Outer" in plan or "LeftOuter" in plan
+    assert_partial_aggregation(plan)
+    assert_no_cartesian(plan)
+
+
+def test_tpch_q15_max_is_one_row_broadcast(plan_of):
+    # the tie-sensitive revenue equality is itself an EQUI key, so
+    # the 1-row MAX frame arrives as a broadcast HASH join (strictly
+    # better than the q22 nested-loop scalar pattern); supplier is a
+    # broadcast dim too; no nested loop anywhere
+    plan = plan_of("tpch_q15_top_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(plan)
+
+
+def test_tpch_q21_double_correlation_is_semi_plus_anti(plan_of):
+    # EXISTS -> LEFT SEMI, NOT EXISTS -> LEFT ANTI, both equi on the
+    # order key with the supplier-inequality residual — never a
+    # nested loop; supplier/nation broadcast
+    plan = plan_of("tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(plan)
+    assert_broadcast_join(plan)

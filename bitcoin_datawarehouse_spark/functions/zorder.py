@@ -55,7 +55,15 @@ def bucketize(col: Column, max_plus_one: Column, bits: int = 16) -> Column:
     1/d < ulp(k)/2 = k·2⁻⁵³ ≤ 2⁻³⁷ — i.e. never for key domains under
     ~137 billion (hypothesis-tested across the boundary in
     tests/test_zorder.py).  Power-of-two divisors are exact at any
-    width."""
+    width.
+
+    Inputs MUST be non-negative: on negatives the engines diverge
+    HARD (DuckDB errors on left-shifting a negative; Spark floors to
+    a negative bucket that spread_bits16's masks alias onto
+    legitimate cells — e.g. -1 spreads identically to 65535).
+    Callers derive day/offset dimensions from a runtime-adaptive MIN
+    (storage_zorder_cells) or a caller-pinned domain with headroom
+    (ZOrderedTable)."""
     return F.floor(
         F.shiftleft(col.cast("long"), bits)
         / max_plus_one.cast("long")

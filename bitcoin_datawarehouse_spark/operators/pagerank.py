@@ -118,7 +118,15 @@ def graph_pagerank_event_transitions(
         )
         .localCheckpoint()  # edge table is node²-bounded; pin it once
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    # node-sized and read by every superstep's join — pin it once, or
+    # each of the ~12 downstream actions re-runs the corpus distinct
+    # (review-caught: the module's built-ONCE claim was true only for
+    # edges before this checkpoint)
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
     n = nodes.count()  # node-count scalar — graph metadata, not data
     ranks = nodes.select(
         "node", (F.lit(1.0) / F.lit(float(n))).alias("pr")

@@ -40,8 +40,9 @@ Z_BITS = 16
     oracle=f"""
     WITH scale AS (
       SELECT CAST(MAX(o_custkey) + 1 AS BIGINT) AS mc,
-             CAST(date_diff('day', DATE '1995-01-01',
-                            CAST(MAX(o_orderdate) AS DATE)) + 1 AS BIGINT)
+             MIN(CAST(o_orderdate AS DATE)) AS d0,
+             CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                            MAX(CAST(o_orderdate AS DATE))) + 1 AS BIGINT)
                AS md
       FROM orders
     ),
@@ -49,7 +50,7 @@ Z_BITS = 16
       SELECT
         {sql_bucketize("o_custkey", "mc", Z_BITS)} AS cust_bucket,
         {sql_bucketize(
-            "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
+            "date_diff('day', d0, CAST(o_orderdate AS DATE))",
             "md",
             Z_BITS,
         )} AS day_bucket
@@ -78,16 +79,25 @@ def storage_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit spread), hash-gated bit-for-bit against the SQL mirror.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # BOTH date bounds are runtime-adaptive: a fixed epoch with the
+    # fixture's exact MIN date had zero headroom — one earlier order
+    # would make the day index negative, where the engines diverge
+    # hard (DuckDB errors on shifting negatives, Spark's bucket
+    # aliases onto legitimate cells; review-caught)
     scale = orders.agg(
         (F.max("o_custkey") + 1).cast("long").alias("mc"),
+        F.min(F.to_date("o_orderdate")).alias("d0"),
         (
-            F.datediff(F.to_date(F.max("o_orderdate")), F.lit("1995-01-01"))
+            F.datediff(
+                F.to_date(F.max("o_orderdate")),
+                F.to_date(F.min("o_orderdate")),
+            )
             + 1
         )
         .cast("long")
         .alias("md"),
     )
-    day = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+    day = F.datediff(F.to_date("o_orderdate"), F.col("d0"))
     cells = (
         orders.crossJoin(F.broadcast(scale))
         .select(
@@ -160,7 +170,12 @@ def manifest_pruned_read(
         r["file_path"]
         for r in rows
         if all(
-            r[f"min_{c}"] <= hi and r[f"max_{c}"] >= lo
+            # NULL stats mean the file's column is ALL NULL (min/max
+            # skip nulls) — no row can satisfy a range predicate, so
+            # skipping is exact, and comparing would TypeError
+            r[f"min_{c}"] is not None
+            and r[f"min_{c}"] <= hi
+            and r[f"max_{c}"] >= lo
             for c, (lo, hi) in ranges.items()
         )
     ]

@@ -66,6 +66,7 @@ from bitcoin_datawarehouse_spark.functions.numeric import (
     dsum,
     str_round6,
 )
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -775,22 +776,27 @@ def tpch_q13_customer_distribution(
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: the view-plus-scalar-max shape — a quarterly revenue
     rollup reused twice in one query (once as the join input, once
-    under MAX), classic shared-subtree territory.  The equality
-    compares the ENGINE-NEUTRAL 2-dp double surface (identical on
-    both sides by the numeric contract), so ties — the famous Q15
-    subtlety — resolve identically everywhere."""
+    under MAX), classic shared-subtree territory — so the rollup is
+    cache_tracked and filled eagerly (the CLAUDE.md shared-subgraph
+    rule: without it the filtered scan + aggregate executed twice per
+    action, review-caught — supplier-count-sized frame, the smallest
+    reused one).  The equality compares the ENGINE-NEUTRAL 2-dp
+    double surface (identical on both sides by the numeric contract),
+    so ties — the famous Q15 subtlety — resolve identically
+    everywhere."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy(
-        F.col("l_suppkey").alias("supplier_no")
-    ).agg(
-        dsum(
-            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
-            "total_revenue",
+    revenue = cache_tracked(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                "total_revenue",
+            )
         )
     )
+    revenue.count()  # eager fill: both consumers run in ONE action
     top = revenue.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
@@ -816,7 +822,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM late l1
     JOIN supplier s ON s.s_suppkey = l1.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE n.n_name = 'NATION_7'
+    WHERE n.n_name = 'NATION_12'
       AND EXISTS (
         SELECT 1 FROM lineitem l2
         WHERE l2.l_orderkey = l1.l_orderkey
@@ -841,24 +847,33 @@ def tpch_q21_waiting_suppliers(
     supplier exists) and one anti join (no OTHER late supplier), both
     on the order key with the supplier inequality as residual.  Note
     Q21's subtlety survives the adaptation: multi-hit semi matches
-    must not duplicate l1 rows — semi/anti joins guarantee that."""
+    must not duplicate l1 rows — semi/anti joins guarantee that.
+
+    The ``late`` frame (the lineitem⋈orders join) feeds BOTH the l1
+    base and the NOT-EXISTS anti side of one action, so it is
+    cache_tracked and filled eagerly (the CLAUDE.md shared-subgraph
+    rule; review-caught — the plan re-ran the fact join per consumer:
+    14 scans, 0 ReusedExchange before the cache)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
-    late = li.join(
-        o, F.col("l_orderkey") == F.col("o_orderkey")
-    ).where(
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-    ).select("l_orderkey", "l_suppkey")
+    late = cache_tracked(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    late.count()  # eager fill: semi base + anti probe share ONE action
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
     n = load_table(spark, sf_dir, "nation").where(
-        F.col("n_name") == "NATION_7"
+        F.col("n_name") == "NATION_12"
     ).select("n_nationkey")
     l1 = late.alias("l1")
     others = li.select(

@@ -59,6 +59,20 @@ class ZOrderedTable:
             m = json.loads(meta.read_text())
             self.dims = [tuple(d) for d in m["dims"]]
             self.block_bits = m["block_bits"]
+            # the sidecar is authoritative (bucketing must stay stable
+            # across ingests) — but silently ignoring DIFFERENT
+            # caller-supplied geometry would alias z-keys and clamp
+            # read ranges to the stale domain (review-caught): refuse.
+            if dims is not None and [tuple(d) for d in dims] != self.dims:
+                raise ValueError(
+                    f"table at {path} pinned dims {self.dims}; "
+                    f"got {dims} — delete the table to re-key it"
+                )
+            if dims is not None and block_bits != self.block_bits:
+                raise ValueError(
+                    f"table at {path} pinned block_bits "
+                    f"{self.block_bits}; got {block_bits}"
+                )
         elif dims is not None:
             self.dims = dims
             self.block_bits = block_bits

@@ -171,8 +171,11 @@ DRIVER_WINDOW: list[str] = [
     # round-6 in-session flagship: CDC snapshot diff (full-outer
     # keyed diff → insert/update/delete change feed; apply round-trip
     # pytest-pinned) — took the seat of pipeline_delete_where
-    # (driver-green r3-r5, unchanged; the pipeline family keeps
-    # merge_upsert, watermark_extract and the SCD2 pair in-window)
+    # (driver-green r3-r5, unchanged).  After this session's later
+    # rotations the pipeline family's remaining in-window coverage is
+    # the SCD2 pair plus this CDC diff (merge_upsert, delete_where
+    # and watermark_extract are all driver-green r3-r5, unchanged —
+    # union coverage retained).
     "cdc_snapshot_diff",
     # round-6 in-session flagship: SCD Type-2 history merge
     # (Loader.load_scd2 + the read-only dataflow twin) — took the

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.operators.ztable import ZOrderedTable
 
 
@@ -48,10 +49,19 @@ def run_ztable_ingest_stream(
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates([id_col])
         seen = table.read_all_with(spark).select(id_col)
-        fresh = fresh.join(seen, id_col, "left_anti")
-        if fresh.limit(1).count() > 0:
-            table.ingest(fresh)
-            table.compact()
+        # cache before the emptiness probe: without it the probe and
+        # the write each re-run the dedup + whole-table anti-join
+        # (review-caught — doubles the per-trigger guard cost).
+        # cache_tracked (never bare persist) + call-site unpersist is
+        # the streaming-ingest pattern; the registry self-prunes
+        # released handles.
+        fresh = cache_tracked(fresh.join(seen, id_col, "left_anti"))
+        try:
+            if fresh.count() > 0:
+                table.ingest(fresh)
+                table.compact()
+        finally:
+            fresh.unpersist()
 
     return (
         row_stream.writeStream.foreachBatch(ingest)

@@ -366,3 +366,21 @@ def test_ztable_streaming_ingest_equals_batch_and_replay_is_noop(
         )
     )
     assert content(tab) == content(one)
+
+
+def test_ztable_refuses_mismatched_geometry(spark, tmp_path):
+    """Re-opening a table with DIFFERENT dims or block_bits must
+    refuse loudly — silently honoring the stale sidecar would alias
+    z-keys and clamp read ranges (review-caught)."""
+    import pytest
+
+    from bitcoin_datawarehouse_spark.operators.ztable import ZOrderedTable
+
+    path = str(tmp_path / "t")
+    ZOrderedTable(spark, path, [("x", 64), ("y", 64)], block_bits=2)
+    # same geometry re-open is fine
+    ZOrderedTable(spark, path, [("x", 64), ("y", 64)], block_bits=2)
+    with pytest.raises(ValueError, match="pinned dims"):
+        ZOrderedTable(spark, path, [("x", 128), ("y", 64)], block_bits=2)
+    with pytest.raises(ValueError, match="block_bits"):
+        ZOrderedTable(spark, path, [("x", 64), ("y", 64)], block_bits=3)

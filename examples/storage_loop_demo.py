@@ -48,9 +48,10 @@ from bitcoin_datawarehouse_spark.tables import load_table  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def main() -> None:
+def main(workdir: str | None = None) -> dict:
     work = pathlib.Path(
-        sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp()
+        workdir
+        or (sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp())
     )
     spark = get_spark("storage_loop_demo", shuffle_partitions=8)
 
@@ -131,6 +132,15 @@ def main() -> None:
         f"manifest-pruned: {files_read}/{files_total} files (exact)"
     )
     print("storage loop demo OK")
+    return {
+        "rows_total": tab.read_all().count(),
+        "max_files_per_block": max(counts),
+        "blocks_read": read,
+        "blocks_total": total,
+        "range_rows": got,
+        "manifest_files_read": files_read,
+        "manifest_files_total": files_total,
+    }
 
 
 if __name__ == "__main__":

@@ -144,3 +144,18 @@ def test_index_loops_demo_end_to_end(tmp_path):
         out["ivfpq"]["pq_payload_bytes"] * 10
         < out["ivfpq"]["vec_payload_bytes"]
     )
+
+
+def test_storage_loop_demo_end_to_end(tmp_path):
+    """The storage-tier production loop demo: seed + streamed ingests
+    complete, auto-compaction keeps blocks bounded, and both pruned
+    read paths (block dirs, stats manifest) return exact results
+    while reading a minority of the data."""
+    from examples.storage_loop_demo import main
+
+    out = main(str(tmp_path / "work"))
+    assert out["rows_total"] > 0
+    assert out["max_files_per_block"] <= 2
+    assert 0 < out["blocks_read"] < out["blocks_total"] / 2
+    assert out["range_rows"] > 0
+    assert 0 < out["manifest_files_read"] < out["manifest_files_total"] / 2

@@ -494,3 +494,96 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _SKEW_COLS[1:]:
         out = out.unionByName(one(c))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (round 6): the ANALYZE artifact, distributed
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BINS = 10
+
+
+@query(
+    "profile_equidepth_hist",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS total
+      FROM orders
+    ),
+    binned AS (
+      SELECT o_totalprice, total,
+             -- the exact NTILE closed form (functions/ranking.py
+             -- ntile_bucket): first r buckets take q+1 rows
+             CASE WHEN rn <= (total % {EQUIDEPTH_BINS})
+                            * (total // {EQUIDEPTH_BINS} + 1)
+                  THEN (rn - 1) // (total // {EQUIDEPTH_BINS} + 1) + 1
+                  ELSE (total % {EQUIDEPTH_BINS})
+                     + (rn - (total % {EQUIDEPTH_BINS})
+                            * (total // {EQUIDEPTH_BINS} + 1) - 1)
+                       // (total // {EQUIDEPTH_BINS}) + 1
+             END AS bin
+      FROM ranked
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           {SQL_STR_ROUND6("CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(total)")}
+             AS share
+    FROM binned GROUP BY bin
+    """,
+)
+def profile_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order value — the
+    ANALYZE artifact query optimizers and drift monitors consume when
+    fixed-edge bins (``profile_drift_tv``) would starve the tails:
+    every bin holds total/k rows, so bin EDGES carry the distribution.
+
+    Distributed by construction: the global total order comes from
+    ``functions.ranking.with_global_rank`` (range repartition +
+    per-partition row_number + broadcast offsets — no single-partition
+    window at any scale), and the bin assignment is the exact-integer
+    NTILE closed form shared with the LM-quality terciles.  The
+    oracle mirrors that arithmetic digit for digit (`//` on BIGINT);
+    ties order by (price, orderkey) — a total order, so both engines
+    rank identically.  Bin min/max are raw row doubles; shares are
+    exact-count quotients through the 6-dp string route.
+    """
+    from bitcoin_datawarehouse_spark.functions.ranking import (
+        ntile_bucket,
+        with_global_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = with_global_rank(
+        orders, ["o_totalprice", "o_orderkey"], "_rk", "_tot"
+    )
+    binned = ranked.select(
+        "o_totalprice",
+        "_tot",
+        ntile_bucket(F.col("_rk"), F.col("_tot"), EQUIDEPTH_BINS).alias(
+            "bin"
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            str_round6(
+                F.count(F.lit(1)).cast("double") / F.any_value("_tot")
+            ).alias("share"),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n_rows",
+            "lo",
+            "hi",
+            "share",
+        )
+    )

@@ -79,7 +79,12 @@ DRIVER_WINDOW: list[str] = [
     "similarity_bruteforce_topk",
     "text_quality_score",
     "text_language_id",
-    "text_token_count",
+    # (text_token_count — rewritten r4, driver-green r5, unchanged in
+    # r6 — rotated out for the equi-depth histogram below)
+    # round-6 in-session flagship: equi-depth histogram via the
+    # distributed global rank + exact-integer NTILE closed form,
+    # oracle mirrors the arithmetic digit for digit
+    "profile_equidepth_hist",
     # --- round-5 in-session flagship (took the seat of
     # cogroup_asof_alignment, driver-green r4 — union coverage
     # retained via CORRECTNESS_r04) ---

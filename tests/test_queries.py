@@ -1669,3 +1669,28 @@ def test_profile_key_skew_bounds_and_row_conservation(spark):
     # the 5-value priority key is massively more concentrated than
     # the customer key — the diagnostic must rank them accordingly
     assert by["o_orderpriority"]["hhi"] > 10 * by["o_custkey"]["hhi"]
+
+
+def test_equidepth_hist_is_equal_depth_with_monotone_edges(spark):
+    """The defining properties: bin sizes differ by at most 1, edges
+    are monotone (bin k's hi <= bin k+1's lo), shares sum to 1, and
+    counts partition the table."""
+    from bitcoin_datawarehouse_spark.operators.profiling import (
+        EQUIDEPTH_BINS,
+        profile_equidepth_hist,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        profile_equidepth_hist(spark, SF_SMALL).collect(),
+        key=lambda r: r["bin"],
+    )
+    n = load_table(spark, SF_SMALL, "orders").count()
+    assert [r["bin"] for r in rows] == list(range(1, EQUIDEPTH_BINS + 1))
+    sizes = [r["n_rows"] for r in rows]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5

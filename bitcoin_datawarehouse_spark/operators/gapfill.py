@@ -35,6 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_DEC,
+    SQL_STR_ROUND6,
+    str_round6,
+)
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -181,4 +186,113 @@ def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_gap_runs"),
         F.sum("run_len").cast("long").alias("n_gap_buckets"),
         F.max("run_len").cast("long").alias("longest_gap_run"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (round 6): the hypertable aggregate sibling
+# ---------------------------------------------------------------------------
+
+#: TWAP observation window (fixture events span 2024-01)
+TWAP_T0 = "2024-01-10 00:00:00"
+TWAP_T1 = "2024-01-20 00:00:00"
+
+
+@query(
+    "events_twap",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             epoch_ms(ts) AS t,
+             value,
+             LEAD(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t_next
+      FROM events
+    ),
+    clipped AS (
+      SELECT user_id, value,
+             GREATEST(CAST(0 AS BIGINT),
+               LEAST(COALESCE(t_next,
+                              epoch_ms(TIMESTAMP '{TWAP_T1}')),
+                     epoch_ms(TIMESTAMP '{TWAP_T1}'))
+               - GREATEST(t, epoch_ms(TIMESTAMP '{TWAP_T0}'))
+             ) AS dur_ms
+      FROM s
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE dur_ms > 0) AS BIGINT)
+             AS n_samples,
+           CAST(SUM(dur_ms) AS BIGINT) AS held_ms,
+           {SQL_STR_ROUND6(
+               "CAST(CAST(SUM(" + SQL_DEC(
+                   "value * CAST(dur_ms AS DOUBLE)"
+               ) + ") AS STRING) AS DOUBLE) / CAST(SUM(dur_ms) AS DOUBLE)"
+           )} AS twap
+    FROM clipped
+    GROUP BY user_id
+    HAVING SUM(dur_ms) > 0
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user over a fixed
+    window — the TimescaleDB ``time_weight('LOCF', …)`` aggregate:
+    each sample's value holds until the NEXT sample (LOCF), so its
+    weight is the held duration clipped to the window; the sample
+    BEFORE the window start participates with its in-window remainder
+    (the clipping handles it — no special case), and the last sample
+    holds to the window end.  A plain AVG over irregular samples
+    over-weights bursty periods; TWAP is the honest aggregate for
+    sensor/price series.
+
+    Numeric contract: durations are exact BIGINT milliseconds
+    (``unix_millis``/``epoch_ms``, both floor), the weighted sum
+    accumulates value·dur (reaching ~4e11, the string-route regime)
+    in DECIMAL(38,10), and the final quotient is one identical double
+    division through the 6-dp string route.  One LEAD window per user
+    + one hash aggregate — the sessionize/gap-fill shuffle shape.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    t0 = F.unix_millis(F.lit(TWAP_T0).cast("timestamp"))
+    t1 = F.unix_millis(F.lit(TWAP_T1).cast("timestamp"))
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.unix_millis("ts").alias("t"),
+        F.lead(F.unix_millis("ts")).over(w_user).alias("t_next"),
+    )
+    clipped = s.select(
+        "user_id",
+        "value",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.coalesce(F.col("t_next"), t1), t1)
+            - F.greatest(F.col("t"), t0),
+        ).alias("dur_ms"),
+    )
+    vd = (F.col("value") * F.col("dur_ms").cast("double")).cast(
+        "decimal(38,10)"
+    )
+    return (
+        clipped.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("dur_ms") > 0, 1))
+            .cast("bigint")
+            .alias("n_samples"),
+            F.sum("dur_ms").cast("bigint").alias("held_ms"),
+            (
+                F.sum(vd).cast("string").cast("double")
+                / F.sum("dur_ms").cast("double")
+            ).alias("_twap_raw"),
+        )
+        .where(F.col("held_ms") > 0)
+        .select(
+            "user_id",
+            "n_samples",
+            "held_ms",
+            str_round6(F.col("_twap_raw")).alias("twap"),
+        )
     )

@@ -76,7 +76,13 @@ DRIVER_WINDOW: list[str] = [
     "similarity_ivf_index_topk",
     "dedup_substring_spans_winnowed",
     # --- round-5 insertions: rewritten-in-r4, driver-status stale ---
-    "similarity_bruteforce_topk",
+    # (similarity_bruteforce_topk — rewritten r4, driver-green r5,
+    # unchanged in r6 — rotated out for the TWAP aggregate; the
+    # similarity family keeps six other in-window slots)
+    # round-6 in-session flagship: time-weighted average (the
+    # TimescaleDB time_weight('LOCF') aggregate — clipped held
+    # durations in exact ms, string-routed weighted sum)
+    "events_twap",
     "text_quality_score",
     "text_language_id",
     # (text_token_count — rewritten r4, driver-green r5, unchanged in

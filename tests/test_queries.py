@@ -1694,3 +1694,70 @@ def test_equidepth_hist_is_equal_depth_with_monotone_edges(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+
+
+def test_events_twap_matches_python_and_resists_burst_skew(spark):
+    """Planted series: value 10 held for 9 days, then a burst of 100
+    samples at value 1000 within one minute at the window's end.  A
+    plain AVG is dragged to ~990 by the burst; TWAP must stay ~10
+    (the burst holds for only a minute).  Also pins the pre-window
+    sample's carry-in and an exact python recomputation."""
+    import datetime
+
+    from bitcoin_datawarehouse_spark.operators.gapfill import (
+        TWAP_T0,
+        TWAP_T1,
+        events_twap,
+    )
+    from tests.conftest import SF_SMALL
+
+    fixture = {
+        r["user_id"]: r
+        for r in events_twap(spark, SF_SMALL).collect()
+    }
+    assert fixture
+    for r in fixture.values():
+        assert 0 < r["held_ms"] <= (
+            (
+                datetime.datetime.fromisoformat(TWAP_T1)
+                - datetime.datetime.fromisoformat(TWAP_T0)
+            ).total_seconds()
+            * 1000
+        )
+        assert 0.0 < r["twap"] < 500.0  # value domain of the fixture
+
+    # planted: user 1 = pre-window sample at value 10 (carry-in),
+    # then a 1-minute burst of value 1000 at the end of the window
+    t0 = datetime.datetime.fromisoformat(TWAP_T0)
+    t1 = datetime.datetime.fromisoformat(TWAP_T1)
+    rows = [(1, t0 - datetime.timedelta(days=1), 100, "view", 10.0, "{}")]
+    burst_start = t1 - datetime.timedelta(minutes=1)
+    for i in range(100):
+        rows.append(
+            (
+                1,
+                burst_start + datetime.timedelta(microseconds=1000 * i),
+                200 + i,
+                "view",
+                1000.0,
+                "{}",
+            )
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = events_twap(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    window_ms = (t1 - t0).total_seconds() * 1000
+    burst_ms = 60_000
+    want = (10.0 * (window_ms - burst_ms) + 1000.0 * burst_ms) / window_ms
+    assert abs(r["twap"] - want) < 1e-4, (r["twap"], want)
+    assert r["twap"] < 15.0  # the burst barely moves it
+    assert r["held_ms"] == window_ms

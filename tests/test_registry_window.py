@@ -57,15 +57,16 @@ def test_round5_rotation_is_in_window():
         "similarity_ivf_index_topk",
         "dedup_substring_spans_winnowed",
         # rewritten in round 4 after their last driver-green row
-        # (text_token_count left this set in round 6: its rewritten
-        # body got its driver-green row in CORRECTNESS_r05, so the
-        # rotation obligation is discharged — seat went to the
-        # equi-depth histogram)
-        "similarity_bruteforce_topk",
+        # (text_token_count and similarity_bruteforce_topk left this
+        # set in round 6: their rewritten bodies got driver-green
+        # rows in CORRECTNESS_r05, so the rotation obligation is
+        # discharged — seats went to the equi-depth histogram and the
+        # TWAP aggregate)
         "text_quality_score",
         "text_language_id",
-        # round-6 in-session flagship added to the pinned rotation
+        # round-6 in-session flagships added to the pinned rotation
         "profile_equidepth_hist",
+        "events_twap",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

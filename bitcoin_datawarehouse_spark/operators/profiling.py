@@ -506,25 +506,20 @@ EQUIDEPTH_BINS = 10
 @query(
     "profile_equidepth_hist",
     oracle=f"""
-    WITH ranked AS (
+    WITH binned AS (
       SELECT o_totalprice,
-             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
-             CAST(COUNT(*) OVER () AS BIGINT) AS total
+             CAST(COUNT(*) OVER () AS BIGINT) AS total,
+             -- NATIVE NTILE on purpose (the lm_quality-tercile
+             -- lesson): an oracle that re-implemented the Spark
+             -- side's closed form digit-for-digit would reproduce a
+             -- shared arithmetic bug and pass the gate; the native
+             -- function is the independent check (review-caught;
+             -- equality with the closed form exhaustively verified
+             -- for totals 1-200)
+             NTILE({EQUIDEPTH_BINS}) OVER (
+               ORDER BY o_totalprice, o_orderkey
+             ) AS bin
       FROM orders
-    ),
-    binned AS (
-      SELECT o_totalprice, total,
-             -- the exact NTILE closed form (functions/ranking.py
-             -- ntile_bucket): first r buckets take q+1 rows
-             CASE WHEN rn <= (total % {EQUIDEPTH_BINS})
-                            * (total // {EQUIDEPTH_BINS} + 1)
-                  THEN (rn - 1) // (total // {EQUIDEPTH_BINS} + 1) + 1
-                  ELSE (total % {EQUIDEPTH_BINS})
-                     + (rn - (total % {EQUIDEPTH_BINS})
-                            * (total // {EQUIDEPTH_BINS} + 1) - 1)
-                       // (total // {EQUIDEPTH_BINS}) + 1
-             END AS bin
-      FROM ranked
     )
     SELECT CAST(bin AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -546,7 +541,8 @@ def profile_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition row_number + broadcast offsets — no single-partition
     window at any scale), and the bin assignment is the exact-integer
     NTILE closed form shared with the LM-quality terciles.  The
-    oracle mirrors that arithmetic digit for digit (`//` on BIGINT);
+    oracle uses DuckDB's NATIVE NTILE — deliberately NOT the same
+    closed form, so the gate independently checks the arithmetic;
     ties order by (price, orderkey) — a total order, so both engines
     rank identically.  Bin min/max are raw row doubles; shares are
     exact-count quotients through the 6-dp string route.

@@ -1682,10 +1682,17 @@ def test_equidepth_hist_is_equal_depth_with_monotone_edges(spark):
     from bitcoin_datawarehouse_spark.tables import load_table
     from tests.conftest import SF_SMALL
 
-    rows = sorted(
-        profile_equidepth_hist(spark, SF_SMALL).collect(),
-        key=lambda r: r["bin"],
+    from bitcoin_datawarehouse_spark.functions.ranking import (
+        release_rank_caches,
     )
+
+    try:
+        rows = sorted(
+            profile_equidepth_hist(spark, SF_SMALL).collect(),
+            key=lambda r: r["bin"],
+        )
+    finally:
+        release_rank_caches()
     n = load_table(spark, SF_SMALL, "orders").count()
     assert [r["bin"] for r in rows] == list(range(1, EQUIDEPTH_BINS + 1))
     sizes = [r["n_rows"] for r in rows]
@@ -1696,7 +1703,9 @@ def test_equidepth_hist_is_equal_depth_with_monotone_edges(spark):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
 
 
-def test_events_twap_matches_python_and_resists_burst_skew(spark):
+def test_events_twap_matches_python_and_resists_burst_skew(
+    spark, tmp_path
+):
     """Planted series: value 10 held for 9 days, then a burst of 100
     samples at value 1000 within one minute at the window's end.  A
     plain AVG is dragged to ~990 by the burst; TWAP must stay ~10
@@ -1728,8 +1737,13 @@ def test_events_twap_matches_python_and_resists_burst_skew(spark):
 
     # planted: user 1 = pre-window sample at value 10 (carry-in),
     # then a 1-minute burst of value 1000 at the end of the window
-    t0 = datetime.datetime.fromisoformat(TWAP_T0)
-    t1 = datetime.datetime.fromisoformat(TWAP_T1)
+    # tz-AWARE UTC datetimes: naive ones route through time.mktime in
+    # the HOST timezone while the window literals parse in the pinned
+    # UTC session — on a non-UTC host the planted burst would shift
+    # out of the window (review-caught)
+    utc = datetime.timezone.utc
+    t0 = datetime.datetime.fromisoformat(TWAP_T0).replace(tzinfo=utc)
+    t1 = datetime.datetime.fromisoformat(TWAP_T1).replace(tzinfo=utc)
     rows = [(1, t0 - datetime.timedelta(days=1), 100, "view", 10.0, "{}")]
     burst_start = t1 - datetime.timedelta(minutes=1)
     for i in range(100):
@@ -1748,9 +1762,7 @@ def test_events_twap_matches_python_and_resists_burst_skew(spark):
         "user_id long, ts timestamp, event_id long, event_type string,"
         " value double, props string",
     )
-    import tempfile
-
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
     got = events_twap(spark, d).collect()
     assert len(got) == 1

@@ -1,0 +1,408 @@
+"""TPC-H Q2/Q11/Q16/Q20 over a DERIVED partsupp (round-7 closure of
+the composed-join-tree family).
+
+The fixture carries no ``partsupp`` table (r6 VERDICT item 2), so the
+four remaining TPC-H shapes derive one deterministically — identically
+in the Spark dataflow and the DuckDB oracle — from the fact's own
+(part, supplier) incidence:
+
+    partsupp := DISTINCT (l_partkey, l_suppkey) pairs of lineitem
+    ps_availqty  = (ps_partkey*37 + ps_suppkey*71) % 9999 + 1
+    ps_costcents = (ps_partkey*13 + ps_suppkey*7) % 99900 + 100
+    ps_supplycost = CAST(ps_costcents AS DOUBLE) / 100
+
+Deriving from lineitem's REAL pairs (not the spec's 4-per-part
+synthetic assignment) keeps Q20's correlated lineitem probe non-vacuous
+— every partsupp row has shipment history to compare against.  All
+derived attributes are pure integer arithmetic plus one exact
+integer→double division, so both engines materialize bit-identical
+rows with no string routing; money comparisons (Q11's HAVING) run in
+integer CENTS, never in floats.
+
+The four shapes this module adds to SURVEY §2.11's composed surface
+(the reference outsources these behind Dune query_ids,
+etl_system/etl_job.csv:2-6):
+
+* Q2: correlated MIN over partsupp (decorrelated as a per-part min
+  re-aggregation of the region-filtered supplier⋈partsupp view) gating
+  a 5-table join, total-order top-k.
+* Q11: grouped value rollup + scalar-subquery threshold — the HAVING
+  compares exact integer cents (``value_cents * 1250 > total_cents``),
+  so the gate cannot tie-break apart across engines.
+* Q16: NOT-IN anti-join (excluded suppliers) under a COUNT(DISTINCT)
+  per part attribute group.
+* Q20: double-nested semi gate — parts by name prefix, suppliers whose
+  availqty exceeds half their shipped quantity for that part (the
+  strict ``2*availqty > Σqty`` form keeps the comparison integer vs
+  exact decimal).
+
+Fixture adaptations (same class as tpch_extra.py's, documented):
+nations are NATION_0..24 (no GERMANY/CANADA — Q11 uses NATION_7, Q20
+NATION_3); part has no p_container/p_mfgr (Q2 filters p_type+p_size,
+Q16 groups brand/type/size as spec'd); supplier has no s_comment (Q16's
+"customer complaints" exclusion becomes the negative-acctbal set) and
+no s_address (Q2/Q20 expose s_name + n_name).
+
+At 100 TB: partsupp is fact-DISTINCT-sized and every query here joins
+it to broadcast dimension sides; the only wide shuffles are the
+distinct-pair aggregate itself and Q20's per-pair quantity rollup, both
+keyed on (partkey, suppkey) — co-partitioned with the join that
+consumes them, so AQE plans one exchange family per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
+from bitcoin_datawarehouse_spark.functions.numeric import DEC, SQL_DEC
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+#: the oracle-side twin of :func:`derived_partsupp` — prepend inside a
+#: WITH chain.  Integer arithmetic only; the one division is an exact
+#: BIGINT→DOUBLE cast divided by an explicit DOUBLE (DuckDB bare
+#: ``/100`` would compute in DECIMAL — the CLAUDE.md literal rule).
+PARTSUPP_SQL = """partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             CAST((ps_partkey * 37 + ps_suppkey * 71) % 9999 + 1
+                  AS BIGINT) AS ps_availqty,
+             CAST((ps_partkey * 13 + ps_suppkey * 7) % 99900 + 100
+                  AS BIGINT) AS ps_costcents,
+             CAST((ps_partkey * 13 + ps_suppkey * 7) % 99900 + 100
+                  AS DOUBLE) / CAST(100 AS DOUBLE) AS ps_supplycost
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey
+            FROM lineitem)
+    )"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_availqty, ps_costcents,
+    ps_supplycost): the deterministic partsupp both engines agree on
+    bit-for-bit (see module docstring for the contract).
+
+    One DISTINCT aggregate over two pruned lineitem columns; the
+    derived attributes are stateless projections.  At scale the
+    distinct shuffles on the pair key — the same key Q20's quantity
+    rollup and join use, so the exchange is reused downstream.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    cents = (
+        F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7
+    ) % 99900 + 100
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 71) % 9999 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+        cents.cast("bigint").alias("ps_costcents"),
+        (cents.cast("double") / F.lit(100.0)).alias("ps_supplycost"),
+    )
+
+
+def _europe_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp restricted to EUROPE suppliers, with the supplier and
+    nation attributes Q2 exposes riding along (dimension legs collapse
+    into one broadcast probe side, the Q5 pattern)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    sn = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return derived_partsupp(spark, sf_dir).join(
+        F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    eu AS (
+      SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    minc AS (
+      SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+      FROM eu GROUP BY ps_partkey
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_type,
+           eu.ps_supplycost
+    FROM eu
+    JOIN minc ON minc.ps_partkey = eu.ps_partkey
+    JOIN part p ON p.p_partkey = eu.ps_partkey
+    WHERE p.p_size BETWEEN 10 AND 15 AND p.p_type = 'LARGE'
+      AND eu.ps_supplycost = minc.min_cost
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering the region-minimum supply cost — TPC-H's correlated-MIN
+    subquery, decorrelated as a per-part re-aggregation of the same
+    region-filtered view it gates (the Q17 self-agg-join pattern).
+
+    The minimum is over ALL of the part's EUROPE suppliers (computed
+    before the part-attribute filter, as the spec's subquery ignores
+    those predicates); equality on ps_supplycost is safe because both
+    engines derive the double identically (exact cents / 100).
+
+    At scale: region→nation→supplier collapse to one broadcast; the
+    min re-aggregation and the gated join key on ps_partkey — one
+    co-partitioned exchange family; top-100 is a TakeOrdered.
+    """
+    eu = _europe_partsupp(spark, sf_dir)
+    minc = eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eu.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(minc, F.col("ps_partkey") == F.col("m_partkey"))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    g AS (
+      SELECT ps.ps_partkey,
+             CAST(SUM(ps.ps_costcents * ps.ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY ps.ps_partkey
+    ),
+    t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM g)
+    SELECT g.ps_partkey,
+           CAST(g.value_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS value
+    FROM g, t
+    WHERE g.value_cents * 1250 > t.total_cents
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part stock value held by one nation's suppliers,
+    filtered to parts above a scalar-subquery share threshold (> 1/1250
+    of the nation's total — the spec's FRACTION scaled to the fixture's
+    part count so the gate stays selective-but-populated).
+
+    The entire value chain runs in integer CENTS (ps_costcents ·
+    ps_availqty), so the HAVING threshold ``value*1250 > total`` is
+    exact integer arithmetic on both engines — no decimal scale
+    coercion, no float tie hazard; the exposed ``value`` is one exact
+    BIGINT→DOUBLE division at the end (Σ fits 2^53 through sf100k).
+
+    At scale: nation-filtered suppliers broadcast into partsupp; the
+    per-part aggregate is the one shuffle; the grand total is a scalar
+    broadcast back over the part-sized rollup (cached — two subtrees
+    of one action read it, the CLAUDE.md shared-subgraph rule).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    sn = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    g = cache_tracked(
+        derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_costcents") * F.col("ps_availqty"))
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    total = g.agg(
+        F.sum("value_cents").cast("bigint").alias("total_cents")
+    )
+    return (
+        g.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1250 > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / F.lit(100.0)).alias(
+                "value"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle=f"""
+    WITH {PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q16 shape: how many distinct suppliers can deliver each
+    qualifying (brand, type, size) family, excluding a supplier
+    denylist — NOT-IN as a broadcast anti-join under COUNT(DISTINCT).
+
+    The spec's "complaints in s_comment" exclusion becomes the
+    negative-acctbal supplier set (no s_comment in the fixture); the
+    NOT IN is null-safe here because s_suppkey is a key.  No ORDER BY:
+    the driver's hash gate is order-insensitive and a global sort
+    would be the only extra exchange in the plan.
+
+    At scale: part (filtered) and the denylist broadcast; the distinct
+    count shuffles once on the group key.
+    """
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        derived_partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("ps_suppkey")
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_stock_suppliers",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    qty AS (
+      SELECT l_partkey, l_suppkey,
+             SUM({SQL_DEC("l_quantity")}) AS shipped_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN qty ON qty.l_partkey = ps.ps_partkey
+               AND qty.l_suppkey = ps.ps_suppkey
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND 2 * ps.ps_availqty > qty.shipped_qty
+      )
+    """,
+)
+def tpch_q20_excess_stock_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q20 shape: suppliers in one nation holding more than half a
+    year's shipments of any name-prefixed part — the doubly nested
+    IN/correlated-sum query, decorrelated as semi-join gates over a
+    per-(part, supplier) quantity rollup.
+
+    The spec's ``availqty > 0.5 * Σqty`` runs as ``2*availqty > Σqty``
+    — BIGINT versus the exact DECIMAL(38,10) quantity sum, so the
+    strict inequality cannot split across engines.  Pairs with no
+    shipments in the window drop out of the inner join, matching the
+    NULL-comparison exclusion of the spec's scalar subquery.
+
+    At scale: the quantity rollup shuffles on the same pair key the
+    partsupp distinct produced (exchange reuse); part-prefix and
+    nation legs broadcast; the supplier gate is a semi join over a
+    tiny distinct set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("shipped_qty"))
+    )
+    redp = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    gate = (
+        derived_partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(redp),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "leftsemi",
+        )
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("shipped_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(gate, F.col("s_suppkey") == F.col("ps_suppkey"), "leftsemi")
+        .select("s_name", "n_name")
+    )

@@ -143,10 +143,15 @@ DRIVER_WINDOW: list[str] = [
     # trainprep_pack_sequences, trainprep_quantize_int8 (all
     # driver-green r5, implementations unchanged; union coverage
     # retained, and each family keeps other in-window slots).
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
+    # round-7 in-session flagships: the LAST four TPC-H shapes, now
+    # expressible over the round-7 DERIVED partsupp (integer-exact
+    # contract; operators/tpch_partsupp.py).  They took the seats of
+    # tpch_q7/q8/q17/q18 (all driver-green r6, implementations
+    # unchanged — union coverage retained).
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_stock_suppliers",
     # …and the remaining five of the round-6 TPC-H long tail (every
     # new oracle-backed query must hold a window seat until a driver
     # round verifies it — test_registry_window pins the invariant).
@@ -354,4 +359,5 @@ def load_all_operators() -> None:
         storage,
         pagerank,
         affinity,
+        tpch_partsupp,
     )

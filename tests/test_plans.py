@@ -609,3 +609,46 @@ def test_tpch_q21_double_correlation_is_semi_plus_anti(plan_of):
     assert "BroadcastNestedLoopJoin" not in plan
     assert_no_cartesian(plan)
     assert_broadcast_join(plan)
+
+
+def test_tpch_q2_min_gate_copartitioned_dims_broadcast(plan_of):
+    # the decorrelated per-part MIN re-aggregation joins back on
+    # ps_partkey (co-partitioned with the gated side); every dimension
+    # leg (supplier/nation/region/part) broadcasts; top-100 is a
+    # TakeOrdered, never a global sort
+    plan = plan_of("tpch_q2_min_cost_supplier")
+    assert_broadcast_join(plan)
+    assert "TakeOrderedAndProject" in plan
+    assert_no_cartesian(plan)
+
+
+def test_tpch_q11_scalar_total_is_one_row_broadcast(plan_of):
+    # the grand-total threshold arrives as a 1-row broadcast over the
+    # part-sized rollup (the Q22 scalar pattern), never a collect; the
+    # nation-filtered supplier leg broadcasts
+    plan = plan_of("tpch_q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert_broadcast_join(plan)
+    assert_no_cartesian(plan)
+
+
+def test_tpch_q16_denylist_is_broadcast_anti(plan_of):
+    # NOT IN over a keyed denylist must plan as a broadcast LEFT ANTI;
+    # the filtered part leg broadcasts; distinct-count aggregates
+    # partially map-side
+    plan = plan_of("tpch_q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert_broadcast_join(plan)
+    assert_no_cartesian(plan)
+    assert_partial_aggregation(plan)
+
+
+def test_tpch_q20_double_gate_is_semi_joins(plan_of):
+    # both nested INs decorrelate to semi joins (part prefix gate on
+    # the pair frame, supplier gate on the outer); the ship-date range
+    # reaches the lineitem scan; no nested loop anywhere
+    plan = plan_of("tpch_q20_excess_stock_suppliers")
+    assert plan.count("LeftSemi") >= 2
+    assert_pushed_filter(plan, "l_shipdate")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(plan)

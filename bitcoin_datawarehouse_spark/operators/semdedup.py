@@ -68,6 +68,18 @@ def semdedup_flags(
     and the keep decision.  ``cos_c`` is full precision here; callers
     expose it through :func:`str_round6`.
     """
+    ids, cmat, cn = collect_codebook(cent)
+    assigned = _nearest_centroid_kernel_impl(emb, cent, keep_vec=True)
+    return _cluster_flags(assigned, ids, cmat, cn, tau)
+
+
+def _cluster_flags(
+    assigned: DataFrame, ids, cmat, cn, tau: float
+) -> DataFrame:
+    """The per-cluster keep/drop kernel over an (vec_id, centroid_id,
+    e) assignment frame — shared verbatim by the flat and two-level
+    quantizer paths (``ids``/``cmat``/``cn`` is the collected FINE
+    codebook; only the assignment stage differs between the paths)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -75,9 +87,6 @@ def semdedup_flags(
     from bitcoin_datawarehouse_spark.operators.similarity import (
         dim_ordered_dot_sq,
     )
-
-    ids, cmat, cn = collect_codebook(cent)
-    assigned = _nearest_centroid_kernel_impl(emb, cent, keep_vec=True)
 
     schema = T.StructType(
         [
@@ -273,17 +282,305 @@ AUTO_K_SQL = (
 )
 
 
-@query("dedup_semantic_semdedup_auto", oracle=_semdedup_oracle(AUTO_K_SQL))
+# ---------------------------------------------------------------------------
+# two-level (coarse→fine) quantizer — the production assignment path
+# ---------------------------------------------------------------------------
+#
+# The flat quantizer's total work is N^1.5·d by construction
+# (assignment N·K·d balanced against pair grids N²·d/K at K*=√N —
+# measured ~24×/decade at sf100, SCALING.md).  The two-level path
+# routes each vector through a COARSE codebook of Kc=√K centroids
+# first, then argmaxes only within that coarse cell's fine centroids:
+# assignment falls to N·(Kc + K/Kc)·d = 2·N·√K·d, and re-balancing
+# against the grids (N²·d/K) gives K* = N^(2/3), Kc* = N^(1/3) —
+# total work ~N^(4/3)·d (10^(4/3) ≈ 21.5×/decade asymptotic, with
+# the measured sf10→sf100 slope well below the flat path's; see
+# SCALING.md round 7).  The per-cluster keep/drop kernel and the
+# keep-farthest rule are IDENTICAL — only the assignment stage (and
+# therefore the clustering itself, as in any hierarchical/IVF
+# quantizer) differs, and the SQL oracle mirrors the full two-level
+# rule including both tie-breaks, so the hash gate checks the
+# hierarchical routing itself cross-engine.
+#
+# Sizing is INTEGER-EXACT on both engines: k1 = min{k : k³ ≥ N} is
+# computed as a float cbrt seed plus a ±1 integer fixup (the fixup
+# absorbs any last-ulp cbrt divergence — libm differences cannot
+# change the result), then K = clamp(k1², 16, 65536) and
+# Kc = clamp(k1, 4, 256).  The clamps are aligned so Kc = √K exactly
+# in all three regimes (floor 4²=16, cap 256²=65536).
+
+SEMDEDUP_TWO_LEVEL_MIN_K1 = 4
+SEMDEDUP_TWO_LEVEL_MAX_K1 = 256
+
+
+def semdedup_k1(n_vectors: int) -> int:
+    """min{k ≥ 1 : k³ ≥ N} — integer-exact cube-root ceiling (float
+    seed + ±1 fixup; exhaustive-range pytest pins SQL ≡ python)."""
+    import math
+
+    if n_vectors <= 1:
+        return 1
+    seed = math.ceil(math.cbrt(n_vectors))
+    if (seed - 1) ** 3 >= n_vectors:
+        seed -= 1
+    if seed**3 < n_vectors:
+        seed += 1
+    return seed
+
+
+def two_level_sizes(n_vectors: int) -> tuple[int, int]:
+    """(fine K, coarse Kc) for the two-level quantizer at corpus size
+    ``n_vectors`` — K = clamp(k1², 16, 65536), Kc = clamp(k1, 4, 256),
+    aligned so Kc = √K in every regime."""
+    k1 = semdedup_k1(n_vectors)
+    fine = max(16, min(65536, k1 * k1))
+    coarse = max(
+        SEMDEDUP_TWO_LEVEL_MIN_K1, min(SEMDEDUP_TWO_LEVEL_MAX_K1, k1)
+    )
+    return fine, coarse
+
+
+#: the sizing rule as SQL (the AUTO_BITS_SQL pattern, integer-exact):
+#: one scalar CTE computing (fine_k, coarse_k) from COUNT(*).
+TWO_LEVEL_KK_SQL = f"""kk AS (
+      SELECT GREATEST(16, LEAST(65536, k1 * k1)) AS fine_k,
+             GREATEST({SEMDEDUP_TWO_LEVEL_MIN_K1},
+                      LEAST({SEMDEDUP_TWO_LEVEL_MAX_K1}, k1)) AS coarse_k
+      FROM (
+        SELECT CASE WHEN cnt <= 1 THEN 1
+               ELSE seed
+                    - CASE WHEN (seed-1)*(seed-1)*(seed-1) >= cnt
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN seed*seed*seed < cnt
+                           THEN 1 ELSE 0 END
+               END AS k1
+        FROM (
+          SELECT CAST(CEIL(CBRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+                   AS seed,
+                 COUNT(*) AS cnt
+          FROM embeddings
+        )
+      )
+    )"""
+
+
+def two_level_assign(
+    emb: DataFrame, cent: DataFrame, coarse: DataFrame
+) -> DataFrame:
+    """(vec_id, centroid_id, e): hierarchical coarse→fine assignment.
+
+    Driver side (model-sized): each FINE centroid is routed to its
+    nearest coarse centroid (cosine, tie → smallest coarse id) —
+    K·Kc·d work on collected codebooks.  Executor side: ONE
+    shuffle-free Arrow pass per batch computes each vector's nearest
+    OCCUPIED coarse cell (Kc·d per row), then argmaxes only within
+    that cell's fine members (K/Kc·d per row on average) — never the
+    full K·d the flat path pays.  All cosines accumulate through
+    ``dim_ordered_dot_sq`` and both argmax tie-breaks are
+    first-max-on-id-ascending, mirroring the oracle's ROW_NUMBER
+    picks exactly.
+
+    Unoccupied coarse cells (possible only under exact-twin ties
+    among fine centroids) are excluded from the vector routing on
+    both engines, so every assignment lands in a non-empty cell.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        dim_ordered_dot_sq,
+    )
+
+    ids, cmat, cn = collect_codebook(cent)
+    cids, ccmat, ccn = collect_codebook(coarse)
+
+    # fine → coarse (driver, K×Kc — a model, not data)
+    fdot, _, _ = dim_ordered_dot_sq(cmat, ccmat)
+    fcos = fdot / np.outer(cn, ccn)
+    fbest = np.argmax(fcos, axis=1)  # first max → smallest coarse id
+    occupied = np.unique(fbest)  # ascending coarse column indices
+    occ_cc = ccmat[occupied]
+    occ_ccn = ccn[occupied]
+    cell_fines = {
+        int(ci): np.where(fbest == ci)[0] for ci in occupied
+    }  # fine row indices, id-ascending
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.array(list(pdf["e"]), dtype=np.float64)
+            xdot, x_sq, _ = dim_ordered_dot_sq(emat, occ_cc)
+            nrm = np.sqrt(x_sq)
+            xcos = xdot / np.outer(nrm, occ_ccn)
+            # first max → smallest OCCUPIED coarse id (columns ascend)
+            xcell = occupied[np.argmax(xcos, axis=1)]
+            out_cid = np.empty(len(emat), dtype=np.int64)
+            for ci in np.unique(xcell):
+                rows = np.where(xcell == ci)[0]
+                fidx = cell_fines[int(ci)]
+                d, _, _ = dim_ordered_dot_sq(emat[rows], cmat[fidx])
+                cos = d / np.outer(nrm[rows], cn[fidx])
+                out_cid[rows] = ids[fidx[np.argmax(cos, axis=1)]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "centroid_id": out_cid,
+                    "e": pdf["e"],
+                }
+            )
+
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    return (
+        emb.select("vec_id", "e").repartition(par).mapInPandas(gen, schema)
+    )
+
+
+def semdedup_flags_two_level(
+    emb: DataFrame, cent: DataFrame, coarse: DataFrame, tau: float
+) -> DataFrame:
+    """:func:`semdedup_flags` with the hierarchical assignment stage —
+    the same (vec_id, centroid_id, cos_c, keep) surface and the same
+    per-cluster keep-farthest kernel; ``coarse`` must use the
+    (centroid_id, ce, cn) codebook contract like ``cent``."""
+    ids, cmat, cn = collect_codebook(cent)
+    assigned = two_level_assign(emb, cent, coarse)
+    return _cluster_flags(assigned, ids, cmat, cn, tau)
+
+
+def _two_level_oracle() -> str:
+    """The auto query's oracle: the full two-level rule in SQL —
+    integer-exact sizing scalars, fine→coarse routing, occupied-cell
+    restriction, within-cell fine argmax, then the identical
+    keep-farthest decision as the flat oracle."""
+    cos_fc = _SQL_COS.format(a="f", b="c")
+    cos_xc = _SQL_COS.format(a="x", b="c")
+    cos_xf = _SQL_COS.format(a="x", b="f")
+    return f"""
+    WITH {_SQL_NORMED},
+    {TWO_LEVEL_KK_SQL},
+    cent AS (SELECT n.* FROM n, kk WHERE n.vec_id < kk.fine_k),
+    coarse AS (SELECT n.* FROM n, kk WHERE n.vec_id < kk.coarse_k),
+    f2c AS (
+      SELECT f_id, coarse_id FROM (
+        SELECT f.vec_id AS f_id, c.vec_id AS coarse_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY f.vec_id
+                 ORDER BY {cos_fc} DESC, c.vec_id
+               ) AS rn
+        FROM cent f CROSS JOIN coarse c
+      ) WHERE rn = 1
+    ),
+    occ AS (
+      SELECT c.* FROM coarse c
+      WHERE c.vec_id IN (SELECT coarse_id FROM f2c)
+    ),
+    x2c AS (
+      SELECT vec_id, coarse_id FROM (
+        SELECT x.vec_id, c.vec_id AS coarse_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {cos_xc} DESC, c.vec_id
+               ) AS rn
+        FROM n x CROSS JOIN occ c
+      ) WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT x.vec_id, f.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {cos_xf} DESC, f.vec_id
+               ) AS rn
+        FROM x2c xc
+        JOIN n x ON x.vec_id = xc.vec_id
+        JOIN f2c ON f2c.coarse_id = xc.coarse_id
+        JOIN n f ON f.vec_id = f2c.f_id
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT a.vec_id, a.centroid_id,
+             {_SQL_COS.format(a="x", b="c")} AS cos_c,
+             x.e, x.nrm
+      FROM assign a
+      JOIN n x ON x.vec_id = a.vec_id
+      JOIN n c ON c.vec_id = a.centroid_id
+    ),
+    drops AS (
+      SELECT DISTINCT i.vec_id
+      FROM m i
+      JOIN m j
+        ON i.centroid_id = j.centroid_id
+       AND i.vec_id <> j.vec_id
+       AND (j.cos_c < i.cos_c
+            OR (j.cos_c = i.cos_c AND j.vec_id < i.vec_id))
+       AND {_SQL_COS.format(a="i", b="j")} >= {COSINE_DUP_THRESHOLD}
+    )
+    SELECT m.vec_id, m.centroid_id,
+           {SQL_STR_ROUND6("m.cos_c")} AS cos_centroid,
+           d.vec_id IS NULL AS keep
+    FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id
+"""
+
+
+def _semdedup_two_level_query(
+    spark: SparkSession, sf_dir: str, fine_k: int, coarse_k: int
+) -> DataFrame:
+    """Two-level run at explicit sizes — shared by the registered
+    auto variant and the fixed-size tests."""
+    emb = _normed(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < fine_k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    coarse = emb.filter(F.col("vec_id") < coarse_k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    flags = semdedup_flags_two_level(
+        emb, cent, coarse, COSINE_DUP_THRESHOLD
+    )
+    return flags.select(
+        "vec_id",
+        "centroid_id",
+        str_round6(F.col("cos_c")).alias("cos_centroid"),
+        "keep",
+    )
+
+
+@query("dedup_semantic_semdedup_auto", oracle=_two_level_oracle())
 def dedup_semantic_semdedup_auto(
     spark: SparkSession, sf_dir: str, n_vectors: int | None = None
 ) -> DataFrame:
-    """The PRODUCTION default of the SemDeDup pass: cluster count
-    chosen AT RUNTIME from the corpus size (one count() probe, or a
-    caller-supplied hint when the count is already known) by the
-    cost-balancing rule K* = ceil(√N).  The oracle is K-adaptive
-    too (:data:`AUTO_K_SQL`), so the hash gate checks the rule
-    itself; ``auto(N) ≡ fixed(auto_semdedup_k(N))`` and the SQL≡
-    python rule equality stay pytest-pinned alongside."""
+    """The PRODUCTION default of the SemDeDup pass, round-7 rewrite:
+    TWO-LEVEL (coarse→fine) cluster assignment with both sizes chosen
+    AT RUNTIME from the corpus (one count() probe, or a caller hint)
+    by the integer-exact rule k1 = min{k : k³ ≥ N}, K = k1²,
+    Kc = k1 — the re-balanced optimum once assignment costs
+    N·(Kc + K/Kc)·d instead of the flat N·K·d (module comment above;
+    measured decade pair in SCALING.md round 7).
+
+    The oracle recomputes the sizing AND the full hierarchical
+    routing in SQL (:func:`_two_level_oracle`), so the hash gate
+    proves the two-level rule itself — sizing fixup, fine→coarse
+    tie-breaks, occupied-cell restriction, within-cell argmax —
+    cross-engine at any scale factor.  The flat fixed-K variant
+    (``dedup_semantic_semdedup``) stays registered as the audit twin
+    sharing the identical keep/drop kernel.
+    """
     if n_vectors is None:
         n_vectors = _normed(spark, sf_dir).count()
-    return _semdedup_query(spark, sf_dir, auto_semdedup_k(n_vectors))
+    fine_k, coarse_k = two_level_sizes(n_vectors)
+    return _semdedup_two_level_query(spark, sf_dir, fine_k, coarse_k)

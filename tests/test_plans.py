@@ -387,6 +387,13 @@ SHUFFLE_BUDGET = {
     # the whole intra-cluster pair grid is task-local (a 3rd exchange
     # would mean pair rows started materializing through a join)
     "dedup_semantic_semdedup": 2,
+    # the round-7 two-level rewrite must keep the identical exchange
+    # budget: coarse→fine routing happens INSIDE the one assignment
+    # kernel (fine→coarse is driver-side on the collected codebook),
+    # so hierarchical ≠ extra shuffles — still kernel repartition +
+    # the centroid_id hash shuffle (the count() sizing probe is a
+    # separate build-time action, not part of this plan)
+    "dedup_semantic_semdedup_auto": 2,
     # round-robin repartition into the encode kernel + the final
     # partitions×queries×k rank window — the ADC scoring itself adds
     # no exchange (codes flow straight from the encode kernel into

@@ -313,21 +313,26 @@ def test_auto_semdedup_sql_rule_matches_python():
         assert got == auto_semdedup_k(n), n
 
 
-def test_auto_semdedup_equals_fixed_k_run(spark):
-    """auto(N) must reproduce a fixed-K run at K = auto_semdedup_k(N)
-    bit-for-bit — the same auto≡fixed contract the LSH auto width
-    carries (the gate corpus sits above the 16 floor: 500 → K 23, so
-    the auto variant genuinely exercises the rule there)."""
+def test_auto_semdedup_equals_fixed_sizes_run(spark):
+    """auto(N) must reproduce a fixed-size two-level run at
+    (K, Kc) = two_level_sizes(N) bit-for-bit — the auto≡fixed
+    contract the LSH auto width carries (the gate corpus sits above
+    both floors: 500 → k1 8 → K 64, Kc 8, so the auto variant
+    genuinely exercises the sizing rule there)."""
     from bitcoin_datawarehouse_spark.operators.semdedup import (
-        _semdedup_query,
-        auto_semdedup_k,
+        _semdedup_two_level_query,
+        two_level_sizes,
     )
 
-    assert auto_semdedup_k(500) == 23  # the sf0.001/sf0.01 corpora
-    assert auto_semdedup_k(200) == 16  # floor engages below 256
-    k = auto_semdedup_k(500)
+    assert two_level_sizes(500) == (64, 8)  # the sf0.001/sf0.01 corpora
+    assert two_level_sizes(50) == (16, 4)  # floors engage below 64
+    assert two_level_sizes(20_000_000) == (65536, 256)  # caps aligned
+    fine_k, coarse_k = two_level_sizes(500)
     fixed = {
-        tuple(r) for r in _semdedup_query(spark, SF_SMALL, k).collect()
+        tuple(r)
+        for r in _semdedup_two_level_query(
+            spark, SF_SMALL, fine_k, coarse_k
+        ).collect()
     }
     auto = {
         tuple(r) for r in QUERIES["dedup_semantic_semdedup_auto"](
@@ -335,6 +340,146 @@ def test_auto_semdedup_equals_fixed_k_run(spark):
         ).collect()
     }
     assert fixed == auto
+
+
+def test_two_level_k1_sql_rule_matches_python():
+    """The two-level oracle computes k1 = min{k : k³ ≥ N} in SQL
+    (float cbrt seed + ±1 integer fixup).  The fixup must make the
+    rule integer-exact regardless of libm's cbrt rounding — verify
+    SQL ≡ python exhaustively for every N ≤ 3·10⁶ (covers all
+    perfect cubes in range, the hazard class) plus decade
+    spot-checks, and pin the clamp alignment Kc = √K."""
+    from bitcoin_datawarehouse_spark.operators.semdedup import (
+        semdedup_k1,
+        two_level_sizes,
+    )
+
+    con = duckdb.connect()
+    rule = (
+        "CASE WHEN n <= 1 THEN 1 ELSE s"
+        " - CASE WHEN (s-1)*(s-1)*(s-1) >= n THEN 1 ELSE 0 END"
+        " + CASE WHEN s*s*s < n THEN 1 ELSE 0 END END"
+    )
+    rows = con.execute(
+        f"SELECT n, {rule} FROM (SELECT n,"
+        " CAST(CEIL(CBRT(CAST(n AS DOUBLE))) AS BIGINT) AS s FROM"
+        " (SELECT unnest(generate_series(1, 3000000)) AS n))"
+    ).fetchall()
+    bad = [(n, s) for n, s in rows if s != semdedup_k1(n)]
+    assert not bad, f"SQL k1 rule diverges from python: {bad[:5]}"
+    for n in (10**7, 10**9, 10**12):
+        (got,) = con.execute(
+            f"SELECT {rule} FROM (SELECT CAST({n} AS BIGINT) AS n,"
+            f" CAST(CEIL(CBRT(CAST({n} AS DOUBLE))) AS BIGINT) AS s)"
+        ).fetchone()
+        assert got == semdedup_k1(n), n
+    # clamp alignment: Kc is exactly √K in every regime
+    for n in (1, 5, 50, 500, 5000, 10**6, 10**8, 10**12):
+        fine, coarse = two_level_sizes(n)
+        assert coarse * coarse == fine, (n, fine, coarse)
+
+
+def test_two_level_assignment_matches_independent_reference(spark):
+    """The two-level routing (fine→coarse, occupied-cell restriction,
+    within-cell argmax, both tie-breaks) against an independent
+    brute-force numpy reimplementation of the spec on the fixture —
+    the NTILE-oracle precedent: a second implementation, not the
+    kernel's own code path."""
+    import numpy as np
+
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        _normed,
+    )
+    from bitcoin_datawarehouse_spark.operators.semdedup import (
+        _semdedup_two_level_query,
+        two_level_sizes,
+    )
+
+    rows = sorted(
+        _normed(spark, SF_SMALL).select("vec_id", "e").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    vids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["e"]) for r in rows], dtype=np.float64)
+    n = len(vids)
+    fine_k, coarse_k = two_level_sizes(n)
+
+    # dim-ordered cosine grid (the parity contract's fold order)
+    def cos_grid(a, b):
+        d = np.zeros((len(a), len(b)))
+        asq = np.zeros(len(a))
+        bsq = np.zeros(len(b))
+        for j in range(a.shape[1]):
+            d += np.outer(a[:, j], b[:, j])
+            asq += a[:, j] * a[:, j]
+            bsq += b[:, j] * b[:, j]
+        return d / np.outer(np.sqrt(asq), np.sqrt(bsq))
+
+    fmask = vids < fine_k
+    cmask = vids < coarse_k
+    fids, fmat = vids[fmask], mat[fmask]
+    cidv, cmat = vids[cmask], mat[cmask]
+    f2c = cidv[np.argmax(cos_grid(fmat, cmat), axis=1)]
+    occupied = np.unique(f2c)
+    occ_cols = np.isin(cidv, occupied)
+    x2c = cidv[occ_cols][
+        np.argmax(cos_grid(mat, cmat[occ_cols]), axis=1)
+    ]
+    expected = {}
+    for i in range(n):
+        members = np.where(f2c == x2c[i])[0]
+        cg = cos_grid(mat[i : i + 1], fmat[members])[0]
+        expected[int(vids[i])] = int(fids[members[np.argmax(cg)]])
+
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _semdedup_two_level_query(
+            spark, SF_SMALL, fine_k, coarse_k
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_two_level_with_coarse_eq_fine_matches_flat(spark):
+    """When every fine centroid self-routes (generic position — no
+    exact-twin ties among the fixture's first K vectors, asserted
+    first), a two-level run with coarse = fine degenerates to the
+    flat assignment: cells are singletons, the occupied set is all of
+    them, and the vector routing IS the flat argmax.  Pins that the
+    hierarchical machinery adds no behavior beyond the routing."""
+    import numpy as np
+
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        _normed,
+    )
+    from bitcoin_datawarehouse_spark.operators.semdedup import (
+        _semdedup_query,
+        _semdedup_two_level_query,
+    )
+
+    k = 23
+    rows = sorted(
+        _normed(spark, SF_SMALL)
+        .filter(f"vec_id < {k}")
+        .select("vec_id", "e")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    mat = np.array([list(r["e"]) for r in rows], dtype=np.float64)
+    cos = mat @ mat.T / np.outer(
+        np.linalg.norm(mat, axis=1), np.linalg.norm(mat, axis=1)
+    )
+    np.fill_diagonal(cos, -2.0)
+    assert cos.max() < 1.0 - 1e-9, "fixture has twin centroids"
+
+    flat = {
+        tuple(r) for r in _semdedup_query(spark, SF_SMALL, k).collect()
+    }
+    two = {
+        tuple(r)
+        for r in _semdedup_two_level_query(spark, SF_SMALL, k, k).collect()
+    }
+    assert flat == two
 
 
 def test_pq_encode_identities_and_packing(spark):

@@ -33,7 +33,7 @@ def main() -> int:
         return 2
     load_all_operators()
     from bitcoin_datawarehouse_spark.operators.semdedup import (
-        auto_semdedup_k,
+        two_level_sizes,
     )
 
     # the decade-probe session profile (96 shuffle partitions)
@@ -52,7 +52,7 @@ def main() -> int:
         )
 
         n = _normed(spark, d).count()
-        k = auto_semdedup_k(n)
+        fine_k, coarse_k = two_level_sizes(n)
         runs = []
         dropped = None
         for _ in range(2):
@@ -71,7 +71,7 @@ def main() -> int:
                 {
                     "dir": d,
                     "n_vectors": n,
-                    "k": k,
+                    "fine_k": fine_k, "coarse_k": coarse_k,
                     "dropped": dropped,
                     "runs_s": runs,
                 }

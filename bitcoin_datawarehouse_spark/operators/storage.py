@@ -121,12 +121,28 @@ def storage_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # file-skipping manifest: Delta/Iceberg-style stats without the format
 # ---------------------------------------------------------------------------
 
+def _manifest_stats(
+    spark: SparkSession, paths: list[str], cols: list[str]
+) -> DataFrame:
+    """The one manifest aggregate — per-file row count + min/max of
+    each listed column over exactly the given parquet paths, grouped
+    on the reader's ``_metadata.file_path``.  Shared by the full
+    rebuild and the incremental append so both produce identical
+    rows for the same file (the append ≡ rebuild pytest contract)."""
+    df = spark.read.parquet(*paths).select(
+        F.col("_metadata.file_path").alias("file_path"), *cols
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy("file_path").agg(*aggs)
+
+
 def build_manifest(
     spark: SparkSession, path: str, cols: list[str]
 ) -> DataFrame:
     """Per-file statistics manifest of a parquet directory: row count
-    + min/max of each listed column, keyed by file path — ONE scan,
-    grouped on the reader's ``_metadata.file_path``.
+    + min/max of each listed column, keyed by file path — ONE scan.
 
     At 100 TB the point is not row-group pruning (the parquet reader
     already does that from footers) but FILE pruning without touching
@@ -135,16 +151,123 @@ def build_manifest(
     once.  Pairs with :func:`write_zordered` — z-clustered files have
     tight per-file min/max on every interleaved dimension, so the
     manifest prunes multi-dimensional predicates (measured in
-    tests/test_zorder.py and SCALING.md).  Rebuild (or append, via the
-    same aggregate over only the new files) after each load.
+    tests/test_zorder.py and SCALING.md).  After each load either
+    :func:`append_manifest` over just the new files, or
+    :func:`sync_manifest` to reconcile against the directory (handles
+    compaction removing files too).
     """
-    df = spark.read.parquet(path).select(
-        F.col("_metadata.file_path").alias("file_path"), *cols
+    return _manifest_stats(spark, [path], cols)
+
+
+def append_manifest(
+    spark: SparkSession,
+    manifest: DataFrame,
+    new_paths: list[str],
+    cols: list[str],
+) -> DataFrame:
+    """Incremental manifest maintenance after a load: stat ONLY the
+    newly written files (the same aggregate :func:`build_manifest`
+    runs, over just ``new_paths``) and splice them in — re-stated
+    paths replace their old entries, so a re-run is idempotent.  Cost
+    is ∝ batch, never ∝ table (the r6 VERDICT item: a full rebuild
+    re-scans every historical file per load)."""
+    if not new_paths:
+        return manifest
+    fresh = _manifest_stats(spark, new_paths, cols)
+    return manifest.join(fresh, "file_path", "left_anti").unionByName(
+        fresh
     )
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
-    for c in cols:
-        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-    return df.groupBy("file_path").agg(*aggs)
+
+
+def _as_file_uri(p: str) -> str:
+    """Local path → the exact ``file:`` form Spark's
+    ``_metadata.file_path`` emits, so listing-vs-manifest set algebra
+    keys match."""
+    return p if p.startswith("file:") else f"file:{p}"
+
+
+def sync_manifest(
+    spark: SparkSession,
+    manifest: DataFrame | None,
+    data_path: str,
+    cols: list[str],
+) -> DataFrame:
+    """Reconcile a manifest with the directory's CURRENT parquet
+    files: stat only files the manifest has never seen, and drop
+    entries whose files vanished (compaction rewrote their block).
+
+    The listing diff is driver-side set algebra over file paths —
+    planning state, Delta-log-sized by design — while the only Spark
+    job is the stats aggregate over the genuinely new files.  Dropping
+    vanished entries is a CORRECTNESS duty, not hygiene: a manifest
+    row pointing at a compacted-away file fails the pruned read
+    outright (missing input), unlike stale-wide stats which merely
+    over-read.  This is the per-trigger verb of the streaming ingest
+    loop (streaming/ztable_stream.py).
+    """
+    import pathlib
+
+    current = {
+        _as_file_uri(str(p))
+        for p in pathlib.Path(data_path).rglob("*.parquet")
+    }
+    if manifest is None:
+        known: set[str] = set()
+        kept = None
+    else:
+        rows = manifest.collect()
+        known = {r["file_path"] for r in rows}
+        live = [r for r in rows if r["file_path"] in current]
+        kept = (
+            spark.createDataFrame(live, schema=manifest.schema)
+            if live
+            else None
+        )
+    new_files = sorted(current - known)
+    fresh = (
+        _manifest_stats(spark, new_files, cols) if new_files else None
+    )
+    if kept is not None and fresh is not None:
+        return kept.unionByName(fresh)
+    if kept is not None:
+        return kept
+    if fresh is not None:
+        return fresh
+    raise ValueError(f"no parquet files under {data_path}")
+
+
+def refresh_manifest_sidecar(
+    spark: SparkSession, table_path: str, cols: list[str]
+) -> DataFrame:
+    """Sync the PERSISTED manifest of a block-layout table
+    (``<table_path>/data`` → sidecar ``<table_path>/manifest`` — no
+    underscore prefix: Spark's file index treats ``_``-prefixed paths
+    as hidden and would ignore the sidecar's own files) with
+    its current files and return the fresh manifest frame.
+
+    The per-trigger verb of the streaming ingest loop: after every
+    micro-batch (ingest + possible compaction) the sidecar must drop
+    entries for compacted-away files — a stale entry is a read
+    FAILURE, not an over-read — and stat only the batch's new files.
+    The survivors list rides :func:`sync_manifest`'s driver-side
+    LocalTableScan, so the rewrite below never has the new sidecar's
+    plan reading the old sidecar's files; the tmp+rename swap is the
+    Warehouse.write_atomic pattern (catalog.py:146).
+    """
+    import pathlib
+    import shutil
+    import uuid
+
+    base = pathlib.Path(table_path)
+    mdir = base / "manifest"
+    old = spark.read.parquet(str(mdir)) if mdir.exists() else None
+    fresh = sync_manifest(spark, old, str(base / "data"), cols)
+    tmp = base / f"manifest.__tmp_{uuid.uuid4().hex[:8]}"
+    fresh.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    if mdir.exists():
+        shutil.rmtree(mdir)
+    tmp.rename(mdir)
+    return spark.read.parquet(str(mdir))
 
 
 def manifest_pruned_read(
@@ -155,41 +278,43 @@ def manifest_pruned_read(
     """Read only the files whose manifest stats intersect every
     ``col: (lo, hi)`` range, then re-apply the exact predicate.
 
-    Returns ``(frame, files_read, files_total)``.  The manifest is
-    file-count-sized (collected driver-side deliberately — that IS the
-    design: planning state small enough to hold, so the executors
-    never list or open skipped files).  Correctness does not depend on
+    Returns ``(frame, files_read, files_total)``.  The range intersect
+    runs as a ``manifest.filter(...)`` BEFORE the collect (r6 VERDICT
+    item 3), so the driver transfers only the SURVIVING paths — at a
+    million files with a selective predicate that is thousands of
+    rows, not the whole planning table; the executors still never
+    list or open skipped files.  Correctness does not depend on
     manifest freshness precision: stats are conservative (a stale-wide
     range only reads more), and the exact predicate re-applies on the
     surviving rows.
     """
-    rows = manifest.collect()
-    if not rows:
-        raise ValueError("empty manifest — build it over a written table")
-    keep = [
-        r["file_path"]
-        for r in rows
-        if all(
-            # NULL stats mean the file's column is ALL NULL (min/max
-            # skip nulls) — no row can satisfy a range predicate, so
-            # skipping is exact, and comparing would TypeError
-            r[f"min_{c}"] is not None
-            and r[f"min_{c}"] <= hi
-            and r[f"max_{c}"] >= lo
-            for c, (lo, hi) in ranges.items()
+    ipred = None
+    for c, (lo, hi) in ranges.items():
+        # NULL stats mean the file's column is ALL NULL (min/max skip
+        # nulls) — no row can satisfy a range predicate, so skipping
+        # is exact (isNotNull keeps the 3VL comparison false, never
+        # unknown)
+        p = (
+            F.col(f"min_{c}").isNotNull()
+            & (F.col(f"min_{c}") <= F.lit(hi))
+            & (F.col(f"max_{c}") >= F.lit(lo))
         )
-    ]
+        ipred = p if ipred is None else (ipred & p)
+    total = manifest.count()
+    if total == 0:
+        raise ValueError("empty manifest — build it over a written table")
+    survivors = manifest.filter(ipred) if ipred is not None else manifest
+    keep = [r["file_path"] for r in survivors.select("file_path").collect()]
     pred = None
     for c, (lo, hi) in ranges.items():
         p = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
         pred = p if pred is None else (pred & p)
     if not keep:
-        base = spark.read.parquet(
-            *[r["file_path"] for r in rows[:1]]
-        ).where(F.lit(False))
-        return base, 0, len(rows)
+        anyfile = manifest.select("file_path").first()["file_path"]
+        base = spark.read.parquet(anyfile).where(F.lit(False))
+        return base, 0, total
     return (
         spark.read.parquet(*keep).where(pred),
         len(keep),
-        len(rows),
+        total,
     )

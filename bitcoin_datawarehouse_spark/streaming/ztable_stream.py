@@ -39,11 +39,21 @@ def run_ztable_ingest_stream(
     table: ZOrderedTable,
     id_col: str,
     checkpoint_dir: str,
+    manifest_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Stream ``row_stream`` into ``table`` (which must be seeded).
     ``id_col`` is the caller's row-identity column for the replay
     guard.  ``availableNow`` drains and stops — tests/backfills; a
-    deployment swaps the trigger for a processing-time interval."""
+    deployment swaps the trigger for a processing-time interval.
+
+    ``manifest_cols`` (optional) keeps the table's file-skipping
+    manifest sidecar fresh INSIDE the loop: after every trigger's
+    ingest + compaction, :func:`refresh_manifest_sidecar` drops
+    entries for compacted-away files and stats only the batch's new
+    ones — so ``manifest_pruned_read`` stays correct at every trigger
+    boundary (a stale entry is a missing-file read failure, not an
+    over-read; r7 composition pytest pins the equality per trigger).
+    """
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -60,6 +70,14 @@ def run_ztable_ingest_stream(
             if fresh.count() > 0:
                 table.ingest(fresh)
                 table.compact()
+                if manifest_cols is not None:
+                    from bitcoin_datawarehouse_spark.operators.storage import (
+                        refresh_manifest_sidecar,
+                    )
+
+                    refresh_manifest_sidecar(
+                        spark, str(table.path), manifest_cols
+                    )
         finally:
             fresh.unpersist()
 

@@ -192,10 +192,11 @@ def main() -> None:
     # queries under Spark 4.1).  The warmed minimum is the reproducible
     # cost of the PLAN (what a capacity model needs); the cold first
     # run measures this JVM's compiler that minute
-    # with_global_rank persists an intermediate per invocation (callers
-    # own the cache lifetime — see functions/ranking.py); release
-    # between queries so warm+best-of-3 doesn't stack 4 cached
-    # corpus-sized frames per ranking flagship in one session
+    # with_global_rank's intermediate is an eager localCheckpoint
+    # whose blocks the ContextCleaner reclaims on GC (round 7 — no
+    # caller-owned registry anymore); release_rank_caches is kept as
+    # a compatibility no-op so this loop documents where the release
+    # USED to be load-bearing
     from bitcoin_datawarehouse_spark.functions.ranking import (  # noqa: E402
         release_rank_caches,
     )

@@ -623,3 +623,46 @@ def test_global_rank_splits_heavy_score_ties(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_global_rank_blocks_release_without_manual_call(spark):
+    """Scoped cache ownership (r6 VERDICT item 5): a loop of ranked
+    queries must NOT accrete storage once its result frames are
+    dropped — the localCheckpoint blocks are RDD-owned and the
+    ContextCleaner reclaims them on garbage collection, with no
+    release protocol for library callers (release_rank_caches is a
+    compatibility no-op).  Cleanup is asynchronous (weak-reference
+    queue), so the assertion polls under GC nudges."""
+    import gc
+    import time
+
+    from bitcoin_datawarehouse_spark.functions.ranking import (
+        release_rank_caches,
+        with_global_rank,
+    )
+
+    sc = spark.sparkContext
+
+    def cached_bytes():
+        return sum(
+            i.memSize() + i.diskSize()
+            for i in sc._jsc.sc().getRDDStorageInfo()
+        )
+
+    df = spark.range(50_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("v")
+    )
+    for _ in range(3):
+        r = with_global_rank(df, ["v", "doc_id"], "rk", "tot")
+        assert r.count() == 50_000
+        del r
+        gc.collect()
+    assert release_rank_caches() == 0  # nothing registered anywhere
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        gc.collect()
+        spark._jvm.System.gc()
+        if cached_bytes() == 0:
+            break
+        time.sleep(1)
+    assert cached_bytes() == 0, "ranked-query storage never released"

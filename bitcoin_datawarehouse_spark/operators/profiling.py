@@ -157,6 +157,31 @@ FROM probs
 """
 
 
+def _drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_ref, n_cur): the fixed-edge snapshot histograms both
+    drift metrics (TV — hash-gated; PSI — rows-only) share: two
+    filtered aggregates pushed to the scan, one full-outer join on the
+    bounded bucket set."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    bucket = F.floor(F.col("o_totalprice") / _DRIFT_BUCKET).cast("bigint")
+    ref = (
+        o.filter(F.col("o_orderdate") < cut)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+    cur = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return ref.join(cur, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("rn"), F.lit(0)).cast("bigint").alias("n_ref"),
+        F.coalesce(F.col("cn"), F.lit(0)).cast("bigint").alias("n_cur"),
+    )
+
+
 @query("profile_drift_tv", oracle=_DRIFT_SQL)
 def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two snapshots of a column — the
@@ -180,30 +205,10 @@ def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sums over ~20 bucket rows — the unpartitioned windows are
     bounded by the bucket count by construction, never by the data.
     """
-    o = load_table(spark, sf_dir, "orders")
-    cut = F.lit("1997-01-01").cast("timestamp")
-    bucket = F.floor(F.col("o_totalprice") / _DRIFT_BUCKET).cast("bigint")
-    ref = (
-        o.filter(F.col("o_orderdate") < cut)
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("rn"))
-    )
-    cur = (
-        o.filter(F.col("o_orderdate") >= cut)
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy()  # bounded: one row per bucket (~price range / width)
-    joined = (
-        ref.join(cur, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce(F.col("rn"), F.lit(0)).cast("bigint").alias("n_ref"),
-            F.coalesce(F.col("cn"), F.lit(0)).cast("bigint").alias("n_cur"),
-        )
-    )
+    joined = _drift_buckets(spark, sf_dir)
     p_ref_full = F.col("n_ref").cast("double") / F.sum("n_ref").over(w)
     p_cur_full = F.col("n_cur").cast("double") / F.sum("n_cur").over(w)
     tv = (
@@ -220,6 +225,49 @@ def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         str_round6(p_ref_full).alias("p_ref"),
         str_round6(p_cur_full).alias("p_cur"),
         str_round6(tv).alias("tv_total"),
+    )
+
+
+@query("profile_drift_psi")
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift over the SAME fixed-edge
+    snapshot histograms as ``profile_drift_tv`` — the metric most
+    production monitoring reports (alert thresholds conventionally
+    0.1 / 0.25).
+
+    PSI = Σ_b (p_cur − p_ref) · ln(p_cur / p_ref), with add-half
+    smoothing (counts + 0.5, totals + B/2) so empty buckets on either
+    side stay finite — the standard Laplace-style correction, and it
+    keeps the per-bucket term's SIGN meaningful (mass moved in vs
+    out).  Registered ROWS-ONLY deliberately: ``ln`` is a libm call
+    whose last-ulp behavior differs across engines (the ROUND hazard
+    class functions/numeric.py documents), so the value surface
+    cannot hash-gate — the numeric contract is pinned instead by a
+    pytest bound against an independent numpy computation of the same
+    formula, and TV stays the hash-gated twin on the shared bucket
+    machinery (:func:`_drift_buckets`).
+
+    Scale shape identical to TV: two pushed-down aggregates, one
+    bounded full-outer, window sums over ~20 bucket rows.
+    """
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy()  # bounded: one row per bucket
+    joined = _drift_buckets(spark, sf_dir)
+    nb = F.count(F.lit(1)).over(w).cast("double")
+    p_ref = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.sum("n_ref").over(w).cast("double") + nb / 2
+    )
+    p_cur = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.sum("n_cur").over(w).cast("double") + nb / 2
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return joined.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        term.alias("psi_term"),
+        F.sum(term).over(w).alias("psi_total"),
     )
 
 

@@ -1579,6 +1579,58 @@ def test_trainprep_weighted_sample_matches_python_reimplementation(spark):
     assert all(0.0 < r["incl_p"] <= 1.0 for r in got)
 
 
+def test_profile_drift_psi_matches_numpy_reference(spark):
+    """The rows-only PSI registration's numeric contract: per-bucket
+    terms and the total must agree with an independent numpy
+    computation of the same add-half-smoothed formula over counts
+    DuckDB produced from the raw parquet — ln's cross-library last-ulp
+    wiggle bounds the tolerance (1e-12 relative), and TV stays the
+    hash-gated twin on the same buckets."""
+    import numpy as np
+
+    from bitcoin_datawarehouse_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    counts = con.execute(
+        f"""
+        WITH ref AS (
+          SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS b,
+                 COUNT(*) AS n
+          FROM '{SF_SMALL}/orders.parquet'
+          WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+        cur AS (
+          SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS b,
+                 COUNT(*) AS n
+          FROM '{SF_SMALL}/orders.parquet'
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1)
+        SELECT COALESCE(r.b, c.b) AS b,
+               COALESCE(r.n, 0) AS nr, COALESCE(c.n, 0) AS nc
+        FROM ref r FULL OUTER JOIN cur c ON r.b = c.b
+        """
+    ).fetchall()
+    b = np.array([r[0] for r in counts])
+    nr = np.array([r[1] for r in counts], dtype=np.float64)
+    nc = np.array([r[2] for r in counts], dtype=np.float64)
+    nb = float(len(b))
+    p_ref = (nr + 0.5) / (nr.sum() + nb / 2)
+    p_cur = (nc + 0.5) / (nc.sum() + nb / 2)
+    terms = (p_cur - p_ref) * np.log(p_cur / p_ref)
+    want = {int(k): float(t) for k, t in zip(b, terms)}
+    total = float(terms.sum())
+
+    rows = QUERIES["profile_drift_psi"](spark, SF_SMALL).collect()
+    assert {r["bucket"] for r in rows} == set(want)
+    for r in rows:
+        w = want[r["bucket"]]
+        assert abs(r["psi_term"] - w) <= 1e-12 * max(1.0, abs(w)), (
+            r["bucket"], r["psi_term"], w,
+        )
+        assert abs(r["psi_total"] - total) <= 1e-12 * max(1.0, abs(total))
+    # every term is non-negative only when mass moves; the TOTAL is
+    # always >= 0 for smoothed distributions (Gibbs' inequality form)
+    assert total >= 0.0 and rows[0]["psi_total"] >= 0.0
+
+
 def test_profile_group_trend_matches_numpy_least_squares(spark):
     """Slope/intercept/R² agree with numpy's independent least-squares
     on the collected points, per group, at the exposed 6-dp surface."""

@@ -364,26 +364,41 @@ TWO_LEVEL_KK_SQL = f"""kk AS (
     )"""
 
 
+def _fine_to_coarse(cent: DataFrame, coarse: DataFrame):
+    """Driver-side routing model (K×Kc·d on collected codebooks —
+    a model, not data): (ids, cmat, cn, occupied coarse column
+    indices, occ coarse matrices, cell→fine-row-indices map).  Each
+    fine centroid goes to its nearest coarse centroid (cosine, tie →
+    smallest coarse id); unoccupied coarse cells (possible only under
+    exact-twin ties among fines) are excluded from vector routing on
+    both engines, so every vector lands in a non-empty cell."""
+    import numpy as np
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        dim_ordered_dot_sq,
+    )
+
+    ids, cmat, cn = collect_codebook(cent)
+    cids, ccmat, ccn = collect_codebook(coarse)
+    fdot, _, _ = dim_ordered_dot_sq(cmat, ccmat)
+    fcos = fdot / np.outer(cn, ccn)
+    fbest = np.argmax(fcos, axis=1)  # first max → smallest coarse id
+    occupied = np.unique(fbest)  # ascending coarse column indices
+    cell_fines = {
+        int(ci): np.where(fbest == ci)[0] for ci in occupied
+    }  # fine row indices, id-ascending
+    return ids, cmat, cn, occupied, ccmat[occupied], ccn[occupied], cell_fines
+
+
 def two_level_assign(
     emb: DataFrame, cent: DataFrame, coarse: DataFrame
 ) -> DataFrame:
-    """(vec_id, centroid_id, e): hierarchical coarse→fine assignment.
-
-    Driver side (model-sized): each FINE centroid is routed to its
-    nearest coarse centroid (cosine, tie → smallest coarse id) —
-    K·Kc·d work on collected codebooks.  Executor side: ONE
-    shuffle-free Arrow pass per batch computes each vector's nearest
-    OCCUPIED coarse cell (Kc·d per row), then argmaxes only within
-    that cell's fine members (K/Kc·d per row on average) — never the
-    full K·d the flat path pays.  All cosines accumulate through
-    ``dim_ordered_dot_sq`` and both argmax tie-breaks are
-    first-max-on-id-ascending, mirroring the oracle's ROW_NUMBER
-    picks exactly.
-
-    Unoccupied coarse cells (possible only under exact-twin ties
-    among fine centroids) are excluded from the vector routing on
-    both engines, so every assignment lands in a non-empty cell.
-    """
+    """(vec_id, centroid_id, e): hierarchical coarse→fine assignment —
+    the standalone surface (the registered query path fuses the fine
+    stage into the per-cell kernel instead, see
+    :func:`semdedup_flags_two_level`).  Cosines accumulate through
+    ``dim_ordered_dot_sq``; tie-breaks are first-max-on-id-ascending,
+    mirroring the oracle's ROW_NUMBER picks."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -392,19 +407,9 @@ def two_level_assign(
         dim_ordered_dot_sq,
     )
 
-    ids, cmat, cn = collect_codebook(cent)
-    cids, ccmat, ccn = collect_codebook(coarse)
-
-    # fine → coarse (driver, K×Kc — a model, not data)
-    fdot, _, _ = dim_ordered_dot_sq(cmat, ccmat)
-    fcos = fdot / np.outer(cn, ccn)
-    fbest = np.argmax(fcos, axis=1)  # first max → smallest coarse id
-    occupied = np.unique(fbest)  # ascending coarse column indices
-    occ_cc = ccmat[occupied]
-    occ_ccn = ccn[occupied]
-    cell_fines = {
-        int(ci): np.where(fbest == ci)[0] for ci in occupied
-    }  # fine row indices, id-ascending
+    ids, cmat, cn, occupied, occ_cc, occ_ccn, cell_fines = _fine_to_coarse(
+        cent, coarse
+    )
 
     schema = T.StructType(
         [
@@ -451,11 +456,135 @@ def semdedup_flags_two_level(
 ) -> DataFrame:
     """:func:`semdedup_flags` with the hierarchical assignment stage —
     the same (vec_id, centroid_id, cos_c, keep) surface and the same
-    per-cluster keep-farthest kernel; ``coarse`` must use the
-    (centroid_id, ce, cn) codebook contract like ``cent``."""
-    ids, cmat, cn = collect_codebook(cent)
-    assigned = two_level_assign(emb, cent, coarse)
-    return _cluster_flags(assigned, ids, cmat, cn, tau)
+    keep-farthest rule; ``coarse`` must use the (centroid_id, ce, cn)
+    codebook contract like ``cent``.
+
+    Plan shape — still exactly TWO exchanges, but the ONE hash
+    shuffle is by COARSE CELL, not fine centroid: the first kernel
+    only routes each vector to its occupied coarse cell (one
+    vectorized Kc·d pass, no per-cell loops), and the per-cell kernel
+    finishes everything task-locally — the within-cell fine argmax as
+    ONE (cell rows × cell fines) dim-ordered grid, then the identical
+    keep/drop decision per fine cluster (fine clusters are subsets of
+    their coarse cell by construction, so cell grouping keeps every
+    cluster intact).  The first revision shuffled by fine centroid:
+    at sf100 that meant 15 876 pandas groups of ~126 rows each and
+    per-batch per-cell python loops — measured 166-198 s, WORSE than
+    flat (overhead-bound, not compute-bound).  Cell grouping cuts the
+    group count to ≤ Kc (126) and turns the fine stage into one large
+    matrix op per task (measured rewrite in SCALING.md round 7).
+
+    Cap-regime caveat (documented, not fixture-reachable): once Kc
+    hits its 256 clamp, cells hold N/256 rows — for corpora where
+    that exceeds task memory, split the fine stage from the decision
+    stage (assign in row-parallel sub-groups, then shuffle by fine
+    centroid — 3 exchanges, every task fine-cluster-sized).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        dim_ordered_dot_sq,
+    )
+
+    ids, cmat, cn, occupied, occ_cc, occ_ccn, cell_fines = _fine_to_coarse(
+        cent, coarse
+    )
+
+    route_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def route(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.array(list(pdf["e"]), dtype=np.float64)
+            xdot, x_sq, _ = dim_ordered_dot_sq(emat, occ_cc)
+            xcos = xdot / np.outer(np.sqrt(x_sq), occ_ccn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell_id": occupied[np.argmax(xcos, axis=1)],
+                    "e": pdf["e"],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("cos_c", T.DoubleType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    BLOCK_CELLS = 1 << 23  # same per-task grid-memory cap as the flat path
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ci = int(pdf["cell_id"].iloc[0])
+        fidx = cell_fines[ci]
+        vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        emat = np.array(list(pdf["e"]), dtype=np.float64)
+        # fine assignment: ONE (rows × cell fines) dim-ordered grid
+        fdot, e_sq, _ = dim_ordered_dot_sq(emat, cmat[fidx])
+        nrm = np.sqrt(e_sq)
+        fcos = fdot / np.outer(nrm, cn[fidx])
+        fa = np.argmax(fcos, axis=1)  # first max → smallest fine id
+        assigned = ids[fidx[fa]]
+        # member → own-centroid cosine, straight from the grid column
+        cos_c = fcos[np.arange(len(vids)), fa]
+        out_v, out_c, out_cosc, out_keep = [], [], [], []
+        for fj in np.unique(fa):
+            rows = np.where(fa == fj)[0]
+            m = len(rows)
+            sub_cos_c = cos_c[rows]
+            svids = vids[rows]
+            semat = emat[rows]
+            snrm = nrm[rows]
+            order = np.lexsort((svids, sub_cos_c))
+            rank = np.empty(m, dtype=np.int64)
+            rank[order] = np.arange(m)
+            keep = np.ones(m, dtype=bool)
+            step = max(1, BLOCK_CELLS // m)
+            for s in range(0, m, step):
+                blk = semat[s : s + step]
+                b = blk.shape[0]
+                acc = np.zeros((b, m))
+                for j in range(semat.shape[1]):
+                    acc += np.outer(blk[:, j], semat[:, j])
+                pair = acc / np.outer(snrm[s : s + b], snrm)
+                dup = pair >= tau
+                rr = np.arange(s, s + b)
+                dup[np.arange(b), rr] = False  # self-pairs
+                precede = rank[None, :] < rank[rr][:, None]
+                keep[rr] = ~np.any(dup & precede, axis=1)
+            out_v.append(svids)
+            out_c.append(np.full(m, ids[fidx[fj]], dtype=np.int64))
+            out_cosc.append(sub_cos_c)
+            out_keep.append(keep)
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "centroid_id": np.concatenate(out_c),
+                "cos_c": np.concatenate(out_cosc),
+                "keep": np.concatenate(out_keep),
+            }
+        )
+
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    routed = (
+        emb.select("vec_id", "e")
+        .repartition(par)
+        .mapInPandas(route, route_schema)
+    )
+    return routed.groupBy("cell_id").applyInPandas(cell_kernel, out_schema)
 
 
 def _two_level_oracle() -> str:

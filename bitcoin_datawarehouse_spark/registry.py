@@ -55,244 +55,90 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: its old driver-green row proved the old code, so it re-enters the
 #: window for one round alongside genuinely new registrations.
 #:
-#: Round-5 rotation: with CORRECTNESS_r04 green, all 105 oracle-backed
-#: queries had a driver row for their then-current implementations.
-#: This window inserts the two NEW round-5 flagships
-#: (``similarity_ivf_index_topk`` — the persisted bucketed IVF index;
-#: ``dedup_substring_spans_winnowed`` — content-defined window
-#: sampling) and the four queries REWRITTEN in round 4 after their
-#: last driver check (``similarity_bruteforce_topk``,
-#: ``text_quality_score``, ``text_language_id``, ``text_token_count``
-#: — JVM expressions → Arrow/numpy kernels or regexp_count; only the
-#: mirror guarded the new bodies).  Evicted: six r4-driver-green
-#: anchors whose implementations are unchanged (the set-op ALL pair,
-#: the two window slots, map_props_entries, expr_null_semantics —
-#: union coverage retained via CORRECTNESS_r04).  Every name here has
-#: a SQL oracle — zero rows-only checks in-window.
+#: Round-7 rotation: the union of CORRECTNESS_r01..r06 driver rows
+#: covers all 155 previously-registered oracle-backed queries, and r6
+#: alone verified 50 — so every unchanged r5/r6 seat rotates out (the
+#: r6 VERDICT item 8 discipline).  This window seats the 4 NEW
+#: round-7 registrations, the 5 round-7 REWRITES, the canary, and
+#: fills the other 40 with the STALEST driver rows (r2/r3 vintage) as
+#: re-confirmation against four rounds of shared-infrastructure
+#: drift.  Every name here has a SQL oracle — zero rows-only checks
+#: in-window.
 DRIVER_WINDOW: list[str] = [
-    # canary for the rounds-1/2 decimal→double fix (driver-green r3/r4)
+    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r6)
     "pricing_summary",
-    # --- round-5 insertions: new flagships ---
-    "similarity_ivf_index_topk",
-    "dedup_substring_spans_winnowed",
-    # --- round-5 insertions: rewritten-in-r4, driver-status stale ---
-    # (similarity_bruteforce_topk — rewritten r4, driver-green r5,
-    # unchanged in r6 — rotated out for the TWAP aggregate; the
-    # similarity family keeps six other in-window slots)
-    # round-6 in-session flagship: time-weighted average (the
-    # TimescaleDB time_weight('LOCF') aggregate — clipped held
-    # durations in exact ms, string-routed weighted sum)
-    "events_twap",
-    "text_quality_score",
-    "text_language_id",
-    # (text_token_count — rewritten r4, driver-green r5, unchanged in
-    # r6 — rotated out for the equi-depth histogram below)
-    # round-6 in-session flagship: equi-depth histogram via the
-    # distributed global rank + exact-integer NTILE closed form,
-    # oracle mirrors the arithmetic digit for digit
-    "profile_equidepth_hist",
-    # --- round-5 in-session flagship (took the seat of
-    # cogroup_asof_alignment, driver-green r4 — union coverage
-    # retained via CORRECTNESS_r04) ---
-    "dedup_minhash_lsh_capped",
-    # round-6 in-session flagships: paragraph-level exact dedup
-    # (CCNet/RefinedWeb sub-document boilerplate removal — per-doc
-    # digest twin + per-source boilerplate profile).  They took the
-    # seats of streaming_attribution_join (driver-green r3-r5,
-    # unchanged; streaming keeps windowed_counts / dedup_exact /
-    # drift_monitor in-window) and text_pii_scan (driver-green r3-r5,
-    # unchanged; curation keeps gopher_rules + decontam_minhash_fuzzy
-    # in-window).
-    "dedup_paragraphs",
-    "dedup_paragraphs_by_source",
-    # round-6 in-session flagship: drift monitoring at the streaming
-    # door (ledger TV vs the batch/SQL twin) — took the seat of
-    # streaming_quality_filter (driver-green r3-r5, unchanged; the
-    # streaming family keeps four other in-window slots)
-    "streaming_drift_monitor",
-    # round-6 in-session flagship: SemDeDup semantic pruning (cluster
-    # + intra-cluster cosine keep/drop) — took the seat of the
-    # exact-grid audit dedup_embedding_cosine (driver-green r1/r2/r5,
-    # implementation unchanged; union coverage retained)
-    "dedup_semantic_semdedup",
-    # its runtime auto-K production default (K-adaptive oracle) —
-    # took the seat of similarity_ivf_assign (driver-green r5,
-    # implementation unchanged; union coverage retained)
-    "dedup_semantic_semdedup_auto",
-    # round-6 in-session flagships: product quantization (encode +
-    # ADC top-k) — took the seats of dedup_canonical_docs and
-    # text_tfidf_topk (both driver-green r5, implementations
-    # unchanged; union coverage retained)
-    "similarity_pq_encode",
-    "similarity_pq_adc_topk",
-    # …and their composition with the coarse quantizer — the faiss
-    # IVF-PQ layout (took the seat of trainprep_stratified_sample,
-    # driver-green r5, unchanged; union coverage retained)
-    "similarity_ivfpq_topk",
-    # …served from the persisted bucketed index (shared oracle with
-    # the in-plan twin; took the seat of multimodal_frame_digest,
-    # driver-green r5, unchanged — resize_digest retains the
-    # multimodal digest-twin family coverage)
-    "similarity_ivfpq_index_topk",
-    # round-6 in-session flagships: the TPC-H long-tail composed
-    # shapes (operators/tpch_extra.py) — four representative patterns
-    # enter the window (double-nation disjunctive pair join; string-
-    # routed conditional-aggregate ratio; self-agg threshold gate;
-    # grouped-HAVING semi gate + total-order top-k).  They took the
-    # seats of text_repetition_stats, sql_scalar_subqueries,
-    # trainprep_pack_sequences, trainprep_quantize_int8 (all
-    # driver-green r5, implementations unchanged; union coverage
-    # retained, and each family keeps other in-window slots).
-    # round-7 in-session flagships: the LAST four TPC-H shapes, now
-    # expressible over the round-7 DERIVED partsupp (integer-exact
-    # contract; operators/tpch_partsupp.py).  They took the seats of
-    # tpch_q7/q8/q17/q18 (all driver-green r6, implementations
-    # unchanged — union coverage retained).
+    # --- round-7 NEW registrations: the TPC-H partsupp tail (derived
+    # integer-exact partsupp; operators/tpch_partsupp.py) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_excess_stock_suppliers",
-    # …and the remaining five of the round-6 TPC-H long tail (every
-    # new oracle-backed query must hold a window seat until a driver
-    # round verifies it — test_registry_window pins the invariant).
-    # Seats from trainprep_domain_mixture, trainprep_token_budget,
-    # funnel_view_signup_purchase, join_range_bucketized,
-    # sql_correlated_subquery (all driver-green r5, unchanged).
-    "tpch_q9_product_profit",
-    "tpch_q12_lateship_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    # round-6 in-session flagships: entity resolution (blocked fuzzy
-    # name pairs + connected-component entity clusters over the
-    # distance-1 match graph).  They took the seats of
-    # multimodal_resize_digest (driver-green r5, unchanged — the
-    # multimodal family rotates out this round under union coverage,
-    # same precedent as behavior in the SCD2 rotation) and
-    # dedup_incremental_batch (driver-green r3-r5, unchanged; the
-    # dedup family keeps eight other in-window slots).
-    "er_fuzzy_name_pairs",
-    "er_entity_clusters",
-    # pipeline ELT semantics: merge_upsert and watermark_extract
-    # (driver-green r3-r5, unchanged) rotated out this session — the
-    # pipeline family keeps the SCD2 pair and the CDC diff in-window;
-    # their seats went to the PageRank flagship below and the TPC-H
-    # tail block.
-    "tpch_q4_priority_check",
-    # round-6 in-session flagship: weighted PageRank over the
-    # event-type transition graph — an ITERATED fixpoint under the
-    # full hash gate (decimal-exact superstep sums, ten unrolled
-    # CTEs in the oracle)
-    "graph_pagerank_event_transitions",
-    # round-6 in-session flagship: CDC snapshot diff (full-outer
-    # keyed diff → insert/update/delete change feed; apply round-trip
-    # pytest-pinned) — took the seat of pipeline_delete_where
-    # (driver-green r3-r5, unchanged).  After this session's later
-    # rotations the pipeline family's remaining in-window coverage is
-    # the SCD2 pair plus this CDC diff (merge_upsert, delete_where
-    # and watermark_extract are all driver-green r3-r5, unchanged —
-    # union coverage retained).
-    "cdc_snapshot_diff",
-    # round-6 in-session flagship: SCD Type-2 history merge
-    # (Loader.load_scd2 + the read-only dataflow twin) — took the
-    # seat of cohort_weekly_retention (driver-green r5, unchanged;
-    # the behavior family rotates fully out this round — funnel's
-    # seat went to the TPC-H block above, union coverage retained)
-    "pipeline_scd2_history",
-    # …and its consumption pattern: the point-in-time fact⋈dimension
-    # join (version valid at fact time) — took the seat of
-    # trainprep_hash_split (driver-green r5, unchanged; trainprep
-    # keeps the corpus_pipeline composite in-window)
-    "pipeline_scd2_point_in_time_join",
-    # streaming engine parity: dedup_exact's and windowed_counts'
-    # seats (driver-green r3-r5, unchanged) went to the weighted
-    # Poisson sample and the TPC-H tail — drift_monitor keeps the
-    # streaming family in-window.
-    "tpch_q6_forecast_revenue",
-    # round-6 in-session flagship: weight-proportional Poisson
-    # sampling (md5-nibble exact 32-bit uniform, scalar-broadcast
-    # Σw, stateless filter — no corpus shuffle)
-    "trainprep_weighted_sample",
-    # corpus curation: ngram_overlap's seat went to the round-6
-    # temperature-mixture plan below, pii_scan's to the paragraph-
-    # dedup pair above, and gopher_rules' to the z-order cell map
-    # (all driver-green r3-r5, unchanged; decontam_minhash_fuzzy
-    # keeps the curation family in-window).
-    # Round-6 in-session flagship: z-order clustering cell map
-    # (runtime-adaptive integer bucketing + Morton interleave,
-    # bit-identical SQL mirror; the layout behind the measured
-    # row-group pruning probe in SCALING.md)
-    "storage_zorder_cells",
-    # round-6 in-session flagship: Pearson correlation profiling
-    # (string-routed decimal moments, identical closed-form double
-    # expression both engines) — took the seat of
-    # trainprep_corpus_pipeline (driver-green r5, composite itself
-    # unchanged; trainprep keeps mixture_temperature in-window)
-    "profile_numeric_correlation",
-    # round-6 in-session flagship: temperature-based mixture planning
-    # (α=0.5 — sqrt is IEEE-exact in both engines, so the renorm
-    # chain hash-gates; pow/ln would be rows-only)
-    "trainprep_mixture_temperature",
-    # IVF / k-means ANN (kmeans_assign's seat went to the round-6
-    # per-group trend — driver-green r5, unchanged; the similarity
-    # family keeps ivf_topk plus the four PQ/IVF-PQ slots)
-    "similarity_ivf_topk",
-    # round-6 in-session flagship: per-group least-squares trend
-    # line (the correlation numeric contract extended to slope /
-    # intercept / R²)
-    "profile_group_trend",
-    # substring / embedding dedup rotated fully out this session
-    # (stride-1 spans and the fixed 8×5 LSH tier — driver-green
-    # r3-r5, unchanged; the dedup family keeps the winnowed spans,
-    # the capped MinHash, the paragraph pair and the auto-width LSH
-    # in-window); their seats went to the TPC-H tail.
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    # LM quality rotated fully out this session (exact + approx,
-    # both driver-green r5, unchanged in r6 — union coverage
-    # retained); seats went to the key-skew diagnostic below and the
-    # Q21 double-correlation.
-    "tpch_q21_waiting_suppliers",
-    # round-6 in-session flagship: key-distribution skew profiling
-    # (top-1/top-10 share + Herfindahl Σ share² — the collision-mass
-    # term the hot-bucket cap and salted join bound; transcendental-
-    # free so it hash-gates; distributed top-10, no driver sort)
-    "profile_key_skew",
-    # round-6 in-session flagships: time-series gap-fill (dense
-    # 15-min spine + LOCF) and its gaps-and-islands run statistics —
-    # the hypertable operator family.  They took the seats of
-    # profile_column_stats (driver-green r5, unchanged; profiling
-    # keeps profile_drift_tv in-window) and text_token_histogram
-    # (driver-green r4/r5, unchanged; the text family keeps five
-    # other in-window slots).
-    "events_gapfill_locf",
-    "events_gap_islands",
-    # round-6 in-session flagship: snapshot drift profiling (fixed
-    # buckets + total-variation distance, transcendental-free chain)
-    # — took the seat of trainprep_global_shuffle (driver-green r5,
-    # unchanged; of the trainprep family only the corpus_pipeline
-    # composite stays in-window — hash_split's seat went to the SCD2
-    # point-in-time join)
+    # --- round-7 REWRITES (per the rotation rule a materially
+    # rewritten implementation re-enters for one round even if its
+    # old body was driver-green): the two-level coarse→fine SemDeDup
+    # (new assignment path + cell-grouped kernel; flat twin's kernel
+    # extracted into the shared _cluster_flags), the two
+    # with_global_rank consumers (persist registry → localCheckpoint
+    # rewrite under them), and the drift TV (bucket frame extracted
+    # to the shared _drift_buckets) ---
+    "dedup_semantic_semdedup_auto",
+    "dedup_semantic_semdedup",
+    "text_lm_quality",
+    "profile_equidepth_hist",
     "profile_drift_tv",
-    # round-6 in-session flagship: PassJoin candidate generation for
-    # the ER pair surface (same oracle as the naive blocked join —
-    # the hash gate proves cross-ALGORITHM equality too).  Took the
-    # seat of sql_recursive_date_spine (driver-green r4/r5,
-    # unchanged; join_full_outer precedent — union coverage retained)
-    "er_fuzzy_name_pairs_passjoin",
-    # round-6 rotation: the runtime AUTO-WIDTH LSH embedding dedup is
-    # now the registered production default (its oracle computes the
-    # same corpus-count width rule in SQL) — took the seat of the
-    # fixed 8×12 tier dedup_embedding_cosine_lsh_wide (driver-green
-    # r4/r5, union coverage retained; its width-rule pytests stay)
-    "dedup_embedding_cosine_lsh_auto",
-    # round-6 in-session flagship: market-basket brand affinity
-    # (within-order pair join — Σ basket², never catalog² — with
-    # lift through the 6-dp string route).  Took the seat of
-    # decontam_minhash_fuzzy (driver-green r4/r5, unchanged; the
-    # curation family rotates fully out this round under union
-    # coverage — the multimodal/behavior precedent)
-    "affinity_brand_pairs",
+    # --- round-7 re-confirmation fill: every obligation above leaves
+    # 40 seats; per the r6 VERDICT rotation discipline they go to the
+    # queries whose driver-green rows are OLDEST (r2/r3 vintage —
+    # their value hashes predate four rounds of shared-infrastructure
+    # evolution: numeric string-routes, tables.load_table nanos
+    # handling, kernel repartition rules), so the r7 gate re-proves
+    # the stalest third of the registry instead of re-checking
+    # fresh r5/r6 rows.  Union coverage (test_registry_window's
+    # union invariant) is unchanged either way. ---
+    "agg_count_distinct",
+    "dedup_exact_docs",
+    "dedup_exact_rows",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "distinct_pairs",
+    "extract_projection_range",
+    "join_anti_not_exists",
+    "join_self_nation_pairs",
+    "join_semi_exists",
+    "json_extract_props",
+    "multimodal_feature_extract",
+    "multimodal_metadata",
+    "scalar_functions_showcase",
+    "sessionize_events",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "similarity_ann_lsh",
+    "similarity_ann_multiprobe",
+    "similarity_lsh_buckets",
+    "text_fingerprint",
+    "topk_global",
+    "window_first_last",
+    "window_lag_delta",
+    "window_rank_dense",
+    "window_topk_per_group",
+    "agg_daily_revenue",
+    "agg_having",
+    "agg_percentiles",
+    "agg_string_concat",
+    "asof_join_daily_price",
+    "cube_revenue",
+    "dedup_minhash_lsh",
+    "expr_case_when_buckets",
+    "grouping_sets_priority",
+    "join_fact_dim_broadcast",
+    "join_full_outer",
+    # round-7 in-session flagship: BM25 ranked retrieval (corpus
+    # stats in-plan, 6-dp-rounded transcendental terms, decimal sum)
+    # — takes the last re-confirmation fill seat (join_left_order_
+    # counts stays covered by its r3 row; union invariant intact)
+    "text_bm25_topk",
 ]
 
 
@@ -360,4 +206,5 @@ def load_all_operators() -> None:
         pagerank,
         affinity,
         tpch_partsupp,
+        bm25,
     )

@@ -1579,6 +1579,58 @@ def test_trainprep_weighted_sample_matches_python_reimplementation(spark):
     assert all(0.0 < r["incl_p"] <= 1.0 for r in got)
 
 
+def test_bm25_matches_independent_python_reference(spark):
+    """text_bm25_topk against a from-scratch python BM25 over the
+    collected corpus (Okapi + Lucene idf, same 6-dp per-term rounding
+    spec): identical top-20 doc ids in order, scores equal to the
+    decimal-sum surface within float-parse noise."""
+    import math
+    import re
+
+    from bitcoin_datawarehouse_spark.operators.bm25 import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP_K,
+    )
+    from bitcoin_datawarehouse_spark.registry import QUERIES
+    from bitcoin_datawarehouse_spark.tables import load_table
+
+    pat = re.compile("[^a-z0-9]+")
+    docs = {
+        r["doc_id"]: [t for t in pat.split(r["text"].lower()) if t]
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(tk) for tk in docs.values()) / n
+    df = {
+        t: sum(1 for tk in docs.values() if t in tk) for t in BM25_TERMS
+    }
+    scores = {}
+    for did, tk in docs.items():
+        s = 0.0
+        for t in BM25_TERMS:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            w = idf * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(tk) / avgdl)
+            )
+            s += round(w, 6)
+        if s:
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BM25_TOP_K
+    ]
+
+    got = QUERIES["text_bm25_topk"](spark, SF_SMALL).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["bm25"] - s) < 1e-9, (r["doc_id"], r["bm25"], s)
+        assert r["doc_len"] == len(docs[r["doc_id"]])
+
+
 def test_profile_drift_psi_matches_numpy_reference(spark):
     """The rows-only PSI registration's numeric contract: per-bucket
     terms and the total must agree with an independent numpy

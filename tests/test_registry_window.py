@@ -42,31 +42,31 @@ def test_ordered_queries_matches_entrypoint():
     assert list(ordered_queries()) == list(entrymod.queries())
 
 
-def test_round5_rotation_is_in_window():
-    """Round-5 rotation rule (per r4 ADVICE): new flagships AND
-    queries materially rewritten since their last driver check must
-    hold window seats until a driver round proves the CURRENT
-    implementation (plus the pricing_summary decimal canary)."""
+def test_round7_rotation_is_in_window():
+    """Rotation rule (r4 ADVICE, refined r6 VERDICT item 8): new
+    registrations AND queries materially rewritten since their last
+    driver check must hold window seats until a driver round proves
+    the CURRENT implementation (plus the pricing_summary decimal
+    canary).  The r5/r6 obligations all discharged via their
+    CORRECTNESS_r05/r06 green rows — their seats rotated to the
+    round-7 set below plus the stalest-vintage re-confirmation fill."""
     rotation = {
-        # new round-6 registration: the runtime auto-width production
-        # default (its oracle computes the width rule in SQL)
-        "dedup_embedding_cosine_lsh_auto",
-        # rewritten in round 6 (kernel-side probe assignment / the
-        # explicit winnowing tie-break): must re-prove at the driver
-        "similarity_ivf_topk",
-        "similarity_ivf_index_topk",
-        "dedup_substring_spans_winnowed",
-        # rewritten in round 4 after their last driver-green row
-        # (text_token_count and similarity_bruteforce_topk left this
-        # set in round 6: their rewritten bodies got driver-green
-        # rows in CORRECTNESS_r05, so the rotation obligation is
-        # discharged — seats went to the equi-depth histogram and the
-        # TWAP aggregate)
-        "text_quality_score",
-        "text_language_id",
-        # round-6 in-session flagships added to the pinned rotation
+        # new round-7 registrations: the TPC-H derived-partsupp tail
+        "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q20_excess_stock_suppliers",
+        # rewritten in round 7: two-level SemDeDup (both variants
+        # share the extracted decision kernel), the with_global_rank
+        # consumers (localCheckpoint rewrite underneath), the drift
+        # bucket-frame extraction
+        "dedup_semantic_semdedup_auto",
+        "dedup_semantic_semdedup",
+        "text_lm_quality",
         "profile_equidepth_hist",
-        "events_twap",
+        "profile_drift_tv",
+        # new round-7 registration: BM25 ranked retrieval
+        "text_bm25_topk",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

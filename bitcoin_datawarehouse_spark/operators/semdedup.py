@@ -340,25 +340,59 @@ def two_level_sizes(n_vectors: int) -> tuple[int, int]:
     return fine, coarse
 
 
+def coarse_rank_base(n_vectors: int) -> int:
+    """Starting RANK (0-based, in vec_id order) of the COARSE router
+    codebook: the Kc vectors ranked ``[K, K+Kc)`` normally, ``[0, Kc)``
+    when the corpus has no vectors beyond the fine codebook.
+
+    Two deliberate choices, both measured:
+
+    * DISJOINT from the fine codebook — with coarse ⊂ fine (the first
+      revision), a vector's coarse pick c maximizes cos(x, ·) over
+      the coarse set, and since c is also a FINE member of its own
+      cell it usually stays the argmax there — so the Kc champion
+      fines hoarded nearly everything (sf10 measured: top clusters
+      all had centroid_id < Kc at ~1 300 members vs ~57 balanced; Σm²
+      6× the balanced value, ~130× at sf100 — the pair grids, not the
+      assignment, became the N² term and the 'fix' ran SLOWER than
+      flat).  A disjoint router is the standard IVF shape (the coarse
+      quantizer is its own codebook) and removes the champion bias.
+    * Selected by RANK, not id VALUE — scaled fixtures (and real
+      corpora) have sparse ids (gen_sf strides copies by powers of
+      ten: sf10's ids jump 1999 → 10000), so a ``vec_id < K+Kc``
+      window silently shrinks or empties the codebooks.  Rank
+      selection is one TakeOrdered (smallest K+Kc ids) on the Spark
+      side and a ROW_NUMBER CTE in the oracle.
+    """
+    fine, _ = two_level_sizes(n_vectors)
+    return fine if n_vectors > fine else 0
+
+
 #: the sizing rule as SQL (the AUTO_BITS_SQL pattern, integer-exact):
 #: one scalar CTE computing (fine_k, coarse_k) from COUNT(*).
 TWO_LEVEL_KK_SQL = f"""kk AS (
-      SELECT GREATEST(16, LEAST(65536, k1 * k1)) AS fine_k,
-             GREATEST({SEMDEDUP_TWO_LEVEL_MIN_K1},
-                      LEAST({SEMDEDUP_TWO_LEVEL_MAX_K1}, k1)) AS coarse_k
+      SELECT fine_k, coarse_k,
+             CASE WHEN cnt > fine_k THEN fine_k ELSE 0 END AS clo_rank
       FROM (
-        SELECT CASE WHEN cnt <= 1 THEN 1
-               ELSE seed
-                    - CASE WHEN (seed-1)*(seed-1)*(seed-1) >= cnt
-                           THEN 1 ELSE 0 END
-                    + CASE WHEN seed*seed*seed < cnt
-                           THEN 1 ELSE 0 END
-               END AS k1
+        SELECT GREATEST(16, LEAST(65536, k1 * k1)) AS fine_k,
+               GREATEST({SEMDEDUP_TWO_LEVEL_MIN_K1},
+                        LEAST({SEMDEDUP_TWO_LEVEL_MAX_K1}, k1)) AS coarse_k,
+               cnt
         FROM (
-          SELECT CAST(CEIL(CBRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
-                   AS seed,
-                 COUNT(*) AS cnt
-          FROM embeddings
+          SELECT CASE WHEN cnt <= 1 THEN 1
+                 ELSE seed
+                      - CASE WHEN (seed-1)*(seed-1)*(seed-1) >= cnt
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN seed*seed*seed < cnt
+                             THEN 1 ELSE 0 END
+                 END AS k1,
+                 cnt
+          FROM (
+            SELECT CAST(CEIL(CBRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+                     AS seed,
+                   COUNT(*) AS cnt
+            FROM embeddings
+          )
         )
       )
     )"""
@@ -598,8 +632,18 @@ def _two_level_oracle() -> str:
     return f"""
     WITH {_SQL_NORMED},
     {TWO_LEVEL_KK_SQL},
-    cent AS (SELECT n.* FROM n, kk WHERE n.vec_id < kk.fine_k),
-    coarse AS (SELECT n.* FROM n, kk WHERE n.vec_id < kk.coarse_k),
+    ranked AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rk
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT n.* FROM n JOIN ranked r ON r.vec_id = n.vec_id, kk
+      WHERE r.rk < kk.fine_k
+    ),
+    coarse AS (
+      SELECT n.* FROM n JOIN ranked r ON r.vec_id = n.vec_id, kk
+      WHERE r.rk >= kk.clo_rank AND r.rk < kk.clo_rank + kk.coarse_k
+    ),
     f2c AS (
       SELECT f_id, coarse_id FROM (
         SELECT f.vec_id AS f_id, c.vec_id AS coarse_id,
@@ -663,17 +707,37 @@ def _two_level_oracle() -> str:
 
 
 def _semdedup_two_level_query(
-    spark: SparkSession, sf_dir: str, fine_k: int, coarse_k: int
+    spark: SparkSession,
+    sf_dir: str,
+    fine_k: int,
+    clo_rank: int,
+    coarse_k: int,
 ) -> DataFrame:
-    """Two-level run at explicit sizes — shared by the registered
-    auto variant and the fixed-size tests."""
+    """Two-level run at explicit fine size + coarse-router rank base
+    — shared by the registered auto variant and the fixed-size tests.
+
+    Codebook selection is by RANK in vec_id order (sparse-id-safe,
+    see :func:`coarse_rank_base`): ONE TakeOrdered collects the
+    smallest ``clo_rank + coarse_k`` ids (driver-sized — bounded by
+    K+Kc ≤ 65 792 at the caps) and the centroid frames become plain
+    value-range filters against its boundaries.
+    """
     emb = _normed(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") < fine_k).select(
+    need = max(fine_k, clo_rank + coarse_k)
+    head = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(need).collect()
+    ]
+    fine_hi = head[min(fine_k, len(head)) - 1]
+    cidx = head[clo_rank : clo_rank + coarse_k]
+    cent = emb.filter(F.col("vec_id") <= fine_hi).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    coarse = emb.filter(F.col("vec_id") < coarse_k).select(
+    coarse = emb.filter(
+        (F.col("vec_id") >= cidx[0]) & (F.col("vec_id") <= cidx[-1])
+    ).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
@@ -712,4 +776,6 @@ def dedup_semantic_semdedup_auto(
     if n_vectors is None:
         n_vectors = _normed(spark, sf_dir).count()
     fine_k, coarse_k = two_level_sizes(n_vectors)
-    return _semdedup_two_level_query(spark, sf_dir, fine_k, coarse_k)
+    return _semdedup_two_level_query(
+        spark, sf_dir, fine_k, coarse_rank_base(n_vectors), coarse_k
+    )

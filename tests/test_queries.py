@@ -321,17 +321,21 @@ def test_auto_semdedup_equals_fixed_sizes_run(spark):
     genuinely exercises the sizing rule there)."""
     from bitcoin_datawarehouse_spark.operators.semdedup import (
         _semdedup_two_level_query,
+        coarse_rank_base,
         two_level_sizes,
     )
 
     assert two_level_sizes(500) == (64, 8)  # the sf0.001/sf0.01 corpora
     assert two_level_sizes(50) == (16, 4)  # floors engage below 64
     assert two_level_sizes(20_000_000) == (65536, 256)  # caps aligned
+    # disjoint router ranks: [K, K+Kc) normally, [0, Kc) when N <= K
+    assert coarse_rank_base(500) == 64
+    assert coarse_rank_base(16) == 0
     fine_k, coarse_k = two_level_sizes(500)
     fixed = {
         tuple(r)
         for r in _semdedup_two_level_query(
-            spark, SF_SMALL, fine_k, coarse_k
+            spark, SF_SMALL, fine_k, coarse_rank_base(500), coarse_k
         ).collect()
     }
     auto = {
@@ -392,6 +396,7 @@ def test_two_level_assignment_matches_independent_reference(spark):
     )
     from bitcoin_datawarehouse_spark.operators.semdedup import (
         _semdedup_two_level_query,
+        coarse_rank_base,
         two_level_sizes,
     )
 
@@ -403,6 +408,7 @@ def test_two_level_assignment_matches_independent_reference(spark):
     mat = np.array([list(r["e"]) for r in rows], dtype=np.float64)
     n = len(vids)
     fine_k, coarse_k = two_level_sizes(n)
+    base = coarse_rank_base(n)
 
     # dim-ordered cosine grid (the parity contract's fold order)
     def cos_grid(a, b):
@@ -415,8 +421,11 @@ def test_two_level_assignment_matches_independent_reference(spark):
             bsq += b[:, j] * b[:, j]
         return d / np.outer(np.sqrt(asq), np.sqrt(bsq))
 
-    fmask = vids < fine_k
-    cmask = vids < coarse_k
+    order = np.argsort(vids)  # rank-based codebook selection
+    fmask = np.zeros(n, dtype=bool)
+    fmask[order[:fine_k]] = True
+    cmask = np.zeros(n, dtype=bool)
+    cmask[order[base : base + coarse_k]] = True
     fids, fmat = vids[fmask], mat[fmask]
     cidv, cmat = vids[cmask], mat[cmask]
     f2c = cidv[np.argmax(cos_grid(fmat, cmat), axis=1)]
@@ -434,7 +443,7 @@ def test_two_level_assignment_matches_independent_reference(spark):
     got = {
         r["vec_id"]: r["centroid_id"]
         for r in _semdedup_two_level_query(
-            spark, SF_SMALL, fine_k, coarse_k
+            spark, SF_SMALL, fine_k, base, coarse_k
         ).collect()
     }
     assert got == expected
@@ -477,7 +486,9 @@ def test_two_level_with_coarse_eq_fine_matches_flat(spark):
     }
     two = {
         tuple(r)
-        for r in _semdedup_two_level_query(spark, SF_SMALL, k, k).collect()
+        for r in _semdedup_two_level_query(
+            spark, SF_SMALL, k, 0, k  # router ranks [0, k) = the fine set
+        ).collect()
     }
     assert flat == two
 

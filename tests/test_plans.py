@@ -403,11 +403,15 @@ SHUFFLE_BUDGET = {
     # frame reaches the lists via a BroadcastHashJoin, not a shuffle
     "similarity_ivfpq_topk": 2,
     "trainprep_corpus_pipeline": 3,
-    # kernel repartition + w1-partitioned cache + per-doc score agg +
-    # the distributed-rank block (range/pid/bounded-counts exchanges) —
-    # all candidate- or aggregate-sized; a 12th exchange would mean the
-    # w1 partitioning reuse or the rank block regressed
-    "text_lm_quality": 11,
+    # r7 re-pin 11 → 3: with_global_rank's intermediate is now an
+    # eager localCheckpoint (functions/ranking.py), which TRUNCATES
+    # the visible lineage — the LM-training subgraph (kernel
+    # repartition + w1 cache + score agg + range repartition, the old
+    # ~8 upstream exchanges) executes at plan-build time and the
+    # final plan shows only the rank block over checkpointed blocks:
+    # bounded counts agg + its window + the broadcast offsets join.
+    # A 4th exchange here would mean the rank block itself regressed.
+    "text_lm_quality": 3,
 }
 
 

@@ -649,6 +649,9 @@ def test_global_rank_blocks_release_without_manual_call(spark):
             for i in sc._jsc.sc().getRDDStorageInfo()
         )
 
+    # DELTA against the session baseline, not absolute zero: in a
+    # shared test session other fixtures may legitimately hold caches
+    baseline = cached_bytes()
     df = spark.range(50_000).select(
         F.col("id").alias("doc_id"), (F.col("id") % 97).alias("v")
     )
@@ -662,7 +665,9 @@ def test_global_rank_blocks_release_without_manual_call(spark):
     while time.time() < deadline:
         gc.collect()
         spark._jvm.System.gc()
-        if cached_bytes() == 0:
+        if cached_bytes() <= baseline:
             break
         time.sleep(1)
-    assert cached_bytes() == 0, "ranked-query storage never released"
+    assert cached_bytes() <= baseline, (
+        "ranked-query storage never released"
+    )

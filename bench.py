@@ -119,6 +119,17 @@ HEADLINE = [
     "storage_zorder_cells",
     "profile_key_skew",
     "affinity_brand_pairs",
+    # round-7 additions (45 → 49): the two-level SemDeDup production
+    # default (benched next to its flat audit twin so the hierarchical
+    # router's cost is a recorded number per round — its decade win is
+    # the scale claim, SCALING.md round 7), BM25 ranked retrieval (the
+    # text family's scoring surface), and two of the derived-partsupp
+    # TPC-H tail (Q2's correlated-min gate, Q11's scalar-threshold
+    # rollup — the last classic shapes the engine had never run)
+    "dedup_semantic_semdedup_auto",
+    "text_bm25_topk",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
 ]
 
 

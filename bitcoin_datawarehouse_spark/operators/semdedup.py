@@ -485,6 +485,29 @@ def two_level_assign(
     )
 
 
+def semdedup_flags_two_level_split(
+    emb: DataFrame, cent: DataFrame, coarse: DataFrame, tau: float
+) -> DataFrame:
+    """The CAP-REGIME variant of :func:`semdedup_flags_two_level`:
+    fine assignment and the keep/drop decision run in SEPARATE
+    stages — route (kernel) → shuffle by coarse cell → fine-assign
+    kernel emitting (vec_id, centroid_id, e) → shuffle by FINE
+    centroid → the shared ``_cluster_flags`` decision kernel.
+
+    Three exchanges instead of two, but every decision task is
+    fine-CLUSTER-sized rather than coarse-CELL-sized: once Kc hits
+    its 256 clamp a cell holds N/256 rows (≈40 M rows × d doubles at
+    N = 10¹⁰ — beyond task memory), while fine clusters stay N/K ≤
+    N/65536.  Bit-identical output to the fused path by construction
+    (same routing, same grids, same tie-breaks — pytest-pinned), so
+    the choice is purely physical; the fused path stays the default
+    below the cap.
+    """
+    ids, cmat, cn = collect_codebook(cent)
+    assigned = two_level_assign(emb, cent, coarse)
+    return _cluster_flags(assigned, ids, cmat, cn, tau)
+
+
 def semdedup_flags_two_level(
     emb: DataFrame, cent: DataFrame, coarse: DataFrame, tau: float
 ) -> DataFrame:

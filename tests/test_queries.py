@@ -449,6 +449,63 @@ def test_two_level_assignment_matches_independent_reference(spark):
     assert got == expected
 
 
+def test_two_level_split_variant_bit_equal_to_fused(spark):
+    """The cap-regime 3-exchange variant (separate fine-assign and
+    decision shuffles) must produce the IDENTICAL flag frame as the
+    fused per-cell kernel — same routing, grids, tie-breaks; the
+    choice is purely physical (task sizing at the Kc clamp)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        COSINE_DUP_THRESHOLD,
+        _normed,
+    )
+    from bitcoin_datawarehouse_spark.operators.semdedup import (
+        coarse_rank_base,
+        semdedup_flags_two_level,
+        semdedup_flags_two_level_split,
+        two_level_sizes,
+    )
+
+    emb = _normed(spark, SF_SMALL)
+    n = emb.count()
+    fine_k, coarse_k = two_level_sizes(n)
+    base = coarse_rank_base(n)
+    head = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(base + coarse_k)
+        .collect()
+    ]
+    cent = emb.filter(F.col("vec_id") <= head[fine_k - 1]).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    coarse = emb.filter(
+        (F.col("vec_id") >= head[base])
+        & (F.col("vec_id") <= head[base + coarse_k - 1])
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    fused = {
+        tuple(r)
+        for r in semdedup_flags_two_level(
+            emb, cent, coarse, COSINE_DUP_THRESHOLD
+        ).collect()
+    }
+    split = {
+        tuple(r)
+        for r in semdedup_flags_two_level_split(
+            emb, cent, coarse, COSINE_DUP_THRESHOLD
+        ).collect()
+    }
+    assert fused == split and fused
+
+
 def test_two_level_with_coarse_eq_fine_matches_flat(spark):
     """When every fine centroid self-routes (generic position — no
     exact-twin ties among the fixture's first K vectors, asserted

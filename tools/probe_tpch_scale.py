@@ -37,6 +37,12 @@ NAMES = [
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_dormant_customers",
+    # round-7 derived-partsupp tail (the partsupp DISTINCT is an
+    # extra fact-pair aggregate these four share)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_stock_suppliers",
 ]
 
 

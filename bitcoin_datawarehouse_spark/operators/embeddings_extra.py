@@ -816,3 +816,93 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return sub.groupBy("query_id").applyInPandas(rerank, schema)
+
+
+# ---------------------------------------------------------------------------
+# round 7: ANN quality evaluation — recall@k of IVF against brute force
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_ivf_recall",
+    oracle=None,  # set below — needs BF_TOPK_ORACLE, imported lazily
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN path against the exact brute-force
+    ground truth — the evaluation surface every production ANN
+    deployment runs before trading exactness for bucket pruning
+    (recall here is a property of the quantizer/nprobe geometry, so
+    the harness is how one TUNES ``IVF_NPROBE``).
+
+    Per query: |ivf_topk ∩ bruteforce_topk| / k, plus the mean over
+    the query set — every count is an exact integer, the two
+    divisions are single correctly-rounded IEEE ops on identical
+    operands, so the surface hash-gates without string routing.  The
+    oracle embeds the two registered queries' EXACT oracle texts as
+    CTEs (textual reuse — the harness can never drift from what it
+    claims to measure).
+
+    Plan: both sides are the registered plans (kernel-scored, k rows
+    per query each); the intersection is a (queries·k)-row broadcast
+    join and a bounded window — evaluation cost is search cost, the
+    join is noise.
+    """
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        similarity_bruteforce_topk,
+    )
+
+    bf = similarity_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "cand_id"
+    )
+    ivf = similarity_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("_iq"), F.col("cand_id").alias("_ic")
+    )
+    hits = (
+        bf.join(
+            F.broadcast(ivf),
+            (F.col("query_id") == F.col("_iq"))
+            & (F.col("cand_id") == F.col("_ic")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("_ic").cast("bigint").alias("hits"))
+    )
+    w = W.partitionBy()  # bounded: one row per query (N_QUERIES)
+    return hits.select(
+        "query_id",
+        "hits",
+        (F.col("hits").cast("double") / F.lit(float(TOP_K))).alias(
+            "recall_at_k"
+        ),
+        (
+            F.sum("hits").over(w).cast("bigint").cast("double")
+            / F.lit(float(N_QUERIES * TOP_K))
+        ).alias("mean_recall"),
+    )
+
+
+def _recall_oracle() -> str:
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        BF_TOPK_ORACLE,
+    )
+
+    return f"""
+    WITH ivf AS ({IVF_TOPK_ORACLE}),
+    bf AS ({BF_TOPK_ORACLE}),
+    hits AS (
+      SELECT b.query_id, CAST(COUNT(i.cand_id) AS BIGINT) AS hits
+      FROM bf b
+      LEFT JOIN ivf i
+        ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+      GROUP BY b.query_id
+    )
+    SELECT query_id, hits,
+           CAST(hits AS DOUBLE) / CAST({TOP_K} AS DOUBLE) AS recall_at_k,
+           CAST(CAST(SUM(hits) OVER () AS BIGINT) AS DOUBLE)
+             / CAST({N_QUERIES * TOP_K} AS DOUBLE) AS mean_recall
+    FROM hits
+    """
+
+
+from bitcoin_datawarehouse_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLES["similarity_ivf_recall"] = _recall_oracle()

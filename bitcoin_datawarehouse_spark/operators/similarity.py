@@ -84,9 +84,9 @@ def norm_col(a: Column) -> Column:
     return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
 
 
-@query(
-    "similarity_bruteforce_topk",
-    oracle=f"""
+#: named so the round-7 recall harness (embeddings_extra.
+#: similarity_ivf_recall) can embed the exact same semantics as a CTE
+BF_TOPK_ORACLE = f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
@@ -113,8 +113,10 @@ def norm_col(a: Column) -> Column:
     )
     SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("similarity_bruteforce_topk", oracle=BF_TOPK_ORACLE)
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: query set (vec_id < 10) × all candidates.
 

@@ -133,7 +133,11 @@ DRIVER_WINDOW: list[str] = [
     "expr_case_when_buckets",
     "grouping_sets_priority",
     "join_fact_dim_broadcast",
-    "join_full_outer",
+    # round-7 in-session flagship: IVF recall@k evaluation harness
+    # (exact-integer intersection counts over the two registered topk
+    # plans; oracle embeds their texts verbatim) — took the next fill
+    # seat (join_full_outer stays covered by its r3 row)
+    "similarity_ivf_recall",
     # round-7 in-session flagship: BM25 ranked retrieval (corpus
     # stats in-plan, 6-dp-rounded transcendental terms, decimal sum)
     # — takes the last re-confirmation fill seat (join_left_order_

@@ -1647,6 +1647,33 @@ def test_trainprep_weighted_sample_matches_python_reimplementation(spark):
     assert all(0.0 < r["incl_p"] <= 1.0 for r in got)
 
 
+def test_ivf_recall_matches_python_set_intersection(spark):
+    """The recall harness against the obvious python computation over
+    the two registered topk results: per-query hit counts are the set
+    intersections, recall bounded (0, 1], and the mean is the exact
+    hit ratio."""
+    from bitcoin_datawarehouse_spark.registry import QUERIES
+
+    bf = {}
+    for r in QUERIES["similarity_bruteforce_topk"](spark, SF_SMALL).collect():
+        bf.setdefault(r["query_id"], set()).add(r["cand_id"])
+    ivf = {}
+    for r in QUERIES["similarity_ivf_topk"](spark, SF_SMALL).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["cand_id"])
+    want = {q: len(c & ivf.get(q, set())) for q, c in bf.items()}
+    total = sum(want.values())
+    k = len(next(iter(bf.values())))
+
+    rows = QUERIES["similarity_ivf_recall"](spark, SF_SMALL).collect()
+    assert {r["query_id"]: r["hits"] for r in rows} == want
+    for r in rows:
+        assert r["recall_at_k"] == want[r["query_id"]] / k
+        assert r["mean_recall"] == total / (len(bf) * k)
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    # the IVF tier should be genuinely lossy-but-useful on the fixture
+    assert 0.0 < rows[0]["mean_recall"] <= 1.0
+
+
 def test_bm25_matches_independent_python_reference(spark):
     """text_bm25_topk against a from-scratch python BM25 over the
     collected corpus (Okapi + Lucene idf, same 6-dp per-term rounding

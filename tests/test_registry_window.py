@@ -65,8 +65,10 @@ def test_round7_rotation_is_in_window():
         "text_lm_quality",
         "profile_equidepth_hist",
         "profile_drift_tv",
-        # new round-7 registration: BM25 ranked retrieval
+        # new round-7 registrations: BM25 ranked retrieval and the
+        # IVF recall@k evaluation harness
         "text_bm25_topk",
+        "similarity_ivf_recall",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

@@ -490,21 +490,91 @@ def semdedup_flags_two_level_split(
 ) -> DataFrame:
     """The CAP-REGIME variant of :func:`semdedup_flags_two_level`:
     fine assignment and the keep/drop decision run in SEPARATE
-    stages — route (kernel) → shuffle by coarse cell → fine-assign
-    kernel emitting (vec_id, centroid_id, e) → shuffle by FINE
-    centroid → the shared ``_cluster_flags`` decision kernel.
+    stages — route (kernel) → SALTED shuffle by coarse cell →
+    fine-assign kernel emitting (vec_id, centroid_id, e) → shuffle by
+    FINE centroid → the shared ``_cluster_flags`` decision kernel.
 
-    Three exchanges instead of two, but every decision task is
-    fine-CLUSTER-sized rather than coarse-CELL-sized: once Kc hits
-    its 256 clamp a cell holds N/256 rows (≈40 M rows × d doubles at
-    N = 10¹⁰ — beyond task memory), while fine clusters stay N/K ≤
-    N/65536.  Bit-identical output to the fused path by construction
-    (same routing, same grids, same tie-breaks — pytest-pinned), so
-    the choice is purely physical; the fused path stays the default
-    below the cap.
+    Three exchanges instead of two, but no task ever holds a whole
+    coarse CELL: once Kc hits its 256 clamp a cell is N/256 rows
+    (≈40 M rows × d doubles at N = 10¹⁰ — beyond task memory).  Fine
+    assignment is row-parallel (each row only needs its cell's fine
+    sub-codebook, which rides the closure), so the cell grouping is
+    SALTED to cluster parallelism; the decision tasks are then
+    fine-CLUSTER-sized (N/K ≤ N/65536).  Bit-identical output to the
+    fused path by construction (same routing, same grids, same
+    tie-breaks — pytest-pinned), so the choice is purely physical;
+    the fused path stays the default below the cap (one fewer
+    exchange, and its cell tasks are fine there).
     """
-    ids, cmat, cn = collect_codebook(cent)
-    assigned = two_level_assign(emb, cent, coarse)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        dim_ordered_dot_sq,
+    )
+
+    ids, cmat, cn, occupied, occ_cc, occ_ccn, cell_fines = _fine_to_coarse(
+        cent, coarse
+    )
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    route_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell_id", T.LongType()),
+            T.StructField("salt", T.IntegerType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def route(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.array(list(pdf["e"]), dtype=np.float64)
+            xdot, x_sq, _ = dim_ordered_dot_sq(emat, occ_cc)
+            xcos = xdot / np.outer(np.sqrt(x_sq), occ_ccn)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": vids,
+                    "cell_id": occupied[np.argmax(xcos, axis=1)],
+                    "salt": (vids % par).astype(np.int32),
+                    "e": pdf["e"],
+                }
+            )
+
+    fa_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fine_assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        fidx = cell_fines[int(pdf["cell_id"].iloc[0])]
+        emat = np.array(list(pdf["e"]), dtype=np.float64)
+        fdot, e_sq, _ = dim_ordered_dot_sq(emat, cmat[fidx])
+        fcos = fdot / np.outer(np.sqrt(e_sq), cn[fidx])
+        fa = np.argmax(fcos, axis=1)  # first max → smallest fine id
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "centroid_id": ids[fidx[fa]],
+                "e": pdf["e"],
+            }
+        )
+
+    assigned = (
+        emb.select("vec_id", "e")
+        .repartition(par)
+        .mapInPandas(route, route_schema)
+        .groupBy("cell_id", "salt")
+        .applyInPandas(fine_assign, fa_schema)
+    )
     return _cluster_flags(assigned, ids, cmat, cn, tau)
 
 

@@ -295,13 +295,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SH_SEP = "\x01"
 
 
-def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_shingle_sets(
+    spark: SparkSession, sf_dir: str, with_sig: bool = False
+) -> DataFrame:
     """Kernel docsets frame over the fixture ``documents`` table —
     see :func:`shingle_sets_frame` for the kernel itself."""
-    return shingle_sets_frame(load_table(spark, sf_dir, "documents"))
+    return shingle_sets_frame(
+        load_table(spark, sf_dir, "documents"), with_sig=with_sig
+    )
 
 
-def shingle_sets_frame(docs: DataFrame) -> DataFrame:
+def shingle_sets_frame(docs: DataFrame, with_sig: bool = False) -> DataFrame:
     """(doc_id, shs: string, sz, band_keys: array<string>) — one row
     per document with ≥1 shingle: the distinct 3-token shingle set
     packed into one ``\\x01``-joined string, its size, and the four
@@ -312,6 +316,11 @@ def shingle_sets_frame(docs: DataFrame) -> DataFrame:
     Takes any (doc_id, text) frame — the batch path wraps the fixture
     table (:func:`doc_shingle_sets`), the streaming path feeds
     foreachBatch micro-batches (streaming/dedup_stream.py).
+    ``with_sig=True`` (round-7 sketch-error harness) additionally
+    emits the RAW 12-value minhash signature as one comma-joined hex
+    string — the same mins the band keys hash, exposed for
+    positionwise agreement counting; default consumers skip the
+    ~400 B/doc column.
 
     Two measured wins over the round-2 exploded (doc_id, shingle)
     shape: the frame is cached and re-read by several subtrees, and
@@ -331,14 +340,15 @@ def shingle_sets_frame(docs: DataFrame) -> DataFrame:
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     pat = re.compile("[^a-z0-9]+")
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("shs", T.StringType()),
-            T.StructField("sz", T.LongType()),
-            T.StructField("band_keys", T.ArrayType(T.StringType())),
-        ]
-    )
+    fields = [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shs", T.StringType()),
+        T.StructField("sz", T.LongType()),
+        T.StructField("band_keys", T.ArrayType(T.StringType())),
+    ]
+    if with_sig:
+        fields.append(T.StructField("sig", T.StringType()))
+    schema = T.StructType(fields)
     n_seeds = MINHASH_SEEDS
     n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
 
@@ -371,7 +381,7 @@ def shingle_sets_frame(docs: DataFrame) -> DataFrame:
             return hs
 
         for pdf in batches:
-            ids, sets, szs, bkeys = [], [], [], []
+            ids, sets, szs, bkeys, sigs = [], [], [], [], []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 tk = [t for t in pat.split(txt.lower()) if t]
                 seen = set()
@@ -407,9 +417,12 @@ def shingle_sets_frame(docs: DataFrame) -> DataFrame:
                         for b in range(n_bands)
                     ]
                 )
-            yield pd.DataFrame(
-                {"doc_id": ids, "shs": sets, "sz": szs, "band_keys": bkeys}
-            )
+                if with_sig:
+                    sigs.append(",".join(m.hex() for m in mins))
+            out = {"doc_id": ids, "shs": sets, "sz": szs, "band_keys": bkeys}
+            if with_sig:
+                out["sig"] = sigs
+            yield pd.DataFrame(out)
 
     return (
         docs.repartition(par)
@@ -730,4 +743,193 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 7: sketch-quality evaluation — minhash estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+def _minhash_estimate_oracle() -> str:
+    """Candidate pairs with BOTH similarity readings: the 12-position
+    minhash agreement estimate and the exact shingle Jaccard, plus
+    their absolute error and its corpus mean — the sketch-calibration
+    twin of the ANN recall harness (embeddings_extra)."""
+    from bitcoin_datawarehouse_spark.functions.numeric import (
+        SQL_DEC,
+        SQL_STR_ROUND6,
+    )
+
+    mean = (
+        f"CAST(CAST(SUM({SQL_DEC('abs_err_full')}) OVER () AS STRING)"
+        " AS DOUBLE) / COUNT(*) OVER ()"
+    )
+    return f"""
+    WITH {_SQL_SHING},
+    mh AS (
+      SELECT s.doc_id, g.seed,
+             MIN(md5(CAST(g.seed AS VARCHAR) || ':' || s.sh)) AS minh
+      FROM shing s
+      CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed) g
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id,
+             seed // {MINHASH_BAND_SIZE} AS band,
+             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+      FROM mh
+      GROUP BY doc_id, seed // {MINHASH_BAND_SIZE}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM cands c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+      GROUP BY 1, 2
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shing s1 ON s1.doc_id = c.doc_a
+      JOIN shing s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT g.doc_a, g.doc_b, g.n_agree,
+             CAST(g.n_agree AS DOUBLE) / CAST({MINHASH_SEEDS} AS DOUBLE)
+               AS jaccard_est,
+             COALESCE(CAST(n_common AS DOUBLE)
+                      / (sa.sz + sb.sz - n_common), 0.0) AS jaccard,
+             ABS(CAST(g.n_agree AS DOUBLE) / CAST({MINHASH_SEEDS} AS DOUBLE)
+                 - COALESCE(CAST(n_common AS DOUBLE)
+                            / (sa.sz + sb.sz - n_common), 0.0))
+               AS abs_err_full
+      FROM agree g
+      LEFT JOIN common ON common.doc_a = g.doc_a AND common.doc_b = g.doc_b
+      JOIN sizes sa ON sa.doc_id = g.doc_a
+      JOIN sizes sb ON sb.doc_id = g.doc_b
+    )
+    SELECT doc_a, doc_b, n_agree, jaccard_est, jaccard,
+           abs_err_full AS abs_err,
+           {SQL_STR_ROUND6(mean)} AS mean_abs_err
+    FROM pairs
+"""
+
+
+@query("dedup_minhash_estimate_error", oracle=_minhash_estimate_oracle())
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-calibration harness for the MinHash family: over the
+    LSH candidate pairs, the signature's positionwise agreement
+    estimate (n_agree/12 — the unbiased MinHash Jaccard estimator)
+    next to the exact shingle Jaccard, the per-pair |error|, and the
+    corpus mean |error| — how one decides whether 12 permutations are
+    enough BEFORE trusting the capped tiers at scale (E|err| ~
+    √(J(1−J)/k); with k = 12 that is ≲ 0.15, which the fixture's mean
+    confirms).
+
+    Parity: the estimate is an exact integer ratio, the exact Jaccard
+    the established deterministic division, their difference one IEEE
+    subtract — all hash-gateable raw; only the corpus MEAN crosses an
+    aggregate and rides the decimal-sum + string-routed 6-dp surface.
+    The mean is exposed per-row from a bounded window over
+    candidate-pair rows — candidate-sized by LSH construction (the
+    same Σ bucket² the hot-bucket cap bounds), not corpus-sized.
+
+    Plan: the sig column rides the SAME kernel pass the band keys
+    come from (no second tokenize); agreement counting is a 12-element
+    array zip on candidate rows — every post-kernel stage moves
+    candidate-sized data, exactly like the registered dedup plan it
+    audits.
+    """
+    docsets = cache_tracked(doc_shingle_sets(spark, sf_dir, with_sig=True))
+    docsets.count()  # several subtrees read it in one action
+    bands = band_keys_from_sets(docsets)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("sz").alias("sz_a"),
+        F.split("sig", ",").alias("sig_a"),
+    )
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
+        F.split("sig", ",").alias("sig_b"),
+    )
+    n_common = F.size(
+        F.array_intersect(F.split("shs_a", SH_SEP), F.split("shs_b", SH_SEP))
+    )
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("bigint")
+    exact = n_common.cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - n_common
+    )
+    est = F.col("n_agree").cast("double") / F.lit(float(MINHASH_SEEDS))
+    from pyspark.sql import Window as _W
+
+    from bitcoin_datawarehouse_spark.functions.numeric import (
+        DEC,
+        str_round6,
+    )
+
+    w = _W.partitionBy()  # bounded: one row per LSH candidate pair
+    pairs = (
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            exact.alias("jaccard"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            est.alias("jaccard_est"),
+            "jaccard",
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )
+    mean = (
+        F.sum(F.col("abs_err").cast(DEC)).over(w).cast("string").cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        "jaccard_est",
+        "jaccard",
+        "abs_err",
+        str_round6(mean).alias("mean_abs_err"),
     )

@@ -126,7 +126,11 @@ DRIVER_WINDOW: list[str] = [
     "agg_daily_revenue",
     "agg_having",
     "agg_percentiles",
-    "agg_string_concat",
+    # round-7 in-session flagship: MinHash sketch-calibration harness
+    # (signature agreement estimate vs exact Jaccard + corpus mean
+    # |error|) — took the next fill seat (agg_string_concat stays
+    # covered by its r3 row)
+    "dedup_minhash_estimate_error",
     "asof_join_daily_price",
     "cube_revenue",
     "dedup_minhash_lsh",

@@ -1647,6 +1647,77 @@ def test_trainprep_weighted_sample_matches_python_reimplementation(spark):
     assert all(0.0 < r["incl_p"] <= 1.0 for r in got)
 
 
+def test_minhash_estimate_error_matches_python_reference(spark):
+    """The sketch-calibration harness against a from-scratch python
+    MinHash (md5-seeded mins, band keys, agreement counts, exact
+    shingle Jaccard): identical candidate pairs, identical agreement
+    counts, exact error arithmetic, and the estimator's theoretical
+    accuracy actually holds on the fixture."""
+    import hashlib
+    import re
+
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        MINHASH_BAND_SIZE,
+        MINHASH_SEEDS,
+    )
+    from bitcoin_datawarehouse_spark.registry import QUERIES
+    from bitcoin_datawarehouse_spark.tables import load_table
+
+    pat = re.compile("[^a-z0-9]+")
+    shingles = {}
+    for r in load_table(spark, SF_SMALL, "documents").collect():
+        tk = [t for t in pat.split(r["text"].lower()) if t]
+        ss = {
+            f"{tk[i]} {tk[i + 1]} {tk[i + 2]}" for i in range(len(tk) - 2)
+        }
+        if ss:
+            shingles[r["doc_id"]] = ss
+    sig = {
+        d: [
+            min(hashlib.md5(f"{k}:{s}".encode()).hexdigest() for s in ss)
+            for k in range(MINHASH_SEEDS)
+        ]
+        for d, ss in shingles.items()
+    }
+    buckets: dict[tuple, set] = {}
+    nb = MINHASH_SEEDS // MINHASH_BAND_SIZE
+    for d, mins in sig.items():
+        for b in range(nb):
+            key = (b, ",".join(mins[b * 3 : b * 3 + 3]))
+            buckets.setdefault(key, set()).add(d)
+    cands = set()
+    for ds in buckets.values():
+        for x in ds:
+            for y in ds:
+                if x < y:
+                    cands.add((x, y))
+    want = {}
+    for a, b in cands:
+        agree = sum(1 for x, y in zip(sig[a], sig[b]) if x == y)
+        inter = len(shingles[a] & shingles[b])
+        jac = inter / (len(shingles[a]) + len(shingles[b]) - inter)
+        want[(a, b)] = (agree, jac)
+
+    rows = QUERIES["dedup_minhash_estimate_error"](
+        spark, SF_SMALL
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert set(got) == set(want)
+    errs = []
+    for k, (agree, jac) in want.items():
+        r = got[k]
+        assert r["n_agree"] == agree, k
+        assert r["jaccard"] == jac, k
+        assert r["jaccard_est"] == agree / MINHASH_SEEDS, k
+        assert r["abs_err"] == abs(agree / MINHASH_SEEDS - jac), k
+        errs.append(r["abs_err"])
+    mean = sum(errs) / len(errs)
+    assert abs(rows[0]["mean_abs_err"] - mean) < 1e-6
+    # 12 permutations: E|err| ≲ √(J(1-J)/12) ≤ 0.145 — the fixture's
+    # candidate pairs (high-J by LSH construction) should sit under it
+    assert mean < 0.2, mean
+
+
 def test_ivf_recall_matches_python_set_intersection(spark):
     """The recall harness against the obvious python computation over
     the two registered topk results: per-query hit counts are the set

@@ -69,6 +69,8 @@ def test_round7_rotation_is_in_window():
         # IVF recall@k evaluation harness
         "text_bm25_topk",
         "similarity_ivf_recall",
+        # ...and the MinHash sketch-calibration harness
+        "dedup_minhash_estimate_error",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

@@ -155,3 +155,108 @@ def expr_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plain_is_r_coalesced"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: rolling z-score anomaly detection (per-entity sliding frame)
+# ---------------------------------------------------------------------------
+
+from bitcoin_datawarehouse_spark.functions.numeric import (  # noqa: E402
+    SQL_DEC,
+    SQL_STR_ROUND6,
+    str_round6,
+)
+
+#: trailing frame width (rows, inclusive of the current event)
+ZSCORE_WINDOW_ROWS = 20
+
+
+@query(
+    "events_rolling_zscore",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS t_ms, value
+      FROM events
+    ),
+    framed AS (
+      SELECT event_id, user_id, t_ms, value,
+             CAST(CAST(SUM({SQL_DEC("value")}) OVER w AS STRING)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM({SQL_DEC("value * value")}) OVER w AS STRING)
+                  AS DOUBLE) AS sxx,
+             CAST(COUNT(value) OVER w AS DOUBLE) AS n
+      FROM base
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY t_ms, event_id
+        ROWS BETWEEN {ZSCORE_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT event_id, user_id, t_ms, value,
+           {SQL_STR_ROUND6("sx / n")} AS rolling_mean,
+           {SQL_STR_ROUND6(
+               "CASE WHEN (sxx - sx * sx / n) / n > CAST(0 AS DOUBLE)"
+               " THEN (value - sx / n)"
+               "      / sqrt((sxx - sx * sx / n) / n)"
+               " ELSE CAST(0 AS DOUBLE) END"
+           )} AS zscore
+    FROM framed
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score over the trailing 20 events — the
+    streaming-adjacent anomaly primitive (alert when a metric departs
+    its own recent distribution), batch-shaped here over the events
+    fact.
+
+    Cross-engine hazard this query exists to pin: windowed SUMs of
+    DOUBLES are NOT reproducible across engines — Spark's sliding
+    aggregation and DuckDB's segment tree accumulate in different
+    orders — so both moments (Σx, Σx²) accumulate in exact
+    DECIMAL(38,10) inside the frame, convert through the string
+    route, and the mean/variance/z closed form is the IDENTICAL
+    double expression on both engines (the profile correlation
+    contract, per-frame).  The frame orders by (epoch-ms, event_id):
+    the raw timestamp would order at NANOSECOND precision in DuckDB
+    but microsecond in Spark (the TIMESTAMP(NANOS) fixture), so the
+    ordering key is pinned to the common millisecond grid with the
+    id tiebreak.  Degenerate frames (zero variance — every value
+    identical, or n = 1) emit z = 0 by the CASE guard on BOTH
+    engines.
+
+    Scale: one shuffle on user_id; frames are ROWS-bounded (20), so
+    state per window is O(1) and no partition is corpus-sized unless
+    one user is (the profile_key_skew diagnostic's job to catch).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_millis(ts)").alias("t_ms"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_ms", "event_id")
+        .rowsBetween(-(ZSCORE_WINDOW_ROWS - 1), 0)
+    )
+    sx = F.sum(F.col("value").cast(DEC)).over(w).cast("string").cast("double")
+    sxx = (
+        F.sum((F.col("value") * F.col("value")).cast(DEC))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    n = F.count("value").over(w).cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / n
+    z = F.when(
+        var > F.lit(0.0), (F.col("value") - mean) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "event_id",
+        "user_id",
+        "t_ms",
+        "value",
+        str_round6(mean).alias("rolling_mean"),
+        str_round6(z).alias("zscore"),
+    )

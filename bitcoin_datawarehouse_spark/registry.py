@@ -132,7 +132,12 @@ DRIVER_WINDOW: list[str] = [
     # covered by its r3 row)
     "dedup_minhash_estimate_error",
     "asof_join_daily_price",
-    "cube_revenue",
+    # round-7 in-session flagship: rolling z-score anomaly detection
+    # (per-frame exact-decimal moments — windowed double SUMs are the
+    # one aggregate class the engines cannot reproduce natively) —
+    # took the next fill seat (cube_revenue stays covered by its r3
+    # row)
+    "events_rolling_zscore",
     "dedup_minhash_lsh",
     "expr_case_when_buckets",
     "grouping_sets_priority",

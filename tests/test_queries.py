@@ -1647,6 +1647,51 @@ def test_trainprep_weighted_sample_matches_python_reimplementation(spark):
     assert all(0.0 < r["incl_p"] <= 1.0 for r in got)
 
 
+def test_rolling_zscore_matches_numpy_reference(spark):
+    """The rolling z-score against an independent numpy sliding-window
+    computation at the exposed 6-dp surface, including the degenerate
+    frames (n = 1 → z = 0) at each user's head."""
+    import numpy as np
+
+    from bitcoin_datawarehouse_spark.operators.window_extra import (
+        ZSCORE_WINDOW_ROWS,
+        events_rolling_zscore,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+
+    rows = events_rolling_zscore(spark, SF_SMALL).collect()
+    ev = sorted(
+        (
+            (r["user_id"], int(r["ts"].timestamp() * 1000), r["event_id"], r["value"])
+            for r in load_table(spark, SF_SMALL, "events").select(
+                "user_id", "ts", "event_id", "value"
+            ).collect()
+        )
+    )
+    by_user: dict[int, list] = {}
+    for u, t, e, v in ev:
+        by_user.setdefault(u, []).append((t, e, v))
+    want = {}
+    for u, seq in by_user.items():
+        vals = [v for _, _, v in seq]
+        for i, (t, e, v) in enumerate(seq):
+            frame = np.array(vals[max(0, i - ZSCORE_WINDOW_ROWS + 1) : i + 1])
+            mean = frame.mean()
+            std = frame.std()  # population std — matches Σx²/n − mean²
+            z = (v - mean) / std if std > 0 else 0.0
+            want[e] = (mean, z)
+    assert len(rows) == len(want)
+    for r in rows:
+        mean, z = want[r["event_id"]]
+        assert abs(r["rolling_mean"] - mean) < 1e-5, r["event_id"]
+        assert abs(r["zscore"] - z) < 1e-4, (r["event_id"], r["zscore"], z)
+    # first event of every user is a degenerate frame → z exactly 0
+    heads = {seq[0][1] for seq in by_user.values()}
+    for r in rows:
+        if r["event_id"] in heads:
+            assert r["zscore"] == 0.0
+
+
 def test_minhash_estimate_error_matches_python_reference(spark):
     """The sketch-calibration harness against a from-scratch python
     MinHash (md5-seeded mins, band keys, agreement counts, exact

@@ -69,8 +69,10 @@ def test_round7_rotation_is_in_window():
         # IVF recall@k evaluation harness
         "text_bm25_topk",
         "similarity_ivf_recall",
-        # ...and the MinHash sketch-calibration harness
+        # ...and the MinHash sketch-calibration harness plus the
+        # rolling z-score anomaly primitive
         "dedup_minhash_estimate_error",
+        "events_rolling_zscore",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

@@ -118,6 +118,11 @@ _BM25_ORACLE = f"""
       FROM tf GROUP BY term
     ),
     w AS (
+      -- native ROUND(double, 6) is safe HERE ONLY because every
+      -- non-zero weight carries the irrational ln(idf) factor and
+      -- cannot land on an exact 1e-6 tie; swapping in an
+      -- integer-ratio term (tf/dl etc.) under this ROUND would
+      -- reintroduce the str_round6 tie hazard CLAUDE.md documents
       SELECT tf.doc_id,
              ROUND(
                ln(CAST(1 AS DOUBLE)

@@ -159,7 +159,7 @@ FROM probs
 
 def _drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bucket, n_ref, n_cur): the fixed-edge snapshot histograms both
-    drift metrics (TV — hash-gated; PSI — rows-only) share: two
+    drift metrics (TV and PSI, both hash-gated) share: two
     filtered aggregates pushed to the scan, one full-outer join on the
     bounded bucket set."""
     o = load_table(spark, sf_dir, "orders")
@@ -196,9 +196,9 @@ def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/numeric.py documents for ROUND), while TV's chain —
     exact integer counts, one correctly-rounded double division per
     bucket, exact-decimal |diff| accumulation — is bit-reproducible
-    end to end.  (A deployment wanting PSI adds it as a column; the
-    binning and plumbing are identical, only the gate would weaken to
-    rows-only.)
+    end to end.  (``profile_drift_psi`` shares the binning and
+    plumbing and hash-gates too since round 8, via the
+    6-dp-round-before-decimal-sum treatment of its ``ln`` terms.)
 
     Scale shape: two filtered aggregates over the fact (both pushed
     to the scan), a full-outer join on the bounded bucket set, and
@@ -228,7 +228,65 @@ def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("profile_drift_psi")
+#: PSI oracle — the identical smoothing/ln chain over the shared
+#: bucket CTEs, with every per-bucket term ROUND(·, 6)-ed BEFORE an
+#: exact decimal total (the bm25.py:12-18 transcendental precedent:
+#: the ``ln`` factor makes a non-zero term transcendental, so it
+#: cannot land on an exact 1e-6 tie — and a zero term, p_cur = p_ref
+#: exactly, is ±0.0 identically on both engines).  Every literal is
+#: CAST(... AS DOUBLE) because DuckDB numeric literals default to
+#: DECIMAL (the pagerank.py/cdc.py rule).
+#: ``+ 0`` normalizes a possible -0.0 term (p_cur < p_ref by < 1 ulp
+#: relative → the ratio rounds to exactly 1.0 → ln = 0 → neg·0 = -0.0;
+#: repr('-0.0') would hash-diverge) to +0.0 identically on both engines.
+_PSI_TERM_SQL = (
+    "ROUND((p_cur_s - p_ref_s) * ln(p_cur_s / p_ref_s), 6)"
+    " + CAST(0 AS DOUBLE)"
+)
+
+_PSI_SQL = f"""
+WITH ref AS (
+  SELECT CAST(FLOOR(o_totalprice / {_DRIFT_BUCKET}) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+cur AS (
+  SELECT CAST(FLOOR(o_totalprice / {_DRIFT_BUCKET}) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+         CAST(COALESCE(r.n, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur
+  FROM ref r FULL OUTER JOIN cur c ON r.bucket = c.bucket
+),
+smoothed AS (
+  SELECT bucket, n_ref, n_cur,
+         (CAST(n_ref AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (SUM(CAST(n_ref AS DOUBLE)) OVER ()
+              + CAST(COUNT(*) OVER () AS DOUBLE) / CAST(2 AS DOUBLE))
+           AS p_ref_s,
+         (CAST(n_cur AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (SUM(CAST(n_cur AS DOUBLE)) OVER ()
+              + CAST(COUNT(*) OVER () AS DOUBLE) / CAST(2 AS DOUBLE))
+           AS p_cur_s
+  FROM joined
+),
+terms AS (
+  SELECT bucket, n_ref, n_cur, {_PSI_TERM_SQL} AS psi_term
+  FROM smoothed
+)
+SELECT bucket, n_ref, n_cur, psi_term,
+       CAST(CAST(SUM({SQL_DEC("psi_term")}) OVER () AS STRING) AS DOUBLE)
+         AS psi_total
+FROM terms
+"""
+
+
+@query("profile_drift_psi", oracle=_PSI_SQL)
 def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift over the SAME fixed-edge
     snapshot histograms as ``profile_drift_tv`` — the metric most
@@ -239,13 +297,20 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing (counts + 0.5, totals + B/2) so empty buckets on either
     side stay finite — the standard Laplace-style correction, and it
     keeps the per-bucket term's SIGN meaningful (mass moved in vs
-    out).  Registered ROWS-ONLY deliberately: ``ln`` is a libm call
-    whose last-ulp behavior differs across engines (the ROUND hazard
-    class functions/numeric.py documents), so the value surface
-    cannot hash-gate — the numeric contract is pinned instead by a
-    pytest bound against an independent numpy computation of the same
-    formula, and TV stays the hash-gated twin on the shared bucket
-    machinery (:func:`_drift_buckets`).
+    out).
+
+    Hash-gated since round 8 via the BM25 transcendental precedent
+    (bm25.py:12-18, r7 VERDICT item 4): each per-bucket term is
+    ROUND(·, 6) — native on both engines, safe because a non-zero
+    term carries an irrational ``ln`` factor and cannot land on an
+    exact 1e-6 tie (the hazard class is integer-ratio quotients, see
+    CLAUDE.md), while a zero term (p_cur = p_ref exactly → ln 1 = 0)
+    is identical ±0.0 on both — and the total is the exact decimal
+    sum of the rounded terms, exposed through the string route.  The
+    smoothing chain upstream of ``ln`` is deterministic: exact
+    integer counts to double, one correctly-rounded division per
+    probability.  The numpy-bound pytest stays as the independent
+    formula check.
 
     Scale shape identical to TV: two pushed-down aggregates, one
     bounded full-outer, window sums over ~20 bucket rows.
@@ -256,18 +321,26 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = _drift_buckets(spark, sf_dir)
     nb = F.count(F.lit(1)).over(w).cast("double")
     p_ref = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
-        F.sum("n_ref").over(w).cast("double") + nb / 2
+        F.sum(F.col("n_ref").cast("double")).over(w) + nb / F.lit(2.0)
     )
     p_cur = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
-        F.sum("n_cur").over(w).cast("double") + nb / 2
+        F.sum(F.col("n_cur").cast("double")).over(w) + nb / F.lit(2.0)
     )
-    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
-    return joined.select(
+    # + 0.0 normalizes a possible -0.0 (see _PSI_TERM_SQL comment)
+    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6) + F.lit(0.0)
+    with_term = joined.select(
+        "bucket", "n_ref", "n_cur", term.alias("psi_term")
+    )
+    return with_term.select(
         "bucket",
         "n_ref",
         "n_cur",
-        term.alias("psi_term"),
-        F.sum(term).over(w).alias("psi_total"),
+        "psi_term",
+        F.sum(F.col("psi_term").cast(DEC))
+        .over(w)
+        .cast("string")
+        .cast("double")
+        .alias("psi_total"),
     )
 
 

@@ -245,6 +245,9 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents")
         )
     )
+    g.count()  # eager fill: the total aggregate and the probe side
+    # both read g in one action (the bm25/lm_quality pattern — an
+    # unfilled cache can be recomputed by concurrent subtrees)
     total = g.agg(
         F.sum("value_cents").cast("bigint").alias("total_cents")
     )

@@ -65,8 +65,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: drift.  Every name here has a SQL oracle — zero rows-only checks
 #: in-window.
 DRIVER_WINDOW: list[str] = [
-    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r6)
+    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r7)
     "pricing_summary",
+    # --- round-8 obligations (every r7 seat below discharged via its
+    # green CORRECTNESS_r07 row, so the whole non-canary window was
+    # free to rotate): newly oracled / rewritten queries first ---
+    # PSI upgraded from rows-only to the full hash gate (r7 VERDICT
+    # item 4: ROUND(ln-term, 6) before the exact decimal sum — the
+    # bm25.py transcendental precedent)
+    "profile_drift_psi",
     # --- round-7 NEW registrations: the TPC-H partsupp tail (derived
     # integer-exact partsupp; operators/tpch_partsupp.py) ---
     "tpch_q2_min_cost_supplier",
@@ -95,7 +102,6 @@ DRIVER_WINDOW: list[str] = [
     # the stalest third of the registry instead of re-checking
     # fresh r5/r6 rows.  Union coverage (test_registry_window's
     # union invariant) is unchanged either way. ---
-    "agg_count_distinct",
     "dedup_exact_docs",
     "dedup_exact_rows",
     "dedup_ngram_jaccard",

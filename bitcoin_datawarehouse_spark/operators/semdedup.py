@@ -601,11 +601,13 @@ def semdedup_flags_two_level(
     group count to ≤ Kc (126) and turns the fine stage into one large
     matrix op per task (measured rewrite in SCALING.md round 7).
 
-    Cap-regime caveat (documented, not fixture-reachable): once Kc
-    hits its 256 clamp, cells hold N/256 rows — for corpora where
-    that exceeds task memory, split the fine stage from the decision
-    stage (assign in row-parallel sub-groups, then shuffle by fine
-    centroid — 3 exchanges, every task fine-cluster-sized).
+    Cap-regime caveat: once Kc hits its 256 clamp, cells hold N/256
+    rows — for corpora where that exceeds task memory, the split
+    variant separates the fine stage from the decision stage (assign
+    in row-parallel sub-groups, then shuffle by fine centroid — 3
+    exchanges, every task fine-cluster-sized).  Since round 8 the
+    registered auto query SELECTS between the two automatically via
+    :func:`use_split_variant`'s cell-size estimate.
     """
     import numpy as np
     import pandas as pd
@@ -799,12 +801,44 @@ def _two_level_oracle() -> str:
 """
 
 
+#: fused-path per-task budget, in FLOAT64 SLOTS of one coarse cell's
+#: member matrix (est. cell rows × dim): the fused cell kernel holds a
+#: whole coarse cell per applyInPandas task — the emat plus the Arrow
+#: batch behind it — so the estimated cell must stay a few hundred MB.
+#: 2^25 slots = 256 MB of float64; with the fixture's d = 64 that is
+#: ~524k rows per cell, i.e. the switch fires only in the deep
+#: Kc-clamp regime (Kc = 256 ⇒ cells = N/256 ⇒ N ≳ 134M vectors),
+#: exactly where semdedup_flags_two_level's documented memory hazard
+#: lives.  Below it the fused path stays default (one fewer exchange).
+SEMDEDUP_FUSED_MAX_CELL_FLOATS = 1 << 25
+
+
+def use_split_variant(
+    n_vectors: int,
+    dim: int,
+    max_cell_floats: int = SEMDEDUP_FUSED_MAX_CELL_FLOATS,
+) -> bool:
+    """Physical-plan selector for the two-level pass (r7 VERDICT item
+    1): True → route through the 3-exchange
+    :func:`semdedup_flags_two_level_split` (no task ever holds a whole
+    coarse cell), False → the fused 2-exchange default.  The estimate
+    is the MEAN cell (⌈N/Kc⌉ rows × dim float64 slots) — a skewed hot
+    cell can exceed it, but the clamp regime the budget targets is
+    exactly where cells are uniformly huge; both paths are bit-equal
+    (pytest-pinned), so a borderline call costs one exchange, never
+    correctness."""
+    _, coarse_k = two_level_sizes(n_vectors)
+    est_cell_rows = -(-n_vectors // coarse_k)  # ceil
+    return est_cell_rows * dim > max_cell_floats
+
+
 def _semdedup_two_level_query(
     spark: SparkSession,
     sf_dir: str,
     fine_k: int,
     clo_rank: int,
     coarse_k: int,
+    split: bool = False,
 ) -> DataFrame:
     """Two-level run at explicit fine size + coarse-router rank base
     — shared by the registered auto variant and the fixed-size tests.
@@ -835,9 +869,10 @@ def _semdedup_two_level_query(
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    flags = semdedup_flags_two_level(
-        emb, cent, coarse, COSINE_DUP_THRESHOLD
+    flags_fn = (
+        semdedup_flags_two_level_split if split else semdedup_flags_two_level
     )
+    flags = flags_fn(emb, cent, coarse, COSINE_DUP_THRESHOLD)
     return flags.select(
         "vec_id",
         "centroid_id",
@@ -848,7 +883,10 @@ def _semdedup_two_level_query(
 
 @query("dedup_semantic_semdedup_auto", oracle=_two_level_oracle())
 def dedup_semantic_semdedup_auto(
-    spark: SparkSession, sf_dir: str, n_vectors: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_vectors: int | None = None,
+    max_cell_floats: int = SEMDEDUP_FUSED_MAX_CELL_FLOATS,
 ) -> DataFrame:
     """The PRODUCTION default of the SemDeDup pass, round-7 rewrite:
     TWO-LEVEL (coarse→fine) cluster assignment with both sizes chosen
@@ -865,10 +903,25 @@ def dedup_semantic_semdedup_auto(
     cross-engine at any scale factor.  The flat fixed-K variant
     (``dedup_semantic_semdedup``) stays registered as the audit twin
     sharing the identical keep/drop kernel.
+
+    Physical-plan selection (round 8): the estimated coarse-cell size
+    (⌈N/Kc⌉ rows × dim) is checked against the fused kernel's task
+    budget (:data:`SEMDEDUP_FUSED_MAX_CELL_FLOATS`) and the pass
+    routes through the 3-exchange
+    :func:`semdedup_flags_two_level_split` once cells outgrow it —
+    the Kc = 256 clamp regime where a fused task would hold N/256
+    rows.  Both paths are bit-equal (pytest-pinned), so the oracle
+    and the hash gate are unchanged by the switch.
     """
     if n_vectors is None:
         n_vectors = _normed(spark, sf_dir).count()
+    dim = _normed(spark, sf_dir).select(F.size("e").alias("d")).first()["d"]
     fine_k, coarse_k = two_level_sizes(n_vectors)
     return _semdedup_two_level_query(
-        spark, sf_dir, fine_k, coarse_rank_base(n_vectors), coarse_k
+        spark,
+        sf_dir,
+        fine_k,
+        coarse_rank_base(n_vectors),
+        coarse_k,
+        split=use_split_variant(n_vectors, dim, max_cell_floats),
     )

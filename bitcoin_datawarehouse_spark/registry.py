@@ -74,6 +74,12 @@ DRIVER_WINDOW: list[str] = [
     # item 4: ROUND(ln-term, 6) before the exact decimal sum — the
     # bm25.py transcendental precedent)
     "profile_drift_psi",
+    # connected-components consumers: the underlying algorithm was
+    # rewritten to alternating large-star/small-star contraction
+    # (graph.py, r7 VERDICT item 3) — per the rotation rule both
+    # consumers re-enter until a driver round proves the new path
+    "dedup_canonical_docs",
+    "er_entity_clusters",
     # --- round-7 NEW registrations: the TPC-H partsupp tail (derived
     # integer-exact partsupp; operators/tpch_partsupp.py) ---
     "tpch_q2_min_cost_supplier",
@@ -102,8 +108,6 @@ DRIVER_WINDOW: list[str] = [
     # the stalest third of the registry instead of re-checking
     # fresh r5/r6 rows.  Union coverage (test_registry_window's
     # union invariant) is unchanged either way. ---
-    "dedup_exact_docs",
-    "dedup_exact_rows",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",

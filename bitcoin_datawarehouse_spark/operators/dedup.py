@@ -517,14 +517,8 @@ MINHASH_HOT_BUCKET_CAP = 8
 def minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, hot_bucket_cap: int | None = None
 ) -> DataFrame:
-    """Shared body of the two registered MinHash-LSH instances.
-
-    With ``hot_bucket_cap``, band buckets holding more than cap docs
-    are excluded before the candidate self-join: the HOT bucket list
-    is tiny by construction (≤ total_band_rows/cap keys), so it
-    broadcasts and the exclusion is a map-side anti-join — no plan
-    stage ever materializes a mega-bucket's quadratic pair set.
-    """
+    """Shared body of the two registered MinHash-LSH instances —
+    the fixture-table wrapper of :func:`minhash_pairs_from_sets`."""
     # ONE Arrow pass computes, per document, its packed shingle set
     # AND its LSH band keys (each doc is one input row, so the 12
     # minhash minima and the band md5s are task-local — no shuffle).
@@ -539,6 +533,24 @@ def minhash_lsh_pairs(
     # filling it before the main action prevents concurrent stages
     # from racing to compute it redundantly
     docsets.count()
+    return minhash_pairs_from_sets(docsets, hot_bucket_cap)
+
+
+def minhash_pairs_from_sets(
+    docsets: DataFrame, hot_bucket_cap: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over ANY docsets frame
+    (:func:`shingle_sets_frame` output) — band-bucket equi-join for
+    candidates, exact Jaccard verification on candidates only.  The
+    caller owns caching of ``docsets`` (three subtrees read it: the
+    band explode and both verify sides).
+
+    With ``hot_bucket_cap``, band buckets holding more than cap docs
+    are excluded before the candidate self-join: the HOT bucket list
+    is tiny by construction (≤ total_band_rows/cap keys), so it
+    broadcasts and the exclusion is a map-side anti-join — no plan
+    stage ever materializes a mega-bucket's quadratic pair set.
+    """
     bands = band_keys_from_sets(docsets)
     if hot_bucket_cap is not None:
         hot = (

@@ -88,6 +88,9 @@ DRIVER_WINDOW: list[str] = [
     # DataFrame aggregates (merge table hash-gated via an
     # unrolled-CTE oracle)
     "text_bpe_merges",
+    # NEW round-8 registration: the seven-stage curation pipeline
+    # composed end to end (oracle chains the registered stage oracles)
+    "trainprep_full_curation",
     # --- round-7 NEW registrations: the TPC-H partsupp tail (derived
     # integer-exact partsupp; operators/tpch_partsupp.py) ---
     "tpch_q2_min_cost_supplier",
@@ -120,7 +123,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "extract_projection_range",
-    "join_self_nation_pairs",
     "join_semi_exists",
     "json_extract_props",
     "multimodal_feature_extract",
@@ -237,4 +239,5 @@ def load_all_operators() -> None:
         tpch_partsupp,
         bm25,
         bpe,
+        curation_pipeline,
     )

@@ -130,6 +130,19 @@ HEADLINE = [
     "text_bm25_topk",
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
+    # round-8 additions (49 → 53): the seven-stage curation pipeline
+    # composed end to end (the engine's reason to exist — its wall is
+    # THE composition number per round; DuckDB pays the embedded
+    # SemDeDup/minhash oracles), BPE tokenizer training (8 iterative
+    # merge rounds — the per-round floor is the recorded cost), the
+    # recall-targeted auto-nprobe IVF search (the tuning loop's price
+    # next to the fixed-nprobe row), and canonical-docs connected
+    # components (now alternating-star — O(log n) rounds; benched so
+    # the contraction's fixture floor is a recorded number per round)
+    "trainprep_full_curation",
+    "text_bpe_merges",
+    "similarity_ivf_topk_auto",
+    "dedup_canonical_docs",
 ]
 
 

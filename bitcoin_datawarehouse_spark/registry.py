@@ -55,121 +55,97 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: its old driver-green row proved the old code, so it re-enters the
 #: window for one round alongside genuinely new registrations.
 #:
-#: Round-7 rotation: the union of CORRECTNESS_r01..r06 driver rows
-#: covers all 155 previously-registered oracle-backed queries, and r6
-#: alone verified 50 — so every unchanged r5/r6 seat rotates out (the
-#: r6 VERDICT item 8 discipline).  This window seats the 4 NEW
-#: round-7 registrations, the 5 round-7 REWRITES, the canary, and
-#: fills the other 40 with the STALEST driver rows (r2/r3 vintage) as
-#: re-confirmation against four rounds of shared-infrastructure
-#: drift.  Every name here has a SQL oracle — zero rows-only checks
-#: in-window.
+#: Round-8 rotation (r7 VERDICT item 8): the union of
+#: CORRECTNESS_r01..r07 covers all previously-registered oracle-backed
+#: queries and r7 alone verified 50, so every unchanged r7 seat
+#: rotated out.  This window seats the canary, the 6 round-8 NEW /
+#: newly-oracled queries, the 4 round-8 REWRITES (per the standing
+#: rule a materially rewritten implementation re-enters even if its
+#: old body was driver-green), and fills the other 39 with the
+#: STALEST driver rows — ALL remaining r3- and r4-vintage queries
+#: plus the oldest r5 slice — as re-confirmation against shared-
+#: infrastructure drift.  Every name here has a SQL oracle — zero
+#: rows-only checks in-window.
 DRIVER_WINDOW: list[str] = [
     # canary for the rounds-1/2 decimal→double fix (driver-green r3-r7)
     "pricing_summary",
-    # --- round-8 obligations (every r7 seat below discharged via its
-    # green CORRECTNESS_r07 row, so the whole non-canary window was
-    # free to rotate): newly oracled / rewritten queries first ---
+    # --- round-8 NEW / newly-oracled ---
     # PSI upgraded from rows-only to the full hash gate (r7 VERDICT
     # item 4: ROUND(ln-term, 6) before the exact decimal sum — the
     # bm25.py transcendental precedent)
     "profile_drift_psi",
-    # connected-components consumers: the underlying algorithm was
-    # rewritten to alternating large-star/small-star contraction
-    # (graph.py, r7 VERDICT item 3) — per the rotation rule both
+    # runtime auto-nprobe IVF search (the recall harness now DRIVES
+    # the tuning loop; order-statistic rule mirrored in SQL)
+    "similarity_ivf_topk_auto",
+    # BPE tokenizer training as iterative DataFrame aggregates (merge
+    # table hash-gated via an unrolled-CTE oracle)
+    "text_bpe_merges",
+    # the seven-stage curation pipeline composed end to end (oracle
+    # chains the registered stage oracles verbatim)
+    "trainprep_full_curation",
+    # --- round-8 REWRITES ---
+    # connected components rewritten to alternating large-star/
+    # small-star contraction (graph.py, r7 VERDICT item 3) — both
     # consumers re-enter until a driver round proves the new path
     "dedup_canonical_docs",
     "er_entity_clusters",
-    # NEW round-8 registration: runtime auto-nprobe IVF search (the
-    # recall harness now DRIVES the tuning loop; order-statistic rule
-    # mirrored in SQL)
-    "similarity_ivf_topk_auto",
-    # NEW round-8 registration: BPE tokenizer training as iterative
-    # DataFrame aggregates (merge table hash-gated via an
-    # unrolled-CTE oracle)
-    "text_bpe_merges",
-    # NEW round-8 registration: the seven-stage curation pipeline
-    # composed end to end (oracle chains the registered stage oracles)
-    "trainprep_full_curation",
-    # --- round-7 NEW registrations: the TPC-H partsupp tail (derived
-    # integer-exact partsupp; operators/tpch_partsupp.py) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_excess_stock_suppliers",
-    # --- round-7 REWRITES (per the rotation rule a materially
-    # rewritten implementation re-enters for one round even if its
-    # old body was driver-green): the two-level coarse→fine SemDeDup
-    # (new assignment path + cell-grouped kernel; flat twin's kernel
-    # extracted into the shared _cluster_flags), the two
-    # with_global_rank consumers (persist registry → localCheckpoint
-    # rewrite under them), and the drift TV (bucket frame extracted
-    # to the shared _drift_buckets) ---
+    # the SemDeDup production default gained the cap-regime physical
+    # switch (use_split_variant wiring; r7 VERDICT item 1)
     "dedup_semantic_semdedup_auto",
-    "dedup_semantic_semdedup",
-    "text_lm_quality",
-    "profile_equidepth_hist",
-    "profile_drift_tv",
-    # --- round-7 re-confirmation fill: every obligation above leaves
-    # 40 seats; per the r6 VERDICT rotation discipline they go to the
-    # queries whose driver-green rows are OLDEST (r2/r3 vintage —
-    # their value hashes predate four rounds of shared-infrastructure
-    # evolution: numeric string-routes, tables.load_table nanos
-    # handling, kernel repartition rules), so the r7 gate re-proves
-    # the stalest third of the registry instead of re-checking
-    # fresh r5/r6 rows.  Union coverage (test_registry_window's
-    # union invariant) is unchanged either way. ---
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "extract_projection_range",
-    "join_semi_exists",
-    "json_extract_props",
-    "multimodal_feature_extract",
-    "multimodal_metadata",
-    "scalar_functions_showcase",
-    "sessionize_events",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "similarity_ann_lsh",
-    "similarity_ann_multiprobe",
-    "similarity_lsh_buckets",
-    "text_fingerprint",
-    "topk_global",
-    "window_first_last",
-    "window_lag_delta",
-    "window_rank_dense",
-    "window_topk_per_group",
-    "agg_daily_revenue",
-    "agg_having",
-    "agg_percentiles",
-    # round-7 in-session flagship: MinHash sketch-calibration harness
-    # (signature agreement estimate vs exact Jaccard + corpus mean
-    # |error|) — took the next fill seat (agg_string_concat stays
-    # covered by its r3 row)
-    "dedup_minhash_estimate_error",
-    "asof_join_daily_price",
-    # round-7 in-session flagship: rolling z-score anomaly detection
-    # (per-frame exact-decimal moments — windowed double SUMs are the
-    # one aggregate class the engines cannot reproduce natively) —
-    # took the next fill seat (cube_revenue stays covered by its r3
-    # row)
-    "events_rolling_zscore",
+    # minhash_lsh_pairs split into the frame-level
+    # minhash_pairs_from_sets (both registered instances re-enter)
     "dedup_minhash_lsh",
-    "expr_case_when_buckets",
-    "grouping_sets_priority",
-    "join_fact_dim_broadcast",
-    # round-7 in-session flagship: IVF recall@k evaluation harness
-    # (exact-integer intersection counts over the two registered topk
-    # plans; oracle embeds their texts verbatim) — took the next fill
-    # seat (join_full_outer stays covered by its r3 row)
-    "similarity_ivf_recall",
-    # round-7 in-session flagship: BM25 ranked retrieval (corpus
-    # stats in-plan, 6-dp-rounded transcendental terms, decimal sum)
-    # — takes the last re-confirmation fill seat (join_left_order_
-    # counts stays covered by its r3 row; union invariant intact)
-    "text_bm25_topk",
+    "dedup_minhash_lsh_capped",
+    # similarity_ivf_topk's body moved into the parametric
+    # _ivf_topk_impl (the fixed-nprobe wrapper re-enters)
+    "similarity_ivf_topk",
+    # --- round-8 re-confirmation fill: the 39 seats left go to the
+    # queries whose driver-green rows are OLDEST — every remaining
+    # r3-vintage row (15), every r4-vintage row (7), and the oldest
+    # 17 of the r5 vintage (alphabetical within vintage; union
+    # coverage pinned by test_registry_window) ---
+    # r3 vintage
+    "agg_string_concat",
+    "cube_revenue",
+    "join_full_outer",
+    "join_left_order_counts",
+    "join_star_regional_revenue",
+    "pivot_status_value",
+    "rollup_revenue",
+    "setop_except_all",
+    "streaming_enrich_static",
+    "time_bucket_hourly",
+    "tpch_q10_returned_items",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "window_cumulative",
+    "window_moving_avg",
+    # r4 vintage
+    "cogroup_asof_alignment",
+    "expr_null_semantics",
+    "map_props_entries",
+    "setop_intersect_all",
+    "setop_union_all",
+    "window_ntile_dist",
+    "window_range_frame",
+    # oldest r5 vintage
+    "cohort_weekly_retention",
+    "decontam_minhash_fuzzy",
+    "decontam_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_wide",
+    "dedup_incremental_batch",
+    "dedup_substring_spans",
+    "funnel_view_signup_purchase",
+    "join_range_bucketized",
+    "multimodal_frame_digest",
+    "multimodal_resize_digest",
+    "pipeline_delete_where",
+    "pipeline_merge_upsert",
+    "pipeline_watermark_extract",
+    "profile_column_stats",
+    "similarity_bruteforce_topk",
 ]
 
 

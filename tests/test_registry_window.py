@@ -42,37 +42,32 @@ def test_ordered_queries_matches_entrypoint():
     assert list(ordered_queries()) == list(entrymod.queries())
 
 
-def test_round7_rotation_is_in_window():
-    """Rotation rule (r4 ADVICE, refined r6 VERDICT item 8): new
+def test_round8_rotation_is_in_window():
+    """Rotation rule (r4 ADVICE, refined r6/r7 VERDICT item 8): new
     registrations AND queries materially rewritten since their last
     driver check must hold window seats until a driver round proves
     the CURRENT implementation (plus the pricing_summary decimal
-    canary).  The r5/r6 obligations all discharged via their
-    CORRECTNESS_r05/r06 green rows — their seats rotated to the
-    round-7 set below plus the stalest-vintage re-confirmation fill."""
+    canary).  The r7 obligations all discharged via their
+    CORRECTNESS_r07 green rows — their seats rotated to the round-8
+    set below plus the stalest-vintage re-confirmation fill (all
+    remaining r3/r4-vintage rows + the oldest r5 slice)."""
     rotation = {
-        # new round-7 registrations: the TPC-H derived-partsupp tail
-        "tpch_q2_min_cost_supplier",
-        "tpch_q11_important_stock",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q20_excess_stock_suppliers",
-        # rewritten in round 7: two-level SemDeDup (both variants
-        # share the extracted decision kernel), the with_global_rank
-        # consumers (localCheckpoint rewrite underneath), the drift
-        # bucket-frame extraction
+        # new / newly-oracled in round 8
+        "profile_drift_psi",
+        "similarity_ivf_topk_auto",
+        "text_bpe_merges",
+        "trainprep_full_curation",
+        # rewritten in round 8: connected components (alternating
+        # large-star/small-star) under both consumers, the SemDeDup
+        # cap-regime auto-switch, the minhash pairs frame-level
+        # refactor under both LSH instances, and the IVF topk body
+        # move into the parametric impl
+        "dedup_canonical_docs",
+        "er_entity_clusters",
         "dedup_semantic_semdedup_auto",
-        "dedup_semantic_semdedup",
-        "text_lm_quality",
-        "profile_equidepth_hist",
-        "profile_drift_tv",
-        # new round-7 registrations: BM25 ranked retrieval and the
-        # IVF recall@k evaluation harness
-        "text_bm25_topk",
-        "similarity_ivf_recall",
-        # ...and the MinHash sketch-calibration harness plus the
-        # rolling z-score anomaly primitive
-        "dedup_minhash_estimate_error",
-        "events_rolling_zscore",
+        "dedup_minhash_lsh",
+        "dedup_minhash_lsh_capped",
+        "similarity_ivf_topk",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

@@ -47,6 +47,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_STR_ROUND6,
+    str_round6,
+)
 from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
@@ -162,6 +166,102 @@ def _bpe_oracle(n_rounds: int) -> str:
         for r in range(n_rounds)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
+def _encode_oracle(n_rounds: int) -> str:
+    """Train-then-APPLY oracle: the full training CTE chain, then the
+    corpus re-tokenized with every learned merge applied in order —
+    per round one literal ``replace`` over the bracketed form with the
+    (a, b) values riding in from that round's argmax CTE."""
+    train = _bpe_oracle(n_rounds)
+    with_part = train[: train.rindex("\n    SELECT")]  # drop final SELECT
+    enc_chain = []
+    prev = "e0"
+    for r in range(n_rounds):
+        enc_chain.append(
+            f"""e{r + 1} AS (
+      SELECT doc_id,
+             replace(s, '[' || b{r}.a || '][' || b{r}.b || ']',
+                     '[' || b{r}.a || b{r}.b || ']') AS s
+      FROM {prev} CROSS JOIN b{r}
+    )"""
+        )
+        prev = f"e{r + 1}"
+    enc_joined = ",\n    ".join(enc_chain)
+    return f"""{with_part},
+    docw AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+    ),
+    e0 AS (
+      SELECT doc_id,
+             regexp_replace(word, '(.)', '[\\1]', 'g') AS s
+      FROM docw
+    ),
+    {enc_joined}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(s) - length(replace(s, '[', '')))
+                AS BIGINT) AS n_bpe_tokens,
+           {SQL_STR_ROUND6(
+               "CAST(SUM(length(s) - length(replace(s, '[', '')))"
+               " AS DOUBLE) / COUNT(*)"
+           )} AS bpe_per_word
+    FROM {prev}
+    GROUP BY doc_id
+    """
+
+
+@query("text_bpe_encode", oracle=_encode_oracle(BPE_MERGE_ROUNDS))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train → APPLY, end to end: the corpus encoded with
+    the ``BPE_MERGE_ROUNDS`` merges :func:`text_bpe_merges` learns —
+    per document its word count, BPE token count, and tokens-per-word
+    (the compression statistic a tokenizer-training loop monitors).
+
+    The apply side is the production-relevant half at 100 TB: the
+    trained merge table is a BOUNDED driver artifact (the codebook
+    pattern), so encoding is one stateless JVM projection — explode
+    words → bracketize → the N merges as CHAINED LITERAL ``replace``
+    calls inside whole-stage codegen (no Python, no HOF lambdas; the
+    CLAUDE.md rule about interpreted codebook-in-lambda re-evaluation
+    is exactly what this shape avoids) — then one (doc_id)-keyed hash
+    aggregate with map-side combine.  Token count per word is
+    ``count('[')`` over the bracketed form.
+
+    The oracle re-trains in SQL (the unrolled CTE chain) and applies
+    each round's argmax via CROSS JOIN — so the gate proves train AND
+    apply cross-engine, including that both engines learned the SAME
+    merges.
+    """
+    merges = bpe_train(
+        bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    s = F.regexp_replace(F.col("word"), "(.)", "[$1]")
+    for _, a, b, _m, _c in merges:
+        s = F.replace(s, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    n_tok = F.length(s) - F.length(F.replace(s, F.lit("["), F.lit("")))
+    return (
+        docs.repartition(par)
+        .select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+        )
+        .select("doc_id", n_tok.alias("nt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("nt").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            str_round6(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words")
+            ).alias("bpe_per_word"),
+        )
+    )
 
 
 @query("text_bpe_merges", oracle=_bpe_oracle(BPE_MERGE_ROUNDS))

@@ -78,8 +78,11 @@ DRIVER_WINDOW: list[str] = [
     # the tuning loop; order-statistic rule mirrored in SQL)
     "similarity_ivf_topk_auto",
     # BPE tokenizer training as iterative DataFrame aggregates (merge
-    # table hash-gated via an unrolled-CTE oracle)
+    # table hash-gated via an unrolled-CTE oracle) + the apply half
+    # (corpus encoded with the learned merges as chained codegen
+    # replaces; the oracle re-trains in SQL and applies per round)
     "text_bpe_merges",
+    "text_bpe_encode",
     # the seven-stage curation pipeline composed end to end (oracle
     # chains the registered stage oracles verbatim)
     "trainprep_full_curation",
@@ -128,7 +131,9 @@ DRIVER_WINDOW: list[str] = [
     "setop_union_all",
     "window_ntile_dist",
     "window_range_frame",
-    # oldest r5 vintage
+    # oldest r5 vintage (one seat fewer than planned — text_bpe_encode
+    # took it; similarity_bruteforce_topk stays covered by its r5 row
+    # AND re-proves transitively inside similarity_ivf_recall's oracle)
     "cohort_weekly_retention",
     "decontam_minhash_fuzzy",
     "decontam_ngram_overlap",
@@ -145,7 +150,6 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_merge_upsert",
     "pipeline_watermark_extract",
     "profile_column_stats",
-    "similarity_bruteforce_topk",
 ]
 
 

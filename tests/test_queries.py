@@ -656,6 +656,72 @@ def test_bpe_merges_match_python_reference(spark):
     assert got == want and len(got) == 6
 
 
+def test_bpe_encode_bounds_and_reference_word_encoding(spark):
+    """Encode invariants on the fixture (every word compresses to
+    between 1 token and its character count; ratio consistent), plus
+    a direct check that the Spark replace-chain encoding of sample
+    words equals a python reference applying the SAME learned merges
+    greedily left-to-right."""
+    from bitcoin_datawarehouse_spark.operators.bpe import (
+        BPE_MERGE_ROUNDS,
+        bpe_train,
+        bpe_word_table,
+    )
+
+    rows = QUERIES["text_bpe_encode"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_words"]
+        assert r["n_bpe_tokens"] >= r["n_words"]  # ≥1 token per word
+        got = r["n_bpe_tokens"] / r["n_words"]
+        assert abs(r["bpe_per_word"] - got) < 1e-6
+
+    merges = bpe_train(
+        bpe_word_table(spark, SF_SMALL), BPE_MERGE_ROUNDS
+    )
+    pairs = [(a, b) for _, a, b, _m, _c in merges]
+
+    def ref_encode(word: str) -> int:
+        syms = list(word)
+        for a, b in pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    import duckdb as _dd
+    from pyspark.sql import functions as F
+
+    words = [
+        r[0]
+        for r in _dd.sql(
+            f"""SELECT word FROM (SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS word
+                FROM '{SF_SMALL}/documents.parquet') GROUP BY 1
+                ORDER BY COUNT(*) DESC LIMIT 50"""
+        ).fetchall()
+    ]
+    s = F.regexp_replace(F.col("word"), "(.)", "[$1]")
+    for a, b in pairs:
+        s = F.replace(s, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    nt = F.length(s) - F.length(F.replace(s, F.lit("["), F.lit("")))
+    got_counts = {
+        r["word"]: r["nt"]
+        for r in spark.createDataFrame([(w,) for w in words], "word string")
+        .select("word", nt.alias("nt"))
+        .collect()
+    }
+    for w in words:
+        assert got_counts[w] == ref_encode(w), w
+
+
 def test_ivf_auto_nprobe_hits_target_and_is_minimal(spark):
     """The round-8 closed tuning loop (r7 VERDICT item 7): the chosen
     nprobe must (a) reproduce the fixed-impl rows bit-for-bit at the

@@ -56,6 +56,7 @@ def test_round8_rotation_is_in_window():
         "profile_drift_psi",
         "similarity_ivf_topk_auto",
         "text_bpe_merges",
+        "text_bpe_encode",
         "trainprep_full_curation",
         # rewritten in round 8: connected components (alternating
         # large-star/small-star) under both consumers, the SemDeDup

@@ -663,3 +663,37 @@ def test_tpch_q20_double_gate_is_semi_joins(plan_of):
     assert_pushed_filter(plan, "l_shipdate")
     assert "BroadcastNestedLoopJoin" not in plan
     assert_no_cartesian(plan)
+
+
+def test_bpe_encode_apply_path_is_jvm_only(plan_of):
+    """The tokenizer APPLY path must be whole-stage-codegen JVM work:
+    no Python evaluation node of any kind (the merges are literal
+    replace chains), at most the two deliberate exchanges (the
+    one-input-split repartition + the doc_id hash aggregate), and the
+    aggregate partially combines map-side."""
+    plan = plan_of("text_bpe_encode")
+    import re
+
+    for py_node in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
+        assert py_node not in plan, py_node
+    # the formatted plan names each node once in the tree and once in
+    # the numbered detail section — count the numbered form
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan
+    assert plan.count("hashpartitioning(doc_id") >= 1
+    assert_partial_aggregation(plan)
+
+
+def test_full_curation_composite_no_cartesian(plan_of):
+    """The seven-stage composite's one returned plan (the packed
+    output; stage flag frames join in by key) must contain no
+    cartesian/nested-loop join anywhere — every stage join is keyed
+    (doc_id / domain) or broadcast."""
+    plan = plan_of("trainprep_full_curation")
+    assert_no_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" not in plan

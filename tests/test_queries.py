@@ -656,6 +656,59 @@ def test_bpe_merges_match_python_reference(spark):
     assert got == want and len(got) == 6
 
 
+def test_full_curation_deterministic_and_funnel_monotone(spark):
+    """The composite must be bit-deterministic across runs (every
+    sampling decision is hash-derived, no RNG state) and its packed
+    output must respect per-(split, domain) invariants: offsets start
+    at 0, are strictly increasing with doc_id, and chunk_id is
+    consistent with the pack budget."""
+    from collections import defaultdict
+
+    from bitcoin_datawarehouse_spark.operators.trainprep import (
+        PACK_BUDGET,
+    )
+
+    fn = QUERIES["trainprep_full_curation"]
+    a = {tuple(r) for r in fn(spark, SF_SMALL).collect()}
+    b = {tuple(r) for r in fn(spark, SF_SMALL).collect()}
+    assert a == b and a
+
+    groups = defaultdict(list)
+    for r in fn(spark, SF_SMALL).collect():
+        groups[(r["split"], r["domain"])].append(r)
+    for rows in groups.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            assert r["chunk_id"] == off // PACK_BUDGET
+            off += r["n_tokens"]
+
+
+def test_full_curation_survives_all_dropped_corpus(spark, tmp_path):
+    """Robustness: a corpus where the quality gate drops EVERYTHING
+    must flow through all seven stages to an empty result — no
+    empty-frame crash in dedup windows, mixture aggregates, or pack
+    windows.  Schemas are copied from the real fixture with the text
+    column degenerated to one word (n_words = 1 < the Gopher floor)."""
+    import duckdb as _dd
+
+    d = str(tmp_path)
+    con = _dd.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id, 'x' AS text, lang, source,
+                         CAST(1 AS BIGINT) AS n_chars
+            FROM '{SF_SMALL}/documents.parquet' LIMIT 5)
+            TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{SF_SMALL}/embeddings.parquet' LIMIT 5)
+            TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    out = QUERIES["trainprep_full_curation"](spark, d).collect()
+    assert out == []
+
+
 def test_bpe_encode_bounds_and_reference_word_encoding(spark):
     """Encode invariants on the fixture (every word compresses to
     between 1 token and its character count; ratio consistent), plus

@@ -828,3 +828,202 @@ def test_stream_ivf_ingest_dedups_within_one_micro_batch(spark, tmp_path):
         lists.groupBy("vec_id").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+_CURATION_BASES = {
+    "a": (
+        "the quick brown fox jumps over and runs with lazy dogs near "
+        "the old stone bridge while birds sing and children play "
+        "games under warm summer skies as rivers flow past green "
+        "meadows full of flowers"
+    ),
+    "b": (
+        "the ancient library holds dusty volumes and faded maps from "
+        "the distant voyages while scholars debate and students copy "
+        "notes beside tall candles as winter storms rattle heavy "
+        "wooden shutters outside cold halls"
+    ),
+    "c": (
+        "the busy harbor welcomes loaded vessels and weary sailors "
+        "from the southern routes while merchants barter and porters "
+        "haul crates along wet planks as evening lanterns glow above "
+        "salty tangled fishing nets"
+    ),
+}
+
+
+def _curation_text(family: str, tail: str) -> str:
+    """A document body that PASSES the Gopher gate (≈40 words, mean
+    word length in band, stopword hits, no symbols): a per-FAMILY
+    base paragraph (families are far apart in shingle space, so only
+    same-family variants are near-dups) plus a distinguishing tail."""
+    return f"{_CURATION_BASES[family]} {tail}"
+
+
+def test_stream_curation_matches_sequential_batches_and_replays(
+    spark, tmp_path
+):
+    """The streaming curation ingest (quality → exact-vs-history →
+    LSH near-dup → curated append) must produce the SAME curated set
+    a sequential batch loop of the same stages produces, and a full
+    replay against a fresh checkpoint must be a no-op."""
+    import hashlib
+
+    from bitcoin_datawarehouse_spark.operators.curation import (
+        gopher_keep_col,
+        gopher_metrics_frame,
+    )
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        shingle_sets_frame,
+    )
+    from bitcoin_datawarehouse_spark.operators.lsh_index import (
+        LshDedupIndex,
+    )
+    from bitcoin_datawarehouse_spark.streaming.curation_stream import (
+        run_curation_stream,
+    )
+
+    a = _curation_text("a", "alpha beta gamma delta")
+    b = _curation_text("b", "epsilon zeta eta theta")
+    b_near = _curation_text("b", "epsilon zeta iota theta")  # ~b
+    c = _curation_text("c", "kappa lam mu nu")
+    c_near = _curation_text("c", "kappa lam mu xi")  # ~c
+    batches = [
+        [
+            (0, a, "src_0"),
+            (1, a, "src_0"),  # in-batch exact dup → dropped
+            (2, b, "src_1"),
+            (3, "x y", "src_1"),  # quality fail → dropped
+        ],
+        [
+            (10, a, "src_2"),  # cross-batch exact dup → dropped
+            (11, b_near, "src_2"),  # near-dup of 2 → LSH drop
+            (12, c, "src_3"),  # unique → kept
+            (13, c_near, "src_3"),  # in-batch near-dup of 12 → drop
+        ],
+    ]
+
+    src = tmp_path / "cur_in"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"f{i}"))
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "cur_wh")))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(stream, idx, str(tmp_path / "ck1"))
+    )
+
+    # --- sequential reference loop over the same stages ---
+    ref_idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "ref_wh")))
+    hist: set[str] = set()
+    curated_ref: set[int] = set()
+    for rows in batches:
+        bdf = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        keep_ids = {
+            r["doc_id"]
+            for r in gopher_metrics_frame(bdf.select("doc_id", "text"))
+            .filter(gopher_keep_col())
+            .select("doc_id")
+            .collect()
+        }
+        best: dict[str, tuple] = {}
+        for did, txt, _s in sorted(rows):
+            if did not in keep_ids:
+                continue
+            h = hashlib.md5(txt.encode()).hexdigest()
+            if h in hist or h in best:
+                continue
+            best[h] = (did, txt)
+        hist |= set(best.keys())
+        s2 = sorted(best.values())
+        if s2:
+            sdf = spark.createDataFrame(s2, "doc_id long, text string")
+            dec = ref_idx.ingest_batch(shingle_sets_frame(sdf))
+            curated_ref |= {
+                r["doc_id"] for r in dec.collect() if not r["is_dup"]
+            }
+
+    got = {
+        r["doc_id"]
+        for r in idx.wh.read(idx.schema, "curated_docs").collect()
+    }
+    assert got == curated_ref == {0, 2, 12}
+    hashes = idx.wh.read(idx.schema, "curated_docs_hashes").collect()
+    # content owners: every exact-stage survivor, incl. LSH-dropped
+    assert {r["doc_id"] for r in hashes} == {0, 2, 11, 12, 13}
+    assert len(hashes) == 5
+
+    # full replay, fresh checkpoint → byte-stable state
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(stream2, idx, str(tmp_path / "ck2"))
+    )
+    assert {
+        r["doc_id"]
+        for r in idx.wh.read(idx.schema, "curated_docs").collect()
+    } == {0, 2, 12}
+    assert idx.wh.read(idx.schema, "curated_docs_hashes").count() == 5
+
+
+def test_stream_curation_backfills_after_index_append_crash(
+    spark, tmp_path
+):
+    """Crash window: a trigger that died AFTER the LSH index append
+    but BEFORE the curated/hashes appends must, on replay, recover
+    the batch's decisions from the index's per-ingest table (never
+    re-ingest — the docs are already indexed) and complete both
+    downstream appends exactly once."""
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        shingle_sets_frame,
+    )
+    from bitcoin_datawarehouse_spark.operators.lsh_index import (
+        LshDedupIndex,
+    )
+    from bitcoin_datawarehouse_spark.streaming.curation_stream import (
+        run_curation_stream,
+    )
+
+    a = _curation_text("a", "alpha beta gamma delta")
+    b = _curation_text("b", "epsilon zeta eta theta")
+    rows = [(0, a, "s0"), (1, b, "s0")]
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "wh")))
+    # simulate the crashed trigger: the index ingest happened (docs
+    # indexed, decisions materialized) but the downstream appends
+    # never ran — exactly the state run_curation_stream's ingest
+    # leaves when it dies between index.ingest_batch and _finish
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    idx.ingest_batch(shingle_sets_frame(sdf))
+    assert not idx.wh.table_exists(idx.schema, "curated_docs")
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(stream, idx, str(tmp_path / "ck"))
+    )
+
+    curated = idx.wh.read(idx.schema, "curated_docs").collect()
+    assert {r["doc_id"] for r in curated} == {0, 1}
+    assert idx.wh.read(idx.schema, "curated_docs_hashes").count() == 2
+    # the index holds each doc exactly once (no re-ingest happened)
+    assert idx._docsets().count() == 2

@@ -75,8 +75,10 @@ DRIVER_WINDOW: list[str] = [
     # bm25.py transcendental precedent)
     "profile_drift_psi",
     # runtime auto-nprobe IVF search (the recall harness now DRIVES
-    # the tuning loop; order-statistic rule mirrored in SQL)
+    # the tuning loop; order-statistic rule mirrored in SQL) — both
+    # the in-plan path and the persisted-index serving configuration
     "similarity_ivf_topk_auto",
+    "similarity_ivf_index_topk_auto",
     # BPE tokenizer training as iterative DataFrame aggregates (merge
     # table hash-gated via an unrolled-CTE oracle) + the apply half
     # (corpus encoded with the learned merges as chained codegen
@@ -135,7 +137,6 @@ DRIVER_WINDOW: list[str] = [
     # took it; similarity_bruteforce_topk stays covered by its r5 row
     # AND re-proves transitively inside similarity_ivf_recall's oracle)
     "cohort_weekly_retention",
-    "decontam_minhash_fuzzy",
     "decontam_ngram_overlap",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",

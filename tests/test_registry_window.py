@@ -55,6 +55,7 @@ def test_round8_rotation_is_in_window():
         # new / newly-oracled in round 8
         "profile_drift_psi",
         "similarity_ivf_topk_auto",
+        "similarity_ivf_index_topk_auto",
         "text_bpe_merges",
         "text_bpe_encode",
         "trainprep_full_curation",

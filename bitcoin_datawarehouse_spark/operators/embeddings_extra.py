@@ -993,6 +993,15 @@ def probe_ranks(queries: DataFrame, cids, cmat) -> DataFrame:
     return queries.select("query_id", "qe").mapInPandas(gen, schema)
 
 
+#: calibration results keyed (applicationId, sf_dir, target) — the
+#: chosen nprobe is a planning constant that changes only with the
+#: corpus, so it is computed once per session and reused across
+#: serving calls (the _EVAL_SHINGLES session-artifact pattern; a
+#: corpus swap under the same path needs a new session or an explicit
+#: cache clear, same contract as tables.cache_tables)
+_NPROBE_CACHE: dict[tuple[str, str, float], int] = {}
+
+
 def auto_ivf_nprobe(
     spark: SparkSession, sf_dir: str, target: float = IVF_RECALL_TARGET
 ) -> int:
@@ -1001,12 +1010,18 @@ def auto_ivf_nprobe(
     the brute-force neighbours' centroid probe-ranks (module comment
     above).  Cost = one brute-force pass over the SAMPLE (exactly what
     `similarity_ivf_recall` already pays) + one bounded scalar
-    collect; the chosen nprobe then serves the full workload."""
+    collect, paid ONCE per (session, corpus); the chosen nprobe then
+    serves every query batch."""
     import math
 
     from bitcoin_datawarehouse_spark.operators.similarity import (
         similarity_bruteforce_topk,
     )
+
+    key = (spark.sparkContext.applicationId, sf_dir, target)
+    hit = _NPROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     emb = _normed(spark, sf_dir)
     cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
@@ -1033,8 +1048,9 @@ def auto_ivf_nprobe(
     )
     c = math.ceil(target * N_QUERIES * TOP_K)
     row = pr.orderBy("prank").limit(c).agg(F.max("prank")).first()
-    n = row[0]
-    return int(n) if n is not None else 1
+    n = int(row[0]) if row[0] is not None else 1
+    _NPROBE_CACHE[key] = n
+    return n
 
 
 def _auto_nprobe_oracle() -> str:

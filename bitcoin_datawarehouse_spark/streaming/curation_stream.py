@@ -72,7 +72,12 @@ def run_curation_stream(
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         # every frame from the MICRO-BATCH session (the CLAUDE.md
-        # foreachBatch rule — mixing sessions silently writes nothing)
+        # foreachBatch rule — mixing sessions silently writes nothing).
+        # Eager localCheckpoint first: the batch feeds TWO subtrees of
+        # the quality stage (the join's left side AND the metrics
+        # kernel), so an unmaterialized batch re-scans the stream
+        # source per subtree (observed: numInputRows doubled).
+        batch_df = batch_df.localCheckpoint()
         q = batch_df.join(
             gopher_metrics_frame(batch_df.select("doc_id", "text"))
             .filter(gopher_keep_col())

@@ -178,12 +178,20 @@ def _encode_oracle(n_rounds: int) -> str:
     enc_chain = []
     prev = "e0"
     for r in range(n_rounds):
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when training stopped
+        # early (b{r} empty — a fully merged / single-char vocabulary)
+        # the Spark side applies no further merges, so the oracle must
+        # pass the corpus through unchanged instead of annihilating it
+        # (review-caught: a CROSS JOIN with an empty b{r} emptied every
+        # later e{k} and returned zero rows against Spark's full count)
         enc_chain.append(
             f"""e{r + 1} AS (
       SELECT doc_id,
-             replace(s, '[' || b{r}.a || '][' || b{r}.b || ']',
-                     '[' || b{r}.a || b{r}.b || ']') AS s
-      FROM {prev} CROSS JOIN b{r}
+             CASE WHEN b{r}.a IS NULL THEN s
+                  ELSE replace(s, '[' || b{r}.a || '][' || b{r}.b || ']',
+                               '[' || b{r}.a || b{r}.b || ']')
+             END AS s
+      FROM {prev} LEFT JOIN b{r} ON TRUE
     )"""
         )
         prev = f"e{r + 1}"

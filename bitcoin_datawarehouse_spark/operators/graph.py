@@ -118,7 +118,13 @@ def _star_contraction(
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        nxt = _small_star(_large_star(e)).localCheckpoint()
+        # the large-star output feeds TWO subtrees of small-star (the
+        # per-node mins aggregate and the leaves join probe), and mins
+        # feeds two more — checkpoint it so the large-star shuffle pass
+        # runs once per round, not 2-3× (the CLAUDE.md shared-subgraph
+        # rule, review-caught in this hot per-round loop)
+        mid = _large_star(e).localCheckpoint()
+        nxt = _small_star(mid).localCheckpoint()
         n_nxt = nxt.count()
         if n_nxt == n_e and nxt.join(e, ["hi", "lo"], "left_anti").isEmpty():
             return nxt, rounds

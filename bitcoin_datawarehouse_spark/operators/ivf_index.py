@@ -631,37 +631,41 @@ class IvfIndex:
         )
 
 
-@query("similarity_ivf_index_topk", oracle=IVF_TOPK_ORACLE)
-def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN search served from the PERSISTED bucketed index — the
-    production twin of ``similarity_ivf_topk`` (same oracle, bit-
-    identical rows).  This entry runs the full loop: build the index
-    into a scratch warehouse (the corpus pass, paid once), then
-    search the bounded query workload from the persisted lists.  The
-    search plan alone has no corpus-sized exchange and bucket-prunes
-    to the probed lists (plan-tested in tests/test_plans.py)."""
+def _scratch_index_search(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    name: str,
+    nprobe: int,
+) -> DataFrame:
+    """Shared body of the two persisted-index gate entries: build the
+    index into a scratch warehouse (the corpus pass, paid once), then
+    search the bounded query workload from the persisted lists.
+
+    ONE deterministic scratch warehouse, reused (and overwritten)
+    across invocations: a per-call mkdtemp would leak a codebook
+    dir per run and accrete a corpus-sized lists table per distinct
+    catalog name in the session warehouse.  The returned DataFrame
+    stays lazy (the driver collects after we return), so the table
+    must survive the call — bounded residue: one copy per
+    (user, process, sf_dir), reclaimed by the next same-keyed
+    call's overwrite.  Keyed per-user + per-process + per-fixture:
+    a world-predictable shared /tmp path would let two concurrent
+    runs (bench + check_oracle, or two users on a shared host)
+    clobber each other's lists mid-collect — the returned frame is
+    lazy, so a concurrent rebuild's DROP+rmtree would land under an
+    in-flight scan; a pre-created dir by another user is also the
+    classic /tmp squatting hazard.
+    """
     import getpass
     import hashlib as _hl
     import os
     import tempfile
 
-    # ONE deterministic scratch warehouse, reused (and overwritten)
-    # across invocations: a per-call mkdtemp would leak a codebook
-    # dir per run and accrete a corpus-sized lists table per distinct
-    # catalog name in the session warehouse.  The returned DataFrame
-    # stays lazy (the driver collects after we return), so the table
-    # must survive the call — bounded residue: one copy per
-    # (user, process, sf_dir), reclaimed by the next same-keyed
-    # call's overwrite.  Keyed per-user + per-process + per-fixture:
-    # a world-predictable shared /tmp path would let two concurrent
-    # runs (bench + check_oracle, or two users on a shared host)
-    # clobber each other's lists mid-collect — the returned frame is
-    # lazy, so a concurrent rebuild's DROP+rmtree would land under an
-    # in-flight scan; a pre-created dir by another user is also the
-    # classic /tmp squatting hazard.
     scratch = os.path.join(
         tempfile.gettempdir(),
-        "bds_ivf_{}_{}_{}".format(
+        "{}_{}_{}_{}".format(
+            prefix,
             getpass.getuser(),
             os.getpid(),
             _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
@@ -671,13 +675,27 @@ def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IvfIndex(
         Warehouse(spark, scratch),
         schema="ann_index",
-        name="fixture",
+        name=name,
+        nprobe=nprobe,
     )
     idx.build(emb.select("vec_id", "e"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     return idx.search(queries)
+
+
+@query("similarity_ivf_index_topk", oracle=IVF_TOPK_ORACLE)
+def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search served from the PERSISTED bucketed index — the
+    production twin of ``similarity_ivf_topk`` (same oracle, bit-
+    identical rows).  The search plan alone has no corpus-sized
+    exchange and bucket-prunes to the probed lists (plan-tested in
+    tests/test_plans.py); scratch-warehouse notes on
+    :func:`_scratch_index_search`."""
+    return _scratch_index_search(
+        spark, sf_dir, "bds_ivf", "fixture", IVF_NPROBE
+    )
 
 
 @query("similarity_ivf_index_topk_auto")
@@ -691,37 +709,18 @@ def similarity_ivf_index_topk_auto(
     here, with the SAME adaptive oracle (both paths are bit-identical
     at equal nprobe by the shared-oracle contract of
     ``similarity_ivf_index_topk``).  Calibration is paid once per
-    corpus change (one brute-force pass over the query SAMPLE); the
-    chosen integer then serves every query batch."""
+    (session, corpus); the chosen integer then serves every batch."""
     from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
         auto_ivf_nprobe,
     )
 
-    import getpass
-    import hashlib as _hl
-    import os
-    import tempfile
-
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        "bds_ivfauto_{}_{}_{}".format(
-            getpass.getuser(),
-            os.getpid(),
-            _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
-        ),
+    return _scratch_index_search(
+        spark,
+        sf_dir,
+        "bds_ivfauto",
+        "fixture_auto",
+        auto_ivf_nprobe(spark, sf_dir),
     )
-    emb = _normed(spark, sf_dir)
-    idx = IvfIndex(
-        Warehouse(spark, scratch),
-        schema="ann_index",
-        name="fixture_auto",
-        nprobe=auto_ivf_nprobe(spark, sf_dir),
-    )
-    idx.build(emb.select("vec_id", "e"))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    return idx.search(queries)
 
 
 from bitcoin_datawarehouse_spark import registry as _registry  # noqa: E402

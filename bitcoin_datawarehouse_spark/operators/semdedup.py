@@ -913,9 +913,26 @@ def dedup_semantic_semdedup_auto(
     rows.  Both paths are bit-equal (pytest-pinned), so the oracle
     and the hash gate are unchanged by the switch.
     """
+    # ONE probe job for both runtime constants (count + dim) instead
+    # of two, and an explicit empty-corpus surface: zero vectors →
+    # zero flag rows (matching the oracle), never a head[-1] IndexError
+    st = (
+        _normed(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size("e")).alias("d"),
+        )
+        .first()
+    )
     if n_vectors is None:
-        n_vectors = _normed(spark, sf_dir).count()
-    dim = _normed(spark, sf_dir).select(F.size("e").alias("d")).first()["d"]
+        n_vectors = st["n"]
+    if n_vectors == 0:
+        return spark.createDataFrame(
+            [],
+            "vec_id long, centroid_id long,"
+            " cos_centroid double, keep boolean",
+        )
+    dim = int(st["d"])
     fine_k, coarse_k = two_level_sizes(n_vectors)
     return _semdedup_two_level_query(
         spark,

@@ -59,13 +59,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: CORRECTNESS_r01..r07 covers all previously-registered oracle-backed
 #: queries and r7 alone verified 50, so every unchanged r7 seat
 #: rotated out.  This window seats the canary, the 6 round-8 NEW /
-#: newly-oracled queries, the 4 round-8 REWRITES (per the standing
+#: newly-oracled queries, the 6 round-8 REWRITES (per the standing
 #: rule a materially rewritten implementation re-enters even if its
-#: old body was driver-green), and fills the other 39 with the
-#: STALEST driver rows — ALL remaining r3- and r4-vintage queries
-#: plus the oldest r5 slice — as re-confirmation against shared-
-#: infrastructure drift.  Every name here has a SQL oracle — zero
-#: rows-only checks in-window.
+#: old body was driver-green), and fills the other 37 with the
+#: STALEST driver rows — ALL 15 remaining r3-vintage and all 7
+#: r4-vintage queries plus the oldest 15 of the r5 slice — as
+#: re-confirmation against shared-infrastructure drift.  Every name
+#: here has a SQL oracle — zero rows-only checks in-window.
 DRIVER_WINDOW: list[str] = [
     # canary for the rounds-1/2 decimal→double fix (driver-green r3-r7)
     "pricing_summary",
@@ -133,9 +133,12 @@ DRIVER_WINDOW: list[str] = [
     "setop_union_all",
     "window_ntile_dist",
     "window_range_frame",
-    # oldest r5 vintage (one seat fewer than planned — text_bpe_encode
-    # took it; similarity_bruteforce_topk stays covered by its r5 row
-    # AND re-proves transitively inside similarity_ivf_recall's oracle)
+    # oldest 15 of the r5 vintage (two seats went to the in-session
+    # additions text_bpe_encode and similarity_ivf_index_topk_auto;
+    # the displaced similarity_bruteforce_topk stays covered by its r5
+    # row AND re-proves transitively inside similarity_ivf_recall's
+    # and the auto-nprobe oracles; decontam_minhash_fuzzy by its r5
+    # row)
     "cohort_weekly_retention",
     "decontam_ngram_overlap",
     "dedup_embedding_cosine",

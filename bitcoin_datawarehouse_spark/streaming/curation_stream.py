@@ -102,6 +102,7 @@ def run_curation_stream(
                 hist.select("content_hash"), "content_hash", "left_anti"
             )
         s2 = cache_tracked(s2)
+        docsets = None
         try:
             if s2.count() == 0:
                 return
@@ -134,7 +135,12 @@ def run_curation_stream(
                 decisions = index.ingest_batch(fresh)
                 _finish(s2, decisions, batch_id)
         finally:
+            # per-micro-batch caches die with their trigger (the
+            # cachereg streaming contract) — a long-running stream
+            # must not pin one batch-sized cache per trigger
             s2.unpersist()
+            if docsets is not None:
+                docsets.unpersist()
 
     def _finish(
         s2: DataFrame, decisions: DataFrame, batch_id: int

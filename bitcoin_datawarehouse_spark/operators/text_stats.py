@@ -247,3 +247,85 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("term_count").desc(), F.col("token").asc())
         .limit(TOKEN_HIST_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: sliding-window document chunking (RAG / pretraining windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive windows
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST(s AS BIGINT) AS start_tok,
+             CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_ix,
+             CAST(LEAST({CHUNK_TOKENS}, len(toks) - s) AS BIGINT) AS n_tok,
+             array_to_string(
+               list_slice(toks, s + 1,
+                          s + LEAST({CHUNK_TOKENS}, len(toks) - s)),
+               ' ') AS chunk_text
+      FROM tk, UNNEST(range(0, len(toks), {CHUNK_STRIDE})) AS u(s)
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_ix, start_tok, n_tok, chunk_text FROM ch
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the windowing pass every
+    RAG index and long-document pretraining pipeline runs between
+    curation and embedding/packing: each document becomes overlapping
+    {CHUNK_TOKENS}-token windows at stride {CHUNK_STRIDE} (8-token
+    overlap keeps boundary context retrievable), with (chunk_ix,
+    start_tok, n_tok) offsets so a downstream span maps back to its
+    source.  Every start offset < n_tokens is emitted, including a
+    short trailing window — the simple deterministic contract; a
+    dedup-against-overlap policy composes downstream if wanted.
+
+    Plan: ONE stateless codegen projection — tokenize, a
+    ``sequence(0, n-1, stride)`` explode, per-chunk slice + join —
+    no shuffle, no Python, no aggregate anywhere; at 100 TB this is
+    a map-only pass whose output partitioning inherits the scan.
+    Integer-exact surface (chunk_ix = start DIV stride; token
+    boundaries identical by the shared ``[a-z0-9]+`` contract), so
+    the gate hash-checks chunk text byte-for-byte cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = tokens_col(F.col("text"))
+    n = F.size(F.col("toks"))
+    s = F.col("s")
+    n_tok = F.least(F.lit(CHUNK_TOKENS), n - s)
+    return (
+        docs.repartition(par)
+        .select("doc_id", toks.alias("toks"))
+        .filter(n > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST(s DIV {CHUNK_STRIDE} AS BIGINT)").alias(
+                "chunk_ix"
+            ),
+            s.cast("bigint").alias("start_tok"),
+            n_tok.cast("bigint").alias("n_tok"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), s + 1, n_tok)
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id", "chunk_ix", "start_tok", "n_tok", "chunk_text"
+        )
+    )

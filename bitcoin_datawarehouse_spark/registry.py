@@ -85,6 +85,9 @@ DRIVER_WINDOW: list[str] = [
     # replaces; the oracle re-trains in SQL and applies per round)
     "text_bpe_merges",
     "text_bpe_encode",
+    # sliding-window document chunking (RAG/pretraining windows —
+    # stateless map-only plan, byte-exact chunk text cross-engine)
+    "text_chunk_windows",
     # the seven-stage curation pipeline composed end to end (oracle
     # chains the registered stage oracles verbatim)
     "trainprep_full_curation",
@@ -153,7 +156,6 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_delete_where",
     "pipeline_merge_upsert",
     "pipeline_watermark_extract",
-    "profile_column_stats",
 ]
 
 

@@ -697,3 +697,20 @@ def test_full_curation_composite_no_cartesian(plan_of):
     plan = plan_of("trainprep_full_curation")
     assert_no_cartesian(plan)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_windows_is_map_only(plan_of):
+    """Document chunking must be one stateless codegen projection:
+    no Python node, no join, no aggregate, no hash shuffle anywhere —
+    the only exchange is the deliberate round-robin spread of the
+    one-split fixture scan."""
+    plan = plan_of("text_chunk_windows")
+    for bad in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "Join",
+        "HashAggregate",
+        "hashpartitioning",
+    ):
+        assert bad not in plan, bad

@@ -2633,3 +2633,42 @@ def test_events_twap_matches_python_and_resists_burst_skew(
     assert abs(r["twap"] - want) < 1e-4, (r["twap"], want)
     assert r["twap"] < 15.0  # the burst barely moves it
     assert r["held_ms"] == window_ms
+
+
+def test_chunk_windows_reconstruct_documents(spark):
+    """Chunk offsets must tile every document exactly: per doc the
+    starts are 0, stride, 2·stride, …; each chunk's text is the
+    corresponding token slice; and splicing each chunk's FIRST stride
+    tokens (whole final chunk) reconstructs the full token sequence."""
+    import re
+
+    from bitcoin_datawarehouse_spark.operators.text_stats import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+
+    pat = re.compile("[^a-z0-9]+")
+    docs = {
+        r["doc_id"]: [t for t in pat.split(r["text"].lower()) if t]
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    rows = QUERIES["text_chunk_windows"](spark, SF_SMALL).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, tk in docs.items() if tk}
+    for did, chunks in by_doc.items():
+        tk = docs[did]
+        chunks.sort(key=lambda r: r["chunk_ix"])
+        rebuilt: list[str] = []
+        for i, c in enumerate(chunks):
+            assert c["chunk_ix"] == i
+            assert c["start_tok"] == i * CHUNK_STRIDE
+            want_n = min(CHUNK_TOKENS, len(tk) - c["start_tok"])
+            assert c["n_tok"] == want_n
+            toks = c["chunk_text"].split(" ")
+            assert toks == tk[c["start_tok"] : c["start_tok"] + want_n]
+            last = i == len(chunks) - 1
+            rebuilt.extend(toks if last else toks[:CHUNK_STRIDE])
+        assert rebuilt == tk, did

@@ -726,3 +726,133 @@ def trainprep_weighted_sample(
             "doc_id", "source", "weight", str_round6(p).alias("incl_p")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: length-bucketed batching (padding-minimizing batch planner)
+# ---------------------------------------------------------------------------
+
+#: bucket CEILINGS (a doc goes to the smallest ceiling ≥ its length;
+#: the last is an open top) and docs per batch.  Real trainers bucket
+#: by powers-of-two-ish ceilings so sequences pad only to their
+#: bucket's batch max, not the corpus max.
+LENGTH_BUCKETS = [32, 48, 64, 96, 1 << 20]
+LENGTH_BATCH_SIZE = 4
+
+_BUCKET_SQL = (
+    "CASE"
+    + "".join(
+        f" WHEN n_tok <= {b} THEN {b}" for b in LENGTH_BUCKETS[:-1]
+    )
+    + f" ELSE {LENGTH_BUCKETS[-1]} END"
+)
+
+
+@query(
+    "trainprep_length_batches",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+      FROM tk WHERE n_tok > 0
+    ),
+    r AS (
+      SELECT doc_id, n_tok, bucket,
+             CAST((ROW_NUMBER() OVER (
+                     PARTITION BY bucket ORDER BY doc_id) - 1)
+                  // {LENGTH_BATCH_SIZE} AS BIGINT) AS batch_ix
+      FROM b
+    )
+    SELECT doc_id, n_tok, bucket, batch_ix,
+           CAST(MAX(n_tok) OVER (PARTITION BY bucket, batch_ix)
+                AS BIGINT) AS batch_max,
+           CAST(MAX(n_tok) OVER (PARTITION BY bucket, batch_ix) - n_tok
+                AS BIGINT) AS pad_waste
+    FROM r
+    """,
+)
+def trainprep_length_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucketed batch planning — the dynamic-batching pass a
+    trainer runs so sequences pad to their BATCH max instead of the
+    corpus max: docs go to the smallest length-ceiling bucket, fill
+    fixed-size batches in doc_id order within the bucket, and each
+    doc reports its batch's max length and its own padding waste
+    (Σ pad_waste is the tokens a naive corpus-max padder would burn
+    per step, bucketed away).
+
+    Scale shape — deliberately NOT a per-bucket ROW_NUMBER window:
+    with a handful of buckets each window partition would hold
+    ~corpus/|buckets| rows in ONE task (the single-partition-window
+    class CLAUDE.md bans).  Instead the in-bucket order comes from
+    the DISTRIBUTED global rank over (bucket, doc_id)
+    (functions/ranking.py: range repartition + per-partition
+    row_number + broadcast offsets); within a bucket global ranks are
+    contiguous, so in-bucket rank = global rank − the bucket's min
+    rank (a |buckets|-row aggregate broadcast back).  Batch maxima
+    are a hash aggregate on (bucket, batch_ix) joined back
+    co-partitioned — batches are LENGTH_BATCH_SIZE rows by
+    construction, never a skewed group.  Every output is an exact
+    integer, so the gate hash-checks bit-free.
+    """
+    from bitcoin_datawarehouse_spark.functions.ranking import (
+        with_global_rank,
+    )
+    from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    n_tok = F.size(tokens_col(F.col("text"))).cast("bigint")
+    bucket = F.lit(LENGTH_BUCKETS[-1]).cast("bigint")
+    for b in reversed(LENGTH_BUCKETS[:-1]):
+        bucket = F.when(F.col("n_tok") <= b, F.lit(b).cast("bigint")).otherwise(
+            bucket
+        )
+    base = (
+        docs.repartition(par)
+        .select("doc_id", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("bucket", bucket)
+    )
+    ranked = with_global_rank(base, ["bucket", "doc_id"])
+    offs = ranked.groupBy(F.col("bucket").alias("_b")).agg(
+        F.min("global_rank").alias("_b0")
+    )
+    r = (
+        ranked.join(
+            F.broadcast(offs), ranked["bucket"] == offs["_b"]
+        )
+        .withColumn(
+            "batch_ix",
+            F.expr(
+                f"CAST((global_rank - _b0) DIV {LENGTH_BATCH_SIZE}"
+                " AS BIGINT)"
+            ),
+        )
+        .select("doc_id", "n_tok", "bucket", "batch_ix")
+    )
+    maxes = r.groupBy(
+        F.col("bucket").alias("_mb"), F.col("batch_ix").alias("_mi")
+    ).agg(F.max("n_tok").alias("batch_max"))
+    return (
+        r.join(
+            maxes,
+            (r["bucket"] == maxes["_mb"])
+            & (r["batch_ix"] == maxes["_mi"]),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "bucket",
+            "batch_ix",
+            F.col("batch_max").cast("bigint").alias("batch_max"),
+            (F.col("batch_max") - F.col("n_tok"))
+            .cast("bigint")
+            .alias("pad_waste"),
+        )
+    )

@@ -88,6 +88,10 @@ DRIVER_WINDOW: list[str] = [
     # sliding-window document chunking (RAG/pretraining windows —
     # stateless map-only plan, byte-exact chunk text cross-engine)
     "text_chunk_windows",
+    # length-bucketed batch planning (padding-minimizing dynamic
+    # batching; in-bucket order via the DISTRIBUTED rank helper —
+    # never a per-bucket single-partition window)
+    "trainprep_length_batches",
     # the seven-stage curation pipeline composed end to end (oracle
     # chains the registered stage oracles verbatim)
     "trainprep_full_curation",
@@ -155,7 +159,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_resize_digest",
     "pipeline_delete_where",
     "pipeline_merge_upsert",
-    "pipeline_watermark_extract",
 ]
 
 

@@ -2672,3 +2672,37 @@ def test_chunk_windows_reconstruct_documents(spark):
             last = i == len(chunks) - 1
             rebuilt.extend(toks if last else toks[:CHUNK_STRIDE])
         assert rebuilt == tk, did
+
+
+def test_length_batches_invariants(spark):
+    """Batch-planning invariants: every doc sits in the smallest
+    ceiling bucket >= its length; batches hold <= LENGTH_BATCH_SIZE
+    docs from ONE bucket; batch_max is the true member max; within a
+    bucket every batch except the last is FULL and batch indices are
+    contiguous from 0 (the padding-waste accounting depends on all of
+    these)."""
+    from collections import defaultdict
+
+    from bitcoin_datawarehouse_spark.operators.trainprep import (
+        LENGTH_BATCH_SIZE,
+        LENGTH_BUCKETS,
+    )
+
+    rows = QUERIES["trainprep_length_batches"](spark, SF_SMALL).collect()
+    assert rows
+    batches = defaultdict(list)
+    for r in rows:
+        want_bucket = next(b for b in LENGTH_BUCKETS if r["n_tok"] <= b)
+        assert r["bucket"] == want_bucket
+        assert r["pad_waste"] == r["batch_max"] - r["n_tok"] >= 0
+        batches[(r["bucket"], r["batch_ix"])].append(r)
+    per_bucket = defaultdict(list)
+    for (bucket, ix), members in batches.items():
+        assert 1 <= len(members) <= LENGTH_BATCH_SIZE
+        assert max(m["n_tok"] for m in members) == members[0]["batch_max"]
+        per_bucket[bucket].append((ix, len(members)))
+    for bucket, ixs in per_bucket.items():
+        ixs.sort()
+        assert [i for i, _ in ixs] == list(range(len(ixs)))
+        for i, sz in ixs[:-1]:
+            assert sz == LENGTH_BATCH_SIZE, (bucket, i)

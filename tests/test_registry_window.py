@@ -59,6 +59,7 @@ def test_round8_rotation_is_in_window():
         "text_bpe_merges",
         "text_bpe_encode",
         "text_chunk_windows",
+        "trainprep_length_batches",
         "trainprep_full_curation",
         # rewritten in round 8: connected components (alternating
         # large-star/small-star) under both consumers, the SemDeDup

@@ -106,10 +106,12 @@ _N_TOKENS_SQL = (
 )
 
 
-def _full_curation_oracle() -> str:
+def _curation_ctes() -> str:
+    """The shared WITH-chain of the composite's oracles (stages s1…s6
+    plus the mixture CTEs) — reused by the packed-output gate and the
+    funnel gate so the two can never disagree on stage semantics."""
     O = _registry.ORACLES
-    return f"""
-    WITH gq AS ({O["text_gopher_rules"]}),
+    return f"""gq AS ({O["text_gopher_rules"]}),
     s1 AS (
       SELECT d.doc_id, d.text, d.source
       FROM documents d JOIN gq ON gq.doc_id = d.doc_id
@@ -178,7 +180,12 @@ def _full_curation_oracle() -> str:
             < LEAST(CAST(1.0 AS DOUBLE),
                     (sh.p_full * CAST(sh.b_docs AS DOUBLE))
                       / CAST(sh.n_docs AS DOUBLE))
-    ),
+    )"""
+
+
+def _full_curation_oracle() -> str:
+    return f"""
+    WITH {_curation_ctes()},
     with_split AS (
       SELECT doc_id, domain, n_tokens,
              CASE WHEN bucket < {SPLIT_TRAIN_MAX} THEN 'train'
@@ -209,16 +216,15 @@ def _full_curation_oracle() -> str:
     """
 
 
-@query("trainprep_full_curation")
-def trainprep_full_curation(
+def _curation_stage_frames(
     spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """All seven curation stages composed (module docstring) — the
-    reference's whole reason to exist (SURVEY §3) run as one driver
-    program.  Individual stages are gated by their own registered
-    queries; this gate proves the COMPOSITION: stage ordering,
-    restriction semantics, shared-frame caching, and the final packed
-    output, cross-engine."""
+) -> dict[str, DataFrame]:
+    """Build every stage frame of the composite once (ordered:
+    input → gopher → exact → minhash → semdedup → decontam →
+    mixture) — shared by the packed-output gate and the funnel gate
+    so the two can never disagree on stage semantics.  Eager cache
+    fills happen here (stage-2 and stage-5, the CLAUDE.md
+    shared-subgraph rule)."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
 
@@ -341,6 +347,28 @@ def trainprep_full_curation(
         .filter(u < keep_rate)
         .select("doc_id", "domain", "n_tokens")
     )
+    return {
+        "input": docs,
+        "gopher": s1,
+        "exact": s2,
+        "minhash": s3,
+        "semdedup": s4,
+        "decontam": s5,
+        "mixture": s6,
+    }
+
+
+@query("trainprep_full_curation")
+def trainprep_full_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All seven curation stages composed (module docstring) — the
+    reference's whole reason to exist (SURVEY §3) run as one driver
+    program.  Individual stages are gated by their own registered
+    queries; this gate proves the COMPOSITION: stage ordering,
+    restriction semantics, shared-frame caching, and the final packed
+    output, cross-engine."""
+    s6 = _curation_stage_frames(spark, sf_dir)["mixture"]
 
     # 7. split + pack (the trainprep_corpus_pipeline tail)
     hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
@@ -374,4 +402,51 @@ def trainprep_full_curation(
     )
 
 
+@query("trainprep_curation_funnel")
+def trainprep_curation_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composite's FUNNEL as a first-class artifact: one row per
+    stage with its survivor count — the observable a pipeline
+    operator monitors per run (a stage suddenly keeping 100% or 0% is
+    the alert).  Shares the exact stage frames (Spark) and CTE chain
+    (oracle) with ``trainprep_full_curation``, so the funnel can
+    never disagree with the pipeline it describes; all seven counts
+    compute in ONE action over the union (the cached stage-2/stage-5
+    frames serve their subtrees)."""
+    frames = _curation_stage_frames(spark, sf_dir)
+    parts = [
+        df.agg(
+            F.lit(i).cast("int").alias("stage_ix"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        for i, (name, df) in enumerate(frames.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _funnel_oracle() -> str:
+    stages = [
+        "documents", "s1", "s2", "s3", "s4", "s5", "s6",
+    ]
+    labels = [
+        "input", "gopher", "exact", "minhash", "semdedup",
+        "decontam", "mixture",
+    ]
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS stage_ix, '{lbl}' AS stage,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_docs FROM {tbl}"
+        for i, (tbl, lbl) in enumerate(zip(stages, labels))
+    )
+    return f"""
+    WITH {_curation_ctes()}
+    {sel}
+    """
+
+
 _registry.ORACLES["trainprep_full_curation"] = _full_curation_oracle()
+_registry.ORACLES["trainprep_curation_funnel"] = _funnel_oracle()

@@ -95,6 +95,9 @@ DRIVER_WINDOW: list[str] = [
     # the seven-stage curation pipeline composed end to end (oracle
     # chains the registered stage oracles verbatim)
     "trainprep_full_curation",
+    # ...and its per-stage funnel artifact (shares the exact stage
+    # frames / CTE chain, so it can never disagree with the pipeline)
+    "trainprep_curation_funnel",
     # --- round-8 REWRITES ---
     # connected components rewritten to alternating large-star/
     # small-star contraction (graph.py, r7 VERDICT item 3) — both
@@ -158,7 +161,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_frame_digest",
     "multimodal_resize_digest",
     "pipeline_delete_where",
-    "pipeline_merge_upsert",
 ]
 
 

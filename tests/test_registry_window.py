@@ -61,6 +61,7 @@ def test_round8_rotation_is_in_window():
         "text_chunk_windows",
         "trainprep_length_batches",
         "trainprep_full_curation",
+        "trainprep_curation_funnel",
         # rewritten in round 8: connected components (alternating
         # large-star/small-star) under both consumers, the SemDeDup
         # cap-regime auto-switch, the minhash pairs frame-level

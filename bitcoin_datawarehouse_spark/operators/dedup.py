@@ -945,3 +945,4 @@ def dedup_minhash_estimate_error(
         "abs_err",
         str_round6(mean).alias("mean_abs_err"),
     )
+

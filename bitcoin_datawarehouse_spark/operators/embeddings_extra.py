@@ -1108,3 +1108,130 @@ def similarity_ivf_topk_auto(
 
 
 _registry.ORACLES["similarity_ivf_topk_auto"] = _auto_nprobe_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 8: cross-method agreement harness (text pairs vs semantic pairs)
+# ---------------------------------------------------------------------------
+# Lives HERE (not dedup.py) because its oracle embeds BOTH registered
+# pair oracles verbatim — dedup_minhash_lsh registers when dedup.py
+# imports (earlier in load_all_operators) and dedup_embedding_cosine
+# registers above, so both texts exist at this module's import time.
+
+
+from bitcoin_datawarehouse_spark.functions.numeric import (  # noqa: E402
+    SQL_STR_ROUND6,
+    str_round6,
+)
+
+
+def _method_agreement_oracle() -> str:
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    O = _registry.ORACLES
+    return f"""
+    WITH mh AS ({O["dedup_minhash_lsh"]}),
+    tp AS (
+      SELECT doc_a, doc_b FROM mh
+      WHERE jaccard >= {JACCARD_THRESHOLD}
+        AND doc_a IN (SELECT vec_id FROM embeddings)
+        AND doc_b IN (SELECT vec_id FROM embeddings)
+    ),
+    sp AS (
+      SELECT vec_a AS doc_a, vec_b AS doc_b
+      FROM ({O["dedup_embedding_cosine"]})
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_text_pairs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sp) AS n_sem_pairs,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM tp JOIN sp ON tp.doc_a = sp.doc_a
+                        AND tp.doc_b = sp.doc_b) AS n_both
+    )
+    SELECT n_text_pairs, n_sem_pairs, n_both,
+           n_text_pairs - n_both AS text_only,
+           n_sem_pairs - n_both AS sem_only,
+           {SQL_STR_ROUND6(
+               "CAST(n_both AS DOUBLE)"
+               " / (n_text_pairs + n_sem_pairs - n_both)"
+           )} AS consensus_jaccard
+    FROM agg
+    """
+
+
+@query("dedup_method_agreement")
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-METHOD dedup evaluation: how much the text-side verdict
+    (MinHash-LSH pairs at the exact-Jaccard threshold) and the
+    semantic verdict (embedding-cosine dup pairs) agree — the
+    calibration readout a curation pipeline checks before choosing
+    thresholds or stage order (the evaluation-harness family next to
+    sketch calibration and recall@k).
+
+    One summary row: both pair counts, the intersection, each side's
+    exclusive count, and the pair-set consensus Jaccard
+    |A∩B| / |A∪B| (an integer-ratio quotient — str_round6, the
+    CLAUDE.md tie rule).  Text pairs are RESTRICTED to docs that have
+    an embedding (both endpoints), so the two methods are compared on
+    the population both can see — at sf0.1 the embedding table covers
+    only a subset of doc ids.  The oracle embeds both registered pair
+    oracles verbatim (the textual-reuse precedent).
+
+    Scale: both sides are the registered candidate-bounded plans; the
+    comparison itself is a pair-sized equi-join plus scalar
+    aggregates.
+    """
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_lsh_pairs,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table as _lt
+
+    emb_ids = _lt(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    tp = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .join(
+            emb_ids.select(F.col("doc_id").alias("doc_a")), "doc_a", "semi"
+        )
+        .join(
+            emb_ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "semi"
+        )
+    )
+    sp = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    both = tp.join(sp, ["doc_a", "doc_b"], "semi")
+    counts = (
+        tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_text_pairs"))
+        .crossJoin(
+            sp.agg(F.count(F.lit(1)).cast("bigint").alias("n_sem_pairs"))
+        )
+        .crossJoin(
+            both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        )
+    )
+    return counts.select(
+        "n_text_pairs",
+        "n_sem_pairs",
+        "n_both",
+        (F.col("n_text_pairs") - F.col("n_both")).alias("text_only"),
+        (F.col("n_sem_pairs") - F.col("n_both")).alias("sem_only"),
+        str_round6(
+            F.col("n_both").cast("double")
+            / (
+                F.col("n_text_pairs")
+                + F.col("n_sem_pairs")
+                - F.col("n_both")
+            )
+        ).alias("consensus_jaccard"),
+    )
+
+
+_registry.ORACLES["dedup_method_agreement"] = _method_agreement_oracle()

@@ -98,6 +98,9 @@ DRIVER_WINDOW: list[str] = [
     # ...and its per-stage funnel artifact (shares the exact stage
     # frames / CTE chain, so it can never disagree with the pipeline)
     "trainprep_curation_funnel",
+    # cross-method dedup agreement readout (text MinHash pairs vs
+    # embedding-cosine pairs — both oracles embedded verbatim)
+    "dedup_method_agreement",
     # --- round-8 REWRITES ---
     # connected components rewritten to alternating large-star/
     # small-star contraction (graph.py, r7 VERDICT item 3) — both
@@ -160,7 +163,6 @@ DRIVER_WINDOW: list[str] = [
     "join_range_bucketized",
     "multimodal_frame_digest",
     "multimodal_resize_digest",
-    "pipeline_delete_where",
 ]
 
 

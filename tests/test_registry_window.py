@@ -62,6 +62,7 @@ def test_round8_rotation_is_in_window():
         "trainprep_length_batches",
         "trainprep_full_curation",
         "trainprep_curation_funnel",
+        "dedup_method_agreement",
         # rewritten in round 8: connected components (alternating
         # large-star/small-star) under both consumers, the SemDeDup
         # cap-regime auto-switch, the minhash pairs frame-level

@@ -1,7 +1,8 @@
-"""BPE tokenizer TRAINING as iterative DataFrame aggregates
+"""BPE tokenizer TRAINING as iterative DataFrame aggregates, plus a
+production-scale APPLY kernel and a persisted tokenizer artifact
 (SURVEY.md §2.12 north-star family — the tokenizer-training half of
 an LLM data pipeline, next to the scoring/dedup/packing operators;
-r7 VERDICT item 6).
+r7 VERDICT item 6, production shape per r8 VERDICT item 1).
 
 Byte-pair encoding (Sennrich et al. 2016): start from the corpus
 word-frequency table with words split into single-character symbols;
@@ -28,12 +29,46 @@ Spark-first shape:
   non-overlapping replacement, exactly ``merge_vocab``'s greedy scan
   (pytest-pinned against an independent python reference).  Tokens
   are ``[a-z0-9]+`` so the delimiters can never collide.
-* Rounds follow the PageRank superstep discipline: the words frame is
-  eagerly localCheckpoint-ed per round (lineage truncation; blocks
-  are RDD-owned, ContextCleaner-reclaimed), and the driver collects
-  only the ONE-ROW argmax per round (bounded planning state — the
-  codebook pattern).  Ties break on (count DESC, pair_a, pair_b) —
-  tokens are ASCII so both engines compare identically.
+* TRAINING runs the ``get_stats``-DELTA rule (:func:`bpe_train`):
+  the pair-count frame is maintained incrementally — per round only
+  the words CONTAINING the merged pair are re-counted (their old
+  pairs subtracted, their post-merge pairs added), never the whole
+  vocabulary.  At production merge counts (10⁴–10⁵ rounds) the full
+  recount is the scale wall the r8 verdict flagged: every round would
+  re-explode every symbol of every word, where the delta touches a
+  geometrically shrinking slice.  All counts stay exact integers, so
+  delta ≡ full recount bit-for-bit
+  (``test_bpe_delta_training_equals_full_recount``, plus a
+  randomized-vocabulary property test against the pure-python
+  reference).
+* Rounds follow the PageRank superstep discipline: the words and
+  pair-count frames are eagerly localCheckpoint-ed per round (lineage
+  truncation; blocks are RDD-owned, ContextCleaner-reclaimed), and
+  the driver collects only the ONE-ROW argmax per round (bounded
+  planning state — the codebook pattern).  Ties break on
+  (count DESC, pair_a, pair_b) — tokens are ASCII so both engines
+  compare identically.
+* APPLY (:func:`bpe_apply_kernel`) is one Arrow ``mapInPandas``
+  kernel carrying the bounded merge table as a RANK DICT in the task
+  closure (the codebook pattern used by every other operator here):
+  per word, repeatedly merge the lowest-rank adjacent pair present,
+  greedy left-to-right — provably equal to replaying the merges in
+  training order (a merge can only create pairs containing its new
+  symbol, and any learned pair containing that symbol has a LATER
+  rank, so min-rank-present order IS training order; pinned bit-equal
+  against the chained-literal-replace plan in
+  ``test_bpe_kernel_apply_equals_chained_replace``).  Per-partition
+  word memo (Zipf: the hot words dominate) and per-doc aggregation
+  FINISHED inside the kernel (CLAUDE.md rule) — the plan is scan →
+  repartition → kernel → projection, zero shuffles after the spread.
+  The chained-replace plan (kept as :func:`bpe_encode_chained` for
+  the equality pin) is JVM-only but builds one codegen expression
+  PER MERGE — fine at 8, an expression-tree blow-up at 30 000; the
+  kernel's cost per merge is one dict entry.
+* The trained merge table persists as a Warehouse model table
+  (:func:`save_bpe_merges` / :func:`load_bpe_merges` /
+  :func:`encode_with` — the ``ivf_index`` build/serve discipline):
+  train once, serve encodes from the artifact without retraining.
 
 The oracle unrolls the N rounds as CTE chains (w0 → p0 → b0 → w1 →
 …) — DuckDB recomputes the identical word table, pair counts, argmax
@@ -43,6 +78,9 @@ integer; no float surface at all.
 """
 
 from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,8 +94,23 @@ from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
 #: merge rounds of the registered gate query (parametric in
-#: production — a real tokenizer runs tens of thousands)
+#: production — a real tokenizer runs tens of thousands; the
+#: 256-round decade probe lives in tools/probe_bpe_scale.py)
 BPE_MERGE_ROUNDS = 8
+
+#: merge-table row type: (merge_round, pair_a, pair_b, merged, count)
+MergeRow = tuple[int, str, str, str, int]
+
+#: the delta trainer truncates the words frame's lineage every this
+#: many rounds — between checkpoints the chain is narrow
+#: (filter/union/replace, zero exchanges), so laziness trades a few
+#: re-derived vocab scans for one fewer materialization job per round
+_WORDS_CHECKPOINT_EVERY = 8
+
+_MERGE_TABLE_DDL = (
+    "merge_round int, pair_a string, pair_b string,"
+    " merged string, pair_count bigint"
+)
 
 _SQL_TOKENS = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
@@ -84,7 +137,10 @@ def bpe_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(a, b, c): adjacent-symbol pair counts weighted by word
     frequency — overlaps count, mirroring the reference
-    ``get_stats`` (and the oracle's slice-zip)."""
+    ``get_stats`` (and the oracle's slice-zip).  Accepts signed
+    ``cnt`` rows so the delta trainer can feed
+    (old words × −cnt) ∪ (merged words × +cnt) through the same
+    aggregate and read off the per-pair delta."""
     toks = F.regexp_extract_all(F.col("s"), F.lit(r"\[([^\]]*)\]"), F.lit(1))
     zipped = F.arrays_zip(
         F.slice(toks, 1, F.size(toks) - 1),
@@ -100,19 +156,21 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(
+def bpe_train_full_recount(
     words: DataFrame, n_rounds: int
-) -> list[tuple[int, str, str, str, int]]:
-    """Run ``n_rounds`` of pair-merge training over a (s, cnt) word
-    table; returns the merge table rows
-    ``(merge_round, pair_a, pair_b, merged, pair_count)``.
+) -> list[MergeRow]:
+    """REFERENCE trainer: re-aggregate ALL pair counts every round
+    (the pre-r9 shape).  Correct at any round count but rescans the
+    full vocabulary per round — kept as the independent
+    implementation the delta trainer is pinned bit-equal against
+    (and as the honest baseline in the decade probe).
 
     Driver-coordinated supersteps, data never: per round one
     vocabulary-sized aggregate + a 1-row TakeOrdered collect, then the
     literal replace + eager localCheckpoint.  Stops early if no pairs
     remain (fully merged vocabulary)."""
     words = words.localCheckpoint()
-    merges: list[tuple[int, str, str, str, int]] = []
+    merges: list[MergeRow] = []
     for r in range(n_rounds):
         best = (
             _pair_counts(words)
@@ -131,6 +189,271 @@ def bpe_train(
             "cnt",
         ).localCheckpoint()
     return merges
+
+
+def bpe_train(words: DataFrame, n_rounds: int) -> list[MergeRow]:
+    """PRODUCTION trainer: ``get_stats``-delta pair counts.
+
+    The pair-count frame ``pc`` is built once from the initial
+    vocabulary, then maintained incrementally: per round, only the
+    words whose symbol string CONTAINS the merged pair ``[a][b]``
+    are re-counted — their pre-merge pairs enter the aggregate with
+    ``−cnt``, their post-merge pairs with ``+cnt`` — and the summed
+    delta folds into ``pc`` (zero-count pairs dropped).  Words not
+    containing the pair contribute exactly the same pairs before and
+    after, so skipping them is exact, not approximate; every count is
+    an integer, so delta ≡ full recount bit-for-bit.
+
+    Per round: one 1-row argmax collect over the MATERIALIZED pair
+    frame (cheap — the frame was checkpointed by the previous round's
+    fold), one delta aggregate over the TOUCHED slice folded into the
+    eager pc localCheckpoint.  Two lineage disciplines keep the round
+    floor at ~2 jobs:
+
+    * ``words_next`` is ONE narrow ``replace`` projection over the
+      whole frame (untouched words are no-ops) — never the
+      filter(~contains) ∪ merged(touched) union, which references the
+      previous frame TWICE and turns the un-checkpointed lineage into
+      a binary tree (2^k re-derivations; measured 19.6 s vs 4.7 s on
+      the 8-round gate at sf0.1 before this fix).
+    * the delta input derives from the chain ONCE: touched words
+      explode into (pre-merge, −cnt) and (post-merge, +cnt) rows in a
+      single pass, so the pair aggregate sees both sides without
+      re-scanning.
+    * the words frame is only checkpointed every
+      ``_WORDS_CHECKPOINT_EVERY`` rounds: between checkpoints the
+      chain is narrow single-reference replaces (zero exchanges), so
+      laziness trades ≤ K stacked string scans for one fewer
+      materialization job per round.
+
+    At 10⁴–10⁵ rounds the touched slice shrinks geometrically (later
+    merges are rarer pairs), which is what makes production merge
+    counts viable where the full recount rescans everything every
+    round."""
+    words = words.localCheckpoint()
+    pc = _pair_counts(words).localCheckpoint()
+    merges: list[MergeRow] = []
+    for r in range(n_rounds):
+        best = (
+            pc.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((r, a, b, a + b, c))
+        pat = f"[{a}][{b}]"
+        rep = f"[{a}{b}]"
+        both_sides = F.array(
+            F.struct(
+                F.col("s").alias("s"), (-F.col("cnt")).alias("cnt")
+            ),
+            F.struct(
+                F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
+                F.col("cnt").alias("cnt"),
+            ),
+        )
+        delta = _pair_counts(
+            words.filter(F.col("s").contains(pat))
+            .select(F.explode(both_sides).alias("x"))
+            .select("x.s", "x.cnt")
+        )
+        pc = (
+            pc.unionAll(delta)
+            .groupBy("a", "b")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .filter(F.col("c") > 0)
+            .localCheckpoint()
+        )
+        words = words.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
+            "cnt",
+        )
+        if (r + 1) % _WORDS_CHECKPOINT_EVERY == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+# -- apply ----------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def bpe_encode_word_py(word: str, ranks: dict, pairs: list) -> int:
+    """Pure-python BPE encode of one word → its token COUNT.
+
+    Repeatedly merge the lowest-rank adjacent pair present, greedy
+    left-to-right non-overlapping (``str.replace`` semantics).  Equal
+    to replaying the merge table in training order: a merge only
+    creates pairs containing its new symbol, and any LEARNED pair
+    containing that symbol was learned later (the symbol didn't exist
+    before), so min-rank-present order is training order and absent
+    merges are no-ops."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank = rk
+        if best_rank is None:
+            break
+        a, b = pairs[best_rank]
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_apply_kernel(
+    docs: DataFrame, merges: list[MergeRow]
+) -> DataFrame:
+    """Corpus encode via ONE Arrow kernel: (doc_id, n_words,
+    n_bpe_tokens) per document, merges carried as a broadcast-sized
+    rank dict in the closure (the codebook pattern).
+
+    Cost per merge is one dict entry, not one expression node — the
+    shape that survives a 30 000-merge production tokenizer where the
+    chained-replace plan hits the codegen expression-tree bound.
+    Per-doc aggregation FINISHES inside the kernel (one row out per
+    doc, zero shuffles after the repartition spread); a per-partition
+    word memo exploits the Zipfian word distribution."""
+    # normalize to dense rank order (round numbers are already
+    # consecutive from training, but don't depend on it)
+    ordered = sorted(merges, key=lambda m: m[0])
+    pair_list = [(m[1], m[2]) for m in ordered]
+    rank_of = {p: i for i, p in enumerate(pair_list)}
+
+    def gen(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def enc(word: str) -> int:
+            n = memo.get(word)
+            if n is None:
+                n = bpe_encode_word_py(word, rank_of, pair_list)
+                memo[word] = n
+            return n
+
+        for pdf in batches:
+            ids, nw, nt = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = _TOKEN_RE.findall(text.lower())
+                ids.append(doc_id)
+                nw.append(len(ws))
+                nt.append(sum(enc(w) for w in ws))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_words": nw, "n_bpe_tokens": nt}
+            )
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .mapInPandas(
+            gen, "doc_id bigint, n_words bigint, n_bpe_tokens bigint"
+        )
+    )
+
+
+def bpe_encode_chained(
+    docs: DataFrame, merges: list[MergeRow]
+) -> DataFrame:
+    """The pre-r9 JVM apply: one chained literal ``replace`` per merge
+    inside whole-stage codegen.  Correct and Python-free, but the
+    expression tree grows one node per merge — kept as the
+    independent implementation the kernel is pinned bit-equal
+    against, and as the probe baseline for the expression-tree
+    bound."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    s = F.regexp_replace(F.col("word"), "(.)", "[$1]")
+    for _, a, b, _m, _c in merges:
+        s = F.replace(s, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    n_tok = F.length(s) - F.length(F.replace(s, F.lit("["), F.lit("")))
+    return (
+        docs.repartition(par)
+        .select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+        )
+        .select("doc_id", n_tok.alias("nt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("nt").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _with_ratio(enc: DataFrame) -> DataFrame:
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        str_round6(
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words")
+        ).alias("bpe_per_word"),
+    )
+
+
+# -- persisted tokenizer artifact ------------------------------------------
+
+#: warehouse schema holding trained model artifacts
+BPE_MODEL_SCHEMA = "models"
+
+
+def save_bpe_merges(
+    warehouse, spark: SparkSession, merges: list[MergeRow],
+    name: str = "bpe_tokenizer",
+) -> None:
+    """Persist a trained merge table as a Warehouse model table
+    (atomic replace; the ivf_index build/serve discipline — train
+    once, every later encode serves from the artifact)."""
+    df = spark.createDataFrame(merges, _MERGE_TABLE_DDL)
+    warehouse.write_atomic(df, BPE_MODEL_SCHEMA, name, coalesce=1)
+
+
+def load_bpe_merges(
+    warehouse, name: str = "bpe_tokenizer"
+) -> list[MergeRow]:
+    """Load a persisted merge table back into the bounded driver
+    artifact (ordered by round; the table is merge-count-sized —
+    10⁴–10⁵ rows at production scale, a driver-safe collect)."""
+    rows = (
+        warehouse.read(BPE_MODEL_SCHEMA, name)
+        .orderBy("merge_round")
+        .collect()
+    )
+    return [
+        (
+            int(r["merge_round"]),
+            r["pair_a"],
+            r["pair_b"],
+            r["merged"],
+            int(r["pair_count"]),
+        )
+        for r in rows
+    ]
+
+
+def encode_with(
+    warehouse, docs: DataFrame, name: str = "bpe_tokenizer"
+) -> DataFrame:
+    """Serve path: encode ``docs`` (doc_id, text) with a PERSISTED
+    tokenizer — load the bounded merge table, run the Arrow apply
+    kernel.  No retraining, no corpus pass beyond the encode itself."""
+    merges = load_bpe_merges(warehouse, name)
+    return _with_ratio(bpe_apply_kernel(docs, merges))
+
+
+# -- oracles ----------------------------------------------------------------
 
 
 def _bpe_oracle(n_rounds: int) -> str:
@@ -226,50 +549,21 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document its word count, BPE token count, and tokens-per-word
     (the compression statistic a tokenizer-training loop monitors).
 
-    The apply side is the production-relevant half at 100 TB: the
-    trained merge table is a BOUNDED driver artifact (the codebook
-    pattern), so encoding is one stateless JVM projection — explode
-    words → bracketize → the N merges as CHAINED LITERAL ``replace``
-    calls inside whole-stage codegen (no Python, no HOF lambdas; the
-    CLAUDE.md rule about interpreted codebook-in-lambda re-evaluation
-    is exactly what this shape avoids) — then one (doc_id)-keyed hash
-    aggregate with map-side combine.  Token count per word is
-    ``count('[')`` over the bracketed form.
+    r9 shape: training through the delta trainer, apply through the
+    Arrow kernel (:func:`bpe_apply_kernel`) — the merge table rides
+    as a rank dict in the task closure, so merge count is a dict
+    size, not an expression-tree depth (r8 VERDICT item 1; the old
+    chained-replace plan is pinned bit-equal in pytest and kept for
+    the probe baseline).
 
     The oracle re-trains in SQL (the unrolled CTE chain) and applies
-    each round's argmax via CROSS JOIN — so the gate proves train AND
-    apply cross-engine, including that both engines learned the SAME
-    merges.
+    each round's argmax via per-round literal replace — so the gate
+    proves train AND apply cross-engine, including that both engines
+    learned the SAME merges.
     """
-    merges = bpe_train(
-        bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS
-    )
+    merges = bpe_train(bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS)
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    s = F.regexp_replace(F.col("word"), "(.)", "[$1]")
-    for _, a, b, _m, _c in merges:
-        s = F.replace(s, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
-    n_tok = F.length(s) - F.length(F.replace(s, F.lit("["), F.lit("")))
-    return (
-        docs.repartition(par)
-        .select(
-            "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
-        )
-        .select("doc_id", n_tok.alias("nt"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("nt").cast("bigint").alias("n_bpe_tokens"),
-        )
-        .select(
-            "doc_id",
-            "n_words",
-            "n_bpe_tokens",
-            str_round6(
-                F.col("n_bpe_tokens").cast("double") / F.col("n_words")
-            ).alias("bpe_per_word"),
-        )
-    )
+    return _with_ratio(bpe_apply_kernel(docs, merges))
 
 
 @query("text_bpe_merges", oracle=_bpe_oracle(BPE_MERGE_ROUNDS))
@@ -277,19 +571,16 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first ``BPE_MERGE_ROUNDS`` byte-pair merges trained on the
     documents corpus: (merge_round, pair_a, pair_b, merged,
     pair_count) — deterministic tie-break on (count DESC, pair), all
-    integer-exact (module docstring has the full design).
+    integer-exact (module docstring has the full design).  r9: runs
+    the ``get_stats``-delta trainer (:func:`bpe_train`); the oracle is
+    unchanged, so the gate proves the delta maintenance cross-engine
+    against DuckDB's full per-round recount.
 
     The returned frame is the collected merge table re-created on the
     driver — the merge table is the OUTPUT of an iterative driver-
     coordinated training loop and is bounded by the round count (the
     codebook pattern); the distributed work is the corpus aggregate +
-    the per-round vocabulary passes inside :func:`bpe_train`.
+    the per-round delta passes inside :func:`bpe_train`.
     """
-    merges = bpe_train(
-        bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS
-    )
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, pair_a string, pair_b string,"
-        " merged string, pair_count bigint",
-    )
+    merges = bpe_train(bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS)
+    return spark.createDataFrame(merges, _MERGE_TABLE_DDL)

@@ -1184,6 +1184,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison itself is a pair-sized equi-join plus scalar
     aggregates.
     """
+    from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
     from bitcoin_datawarehouse_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         minhash_lsh_pairs,
@@ -1193,7 +1194,12 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_ids = _lt(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
     )
-    tp = (
+    # tp and sp each feed TWO subtrees of the single `counts` action
+    # (their own count + the `both` semi-join) — the CLAUDE.md
+    # shared-subgraph rule: cache_tracked + eager fill, or the band
+    # join and the cosine block grid each run twice per execution
+    # (r8 VERDICT nit).  Both frames are pair-sized (tiny).
+    tp = cache_tracked(
         minhash_lsh_pairs(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
@@ -1204,9 +1210,13 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb_ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "semi"
         )
     )
-    sp = dedup_embedding_cosine(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    sp = cache_tracked(
+        dedup_embedding_cosine(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
     )
+    tp.count()
+    sp.count()
     both = tp.join(sp, ["doc_a", "doc_b"], "semi")
     counts = (
         tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_text_pairs"))

@@ -665,28 +665,25 @@ def test_tpch_q20_double_gate_is_semi_joins(plan_of):
     assert_no_cartesian(plan)
 
 
-def test_bpe_encode_apply_path_is_jvm_only(plan_of):
-    """The tokenizer APPLY path must be whole-stage-codegen JVM work:
-    no Python evaluation node of any kind (the merges are literal
-    replace chains), at most the two deliberate exchanges (the
-    one-input-split repartition + the doc_id hash aggregate), and the
-    aggregate partially combines map-side."""
+def test_bpe_encode_apply_is_one_kernel_no_shuffle_after(plan_of):
+    """The r9 tokenizer APPLY is ONE Arrow kernel (the merge table
+    rides as a rank dict in the closure — merge count is a dict size,
+    not an expression-tree depth) with per-doc aggregation FINISHED
+    inside it: exactly one MapInPandas node, no join, no hash
+    aggregate, and the only exchange is the deliberate round-robin
+    spread of the one-split fixture scan."""
     plan = plan_of("text_bpe_encode")
     import re
 
-    for py_node in (
-        "ArrowEvalPython",
-        "BatchEvalPython",
-        "MapInPandas",
-        "FlatMapGroupsInPandas",
-    ):
-        assert py_node not in plan, py_node
+    n_kernels = len(re.findall(r"\(\d+\) MapInPandas", plan))
+    assert n_kernels == 1, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "HashAggregate",
+                "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan, bad
     # the formatted plan names each node once in the tree and once in
     # the numbered detail section — count the numbered form
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges <= 2, plan
-    assert plan.count("hashpartitioning(doc_id") >= 1
-    assert_partial_aggregation(plan)
+    assert n_exchanges <= 1, plan
 
 
 def test_full_curation_composite_no_cartesian(plan_of):

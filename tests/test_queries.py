@@ -810,6 +810,163 @@ def test_bpe_encode_degenerate_corpus_matches_oracle(spark, tmp_path):
         assert got == want and got, docs
 
 
+def test_bpe_delta_training_equals_full_recount(spark):
+    """The r9 get_stats-delta trainer must be BIT-EQUAL to the full
+    per-round recount on the real fixture vocabulary — the delta is
+    an exact integer maintenance rule, not an approximation.  Also
+    re-checked on a planted corpus with overlap (aaa) and tie cases
+    at a round count that exhausts the vocabulary mid-run (early-stop
+    parity)."""
+    from bitcoin_datawarehouse_spark.operators.bpe import (
+        BPE_MERGE_ROUNDS,
+        bpe_train,
+        bpe_train_full_recount,
+        bpe_word_table,
+    )
+    from pyspark.sql import functions as F
+
+    words = bpe_word_table(spark, SF_SMALL)
+    assert bpe_train(words, BPE_MERGE_ROUNDS) == bpe_train_full_recount(
+        words, BPE_MERGE_ROUNDS
+    )
+
+    planted = (
+        spark.createDataFrame(
+            [(w,) for w in ["aaa"] * 3 + ["ab"] * 2 + ["ba"] * 2],
+            "word string",
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(F.regexp_replace("word", "(.)", "[$1]").alias("s"), "cnt")
+    )
+    assert bpe_train(planted, 20) == bpe_train_full_recount(planted, 20)
+
+
+def test_bpe_delta_training_randomized_vocab_property(spark):
+    """Randomized-vocabulary property pin: for seeded random corpora
+    (skewed alphabet so merges collide and cascade), the delta
+    trainer equals the pure-python Sennrich reference over symbol
+    tuples — the same oracle shape as the planted test but exploring
+    count/tie structure the planted corpus can't."""
+    import random
+    from collections import Counter
+
+    from bitcoin_datawarehouse_spark.operators.bpe import bpe_train
+    from pyspark.sql import functions as F
+
+    def ref_train(corpus_words, n_rounds):
+        def get_stats(vocab):
+            stats = Counter()
+            for syms, cnt in vocab.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += cnt
+            return stats
+
+        def merge_vocab(vocab, pair):
+            out = Counter()
+            for syms, cnt in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                        merged.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                out[tuple(merged)] += cnt
+            return dict(out)
+
+        vocab = dict(Counter(tuple(w) for w in corpus_words))
+        want = []
+        for r in range(n_rounds):
+            stats = get_stats(vocab)
+            if not stats:
+                break
+            (a, b), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+            want.append((r, a, b, a + b, c))
+            vocab = merge_vocab(vocab, (a, b))
+        return want
+
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        corpus = [
+            "".join(
+                rng.choice("aab")  # skewed binary-ish alphabet
+                for _ in range(rng.randint(1, 7))
+            )
+            for _ in range(rng.randint(20, 60))
+        ]
+        words = (
+            spark.createDataFrame([(w,) for w in corpus], "word string")
+            .groupBy("word")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .select(
+                F.regexp_replace("word", "(.)", "[$1]").alias("s"), "cnt"
+            )
+        )
+        assert bpe_train(words, 10) == ref_train(corpus, 10), seed
+
+
+def test_bpe_kernel_apply_equals_chained_replace(spark):
+    """The r9 Arrow-kernel apply (min-rank-present loop over a
+    broadcast rank dict) must be bit-equal to the chained-literal-
+    replace JVM plan applying the SAME merges in training order —
+    the rank-monotonicity argument (a merge only creates pairs
+    containing its new symbol; any learned pair containing it has a
+    later rank) made executable."""
+    from bitcoin_datawarehouse_spark.operators.bpe import (
+        BPE_MERGE_ROUNDS,
+        bpe_apply_kernel,
+        bpe_encode_chained,
+        bpe_train,
+        bpe_word_table,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+
+    merges = bpe_train(bpe_word_table(spark, SF_SMALL), BPE_MERGE_ROUNDS)
+    assert len(merges) == BPE_MERGE_ROUNDS
+    docs = load_table(spark, SF_SMALL, "documents")
+    got = sorted(
+        tuple(r) for r in bpe_apply_kernel(docs, merges).collect()
+    )
+    want = sorted(
+        tuple(r) for r in bpe_encode_chained(docs, merges).collect()
+    )
+    assert got == want and got
+
+
+def test_bpe_persisted_tokenizer_round_trip(spark, tmp_path):
+    """Train → save_bpe_merges → load_bpe_merges → encode_with must
+    reproduce both the merge table and the direct-kernel encode
+    exactly (the ivf_index build/serve discipline: the artifact IS
+    the tokenizer)."""
+    from bitcoin_datawarehouse_spark.operators.bpe import (
+        BPE_MERGE_ROUNDS,
+        bpe_apply_kernel,
+        bpe_train,
+        bpe_word_table,
+        encode_with,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+    from bitcoin_datawarehouse_spark.tables import load_table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    merges = bpe_train(bpe_word_table(spark, SF_SMALL), BPE_MERGE_ROUNDS)
+    save_bpe_merges(wh, spark, merges)
+    assert load_bpe_merges(wh) == merges
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    got = sorted(tuple(r) for r in encode_with(wh, docs).collect())
+    from bitcoin_datawarehouse_spark.operators.bpe import _with_ratio
+
+    want = sorted(
+        tuple(r) for r in _with_ratio(bpe_apply_kernel(docs, merges)).collect()
+    )
+    assert got == want and got
+
+
 def test_ivf_auto_nprobe_hits_target_and_is_minimal(spark):
     """The round-8 closed tuning loop (r7 VERDICT item 7): the chosen
     nprobe must (a) reproduce the fixed-impl rows bit-for-bit at the

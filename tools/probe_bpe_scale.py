@@ -1,0 +1,166 @@
+"""BPE production-shape scale probe (r8 VERDICT item 1).
+
+Three claims to measure, each at a merge count an order beyond the
+8-round gate:
+
+1. **Delta trainer vs full recount at 256 rounds** — the
+   ``get_stats``-delta rule re-counts only words CONTAINING the
+   merged pair; the full recount re-explodes every symbol of every
+   word every round.  Claim: delta's per-round wall stays roughly
+   flat while recount's stays proportional to total vocabulary
+   symbol mass; at 256 rounds delta total < recount total, and the
+   gap widens with rounds (recount is also measured at 64 rounds for
+   the slope).
+2. **Touched-slice decay** — the fraction of vocabulary words the
+   delta re-counts per round, sampled every 32 rounds.  Claim:
+   geometric-ish decay (later merges are rarer pairs), the quantity
+   that makes 10⁴–10⁵ rounds plausible.
+3. **Kernel apply vs chained-replace apply at 256 merges** — the
+   Arrow kernel carries merges as a rank dict (cost per merge: one
+   dict entry); the chained plan builds one codegen ``replace`` node
+   per merge (cost: expression-tree depth — the r8 blow-up flag).
+   Claim: kernel wall roughly flat in merge count, chained wall
+   superlinear (analysis + codegen + 256 stacked string passes).
+
+Corpus: documents at --factor× sf0.1 via gen_sf (--shared-head so
+the grown vocabulary stays Zipf-shaped rather than exploding with
+distinct stride-copied words).
+
+Output: one JSON line per measurement, for SCALING.md.
+
+Usage: python tools/probe_bpe_scale.py [--factor N] [--rounds R]
+       (defaults: factor 10 = sf1, rounds 256)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SCRATCH = Path("/tmp/bpe_scale_probe")
+
+
+def emit(**kv) -> None:
+    print(json.dumps(kv), flush=True)
+
+
+def main() -> int:
+    factor = 10
+    rounds = 256
+    if "--factor" in sys.argv:
+        factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    if "--rounds" in sys.argv:
+        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
+
+    if SCRATCH.exists():
+        shutil.rmtree(SCRATCH)
+    SCRATCH.mkdir(parents=True)
+    gen_dir = SCRATCH / "gen"
+    t0 = time.perf_counter()
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "gen_sf.py"),
+            "/root/testdata/sf0.1",
+            str(gen_dir),
+            str(factor),
+            "--tables",
+            "documents",
+            "--shared-head",
+            "64",
+        ],
+        check=True,
+    )
+    emit(step="generate", factor=factor,
+         sec=round(time.perf_counter() - t0, 1))
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.bpe import (
+        bpe_apply_kernel,
+        bpe_encode_chained,
+        bpe_train,
+        bpe_train_full_recount,
+        bpe_word_table,
+    )
+    from bitcoin_datawarehouse_spark.session import get_spark
+
+    spark = get_spark()
+    sf_dir = str(gen_dir)
+
+    words = bpe_word_table(spark, sf_dir).localCheckpoint()
+    n_vocab = words.count()
+    symbol_mass = words.select(
+        F.sum(F.length("s") / 3).cast("bigint").alias("m")
+    ).collect()[0]["m"]
+    emit(step="vocab", words=n_vocab, symbol_mass=int(symbol_mass))
+
+    # warm the session (codegen/JIT) on a tiny run before timing
+    bpe_train(words.limit(1000), 2)
+
+    # ---- claim 1+2: delta trainer, with touched-slice sampling --------
+    t0 = time.perf_counter()
+    merges = bpe_train(words, rounds)
+    delta_sec = round(time.perf_counter() - t0, 1)
+    emit(step="train_delta", rounds=len(merges), sec=delta_sec,
+         sec_per_round=round(delta_sec / max(len(merges), 1), 3))
+
+    # touched fraction every 32 rounds: replay merges over the words
+    # frame and count containing words (probe-only pass, not training)
+    w = words
+    for i, (_r, a, b, _m, _c) in enumerate(merges):
+        pat = f"[{a}][{b}]"
+        if i % 32 == 0:
+            frac = (
+                w.filter(F.col("s").contains(pat)).count() / n_vocab
+            )
+            emit(step="touched_frac", round=i, frac=round(frac, 5),
+                 pair=a + "+" + b)
+        w = w.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(f"[{a}{b}]")).alias("s"),
+            "cnt",
+        )
+        if (i + 1) % 16 == 0:
+            w = w.localCheckpoint()
+
+    # ---- claim 1: full recount at 64 and (if bearable) 256 ------------
+    t0 = time.perf_counter()
+    m64 = bpe_train_full_recount(words, 64)
+    emit(step="train_recount", rounds=len(m64),
+         sec=round(time.perf_counter() - t0, 1))
+    t0 = time.perf_counter()
+    m_all = bpe_train_full_recount(words, rounds)
+    rec_sec = round(time.perf_counter() - t0, 1)
+    emit(step="train_recount", rounds=len(m_all), sec=rec_sec,
+         equal_to_delta=m_all == merges)
+
+    # ---- claim 3: apply paths at the full merge count ------------------
+    docs = spark.read.parquet(str(gen_dir / "documents.parquet"))
+    n_docs = docs.count()
+    for label, fn in (
+        ("apply_kernel", lambda: bpe_apply_kernel(docs, merges)),
+        ("apply_chained", lambda: bpe_encode_chained(docs, merges)),
+    ):
+        fn().count()  # warm (codegen for chained, Arrow init for kernel)
+        t0 = time.perf_counter()
+        out = fn().count()
+        emit(step=label, merges=len(merges), docs=n_docs, rows=out,
+             sec=round(time.perf_counter() - t0, 1))
+
+    # cross-path equality at the probe's merge count (not just the
+    # gate's 8): the bit-equality claim at production scale
+    k = {tuple(r) for r in bpe_apply_kernel(docs, merges).collect()}
+    c = {tuple(r) for r in bpe_encode_chained(docs, merges).collect()}
+    emit(step="apply_equal", equal=k == c, rows=len(k))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

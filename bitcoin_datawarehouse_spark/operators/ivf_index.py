@@ -442,9 +442,17 @@ class IvfIndex:
         queries: DataFrame,
         top_k: int = TOP_K,
         exclude_self: bool = True,
+        exclude_group_div: int | None = None,
     ) -> DataFrame:
         """Top-k nearest neighbors for ``queries`` (query_id, qe) from
         the persisted lists: (query_id, cand_id, cosine, rnk).
+
+        ``exclude_group_div``: when ids encode a grouping as
+        ``group * div + member`` (chunk retrieval: vec_id =
+        doc_id · 2²⁰ + chunk_ix), drop candidates from the QUERY'S OWN
+        GROUP before the rerank — the filter rides the candidate join,
+        so the top-k slots are never wasted on in-group hits (a
+        post-search filter would under-fill them).
 
         Probe selection runs IN A KERNEL over the distributed query
         frame — the codebook (a model, not data) broadcasts into the
@@ -504,6 +512,13 @@ class IvfIndex:
         )
         if exclude_self:
             sub = sub.filter(F.col("cand_id") != F.col("query_id"))
+        if exclude_group_div is not None:
+            g = int(exclude_group_div)
+            # integer division, never float: group ids can exceed the
+            # double mantissa at production id widths
+            sub = sub.filter(
+                F.expr(f"cand_id DIV {g} != query_id DIV {g}")
+            )
 
         if self.payload == "pq":
             return self._search_pq(sub, top_k)

@@ -233,4 +233,5 @@ def load_all_operators() -> None:
         bm25,
         bpe,
         curation_pipeline,
+        chunk_retrieval,
     )

@@ -967,6 +967,48 @@ def test_bpe_persisted_tokenizer_round_trip(spark, tmp_path):
     assert got == want and got
 
 
+def test_chunk_retrieval_hits_reconstruct_to_source_spans(spark):
+    """Every chunk-retrieval result row must map back to a REAL chunk
+    of its document: (doc_id, chunk_ix) exists in the registered
+    chunk frame with exactly the claimed start_tok (the arithmetic
+    reconstruction start_tok = chunk_ix · stride is the chunking
+    contract, here re-verified against the actual frame).  Plus the
+    serving invariants: the query workload is the N smallest doc_ids,
+    no result returns the query's own document, and rnk is dense
+    1..k' per query."""
+    from bitcoin_datawarehouse_spark.operators.chunk_retrieval import (
+        N_CHUNK_QUERY_DOCS,
+    )
+    from bitcoin_datawarehouse_spark.operators.similarity import TOP_K
+    from bitcoin_datawarehouse_spark.operators.text_stats import (
+        text_chunk_windows,
+    )
+
+    rows = QUERIES["similarity_chunk_retrieval"](spark, SF_SMALL).collect()
+    assert rows
+    chunks = {
+        (r["doc_id"], r["chunk_ix"]): (r["start_tok"], r["chunk_text"])
+        for r in text_chunk_windows(spark, SF_SMALL).collect()
+    }
+    want_queries = sorted({d for d, _ in chunks})[:N_CHUNK_QUERY_DOCS]
+    assert sorted({r["query_doc"] for r in rows}) == want_queries
+
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r["doc_id"] != r["query_doc"]
+        key = (r["doc_id"], r["chunk_ix"])
+        assert key in chunks, key
+        start_tok, chunk_text = chunks[key]
+        assert r["start_tok"] == start_tok
+        assert chunk_text  # the span is real, non-empty text
+        per_q[r["query_doc"]].append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
+        assert len(rnks) <= TOP_K
+
+
 def test_ivf_auto_nprobe_hits_target_and_is_minimal(spark):
     """The round-8 closed tuning loop (r7 VERDICT item 7): the chosen
     nprobe must (a) reproduce the fixed-impl rows bit-for-bit at the

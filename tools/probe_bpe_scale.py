@@ -24,11 +24,20 @@ Three claims to measure, each at a merge count an order beyond the
 
 Corpus: documents at --factor× sf0.1 via gen_sf (--shared-head so
 the grown vocabulary stays Zipf-shaped rather than exploding with
-distinct stride-copied words).
+distinct stride-copied words).  CAVEAT (measured): the synthetic
+fixture's source vocabulary is ~31 tokens — even at factor 10 the
+word table is ~220 rows, so BOTH trainers run at the per-round
+scheduling floor and the delta's smaller shuffle cannot show.  The
+``--synth-vocab N`` mode probes the claim at a REALISTIC vocabulary:
+N distinct words composed from a 64-syllable inventory (shared
+substructure so merges cascade as in natural text) with Zipf counts —
+the trainer's input is a (s, cnt) word table either way, so the
+synthetic table probes exactly the surface the fixture cannot.
 
 Output: one JSON line per measurement, for SCALING.md.
 
 Usage: python tools/probe_bpe_scale.py [--factor N] [--rounds R]
+                                       [--synth-vocab N]
        (defaults: factor 10 = sf1, rounds 256)
 """
 
@@ -54,32 +63,13 @@ def emit(**kv) -> None:
 def main() -> int:
     factor = 10
     rounds = 256
+    synth_vocab = 0
     if "--factor" in sys.argv:
         factor = int(sys.argv[sys.argv.index("--factor") + 1])
     if "--rounds" in sys.argv:
         rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
-
-    if SCRATCH.exists():
-        shutil.rmtree(SCRATCH)
-    SCRATCH.mkdir(parents=True)
-    gen_dir = SCRATCH / "gen"
-    t0 = time.perf_counter()
-    subprocess.run(
-        [
-            sys.executable,
-            str(REPO / "tools" / "gen_sf.py"),
-            "/root/testdata/sf0.1",
-            str(gen_dir),
-            str(factor),
-            "--tables",
-            "documents",
-            "--shared-head",
-            "64",
-        ],
-        check=True,
-    )
-    emit(step="generate", factor=factor,
-         sec=round(time.perf_counter() - t0, 1))
+    if "--synth-vocab" in sys.argv:
+        synth_vocab = int(sys.argv[sys.argv.index("--synth-vocab") + 1])
 
     from pyspark.sql import functions as F
 
@@ -93,9 +83,61 @@ def main() -> int:
     from bitcoin_datawarehouse_spark.session import get_spark
 
     spark = get_spark()
-    sf_dir = str(gen_dir)
 
-    words = bpe_word_table(spark, sf_dir).localCheckpoint()
+    gen_dir = None
+    if synth_vocab:
+        # N distinct words from a 64-syllable inventory (1-4
+        # syllables each, md5-chosen → deterministic), Zipf counts —
+        # shared substructure makes merges cascade like natural text
+        sylls = [
+            f"{a}{b}" for a in "bcdfghjklmnpqrst" for b in "aeiou"
+        ][:64]
+        syl_arr = F.array(*[F.lit(s) for s in sylls])
+        base = spark.range(synth_vocab)
+        h = F.md5(F.col("id").cast("string").cast("binary"))
+        parts = []
+        for k in range(4):
+            nib = F.conv(F.substring(h, 2 * k + 1, 2), 16, 10).cast("int")
+            pick = F.element_at(syl_arr, nib % 64 + 1)
+            parts.append(
+                F.when(F.col("id") % 4 >= F.lit(k), pick).otherwise(
+                    F.lit("")
+                )
+            )
+        words = base.select(
+            F.concat(*parts).alias("word"),
+            (
+                F.lit(synth_vocab) / (F.col("id") + 1)
+            ).cast("bigint").alias("cnt"),
+        ).groupBy(F.regexp_replace("word", "(.)", "[$1]").alias("s")).agg(
+            F.sum(F.greatest(F.col("cnt"), F.lit(1))).alias("cnt")
+        )
+        emit(step="synth", requested=synth_vocab)
+    else:
+        if SCRATCH.exists():
+            shutil.rmtree(SCRATCH)
+        SCRATCH.mkdir(parents=True)
+        gen_dir = SCRATCH / "gen"
+        t0 = time.perf_counter()
+        subprocess.run(
+            [
+                sys.executable,
+                str(REPO / "tools" / "gen_sf.py"),
+                "/root/testdata/sf0.1",
+                str(gen_dir),
+                str(factor),
+                "--tables",
+                "documents",
+                "--shared-head",
+                "10",  # the synthetic fixture's vocabulary: ~31 tokens
+            ],
+            check=True,
+        )
+        emit(step="generate", factor=factor,
+             sec=round(time.perf_counter() - t0, 1))
+        words = bpe_word_table(spark, str(gen_dir))
+
+    words = words.localCheckpoint()
     n_vocab = words.count()
     symbol_mass = words.select(
         F.sum(F.length("s") / 3).cast("bigint").alias("m")
@@ -142,6 +184,8 @@ def main() -> int:
          equal_to_delta=m_all == merges)
 
     # ---- claim 3: apply paths at the full merge count ------------------
+    if gen_dir is None:  # synth-vocab mode has no document corpus
+        return 0
     docs = spark.read.parquet(str(gen_dir / "documents.parquet"))
     n_docs = docs.count()
     for label, fn in (

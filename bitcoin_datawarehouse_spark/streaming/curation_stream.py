@@ -1,10 +1,14 @@
-"""Streaming arrival path of the curation pipeline (round 8).
+"""Streaming arrival path of the curation pipeline (round 8; round 9
+adds the two gates the batch composite had and the stream lacked —
+SemDeDup and benchmark decontamination, closing r8 VERDICT item 2).
 
 ``trainprep_full_curation`` curates a CORPUS; production corpora
 arrive as crawls — micro-batches of documents that must flow through
 the same gates incrementally: quality (stateless), exact dedup
 against everything seen so far, near-dup against the persisted
-MinHash-LSH index, and an append of the survivors to the curated
+MinHash-LSH index, SEMANTIC dedup against the standing per-cell
+representative state, DECONTAMINATION against the session's eval
+shingle artifact, and an append of the survivors to the curated
 table.  This module runs that loop under Structured Streaming via
 ``foreachBatch`` (the integration point every stream in this repo
 uses: per-trigger cost bounded by the micro-batch, restart resumes
@@ -21,6 +25,21 @@ Stage state, and why each is the scale-right shape:
 * near-dup — the persisted ``LshDedupIndex`` loop wholesale
   (``ingest_batch``: decisions materialized, then the batch folds
   into the band/docset tables);
+* SemDeDup — ARRIVAL-ORDER greedy (the incremental twin of the batch
+  keep-farthest rule, exactly as the LSH index is the incremental
+  twin of the pairwise batch rule): a doc is dropped iff it has an
+  above-τ cosine to an already-KEPT representative of its cell.
+  State is one (centroid_id, doc_id, e) table of kept reps; the
+  codebook is a bounded model in the kernel closure (the ann_stream
+  assignment machinery), batch docs assign in one Arrow pass and each
+  touched CELL resolves task-locally in doc_id order — per-trigger
+  cost ∝ batch×(touched-cell state), never corpus².  Docs without an
+  embedding pass through (the batch composite's rule);
+* decontam — stateless projection: the eval-suite shingle set is a
+  SESSION ARTIFACT (MBs forever, the decontam_ngram_overlap design),
+  shipped in the kernel closure; eval-member docs
+  (doc_id % EVAL_MOD = 0) and docs at round6(overlap) ≥ threshold
+  drop, mirroring the composite's stage-5 rule bit-for-bit;
 * curated append — keyed idempotent (doc_id anti-join).
 
 Exactly-once across crash/replay, the dedup_stream.py discipline:
@@ -29,7 +48,12 @@ processed doc drops out at the top), and a doc that crashed between
 the index append and the downstream appends is recovered by
 BACKFILLING its decision from the index's per-ingest decisions table
 BEFORE any fresh ingest replaces that table.  Every append
-anti-joins on doc_id, so a clean replay writes nothing.
+anti-joins on doc_id, so a clean replay writes nothing.  The
+SemDeDup state append is keyed the same way, and its evaluation
+EXCLUDES state rows whose doc_id is in the current batch (they can
+only be there from a crashed partial run of this same trigger, and
+replaying the deterministic in-cell order reproduces the pre-crash
+decisions instead of marking docs dups of themselves).
 """
 
 from __future__ import annotations
@@ -43,8 +67,28 @@ from bitcoin_datawarehouse_spark.operators.curation import (
     gopher_keep_col,
     gopher_metrics_frame,
 )
+from bitcoin_datawarehouse_spark.operators.curation import (
+    DECONTAM_THRESHOLD,
+    EVAL_MOD,
+)
 from bitcoin_datawarehouse_spark.operators.dedup import shingle_sets_frame
+from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+    COSINE_DUP_THRESHOLD,
+)
 from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+
+
+def _py_round6(x: float) -> float:
+    """Python twin of functions.numeric.str_round6 (shortest repr →
+    6-dp decimal, half away from zero → double) — the kernel-side
+    rounding for the decontam threshold comparison."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def run_curation_stream(
@@ -52,14 +96,33 @@ def run_curation_stream(
     index: LshDedupIndex,
     checkpoint_dir: str,
     curated_table: str = "curated_docs",
+    emb_path: str | None = None,
+    sem_codebook: list[tuple[int, list[float]]] | None = None,
+    sem_tau: float | None = None,
+    eval_shingles: frozenset | None = None,
 ) -> StreamingQuery:
     """Start the incremental curation of ``doc_stream`` (schema:
     doc_id long, text string, source string).  Survivors land in
     ``curated_table``; content ownership in ``{curated_table}_hashes``;
-    near-dup state in ``index``.  ``availableNow`` so tests/backfills
-    drain and stop."""
+    near-dup state in ``index``; SemDeDup kept-representative state in
+    ``{curated_table}_semcells``.  ``availableNow`` so tests/backfills
+    drain and stop.
+
+    ``emb_path`` + ``sem_codebook`` enable the streaming SemDeDup
+    stage: ``emb_path`` is a parquet of (vec_id, embedding) the
+    micro-batch session joins for batch docs' vectors (a STATIC
+    enrich source — read inside the trigger, per the CLAUDE.md
+    foreachBatch session rule), ``sem_codebook`` the driver-collected
+    (centroid_id, ce) model rows (bounded — the codebook pattern).
+    ``eval_shingles`` enables the decontamination stage (the session
+    eval-suite shingle artifact, see
+    ``curation.decontam_ngram_overlap``).  Leaving a knob ``None``
+    skips its stage — an embedding-less crawl still curates through
+    the text gates."""
     wh, schema = index.wh, index.schema
     hashes_table = f"{curated_table}_hashes"
+    semcells_table = f"{curated_table}_semcells"
+    tau = sem_tau if sem_tau is not None else COSINE_DUP_THRESHOLD
 
     def _append_keyed(df: DataFrame, table: str) -> None:
         """Idempotent append: drop rows whose doc_id is already in
@@ -114,7 +177,13 @@ def run_curation_stream(
 
             # crash recovery: docs already IN the index were decided
             # by a prior (crashed) run — backfill their decisions from
-            # the per-ingest table BEFORE a fresh ingest replaces it
+            # the per-ingest table BEFORE a fresh ingest replaces it.
+            # Recovered decisions are MATERIALIZED (localCheckpoint)
+            # before the fresh ingest overwrites their source table,
+            # then both subsets finish as ONE decided frame so the
+            # downstream SemDeDup stage sees the whole trigger in
+            # doc_id order.
+            decided = []
             if index.exists():
                 seen = index._docsets().select("doc_id")
                 fresh = docsets.join(seen, "doc_id", "left_anti")
@@ -124,16 +193,24 @@ def run_curation_stream(
                 if not indexed.isEmpty() and wh.table_exists(
                     schema, index.decisions_table
                 ):
-                    recovered = wh.read(
-                        schema, index.decisions_table
-                    ).join(indexed, "doc_id")
-                    _finish(s2, recovered, batch_id)
+                    decided.append(
+                        wh.read(schema, index.decisions_table)
+                        .join(indexed, "doc_id")
+                        .select("doc_id", "is_dup")
+                        .localCheckpoint()
+                    )
             else:
                 fresh = docsets
 
             if not fresh.limit(1).isEmpty():
-                decisions = index.ingest_batch(fresh)
-                _finish(s2, decisions, batch_id)
+                decided.append(
+                    index.ingest_batch(fresh).select("doc_id", "is_dup")
+                )
+            if decided:
+                all_dec = decided[0]
+                for d in decided[1:]:
+                    all_dec = all_dec.unionByName(d)
+                _finish(s2, all_dec, batch_id)
         finally:
             # per-micro-batch caches die with their trigger (the
             # cachereg streaming contract) — a long-running stream
@@ -142,16 +219,182 @@ def run_curation_stream(
             if docsets is not None:
                 docsets.unpersist()
 
+    def _semdedup_stage(surv: DataFrame) -> DataFrame:
+        """Arrival-order semantic dedup of the LSH survivors against
+        the standing per-cell representative state (module docstring
+        has the full design).  Appends this trigger's kept reps to
+        the state table; returns ``surv`` minus semantic dups."""
+        import numpy as np
+        import pandas as pd
+
+        from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
+            _nearest_centroid_kernel_impl,
+        )
+        from bitcoin_datawarehouse_spark.operators.similarity import (
+            norm_col,
+        )
+
+        bspark = surv.sparkSession
+        embr = bspark.read.parquet(emb_path).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        emb_b = surv.select("doc_id").join(embr, "doc_id")
+        cent = bspark.createDataFrame(
+            sem_codebook, "centroid_id long, ce array<double>"
+        ).withColumn("cn", norm_col(F.col("ce")))
+        # eager: the assignment feeds the cell kernel AND the state
+        # append (two actions) — batch-sized, pin it once
+        assigned = (
+            _nearest_centroid_kernel_impl(
+                emb_b.withColumnRenamed("doc_id", "vec_id"),
+                cent,
+                keep_vec=True,
+            )
+            .withColumnRenamed("vec_id", "doc_id")
+            .localCheckpoint()
+        )
+
+        # state for evaluation: touched cells only, minus any rows
+        # from THIS batch (crash-replay guard — deterministic replay
+        # reproduces the pre-crash decisions, see module docstring)
+        if wh.table_exists(schema, semcells_table):
+            state = (
+                wh.read(schema, semcells_table)
+                .join(
+                    assigned.select("centroid_id").distinct(),
+                    "centroid_id",
+                    "left_semi",
+                )
+                .join(surv.select("doc_id"), "doc_id", "left_anti")
+            )
+        else:
+            state = bspark.createDataFrame(
+                [], "centroid_id long, doc_id long, e array<double>"
+            )
+        merged = assigned.select(
+            "centroid_id", "doc_id", "e", F.lit(False).alias("_st")
+        ).unionByName(
+            state.select(
+                "centroid_id", "doc_id", "e", F.lit(True).alias("_st")
+            )
+        )
+
+        def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            emat = np.array(list(pdf["e"]), dtype=np.float64)
+            nrm = np.sqrt((emat * emat).sum(axis=1))
+            is_st = pdf["_st"].to_numpy(dtype=bool)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            kept_rows = list(np.nonzero(is_st)[0])
+            out_ids, out_keep = [], []
+            for i in np.argsort(ids[~is_st], kind="stable"):
+                row = int(np.nonzero(~is_st)[0][i])
+                dup = False
+                if kept_rows:
+                    kr = np.array(kept_rows)
+                    cos = (emat[kr] @ emat[row]) / (
+                        nrm[kr] * nrm[row]
+                    )
+                    dup = bool(np.any(cos >= tau))
+                out_ids.append(int(ids[row]))
+                out_keep.append(not dup)
+                if not dup:
+                    kept_rows.append(row)
+            return pd.DataFrame(
+                {"doc_id": out_ids, "keep": out_keep}
+            )
+
+        flags = merged.groupBy("centroid_id").applyInPandas(
+            cell_kernel, "doc_id long, keep boolean"
+        )
+        flags = cache_tracked(flags)
+        try:
+            flags.count()  # eager: feeds the state append AND the drop
+            _append_keyed(
+                assigned.join(
+                    flags.filter(F.col("keep")).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                ).select("centroid_id", "doc_id", "e"),
+                semcells_table,
+            )
+            drops = [
+                r["doc_id"]
+                for r in flags.filter(~F.col("keep"))
+                .select("doc_id")
+                .collect()
+            ]
+        finally:
+            flags.unpersist()
+        if not drops:
+            return surv
+        return surv.join(
+            surv.sparkSession.createDataFrame(
+                [(d,) for d in drops], "doc_id long"
+            ),
+            "doc_id",
+            "left_anti",
+        )
+
+    def _decontam_stage(surv: DataFrame) -> DataFrame:
+        """Stateless decontamination: drop eval-member docs and docs
+        whose 3-gram shingle overlap with the session eval artifact
+        reaches the threshold (the batch stage-5 rule, kernel-side)."""
+        import re as _re
+
+        import pandas as pd
+
+        pat = _re.compile("[^a-z0-9]+")
+        ev = eval_shingles
+
+        def gen(batches):
+            for pdf in batches:
+                ids, contam = [], []
+                for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                    tk = [t for t in pat.split(txt.lower()) if t]
+                    seen = set()
+                    for i in range(len(tk) - 2):
+                        seen.add(f"{tk[i]} {tk[i + 1]} {tk[i + 2]}")
+                    c = bool(seen) and _py_round6(
+                        len(seen & ev) / len(seen)
+                    ) >= DECONTAM_THRESHOLD
+                    ids.append(did)
+                    contam.append(c)
+                yield pd.DataFrame(
+                    {"doc_id": ids, "contaminated": contam}
+                )
+
+        surv = surv.filter(F.col("doc_id") % EVAL_MOD != 0)
+        flags = surv.select("doc_id", "text").mapInPandas(
+            gen, "doc_id long, contaminated boolean"
+        )
+        return surv.join(
+            flags.filter(F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+
     def _finish(
         s2: DataFrame, decisions: DataFrame, batch_id: int
     ) -> None:
-        """Complete the trigger for a decided subset: survivors →
-        curated table, exact-stage survivors → content history."""
+        """Complete the trigger for the decided batch: LSH survivors
+        → SemDeDup → decontam → curated table; exact-stage survivors
+        → content history."""
         dec = decisions.select("doc_id", "is_dup")
         rows = s2.join(dec, "doc_id")
+        surv = rows.filter(~F.col("is_dup")).select(
+            "doc_id", "text", "source", "content_hash"
+        )
+        if emb_path is not None and sem_codebook is not None:
+            # two downstream consumers walk the survivor subtree (the
+            # semdedup join + the final append) over per-cell state
+            # reads — pin it once
+            surv = surv.localCheckpoint()
+            surv = _semdedup_stage(surv)
+        if eval_shingles is not None:
+            surv = _decontam_stage(surv)
         _append_keyed(
-            rows.filter(~F.col("is_dup"))
-            .select("doc_id", "text", "source", "content_hash")
+            surv.select("doc_id", "text", "source", "content_hash")
             .withColumn("batch_id", F.lit(batch_id)),
             curated_table,
         )

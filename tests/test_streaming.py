@@ -1027,3 +1027,279 @@ def test_stream_curation_backfills_after_index_append_crash(
     assert idx.wh.read(idx.schema, "curated_docs_hashes").count() == 2
     # the index holds each doc exactly once (no re-ingest happened)
     assert idx._docsets().count() == 2
+
+
+# two extra Gopher-passing paragraphs (distinct families: far apart in
+# shingle space from _CURATION_BASES and from each other)
+_CURATION_BASES["d"] = (
+    "the quiet orchard spreads ripened apples and humming bees over "
+    "the sloping meadow while farmers gather and children chase "
+    "kites between crooked fences as autumn sunlight warms the "
+    "gentle rustling golden leaves"
+)
+_CURATION_BASES["e"] = (
+    "the narrow canyon echoes rushing water and falling pebbles "
+    "under the painted cliffs while hikers scramble and guides "
+    "point routes across swaying bridges as morning mist settles "
+    "over mossy boulders below"
+)
+
+
+def test_stream_curation_semdedup_and_decontam_match_sequential(
+    spark, tmp_path
+):
+    """The round-9 stages: streaming SemDeDup (arrival-order greedy
+    against the standing per-cell state, cross-batch) and streaming
+    decontamination (eval members + shingle-overlap) must produce the
+    SAME curated set as a sequential batch loop of the same stages,
+    a full replay must be a no-op, and docs WITHOUT an embedding must
+    pass the semantic stage."""
+    import hashlib
+
+    import numpy as np
+
+    from bitcoin_datawarehouse_spark.operators.curation import (
+        DECONTAM_THRESHOLD,
+        EVAL_MOD,
+        gopher_keep_col,
+        gopher_metrics_frame,
+    )
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        shingle_sets_frame,
+    )
+    from bitcoin_datawarehouse_spark.operators.lsh_index import (
+        LshDedupIndex,
+    )
+    from bitcoin_datawarehouse_spark.streaming.curation_stream import (
+        _py_round6,
+        run_curation_stream,
+    )
+
+    a = _curation_text("a", "alpha beta gamma delta")
+    b = _curation_text("b", "epsilon zeta eta theta")
+    c = _curation_text("c", "kappa lam mu nu")
+    d = _curation_text("d", "omicron pi rho sigma")
+    e = _curation_text("e", "tau upsilon phi chi")
+
+    # embeddings: doc 1 and doc 11 are semantic dups ACROSS batches
+    # (different text families, so no LSH relation); doc 2 is far;
+    # doc 12 has NO embedding and must pass the semantic stage
+    codebook = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb_rows = [
+        (1, [1.0, 0.05, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.95, 0.1, 0.0, 0.0]),  # ≈ doc 1 → semantic drop
+    ]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(emb_path)
+
+    # eval shingle artifact built from paragraph e: doc 13 reuses the
+    # same family text → overlap ≈ 1 ≥ threshold → contaminated drop
+    def _shingles(txt: str) -> set[str]:
+        import re as _re
+
+        tk = [t for t in _re.split("[^a-z0-9]+", txt.lower()) if t]
+        return {
+            f"{tk[i]} {tk[i + 1]} {tk[i + 2]}"
+            for i in range(len(tk) - 2)
+        }
+
+    eval_shingles = frozenset(_shingles(e))
+
+    batches = [
+        [(1, a, "s0"), (2, b, "s0")],
+        [
+            (11, c, "s1"),  # semantic dup of 1 (cross-batch) → drop
+            (12, d, "s1"),  # no embedding → passes semantic stage
+            (13, _curation_text("e", "psi omega rho pebble"), "s1"),
+            # ^ contaminated vs the eval artifact → decontam drop
+            (EVAL_MOD * 3, _curation_text("d", "eval member tail"), "s1"),
+            # ^ eval member (doc_id % EVAL_MOD = 0): near-dup of 12 by
+            #   LSH? same family d — yes, LSH may drop it first; either
+            #   way it must NOT be curated
+        ],
+    ]
+
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"f{i}"))
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "wh")))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(
+            stream,
+            idx,
+            str(tmp_path / "ck1"),
+            emb_path=emb_path,
+            sem_codebook=codebook,
+            eval_shingles=eval_shingles,
+        )
+    )
+
+    # --- sequential reference over the same stages -------------------
+    ref_idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "ref_wh")))
+    emb_map = {i: np.array(v) for i, v in emb_rows}
+    cmat = np.array([v for _, v in codebook])
+    hist: set[str] = set()
+    sem_state: dict[int, list[np.ndarray]] = {0: [], 1: []}
+    curated_ref: set[int] = set()
+    for rows in batches:
+        bdf = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        keep_ids = {
+            r["doc_id"]
+            for r in gopher_metrics_frame(bdf.select("doc_id", "text"))
+            .filter(gopher_keep_col())
+            .select("doc_id")
+            .collect()
+        }
+        best: dict[str, tuple] = {}
+        for did, txt, _s in sorted(rows):
+            if did not in keep_ids:
+                continue
+            h = hashlib.md5(txt.encode()).hexdigest()
+            if h in hist or h in best:
+                continue
+            best[h] = (did, txt)
+        hist |= set(best.keys())
+        s2 = sorted(best.values())
+        if not s2:
+            continue
+        sdf = spark.createDataFrame(s2, "doc_id long, text string")
+        dec = ref_idx.ingest_batch(shingle_sets_frame(sdf))
+        lsh_surv = sorted(
+            r["doc_id"] for r in dec.collect() if not r["is_dup"]
+        )
+        texts = dict(s2)
+        for did in lsh_surv:  # arrival (doc_id) order within batch
+            v = emb_map.get(did)
+            if v is not None:
+                cos_c = (cmat @ v) / (
+                    np.linalg.norm(cmat, axis=1) * np.linalg.norm(v)
+                )
+                cell = int(np.argmax(cos_c))  # ties: smallest id wins
+                kept = sem_state[cell]
+                if any(
+                    float(k @ v)
+                    / (np.linalg.norm(k) * np.linalg.norm(v))
+                    >= 0.35
+                    for k in kept
+                ):
+                    continue
+                kept.append(v)
+            # decontam
+            if did % EVAL_MOD == 0:
+                continue
+            sh = _shingles(texts[did])
+            if sh and _py_round6(
+                len(sh & eval_shingles) / len(sh)
+            ) >= DECONTAM_THRESHOLD:
+                continue
+            curated_ref.add(did)
+
+    got = {
+        r["doc_id"]
+        for r in idx.wh.read(idx.schema, "curated_docs").collect()
+    }
+    assert got == curated_ref
+    assert 1 in got and 2 in got and 12 in got
+    assert 11 not in got and 13 not in got and EVAL_MOD * 3 not in got
+
+    # semantic state: kept reps only (1 and 2 — doc 11 dropped;
+    # 12 has no embedding so it never enters the state)
+    sem = idx.wh.read(idx.schema, "curated_docs_semcells").collect()
+    assert {r["doc_id"] for r in sem} == {1, 2}
+
+    # full replay, fresh checkpoint → byte-stable everything
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(
+            stream2,
+            idx,
+            str(tmp_path / "ck2"),
+            emb_path=emb_path,
+            sem_codebook=codebook,
+            eval_shingles=eval_shingles,
+        )
+    )
+    assert {
+        r["doc_id"]
+        for r in idx.wh.read(idx.schema, "curated_docs").collect()
+    } == curated_ref
+    assert (
+        idx.wh.read(idx.schema, "curated_docs_semcells").count() == 2
+    )
+
+
+def test_stream_curation_semdedup_crash_guard_excludes_own_batch(
+    spark, tmp_path
+):
+    """Crash window for the semantic state: a trigger that died AFTER
+    the semcells append but BEFORE the curated append must, on
+    replay, reproduce the pre-crash decisions — never mark a doc a
+    dup of its own crashed append (the state rows of the current
+    batch are excluded from evaluation)."""
+    from bitcoin_datawarehouse_spark.operators.lsh_index import (
+        LshDedupIndex,
+    )
+    from bitcoin_datawarehouse_spark.streaming.curation_stream import (
+        run_curation_stream,
+    )
+
+    a = _curation_text("a", "alpha beta gamma delta")
+    codebook = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(1, [1.0, 0.1])], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(emb_path)
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "wh")))
+    # simulate the crashed trigger: doc 1's kept rep landed in the
+    # state table but nothing else committed
+    idx.wh.append(
+        spark.createDataFrame(
+            [(0, 1, [1.0, 0.1])],
+            "centroid_id long, doc_id long, e array<double>",
+        ),
+        idx.schema,
+        "curated_docs_semcells",
+    )
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [(1, a, "s0")], "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(
+            stream,
+            idx,
+            str(tmp_path / "ck"),
+            emb_path=emb_path,
+            sem_codebook=codebook,
+        )
+    )
+    curated = idx.wh.read(idx.schema, "curated_docs").collect()
+    assert {r["doc_id"] for r in curated} == {1}  # not a self-dup
+    sem = idx.wh.read(idx.schema, "curated_docs_semcells").collect()
+    assert [(r["centroid_id"], r["doc_id"]) for r in sem] == [(0, 1)]

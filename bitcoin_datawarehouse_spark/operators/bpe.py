@@ -104,8 +104,11 @@ MergeRow = tuple[int, str, str, str, int]
 #: the delta trainer truncates the words frame's lineage every this
 #: many rounds — between checkpoints the chain is narrow
 #: (filter/union/replace, zero exchanges), so laziness trades a few
-#: re-derived vocab scans for one fewer materialization job per round
-_WORDS_CHECKPOINT_EVERY = 8
+#: re-derived vocab scans for one fewer materialization job per
+#: round.  Measured at a 413k-word synthetic vocabulary (64 rounds):
+#: K=1 0.490 s/round, K=4 0.388, K=8 0.413 — K=4 balances the chain
+#: re-derivation against the materialization floor (SCALING.md)
+_WORDS_CHECKPOINT_EVERY = 4
 
 _MERGE_TABLE_DDL = (
     "merge_round int, pair_a string, pair_b string,"

@@ -217,14 +217,20 @@ def _full_curation_oracle() -> str:
 
 
 def _curation_stage_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, quality_keep: DataFrame | None = None
 ) -> dict[str, DataFrame]:
     """Build every stage frame of the composite once (ordered:
     input → gopher → exact → minhash → semdedup → decontam →
     mixture) — shared by the packed-output gate and the funnel gate
     so the two can never disagree on stage semantics.  Eager cache
     fills happen here (stage-2 and stage-5, the CLAUDE.md
-    shared-subgraph rule)."""
+    shared-subgraph rule).
+
+    ``quality_keep`` (a (doc_id) frame) overrides the stage-1 Gopher
+    gate — the probe hook tools/probe_curation_funnel.py uses to run
+    the IDENTICAL downstream composition under a percentile-derived
+    band that keeps a constant fraction of the corpus (the gates
+    always run with the default)."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
 
@@ -233,6 +239,8 @@ def _curation_stage_frames(
         gopher_metrics_frame(docs)
         .filter(gopher_keep_col())
         .select("doc_id")
+        if quality_keep is None
+        else quality_keep.select("doc_id")
     )
     s1 = docs.join(gq, "doc_id").select("doc_id", "text", "source")
 
@@ -358,17 +366,13 @@ def _curation_stage_frames(
     }
 
 
-@query("trainprep_full_curation")
-def trainprep_full_curation(
-    spark: SparkSession, sf_dir: str
+def curated_packed(
+    spark: SparkSession, sf_dir: str, quality_keep: DataFrame | None = None
 ) -> DataFrame:
-    """All seven curation stages composed (module docstring) — the
-    reference's whole reason to exist (SURVEY §3) run as one driver
-    program.  Individual stages are gated by their own registered
-    queries; this gate proves the COMPOSITION: stage ordering,
-    restriction semantics, shared-frame caching, and the final packed
-    output, cross-engine."""
-    s6 = _curation_stage_frames(spark, sf_dir)["mixture"]
+    """The composite's full body (stages 1-7) with the probe's
+    quality-stage hook — ``trainprep_full_curation`` is this at the
+    default Gopher gate."""
+    s6 = _curation_stage_frames(spark, sf_dir, quality_keep)["mixture"]
 
     # 7. split + pack (the trainprep_corpus_pipeline tail)
     hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
@@ -400,6 +404,19 @@ def trainprep_full_curation(
         "start_offset",
         F.floor(F.col("start_offset") / PACK_BUDGET).alias("chunk_id"),
     )
+
+
+@query("trainprep_full_curation")
+def trainprep_full_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All seven curation stages composed (module docstring) — the
+    reference's whole reason to exist (SURVEY §3) run as one driver
+    program.  Individual stages are gated by their own registered
+    queries; this gate proves the COMPOSITION: stage ordering,
+    restriction semantics, shared-frame caching, and the final packed
+    output, cross-engine."""
+    return curated_packed(spark, sf_dir)
 
 
 @query("trainprep_curation_funnel")

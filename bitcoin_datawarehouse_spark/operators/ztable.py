@@ -216,6 +216,40 @@ class ZOrderedTable:
         )
         return df, len(keep), len(dirs)
 
+    def read_range_manifest(
+        self, ranges: dict[str, tuple]
+    ) -> tuple[DataFrame, int, int]:
+        """(frame, files_read, files_total): range read through the
+        table's maintained file-stats manifest sidecar
+        (``<path>/manifest``, kept fresh by the streaming ingest loop
+        or an explicit ``refresh_manifest_sidecar``) — finer than
+        :meth:`read_range`'s z-block pruning (per-FILE min/max
+        intersect vs per-block coarse ranges), same exact predicate
+        re-applied.  The catalog twin is ``Warehouse.read_pruned``."""
+        from bitcoin_datawarehouse_spark.operators.storage import (
+            manifest_pruned_read,
+            refresh_manifest_sidecar,
+        )
+
+        import shutil as _sh
+
+        mdir = self.path / "manifest"
+        man = (
+            self.spark.read.parquet(str(mdir)) if mdir.exists() else None
+        )
+        if man is None or any(
+            f"min_{c}" not in man.columns for c in ranges
+        ):
+            # absent, or maintained over a different stat-column set:
+            # rebuild from scratch (kept rows can't grow new stat
+            # columns, and mispruning on missing stats is silent)
+            if mdir.exists():
+                _sh.rmtree(mdir)
+            man = refresh_manifest_sidecar(
+                self.spark, str(self.path), sorted(ranges)
+            )
+        return manifest_pruned_read(self.spark, man, ranges)
+
     def read_all(self) -> DataFrame:
         return self.read_all_with(self.spark)
 

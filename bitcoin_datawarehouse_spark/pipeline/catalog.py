@@ -140,8 +140,84 @@ class Warehouse:
             shutil.rmtree(p)
 
     # -- IO ----------------------------------------------------------------
-    def read(self, schema: str, table: str) -> DataFrame:
-        return self.spark.read.parquet(str(self.table_path(schema, table)))
+    def read(
+        self,
+        schema: str,
+        table: str,
+        ranges: dict[str, tuple] | None = None,
+        use_manifest: bool = False,
+    ) -> DataFrame:
+        """Read ``schema.table``; with ``ranges`` (``col: (lo, hi)``)
+        the exact range predicate applies either as a plain filter or
+        — with ``use_manifest=True`` — through the table's persisted
+        file-skipping manifest sidecar, so only files whose min/max
+        stats intersect every range are OPENED (identical rows, fewer
+        files; the functions-level ``manifest_pruned_read`` wired into
+        the catalog read path, r8 VERDICT item 7)."""
+        if ranges is None:
+            return self.spark.read.parquet(
+                str(self.table_path(schema, table))
+            )
+        if not use_manifest:
+            from pyspark.sql import functions as F
+
+            df = self.spark.read.parquet(
+                str(self.table_path(schema, table))
+            )
+            for c, (lo, hi) in ranges.items():
+                df = df.filter(
+                    (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+                )
+            return df
+        return self.read_pruned(schema, table, ranges)[0]
+
+    def _manifest_sidecar(self, schema: str, table: str, cols) -> str:
+        """Sidecar name for a table's file-stats manifest over a
+        given stat-column SET — column-set-keyed so a read over new
+        predicate columns rebuilds its own sidecar instead of
+        silently pruning on stats it does not have.  The ``.__``
+        infix keeps it out of ``list_tables`` and clear of the
+        atomic-swap temp namespaces."""
+        import hashlib as _hl
+
+        digest = _hl.md5(
+            "|".join(sorted(cols)).encode()
+        ).hexdigest()[:8]
+        return f"{table}.__manifest_{digest}"
+
+    def read_pruned(
+        self, schema: str, table: str, ranges: dict[str, tuple]
+    ) -> tuple[DataFrame, int, int]:
+        """(frame, files_read, files_total): the manifest-routed range
+        read with its pruning stats (tests and probes read the
+        counters; :meth:`read` returns just the frame).
+
+        The sidecar is synced against the table directory FIRST
+        (``sync_manifest``: stat only never-seen files, drop vanished
+        entries — an atomic table replace is just all-vanished +
+        all-new), checkpointed, then atomically rewritten, so the
+        pruned read never references a swapped-out sidecar and a
+        crash between sync and swap only costs a re-sync."""
+        from bitcoin_datawarehouse_spark.operators.storage import (
+            manifest_pruned_read,
+            sync_manifest,
+        )
+
+        cols = sorted(ranges)
+        side = self._manifest_sidecar(schema, table, cols)
+        old = (
+            self.read(schema, side)
+            if self.table_exists(schema, side)
+            else None
+        )
+        man = sync_manifest(
+            self.spark,
+            old,
+            str(self.table_path(schema, table)),
+            cols,
+        ).localCheckpoint()
+        self.write_atomic(man, schema, side, coalesce=1)
+        return manifest_pruned_read(self.spark, man, ranges)
 
     def write_atomic(
         self,

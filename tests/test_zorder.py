@@ -602,3 +602,93 @@ def test_ztable_refuses_mismatched_geometry(spark, tmp_path):
         ZOrderedTable(spark, path, [("x", 128), ("y", 64)], block_bits=2)
     with pytest.raises(ValueError, match="block_bits"):
         ZOrderedTable(spark, path, [("x", 64), ("y", 64)], block_bits=3)
+
+
+def test_warehouse_read_pruned_equals_filter_and_skips_files(
+    spark, tmp_path
+):
+    """The catalog-level manifest read (r8 VERDICT item 7):
+    Warehouse.read(..., ranges, use_manifest=True) must return
+    exactly the plain-filter rows while OPENING fewer files, survive
+    an atomic table replace (the sidecar resyncs: vanished entries
+    dropped, new files statted), and key its sidecar by stat-column
+    set."""
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(1000).select(
+        F.col("id").alias("v"), (F.col("id") * 7 % 13).alias("w")
+    )
+    # range-clustered files → tight per-file min/max on v
+    wh.write_atomic(df.repartitionByRange(8, "v"), "lake", "t")
+
+    ranges = {"v": (100, 199)}
+    pruned, files_read, files_total = wh.read_pruned("lake", "t", ranges)
+    want = sorted(
+        tuple(r) for r in wh.read("lake", "t", ranges=ranges).collect()
+    )
+    got = sorted(tuple(r) for r in pruned.collect())
+    got2 = sorted(
+        tuple(r)
+        for r in wh.read(
+            "lake", "t", ranges=ranges, use_manifest=True
+        ).collect()
+    )
+    assert got == want == got2 and len(got) == 100
+    assert files_read < files_total
+    # the sidecar is a catalog-invisible table keyed by column set
+    assert "t" in wh.list_tables("lake")
+    assert all(".__manifest_" not in n for n in wh.list_tables("lake"))
+
+    # atomic replace: all files vanish, new ones appear — the synced
+    # sidecar must neither fail (stale entry = missing input) nor
+    # over-keep
+    df2 = spark.range(500).select(
+        (F.col("id") + 2000).alias("v"), F.lit(0).alias("w")
+    )
+    wh.write_atomic(df2.repartitionByRange(4, "v"), "lake", "t")
+    pruned2, read2, total2 = wh.read_pruned("lake", "t", ranges)
+    assert pruned2.count() == 0 and total2 == 4
+    pr3, read3, total3 = wh.read_pruned(
+        "lake", "t", {"v": (2000, 2099)}
+    )
+    assert pr3.count() == 100 and read3 < total3
+
+    # a different predicate column builds its OWN sidecar (never
+    # mispruning on stats the first sidecar does not have)
+    prw, readw, totalw = wh.read_pruned("lake", "t", {"w": (0, 0)})
+    assert prw.count() == 500 and totalw == 4
+
+
+def test_ztable_read_range_manifest_matches_block_read(spark, tmp_path):
+    """ZOrderedTable.read_range_manifest (the sidecar-routed range
+    read) must equal read_range's rows and the full-scan filter, and
+    self-heal when the sidecar is absent or maintained over different
+    stat columns."""
+    from bitcoin_datawarehouse_spark.operators.ztable import ZOrderedTable
+
+    tab = ZOrderedTable(
+        spark, str(tmp_path / "t"), [("x", 64), ("y", 64)], block_bits=2
+    )
+    rows = spark.range(2000).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64).cast("long") % 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    tab.seed(rows)
+    ranges = {"x": (5, 20), "y": (2, 12)}
+    want = sorted(
+        (r["x"], r["y"], r["payload"])
+        for r in tab.read_range(ranges)[0].collect()
+    )
+    # no sidecar yet → built on first use
+    pruned, files_read, files_total = tab.read_range_manifest(ranges)
+    got = sorted(
+        (r["x"], r["y"], r["payload"]) for r in pruned.collect()
+    )
+    assert got == want and got
+    assert files_read <= files_total
+    # different stat columns → the stale sidecar is rebuilt, not
+    # silently mispruned
+    pr2, _, _ = tab.read_range_manifest({"payload": (100, 199)})
+    assert pr2.count() == 100

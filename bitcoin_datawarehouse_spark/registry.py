@@ -55,114 +55,89 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: its old driver-green row proved the old code, so it re-enters the
 #: window for one round alongside genuinely new registrations.
 #:
-#: Round-8 rotation (r7 VERDICT item 8): the union of
-#: CORRECTNESS_r01..r07 covers all previously-registered oracle-backed
-#: queries and r7 alone verified 50, so every unchanged r7 seat
-#: rotated out.  This window seats the canary, the 6 round-8 NEW /
-#: newly-oracled queries, the 6 round-8 REWRITES (per the standing
-#: rule a materially rewritten implementation re-enters even if its
-#: old body was driver-green), and fills the other 37 with the
-#: STALEST driver rows — ALL 15 remaining r3-vintage and all 7
-#: r4-vintage queries plus the oldest 15 of the r5 slice — as
-#: re-confirmation against shared-infrastructure drift.  Every name
-#: here has a SQL oracle — zero rows-only checks in-window.
+#: Round-9 rotation (r8 VERDICT item 6): CORRECTNESS_r08 verified all
+#: 50 r8 seats, so every unchanged r8 seat rotates out.  This window
+#: seats the canary, the 1 round-9 NEW query, the 5 round-9 REWRITES
+#: (per the standing rule a materially rewritten implementation
+#: re-enters even if its old body was driver-green), and fills the
+#: other 43 with the STALEST driver rows — ALL 30 remaining
+#: r5-vintage queries plus the oldest 13 of the r6 vintage
+#: (alphabetical within vintage) — as re-confirmation against
+#: shared-infrastructure drift.  Every name here has a SQL oracle —
+#: zero rows-only checks in-window.
 DRIVER_WINDOW: list[str] = [
-    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r7)
+    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r8)
     "pricing_summary",
-    # --- round-8 NEW / newly-oracled ---
-    # PSI upgraded from rows-only to the full hash gate (r7 VERDICT
-    # item 4: ROUND(ln-term, 6) before the exact decimal sum — the
-    # bm25.py transcendental precedent)
-    "profile_drift_psi",
-    # runtime auto-nprobe IVF search (the recall harness now DRIVES
-    # the tuning loop; order-statistic rule mirrored in SQL) — both
-    # the in-plan path and the persisted-index serving configuration
-    "similarity_ivf_topk_auto",
-    "similarity_ivf_index_topk_auto",
-    # BPE tokenizer training as iterative DataFrame aggregates (merge
-    # table hash-gated via an unrolled-CTE oracle) + the apply half
-    # (corpus encoded with the learned merges as chained codegen
-    # replaces; the oracle re-trains in SQL and applies per round)
+    # --- round-9 NEW ---
+    # chunk-level ANN retrieval composite: chunk → token-hash TF
+    # featurizer → persisted IVF index → own-doc-excluded top-k →
+    # per-doc best-chunk reduction (oracle composes the registered
+    # chunk CTE verbatim with the IVF skeleton)
+    "similarity_chunk_retrieval",
+    # --- round-9 REWRITES ---
+    # BPE training now runs the get_stats-DELTA pair-count
+    # maintenance (only words containing the merged pair re-count);
+    # the encode gate applies merges through ONE Arrow kernel with a
+    # broadcast rank dict instead of per-merge codegen replace nodes
     "text_bpe_merges",
     "text_bpe_encode",
-    # sliding-window document chunking (RAG/pretraining windows —
-    # stateless map-only plan, byte-exact chunk text cross-engine)
-    "text_chunk_windows",
-    # length-bucketed batch planning (padding-minimizing dynamic
-    # batching; in-bucket order via the DISTRIBUTED rank helper —
-    # never a per-bucket single-partition window)
-    "trainprep_length_batches",
-    # the seven-stage curation pipeline composed end to end (oracle
-    # chains the registered stage oracles verbatim)
-    "trainprep_full_curation",
-    # ...and its per-stage funnel artifact (shares the exact stage
-    # frames / CTE chain, so it can never disagree with the pipeline)
-    "trainprep_curation_funnel",
-    # cross-method dedup agreement readout (text MinHash pairs vs
-    # embedding-cosine pairs — both oracles embedded verbatim)
+    # the two pair frames now cache_tracked + eagerly filled (each
+    # fed two subtrees of one action — the r8 VERDICT nit)
     "dedup_method_agreement",
-    # --- round-8 REWRITES ---
-    # connected components rewritten to alternating large-star/
-    # small-star contraction (graph.py, r7 VERDICT item 3) — both
-    # consumers re-enter until a driver round proves the new path
-    "dedup_canonical_docs",
-    "er_entity_clusters",
-    # the SemDeDup production default gained the cap-regime physical
-    # switch (use_split_variant wiring; r7 VERDICT item 1)
-    "dedup_semantic_semdedup_auto",
-    # minhash_lsh_pairs split into the frame-level
-    # minhash_pairs_from_sets (both registered instances re-enter)
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    # similarity_ivf_topk's body moved into the parametric
-    # _ivf_topk_impl (the fixed-nprobe wrapper re-enters)
-    "similarity_ivf_topk",
-    # --- round-8 re-confirmation fill: the 39 seats left go to the
-    # queries whose driver-green rows are OLDEST — every remaining
-    # r3-vintage row (15), every r4-vintage row (7), and the oldest
-    # 17 of the r5 vintage (alphabetical within vintage; union
-    # coverage pinned by test_registry_window) ---
-    # r3 vintage
-    "agg_string_concat",
-    "cube_revenue",
-    "join_full_outer",
-    "join_left_order_counts",
-    "join_star_regional_revenue",
-    "pivot_status_value",
-    "rollup_revenue",
-    "setop_except_all",
-    "streaming_enrich_static",
-    "time_bucket_hourly",
-    "tpch_q10_returned_items",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "window_cumulative",
-    "window_moving_avg",
-    # r4 vintage
-    "cogroup_asof_alignment",
-    "expr_null_semantics",
-    "map_props_entries",
-    "setop_intersect_all",
-    "setop_union_all",
-    "window_ntile_dist",
-    "window_range_frame",
-    # oldest 15 of the r5 vintage (two seats went to the in-session
-    # additions text_bpe_encode and similarity_ivf_index_topk_auto;
-    # the displaced similarity_bruteforce_topk stays covered by its r5
-    # row AND re-proves transitively inside similarity_ivf_recall's
-    # and the auto-nprobe oracles; decontam_minhash_fuzzy by its r5
-    # row)
-    "cohort_weekly_retention",
-    "decontam_ngram_overlap",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_wide",
-    "dedup_incremental_batch",
-    "dedup_substring_spans",
-    "funnel_view_signup_purchase",
-    "join_range_bucketized",
-    "multimodal_frame_digest",
-    "multimodal_resize_digest",
+    # the composite body moved into curated_packed() with the
+    # probe's quality-stage hook (stage frames signature change)
+    "trainprep_full_curation",
+    "trainprep_curation_funnel",
+    # --- round-9 re-confirmation fill: the 43 seats left go to the
+    # queries whose driver-green rows are OLDEST — every r5-vintage
+    # row (30) and the oldest 13 of the r6 vintage (alphabetical
+    # within vintage; union coverage pinned by test_registry_window)
+    # ---
+    # r5 vintage (all 30)
+    "decontam_minhash_fuzzy",
+    "pipeline_delete_where",
+    "pipeline_merge_upsert",
+    "pipeline_watermark_extract",
+    "profile_column_stats",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_assign",
+    "similarity_ivf_kmeans_assign",
+    "sql_correlated_subquery",
+    "sql_recursive_date_spine",
+    "sql_scalar_subqueries",
+    "streaming_attribution_join",
+    "streaming_dedup_exact",
+    "streaming_quality_filter",
+    "streaming_windowed_counts",
+    "text_gopher_rules",
+    "text_lm_quality_approx",
+    "text_pii_scan",
+    "text_repetition_stats",
+    "text_tfidf_topk",
+    "text_token_count",
+    "text_token_histogram",
+    "trainprep_corpus_pipeline",
+    "trainprep_domain_mixture",
+    "trainprep_global_shuffle",
+    "trainprep_hash_split",
+    "trainprep_pack_sequences",
+    "trainprep_quantize_int8",
+    "trainprep_stratified_sample",
+    "trainprep_token_budget",
+    # oldest 13 of the r6 vintage
+    "affinity_brand_pairs",
+    "cdc_snapshot_diff",
+    "dedup_embedding_cosine_lsh_auto",
+    "dedup_paragraphs",
+    "dedup_paragraphs_by_source",
+    "dedup_substring_spans_winnowed",
+    "er_fuzzy_name_pairs",
+    "er_fuzzy_name_pairs_passjoin",
+    "events_gap_islands",
+    "events_gapfill_locf",
+    "events_twap",
+    "graph_pagerank_event_transitions",
+    "pipeline_scd2_history",
 ]
 
 

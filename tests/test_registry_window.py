@@ -42,38 +42,26 @@ def test_ordered_queries_matches_entrypoint():
     assert list(ordered_queries()) == list(entrymod.queries())
 
 
-def test_round8_rotation_is_in_window():
+def test_round9_rotation_is_in_window():
     """Rotation rule (r4 ADVICE, refined r6/r7 VERDICT item 8): new
     registrations AND queries materially rewritten since their last
     driver check must hold window seats until a driver round proves
     the CURRENT implementation (plus the pricing_summary decimal
-    canary).  The r7 obligations all discharged via their
-    CORRECTNESS_r07 green rows — their seats rotated to the round-8
-    set below plus the stalest-vintage re-confirmation fill (all
-    remaining r3/r4-vintage rows + the oldest r5 slice)."""
+    canary).  The r8 obligations all discharged via their
+    CORRECTNESS_r08 green rows (50/50) — their seats rotated to the
+    round-9 set below plus the stalest-vintage re-confirmation fill
+    (all 30 r5-vintage rows + the oldest 13 of the r6 vintage)."""
     rotation = {
-        # new / newly-oracled in round 8
-        "profile_drift_psi",
-        "similarity_ivf_topk_auto",
-        "similarity_ivf_index_topk_auto",
+        # new in round 9
+        "similarity_chunk_retrieval",
+        # rewritten in round 9: BPE delta trainer + Arrow-kernel
+        # apply, the method-agreement pair-frame caching, and the
+        # composite-body extraction (curated_packed + quality hook)
         "text_bpe_merges",
         "text_bpe_encode",
-        "text_chunk_windows",
-        "trainprep_length_batches",
+        "dedup_method_agreement",
         "trainprep_full_curation",
         "trainprep_curation_funnel",
-        "dedup_method_agreement",
-        # rewritten in round 8: connected components (alternating
-        # large-star/small-star) under both consumers, the SemDeDup
-        # cap-regime auto-switch, the minhash pairs frame-level
-        # refactor under both LSH instances, and the IVF topk body
-        # move into the parametric impl
-        "dedup_canonical_docs",
-        "er_entity_clusters",
-        "dedup_semantic_semdedup_auto",
-        "dedup_minhash_lsh",
-        "dedup_minhash_lsh_capped",
-        "similarity_ivf_topk",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

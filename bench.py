@@ -143,6 +143,14 @@ HEADLINE = [
     "text_bpe_merges",
     "similarity_ivf_topk_auto",
     "dedup_canonical_docs",
+    # round-9 additions (53 → 55): the chunk-level retrieval composite
+    # (chunk → featurize → persisted IVF build+serve → per-doc
+    # reduction — its wall is the RAG-loop composition number; DuckDB
+    # pays the same chain as CTEs) and the tokenizer APPLY through the
+    # Arrow rank-dict kernel (benched next to text_bpe_merges so the
+    # train and apply halves are separate recorded numbers)
+    "similarity_chunk_retrieval",
+    "text_bpe_encode",
 ]
 
 

@@ -907,6 +907,42 @@ def test_bpe_delta_training_randomized_vocab_property(spark):
         assert bpe_train(words, 10) == ref_train(corpus, 10), seed
 
 
+def test_bpe_local_trainer_equals_distributed(spark):
+    """The driver-local indexed trainer (bpe_train_auto's small-vocab
+    regime: lazy-heap argmax + posting-list delta, zero Spark jobs
+    per round) must be bit-equal to the distributed delta trainer —
+    on the fixture vocabulary at a round count that exhausts it
+    mid-run (early-stop parity), on the planted overlap/tie corpus,
+    and on seeded random vocabularies."""
+    import random
+
+    from bitcoin_datawarehouse_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_auto,
+        bpe_word_table,
+    )
+    from pyspark.sql import functions as F
+
+    words = bpe_word_table(spark, SF_SMALL)
+    assert bpe_train_auto(words, 40) == bpe_train(words, 40)
+
+    for seed in (3, 99):
+        rng = random.Random(seed)
+        corpus = [
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(20, 60))
+        ]
+        w = (
+            spark.createDataFrame([(x,) for x in corpus], "word string")
+            .groupBy("word")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .select(
+                F.regexp_replace("word", "(.)", "[$1]").alias("s"), "cnt"
+            )
+        )
+        assert bpe_train_auto(w, 15) == bpe_train(w, 15), seed
+
+
 def test_bpe_kernel_apply_equals_chained_replace(spark):
     """The r9 Arrow-kernel apply (min-rank-present loop over a
     broadcast rank dict) must be bit-equal to the chained-literal-

@@ -192,29 +192,40 @@ class Warehouse:
         read with its pruning stats (tests and probes read the
         counters; :meth:`read` returns just the frame).
 
-        The sidecar is synced against the table directory FIRST
-        (``sync_manifest``: stat only never-seen files, drop vanished
-        entries — an atomic table replace is just all-vanished +
-        all-new), checkpointed, then atomically rewritten, so the
-        pruned read never references a swapped-out sidecar and a
-        crash between sync and swap only costs a re-sync."""
+        Steady state (the directory's file set matches the sidecar —
+        the common repeated-read case) serves straight from the
+        persisted sidecar with ZERO write jobs; otherwise the sidecar
+        is synced (``sync_manifest``: stat only never-seen files, drop
+        vanished entries — an atomic table replace is just
+        all-vanished + all-new), checkpointed, then atomically
+        rewritten, so the pruned read never references a swapped-out
+        sidecar and a crash between sync and swap only costs a
+        re-sync."""
+        import pathlib
+
         from bitcoin_datawarehouse_spark.operators.storage import (
+            _as_file_uri,
             manifest_pruned_read,
             sync_manifest,
         )
 
         cols = sorted(ranges)
         side = self._manifest_sidecar(schema, table, cols)
-        old = (
-            self.read(schema, side)
-            if self.table_exists(schema, side)
-            else None
-        )
+        data_path = self.table_path(schema, table)
+        current = {
+            _as_file_uri(str(p))
+            for p in pathlib.Path(data_path).rglob("*.parquet")
+        }
+        old = None
+        if self.table_exists(schema, side):
+            old = self.read(schema, side)
+            known = {
+                r[0] for r in old.select("file_path").collect()
+            }
+            if known == current:
+                return manifest_pruned_read(self.spark, old, ranges)
         man = sync_manifest(
-            self.spark,
-            old,
-            str(self.table_path(schema, table)),
-            cols,
+            self.spark, old, str(data_path), cols
         ).localCheckpoint()
         self.write_atomic(man, schema, side, coalesce=1)
         return manifest_pruned_read(self.spark, man, ranges)

@@ -383,7 +383,10 @@ def bpe_train_auto(words: DataFrame, n_rounds: int) -> list[MergeRow]:
     a larger-than-driver table trains through the distributed delta
     loop (:func:`bpe_train`).  Both regimes are pinned bit-equal, so
     the switch is physical only — the ivf/semdedup auto-switch
-    discipline applied to tokenizer training."""
+    discipline applied to tokenizer training.  ``words`` must be the
+    INITIAL word table (:func:`bpe_word_table`'s single-character
+    bracket groups — the local unwrap strips brackets to recover the
+    raw word)."""
     if words.count() <= BPE_LOCAL_VOCAB_MAX:
         rows = words.select("s", "cnt").collect()
         # the collected form is bracketed symbols — unwrap to the raw

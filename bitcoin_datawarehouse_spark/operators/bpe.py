@@ -692,6 +692,43 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_ratio(bpe_apply_kernel(docs, merges))
 
 
+@query("text_bpe_encode_served", oracle=_encode_oracle(BPE_MERGE_ROUNDS))
+def text_bpe_encode_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PERSISTED-tokenizer serving configuration, driver-proven:
+    train (distributed delta) → ``save_bpe_merges`` into a scratch
+    Warehouse model table → ``load_bpe_merges`` → the Arrow apply
+    kernel — the full build/serve round trip under the SAME oracle as
+    ``text_bpe_encode`` (rows are bit-identical by the load≡train
+    pytest, so one oracle is the contract for both; the ivf_index
+    persisted-twin discipline).
+
+    Scratch-warehouse residue/concurrency notes as in
+    ``ivf_index._scratch_index_search``: one deterministic
+    per-(user, process, fixture) root, overwritten across calls."""
+    import getpass
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "bds_bpe_{}_{}_{}".format(
+            getpass.getuser(),
+            os.getpid(),
+            _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
+        ),
+    )
+    wh = Warehouse(spark, scratch)
+    merges = bpe_train(bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS)
+    save_bpe_merges(wh, spark, merges)
+    docs = load_table(spark, sf_dir, "documents")
+    return encode_with(wh, docs)
+
+
 @query("text_bpe_merges", oracle=_bpe_oracle(BPE_MERGE_ROUNDS))
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first ``BPE_MERGE_ROUNDS`` byte-pair merges trained on the

@@ -57,11 +57,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:
 #: Round-9 rotation (r8 VERDICT item 6): CORRECTNESS_r08 verified all
 #: 50 r8 seats, so every unchanged r8 seat rotates out.  This window
-#: seats the canary, the 1 round-9 NEW query, the 5 round-9 REWRITES
-#: (per the standing rule a materially rewritten implementation
-#: re-enters even if its old body was driver-green), and fills the
-#: other 43 with the STALEST driver rows — ALL 30 remaining
-#: r5-vintage queries plus the oldest 13 of the r6 vintage
+#: seats the canary, the 2 round-9 NEW queries, the 5 round-9
+#: REWRITES (per the standing rule a materially rewritten
+#: implementation re-enters even if its old body was driver-green),
+#: and fills the other 42 with the STALEST driver rows — ALL 30
+#: remaining r5-vintage queries plus the oldest 12 of the r6 vintage
 #: (alphabetical within vintage) — as re-confirmation against
 #: shared-infrastructure drift.  Every name here has a SQL oracle —
 #: zero rows-only checks in-window.
@@ -74,6 +74,10 @@ DRIVER_WINDOW: list[str] = [
     # per-doc best-chunk reduction (oracle composes the registered
     # chunk CTE verbatim with the IVF skeleton)
     "similarity_chunk_retrieval",
+    # persisted-tokenizer serving round trip (train → Warehouse model
+    # table → load → Arrow apply kernel, under text_bpe_encode's
+    # oracle — the ivf_index persisted-twin discipline)
+    "text_bpe_encode_served",
     # --- round-9 REWRITES ---
     # BPE training now runs the get_stats-DELTA pair-count
     # maintenance (only words containing the merged pair re-count);
@@ -124,7 +128,9 @@ DRIVER_WINDOW: list[str] = [
     "trainprep_quantize_int8",
     "trainprep_stratified_sample",
     "trainprep_token_budget",
-    # oldest 13 of the r6 vintage
+    # oldest 12 of the r6 vintage (pipeline_scd2_history, 13th
+    # alphabetically, ceded its seat to text_bpe_encode_served — its
+    # r6 row stands)
     "affinity_brand_pairs",
     "cdc_snapshot_diff",
     "dedup_embedding_cosine_lsh_auto",
@@ -137,7 +143,6 @@ DRIVER_WINDOW: list[str] = [
     "events_gapfill_locf",
     "events_twap",
     "graph_pagerank_event_transitions",
-    "pipeline_scd2_history",
 ]
 
 

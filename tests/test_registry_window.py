@@ -54,6 +54,7 @@ def test_round9_rotation_is_in_window():
     rotation = {
         # new in round 9
         "similarity_chunk_retrieval",
+        "text_bpe_encode_served",
         # rewritten in round 9: BPE delta trainer + Arrow-kernel
         # apply, the method-agreement pair-frame caching, and the
         # composite-body extraction (curated_packed + quality hook)

@@ -472,7 +472,14 @@ def bpe_apply_kernel(
         for pdf in batches:
             ids, nw, nt = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ws = _TOKEN_RE.findall(text.lower())
+                # token-less and NULL-text docs emit NO row — the
+                # oracle's unnest and the chained-replace plan's
+                # explode both drop them (review-caught divergence:
+                # an (id, 0, 0, NULL) row hash-mismatches the gate,
+                # and .lower() on NULL crashed the serve path)
+                ws = _TOKEN_RE.findall(text.lower()) if text else []
+                if not ws:
+                    continue
                 ids.append(doc_id)
                 nw.append(len(ws))
                 nt.append(sum(enc(w) for w in ws))
@@ -704,25 +711,14 @@ def text_bpe_encode_served(
     pytest, so one oracle is the contract for both; the ivf_index
     persisted-twin discipline).
 
-    Scratch-warehouse residue/concurrency notes as in
-    ``ivf_index._scratch_index_search``: one deterministic
-    per-(user, process, fixture) root, overwritten across calls."""
-    import getpass
-    import hashlib as _hl
-    import os
-    import tempfile
-
-    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
-
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        "bds_bpe_{}_{}_{}".format(
-            getpass.getuser(),
-            os.getpid(),
-            _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
-        ),
+    Scratch-warehouse residue/concurrency rules owned by
+    ``pipeline.catalog.scratch_root``."""
+    from bitcoin_datawarehouse_spark.pipeline.catalog import (
+        Warehouse,
+        scratch_root,
     )
-    wh = Warehouse(spark, scratch)
+
+    wh = Warehouse(spark, scratch_root("bds_bpe", sf_dir))
     merges = bpe_train(bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS)
     save_bpe_merges(wh, spark, merges)
     docs = load_table(spark, sf_dir, "documents")

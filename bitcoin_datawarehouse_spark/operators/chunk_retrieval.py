@@ -123,13 +123,11 @@ def chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_retrieval_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import getpass
-    import hashlib as _hl
-    import os
-    import tempfile
-
     from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
-    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+    from bitcoin_datawarehouse_spark.pipeline.catalog import (
+        Warehouse,
+        scratch_root,
+    )
 
     from bitcoin_datawarehouse_spark.functions.cachereg import (
         cache_tracked,
@@ -154,17 +152,8 @@ def _chunk_retrieval_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # scratch-warehouse discipline of _scratch_index_search: one
-    # deterministic per-(user, process, fixture) root, overwritten
-    # across invocations — bounded residue, no /tmp squatting races
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        "bds_chunkivf_{}_{}_{}".format(
-            getpass.getuser(),
-            os.getpid(),
-            _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
-        ),
-    )
+    # residue/concurrency rules owned by catalog.scratch_root
+    scratch = scratch_root("bds_chunkivf", sf_dir)
     idx = IvfIndex(
         Warehouse(spark, scratch),
         schema="ann_index",

@@ -658,34 +658,12 @@ def _scratch_index_search(
     search the bounded query workload from the persisted lists.
 
     ONE deterministic scratch warehouse, reused (and overwritten)
-    across invocations: a per-call mkdtemp would leak a codebook
-    dir per run and accrete a corpus-sized lists table per distinct
-    catalog name in the session warehouse.  The returned DataFrame
-    stays lazy (the driver collects after we return), so the table
-    must survive the call — bounded residue: one copy per
-    (user, process, sf_dir), reclaimed by the next same-keyed
-    call's overwrite.  Keyed per-user + per-process + per-fixture:
-    a world-predictable shared /tmp path would let two concurrent
-    runs (bench + check_oracle, or two users on a shared host)
-    clobber each other's lists mid-collect — the returned frame is
-    lazy, so a concurrent rebuild's DROP+rmtree would land under an
-    in-flight scan; a pre-created dir by another user is also the
-    classic /tmp squatting hazard.
+    across invocations — residue/concurrency rules owned by
+    ``pipeline.catalog.scratch_root``.
     """
-    import getpass
-    import hashlib as _hl
-    import os
-    import tempfile
+    from bitcoin_datawarehouse_spark.pipeline.catalog import scratch_root
 
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        "{}_{}_{}_{}".format(
-            prefix,
-            getpass.getuser(),
-            os.getpid(),
-            _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
-        ),
-    )
+    scratch = scratch_root(prefix, sf_dir)
     emb = _normed(spark, sf_dir)
     idx = IvfIndex(
         Warehouse(spark, scratch),
@@ -771,22 +749,9 @@ def similarity_ivfpq_index_topk(
     bucket-prunes to the probed lists and ADC-reranks over the 4-byte
     codes.  The raw vectors are never read at search time — the
     128×-compressed lists ARE the serving store."""
-    import getpass
-    import hashlib as _hl
-    import os
-    import tempfile
+    from bitcoin_datawarehouse_spark.pipeline.catalog import scratch_root
 
-    # same scratch-warehouse keying rationale as
-    # similarity_ivf_index_topk above (per-user + per-process +
-    # per-fixture; lazy result frame must survive the call)
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        "bds_ivf_{}_{}_{}".format(
-            getpass.getuser(),
-            os.getpid(),
-            _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
-        ),
-    )
+    scratch = scratch_root("bds_ivf", sf_dir)
     emb = _normed(spark, sf_dir)
     idx = IvfIndex(
         Warehouse(spark, scratch),

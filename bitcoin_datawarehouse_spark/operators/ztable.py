@@ -231,23 +231,36 @@ class ZOrderedTable:
             refresh_manifest_sidecar,
         )
 
-        import shutil as _sh
+        from bitcoin_datawarehouse_spark.operators.storage import (
+            build_manifest,
+        )
 
         mdir = self.path / "manifest"
         man = (
             self.spark.read.parquet(str(mdir)) if mdir.exists() else None
         )
-        if man is None or any(
+        if man is not None and any(
             f"min_{c}" not in man.columns for c in ranges
         ):
-            # absent, or maintained over a different stat-column set:
-            # rebuild from scratch (kept rows can't grow new stat
-            # columns, and mispruning on missing stats is silent)
+            # maintained over a DIFFERENT stat-column set (kept rows
+            # can't grow new stat columns, and mispruning on missing
+            # stats is silent) — serve this read from a TRANSIENT
+            # stats pass over the data dir, never by rebuilding the
+            # maintainer's sidecar: the streaming loop's next
+            # refresh_manifest_sidecar would union its column set
+            # against ours and crash (review-caught clobbering)
+            man = None
+        if man is None:
             if mdir.exists():
-                _sh.rmtree(mdir)
-            man = refresh_manifest_sidecar(
-                self.spark, str(self.path), sorted(ranges)
-            )
+                man = build_manifest(
+                    self.spark, str(self.path / "data"), sorted(ranges)
+                )
+            else:
+                # no sidecar at all: build AND persist (this reader
+                # becomes the maintainer)
+                man = refresh_manifest_sidecar(
+                    self.spark, str(self.path), sorted(ranges)
+                )
         return manifest_pruned_read(self.spark, man, ranges)
 
     def read_all(self) -> DataFrame:

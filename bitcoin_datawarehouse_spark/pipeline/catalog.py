@@ -82,6 +82,39 @@ def lakehouse_pair(
     )
 
 
+def scratch_root(prefix: str, sf_dir: str) -> str:
+    """Deterministic scratch-warehouse root for gate queries that
+    persist an index/model as part of their plan, keyed
+    per-(user, process, fixture digest) and REUSED (overwritten)
+    across invocations — the single owner of the rules four call
+    sites used to hand-roll (review-caught):
+
+    * a per-call mkdtemp would leak one artifact dir per run and
+      accrete a corpus-sized table per distinct catalog name;
+    * the returned frames stay LAZY (the driver collects after the
+      gate returns), so the tables must survive the call — bounded
+      residue, reclaimed by the next same-keyed call's overwrite;
+    * a world-predictable shared /tmp path would let two concurrent
+      runs (bench + check_oracle, or two users on a shared host)
+      clobber each other's tables mid-collect, and a pre-created dir
+      by another user is the classic /tmp squatting hazard — hence
+      user + pid + fixture digest in the key."""
+    import getpass
+    import hashlib
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "{}_{}_{}_{}".format(
+            prefix,
+            getpass.getuser(),
+            os.getpid(),
+            hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
+        ),
+    )
+
+
 class Warehouse:
     """Directory-backed catalog with ``schema.table`` addressing.
 

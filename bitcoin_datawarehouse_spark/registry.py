@@ -92,9 +92,9 @@ DRIVER_WINDOW: list[str] = [
     # probe's quality-stage hook (stage frames signature change)
     "trainprep_full_curation",
     "trainprep_curation_funnel",
-    # --- round-9 re-confirmation fill: the 43 seats left go to the
+    # --- round-9 re-confirmation fill: the 42 seats left go to the
     # queries whose driver-green rows are OLDEST — every r5-vintage
-    # row (30) and the oldest 13 of the r6 vintage (alphabetical
+    # row (30) and the oldest 12 of the r6 vintage (alphabetical
     # within vintage; union coverage pinned by test_registry_window)
     # ---
     # r5 vintage (all 30)

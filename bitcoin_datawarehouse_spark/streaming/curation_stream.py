@@ -285,13 +285,17 @@ def run_curation_stream(
             nrm = np.sqrt((emat * emat).sum(axis=1))
             is_st = pdf["_st"].to_numpy(dtype=bool)
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            # loop-invariant index work hoisted (review-caught: a
+            # per-doc nonzero scan made the cell O(n²) in cell size)
+            batch_rows = np.nonzero(~is_st)[0]
+            order = batch_rows[np.argsort(ids[batch_rows], kind="stable")]
             kept_rows = list(np.nonzero(is_st)[0])
             out_ids, out_keep = [], []
-            for i in np.argsort(ids[~is_st], kind="stable"):
-                row = int(np.nonzero(~is_st)[0][i])
+            for row in order:
+                row = int(row)
                 dup = False
                 if kept_rows:
-                    kr = np.array(kept_rows)
+                    kr = np.asarray(kept_rows)
                     cos = (emat[kr] @ emat[row]) / (
                         nrm[kr] * nrm[row]
                     )

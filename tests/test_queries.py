@@ -786,6 +786,10 @@ def test_bpe_encode_degenerate_corpus_matches_oracle(spark, tmp_path):
     for docs in (
         [(1, "a b c"), (2, "c a")],  # zero pairs at round 0
         [(1, "ab ab ab"), (2, "ab")],  # merges exhaust after round 0
+        # token-less and NULL-text docs must emit NO row (r9 kernel
+        # path, review-caught: the oracle's unnest drops them, and
+        # NULL text crashed the kernel)
+        [(1, "ab ab"), (2, "!!! ???"), (3, None)],
     ):
         d = tmp_path / f"deg_{docs[0][1].replace(' ', '')}"
         d.mkdir()

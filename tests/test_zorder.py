@@ -688,7 +688,20 @@ def test_ztable_read_range_manifest_matches_block_read(spark, tmp_path):
     )
     assert got == want and got
     assert files_read <= files_total
-    # different stat columns → the stale sidecar is rebuilt, not
-    # silently mispruned
+    # different stat columns → served from a TRANSIENT stats pass,
+    # never by clobbering the maintained sidecar (the streaming
+    # loop's next refresh would union mismatched column sets)
+    import pathlib
+
+    before = sorted(
+        p.name
+        for p in pathlib.Path(tab.path, "manifest").glob("*.parquet")
+    )
     pr2, _, _ = tab.read_range_manifest({"payload": (100, 199)})
     assert pr2.count() == 100
+    man = spark.read.parquet(str(pathlib.Path(tab.path, "manifest")))
+    assert "min_x" in man.columns and "min_payload" not in man.columns
+    assert sorted(
+        p.name
+        for p in pathlib.Path(tab.path, "manifest").glob("*.parquet")
+    ) == before

@@ -183,10 +183,11 @@ def _curation_ctes() -> str:
     )"""
 
 
-def _full_curation_oracle() -> str:
-    return f"""
-    WITH {_curation_ctes()},
-    with_split AS (
+def _split_pack_sql(src: str) -> str:
+    """The stage-7 tail (split buckets → per-(split, domain) running
+    offsets → chunk ids) over any (doc_id, domain, n_tokens) CTE —
+    the SQL twin of :func:`_split_pack`, shared by both composites."""
+    return f"""with_split AS (
       SELECT doc_id, domain, n_tokens,
              CASE WHEN bucket < {SPLIT_TRAIN_MAX} THEN 'train'
                   WHEN bucket < {SPLIT_VAL_MAX} THEN 'val'
@@ -198,7 +199,7 @@ def _full_curation_oracle() -> str:
              + (instr('0123456789abcdef',
                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
                  AS bucket
-        FROM s6
+        FROM {src}
       )
     ),
     packed AS (
@@ -214,6 +215,12 @@ def _full_curation_oracle() -> str:
            CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS chunk_id
     FROM packed
     """
+
+
+def _full_curation_oracle() -> str:
+    return f"""
+    WITH {_curation_ctes()},
+    {_split_pack_sql("s6")}"""
 
 
 def _curation_stage_frames(
@@ -366,15 +373,11 @@ def _curation_stage_frames(
     }
 
 
-def curated_packed(
-    spark: SparkSession, sf_dir: str, quality_keep: DataFrame | None = None
-) -> DataFrame:
-    """The composite's full body (stages 1-7) with the probe's
-    quality-stage hook — ``trainprep_full_curation`` is this at the
-    default Gopher gate."""
-    s6 = _curation_stage_frames(spark, sf_dir, quality_keep)["mixture"]
-
-    # 7. split + pack (the trainprep_corpus_pipeline tail)
+def _split_pack(s6: DataFrame) -> DataFrame:
+    """Stage 7: split + pack (the trainprep_corpus_pipeline tail)
+    over a (doc_id, domain, n_tokens) survivor frame — shared by the
+    regex-token composite and the tokenizer-aware one so the tail
+    can never drift between them."""
     hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
     nib = lambda i: F.instr(  # noqa: E731
         F.lit("0123456789abcdef"), F.substring(hx, i, 1)
@@ -404,6 +407,16 @@ def curated_packed(
         "start_offset",
         F.floor(F.col("start_offset") / PACK_BUDGET).alias("chunk_id"),
     )
+
+
+def curated_packed(
+    spark: SparkSession, sf_dir: str, quality_keep: DataFrame | None = None
+) -> DataFrame:
+    """The composite's full body (stages 1-7) with the probe's
+    quality-stage hook — ``trainprep_full_curation`` is this at the
+    default Gopher gate."""
+    s6 = _curation_stage_frames(spark, sf_dir, quality_keep)["mixture"]
+    return _split_pack(s6)
 
 
 @query("trainprep_full_curation")
@@ -467,3 +480,69 @@ def _funnel_oracle() -> str:
 
 _registry.ORACLES["trainprep_full_curation"] = _full_curation_oracle()
 _registry.ORACLES["trainprep_curation_funnel"] = _funnel_oracle()
+
+
+@query("trainprep_tokenized_curation")
+def trainprep_tokenized_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation composite packed by REAL tokenizer counts (round
+    9): the seven-stage funnel's survivors, re-measured with the BPE
+    tokenizer trained on the corpus (``operators/bpe.py``) and packed
+    by ``n_bpe_tokens`` instead of the regex token count — the
+    production loop where a curated corpus is budgeted in the tokens
+    the MODEL will actually see.
+
+    Composition discipline: the survivor frame is the registered
+    composite's own stage-6 frame verbatim (``_curation_stage_frames``
+    — can't drift), training is the gate-proven distributed delta
+    trainer over the FULL corpus (matching ``text_bpe_merges`` and
+    the oracle's training CTEs), and the encode kernel runs over the
+    SURVIVORS ONLY (encode is per-doc, so encode(survivors) =
+    encode(corpus) restricted — the LSH restriction-argument pattern;
+    at 100 TB you never tokenize what curation already dropped).
+    Every Gopher survivor has ≥ 30 words, so the inner join to the
+    encode frame drops nothing.  The split+pack tail is the shared
+    :func:`_split_pack`."""
+    from bitcoin_datawarehouse_spark.operators.bpe import (
+        BPE_MERGE_ROUNDS,
+        bpe_apply_kernel,
+        bpe_train,
+        bpe_word_table,
+    )
+
+    s6 = _curation_stage_frames(spark, sf_dir)["mixture"]
+    merges = bpe_train(bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS)
+    docs = load_table(spark, sf_dir, "documents")
+    surv_docs = docs.join(s6.select("doc_id"), "doc_id")
+    enc = bpe_apply_kernel(surv_docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return _split_pack(s6.select("doc_id", "domain").join(enc, "doc_id"))
+
+
+def _tokenized_curation_oracle() -> str:
+    from bitcoin_datawarehouse_spark.operators.bpe import (
+        BPE_MERGE_ROUNDS,
+        _encode_oracle,
+    )
+
+    # the encode oracle is a complete WITH query — embedding it as a
+    # parenthesized subquery keeps its CTE names (w0…, e0…, docw)
+    # scoped away from the curation chain's
+    return f"""
+    WITH {_curation_ctes()},
+    bpe AS (
+      SELECT doc_id, n_bpe_tokens
+      FROM ({_encode_oracle(BPE_MERGE_ROUNDS)})
+    ),
+    s6tok AS (
+      SELECT s6.doc_id, s6.domain, b.n_bpe_tokens AS n_tokens
+      FROM s6 JOIN bpe b ON b.doc_id = s6.doc_id
+    ),
+    {_split_pack_sql("s6tok")}"""
+
+
+_registry.ORACLES["trainprep_tokenized_curation"] = (
+    _tokenized_curation_oracle()
+)

@@ -57,11 +57,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:
 #: Round-9 rotation (r8 VERDICT item 6): CORRECTNESS_r08 verified all
 #: 50 r8 seats, so every unchanged r8 seat rotates out.  This window
-#: seats the canary, the 2 round-9 NEW queries, the 5 round-9
+#: seats the canary, the 3 round-9 NEW queries, the 5 round-9
 #: REWRITES (per the standing rule a materially rewritten
 #: implementation re-enters even if its old body was driver-green),
-#: and fills the other 42 with the STALEST driver rows — ALL 30
-#: remaining r5-vintage queries plus the oldest 12 of the r6 vintage
+#: and fills the other 41 with the STALEST driver rows — ALL 30
+#: remaining r5-vintage queries plus the oldest 11 of the r6 vintage
 #: (alphabetical within vintage) — as re-confirmation against
 #: shared-infrastructure drift.  Every name here has a SQL oracle —
 #: zero rows-only checks in-window.
@@ -92,9 +92,13 @@ DRIVER_WINDOW: list[str] = [
     # probe's quality-stage hook (stage frames signature change)
     "trainprep_full_curation",
     "trainprep_curation_funnel",
-    # --- round-9 re-confirmation fill: the 42 seats left go to the
+    # tokenizer-aware packing: the curation survivors re-measured
+    # with the corpus-trained BPE tokenizer and packed by REAL token
+    # counts (oracle = curation CTEs + the embedded encode oracle)
+    "trainprep_tokenized_curation",
+    # --- round-9 re-confirmation fill: the 41 seats left go to the
     # queries whose driver-green rows are OLDEST — every r5-vintage
-    # row (30) and the oldest 12 of the r6 vintage (alphabetical
+    # row (30) and the oldest 11 of the r6 vintage (alphabetical
     # within vintage; union coverage pinned by test_registry_window)
     # ---
     # r5 vintage (all 30)
@@ -128,9 +132,10 @@ DRIVER_WINDOW: list[str] = [
     "trainprep_quantize_int8",
     "trainprep_stratified_sample",
     "trainprep_token_budget",
-    # oldest 12 of the r6 vintage (pipeline_scd2_history, 13th
-    # alphabetically, ceded its seat to text_bpe_encode_served — its
-    # r6 row stands)
+    # oldest 11 of the r6 vintage (pipeline_scd2_history and
+    # graph_pagerank_event_transitions, 13th/12th alphabetically,
+    # ceded their seats to text_bpe_encode_served and
+    # trainprep_tokenized_curation — their r6 rows stand)
     "affinity_brand_pairs",
     "cdc_snapshot_diff",
     "dedup_embedding_cosine_lsh_auto",
@@ -142,7 +147,6 @@ DRIVER_WINDOW: list[str] = [
     "events_gap_islands",
     "events_gapfill_locf",
     "events_twap",
-    "graph_pagerank_event_transitions",
 ]
 
 

@@ -911,6 +911,48 @@ def test_bpe_delta_training_randomized_vocab_property(spark):
         assert bpe_train(words, 10) == ref_train(corpus, 10), seed
 
 
+def test_tokenized_curation_consistent_with_composite_and_bpe(spark):
+    """The tokenizer-aware composite must keep EXACTLY the regex
+    composite's survivor set (same stages, same sampling — only the
+    measuring stick changes), carry per-doc n_tokens equal to the
+    BPE encode gate's n_bpe_tokens, differ from the regex counts on
+    a material share of docs (proving the measure actually changed),
+    and satisfy the packing invariants under the new counts."""
+    from collections import defaultdict
+
+    from bitcoin_datawarehouse_spark.operators.trainprep import (
+        PACK_BUDGET,
+    )
+
+    tok = QUERIES["trainprep_tokenized_curation"](spark, SF_SMALL).collect()
+    reg = QUERIES["trainprep_full_curation"](spark, SF_SMALL).collect()
+    assert {r["doc_id"] for r in tok} == {r["doc_id"] for r in reg}
+    reg_by_id = {r["doc_id"]: r for r in reg}
+    enc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in QUERIES["text_bpe_encode"](spark, SF_SMALL).collect()
+    }
+    n_diff = 0
+    for r in tok:
+        assert r["n_tokens"] == enc[r["doc_id"]]
+        assert r["split"] == reg_by_id[r["doc_id"]]["split"]
+        assert r["domain"] == reg_by_id[r["doc_id"]]["domain"]
+        if r["n_tokens"] != reg_by_id[r["doc_id"]]["n_tokens"]:
+            n_diff += 1
+    assert n_diff > len(tok) // 2  # the measure materially changed
+
+    groups = defaultdict(list)
+    for r in tok:
+        groups[(r["split"], r["domain"])].append(r)
+    for rows in groups.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            assert r["chunk_id"] == off // PACK_BUDGET
+            off += r["n_tokens"]
+
+
 def test_bpe_local_trainer_equals_distributed(spark):
     """The driver-local indexed trainer (bpe_train_auto's small-vocab
     regime: lazy-heap argmax + posting-list delta, zero Spark jobs

@@ -151,6 +151,12 @@ HEADLINE = [
     # train and apply halves are separate recorded numbers)
     "similarity_chunk_retrieval",
     "text_bpe_encode",
+    # round-9 addition (55 → 56): the tokenizer-aware packing
+    # composite — curate, train BPE on the corpus, re-measure the
+    # survivors in real tokens, pack; the end-to-end LLM-pipeline
+    # wall per round (DuckDB pays the curation chain + the embedded
+    # encode oracle)
+    "trainprep_tokenized_curation",
 ]
 
 

@@ -122,7 +122,10 @@ def chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.mapInPandas(gen, "vec_id bigint, e array<double>")
 
 
-def _chunk_retrieval_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_chunk_index(spark: SparkSession, sf_dir: str):
+    """Shared build half of the chunk gates: featurize (cached),
+    rank-select centroids, build the persisted index, derive the
+    query workload.  Returns ``(idx, emb, queries)``."""
     from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
     from bitcoin_datawarehouse_spark.pipeline.catalog import (
         Warehouse,
@@ -164,15 +167,19 @@ def _chunk_retrieval_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # query workload: the chunk_ix = 0 vector of the N smallest
     # doc_ids — rank-selected (TakeOrdered), query_id = vec_id
-    qdocs = (
+    queries = (
         emb.filter(F.col("vec_id") % CHUNK_VEC_MOD == 0)
         .orderBy("vec_id")
         .limit(N_CHUNK_QUERY_DOCS)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
     )
-    queries = qdocs.select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
+    return idx, emb, queries
 
+
+def _chunk_retrieval_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, _emb, queries = _build_chunk_index(spark, sf_dir)
     hits = idx.search(
         queries,
         top_k=TOP_K,
@@ -210,10 +217,19 @@ def _chunk_retrieval_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chunk_retrieval_oracle() -> str:
-    """The full chain in SQL: chunk CTE verbatim → token-hash TF
-    vectors → IVF (rank-selected centroids, assignment, probes,
-    doc-excluded candidates, cosine rerank) → two-level reduction."""
+#: the cross-engine cosine fold (DuckDB side)
+_SQL_CHUNK_COS = (
+    "list_reduce(list_transform(list_zip({a}.e, {b}.e),"
+    " p -> p[1] * p[2]), (acc, x) -> acc + x) / ({a}.nrm * {b}.nrm)"
+)
+
+
+def _chunk_ivf_ctes() -> str:
+    """The shared WITH-chain of the chunk gates: chunk CTE verbatim →
+    token-hash TF vectors → IVF (rank-selected centroids, assignment,
+    query set, probes, doc-excluded candidates, cosine-reranked
+    ``chunk_hits``) — reused by the retrieval gate and the recall
+    gate so the two can never disagree on the search semantics."""
     chunks_sql = _registry.ORACLES["text_chunk_windows"]
     D = CHUNK_EMB_DIM
     M = CHUNK_VEC_MOD
@@ -221,12 +237,8 @@ def _chunk_retrieval_oracle() -> str:
         "((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16"
         " + (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1))"
     )
-    cos = (
-        "list_reduce(list_transform(list_zip({a}.e, {b}.e),"
-        " p -> p[1] * p[2]), (acc, x) -> acc + x) / ({a}.nrm * {b}.nrm)"
-    )
-    return f"""
-    WITH chv AS (
+    cos = _SQL_CHUNK_COS
+    return f"""chv AS (
       SELECT doc_id * {M} + chunk_ix AS vec_id, chunk_text
       FROM ({chunks_sql})
     ),
@@ -298,7 +310,15 @@ def _chunk_retrieval_oracle() -> str:
         JOIN n q ON q.vec_id = cd.query_id
         JOIN n c ON c.vec_id = cd.cand_id
       ) WHERE rnk <= {TOP_K}
-    ),
+    )"""
+
+
+def _chunk_retrieval_oracle() -> str:
+    """The retrieval gate's SQL: the shared chain plus the two-level
+    per-doc reduction."""
+    M = CHUNK_VEC_MOD
+    return f"""
+    WITH {_chunk_ivf_ctes()},
     per_doc AS (
       SELECT query_id // {M} AS query_doc,
              cand_id // {M} AS doc_id,
@@ -337,3 +357,142 @@ def similarity_chunk_retrieval(
 _registry.ORACLES["similarity_chunk_retrieval"] = (
     _chunk_retrieval_oracle()
 )
+
+
+@query("similarity_chunk_recall")
+def similarity_chunk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the chunk IVF search against exact brute force —
+    the retrieval-quality observable for the chunk index (the
+    similarity_ivf_recall discipline applied to the new family):
+    per query document, how many of the true top-``TOP_K``
+    out-of-document chunks the probed-lists search returned.
+
+    Brute force runs as the partial-top-k Arrow kernel (the
+    similarity_bruteforce_topk shape: the 5-query workload rides the
+    closure, each partition emits its per-query winners, one bounded
+    window finishes) over the SAME cached chunk vectors the index was
+    built from; the IVF side is the persisted index's own search.
+    Cosines on both sides accumulate dim-ordered, so the top-k sets —
+    and therefore the integer intersection counts — are exact
+    cross-engine."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bitcoin_datawarehouse_spark.functions.numeric import str_round6
+    from bitcoin_datawarehouse_spark.operators.similarity import (
+        dim_ordered_dot_sq,
+    )
+
+    idx, emb, queries = _build_chunk_index(spark, sf_dir)
+    hits = idx.search(
+        queries,
+        top_k=TOP_K,
+        exclude_self=False,
+        exclude_group_div=CHUNK_VEC_MOD,
+    ).select("query_id", "cand_id")
+
+    qrows = sorted(queries.collect(), key=lambda r: r["query_id"])
+    qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r["qe"]) for r in qrows], dtype=np.float64)
+    _, _, q_sq = dim_ordered_dot_sq(qmat[:0], qmat)
+    qn = np.sqrt(q_sq)
+    qdoc = qids // CHUNK_VEC_MOD
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["e"]), dtype=np.float64)
+            dot, cn, _ = dim_ordered_dot_sq(cmat, qmat)
+            cos = dot / np.outer(np.sqrt(cn), qn)
+            cdoc = cand // CHUNK_VEC_MOD
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(qids)):
+                keep = cdoc != qdoc[qi]  # own-document exclusion
+                ci, si = cand[keep], cos[keep, qi]
+                order = np.lexsort((ci, -si))[:TOP_K]
+                out_q.extend([qids[qi]] * len(order))
+                out_c.extend(ci[order])
+                out_s.extend(si[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "cosine": out_s}
+            )
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    bf = (
+        emb.mapInPandas(gen, schema)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    common = (
+        bf.join(hits, ["query_id", "cand_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        queries.select("query_id")
+        .join(common, "query_id", "left")
+        .select(
+            F.expr(f"query_id DIV {CHUNK_VEC_MOD}")
+            .cast("bigint")
+            .alias("query_doc"),
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("bigint")
+            .alias("n_common"),
+            str_round6(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / F.lit(float(TOP_K))
+            ).alias("recall"),
+        )
+    )
+
+
+def _chunk_recall_oracle() -> str:
+    from bitcoin_datawarehouse_spark.functions.numeric import (
+        SQL_STR_ROUND6,
+    )
+
+    M = CHUNK_VEC_MOD
+    cos = _SQL_CHUNK_COS
+    return f"""
+    WITH {_chunk_ivf_ctes()},
+    bf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos.format(a="q", b="c")} DESC, c.vec_id
+               ) AS rnk
+        FROM qset q JOIN n c ON c.vec_id // {M} <> q.vec_id // {M}
+      ) WHERE rnk <= {TOP_K}
+    ),
+    common AS (
+      SELECT b.query_id,
+             CAST(COUNT(h.cand_id) AS BIGINT) AS n_common
+      FROM bf b
+      LEFT JOIN chunk_hits h
+        ON h.query_id = b.query_id AND h.cand_id = b.cand_id
+      GROUP BY b.query_id
+    )
+    SELECT CAST(query_id // {M} AS BIGINT) AS query_doc,
+           n_common,
+           {SQL_STR_ROUND6(f"CAST(n_common AS DOUBLE) / {TOP_K}")}
+             AS recall
+    FROM common
+    """
+
+
+_registry.ORACLES["similarity_chunk_recall"] = _chunk_recall_oracle()

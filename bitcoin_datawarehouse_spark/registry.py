@@ -57,11 +57,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:
 #: Round-9 rotation (r8 VERDICT item 6): CORRECTNESS_r08 verified all
 #: 50 r8 seats, so every unchanged r8 seat rotates out.  This window
-#: seats the canary, the 3 round-9 NEW queries, the 5 round-9
+#: seats the canary, the 4 round-9 NEW queries, the 5 round-9
 #: REWRITES (per the standing rule a materially rewritten
 #: implementation re-enters even if its old body was driver-green),
-#: and fills the other 41 with the STALEST driver rows — ALL 30
-#: remaining r5-vintage queries plus the oldest 11 of the r6 vintage
+#: and fills the other 40 with the STALEST driver rows — ALL 30
+#: remaining r5-vintage queries plus the oldest 10 of the r6 vintage
 #: (alphabetical within vintage) — as re-confirmation against
 #: shared-infrastructure drift.  Every name here has a SQL oracle —
 #: zero rows-only checks in-window.
@@ -96,9 +96,13 @@ DRIVER_WINDOW: list[str] = [
     # with the corpus-trained BPE tokenizer and packed by REAL token
     # counts (oracle = curation CTEs + the embedded encode oracle)
     "trainprep_tokenized_curation",
-    # --- round-9 re-confirmation fill: the 41 seats left go to the
+    # recall@k of the chunk IVF search vs exact brute force (the
+    # retrieval-quality observable for the chunk family; shared
+    # chunk_hits CTE chain with the retrieval gate)
+    "similarity_chunk_recall",
+    # --- round-9 re-confirmation fill: the 40 seats left go to the
     # queries whose driver-green rows are OLDEST — every r5-vintage
-    # row (30) and the oldest 11 of the r6 vintage (alphabetical
+    # row (30) and the oldest 10 of the r6 vintage (alphabetical
     # within vintage; union coverage pinned by test_registry_window)
     # ---
     # r5 vintage (all 30)
@@ -132,10 +136,10 @@ DRIVER_WINDOW: list[str] = [
     "trainprep_quantize_int8",
     "trainprep_stratified_sample",
     "trainprep_token_budget",
-    # oldest 11 of the r6 vintage (pipeline_scd2_history and
-    # graph_pagerank_event_transitions, 13th/12th alphabetically,
-    # ceded their seats to text_bpe_encode_served and
-    # trainprep_tokenized_curation — their r6 rows stand)
+    # oldest 10 of the r6 vintage (pipeline_scd2_history,
+    # graph_pagerank_event_transitions, and events_twap — 13th/12th/
+    # 11th alphabetically — ceded their seats to the round-9 new
+    # gates; their r6 rows stand)
     "affinity_brand_pairs",
     "cdc_snapshot_diff",
     "dedup_embedding_cosine_lsh_auto",
@@ -146,7 +150,6 @@ DRIVER_WINDOW: list[str] = [
     "er_fuzzy_name_pairs_passjoin",
     "events_gap_islands",
     "events_gapfill_locf",
-    "events_twap",
 ]
 
 

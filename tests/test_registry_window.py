@@ -50,12 +50,13 @@ def test_round9_rotation_is_in_window():
     canary).  The r8 obligations all discharged via their
     CORRECTNESS_r08 green rows (50/50) — their seats rotated to the
     round-9 set below plus the stalest-vintage re-confirmation fill
-    (all 30 r5-vintage rows + the oldest 11 of the r6 vintage)."""
+    (all 30 r5-vintage rows + the oldest 10 of the r6 vintage)."""
     rotation = {
         # new in round 9
         "similarity_chunk_retrieval",
         "text_bpe_encode_served",
         "trainprep_tokenized_curation",
+        "similarity_chunk_recall",
         # rewritten in round 9: BPE delta trainer + Arrow-kernel
         # apply, the method-agreement pair-frame caching, and the
         # composite-body extraction (curated_packed + quality hook)

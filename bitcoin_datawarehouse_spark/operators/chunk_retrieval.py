@@ -83,14 +83,16 @@ CHUNK_VEC_MOD = 1 << 20
 N_CHUNK_QUERY_DOCS = 5
 
 
-def chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, e): token-hash TF vectors for every chunk, one Arrow
-    kernel over the registered chunk frame.  dim(token) = first md5
-    byte mod ``CHUNK_EMB_DIM`` (hashlib ≡ SQL md5), value = count —
-    integer-exact, so the vector itself has no float surface."""
+def chunk_vectors_frame(chunks: DataFrame) -> DataFrame:
+    """(vec_id, e) token-hash TF vectors from any
+    (doc_id, chunk_ix, chunk_text) chunk frame — one Arrow kernel.
+    dim(token) = first md5 byte mod ``CHUNK_EMB_DIM`` (hashlib ≡ SQL
+    md5), value = count — integer-exact, so the vector itself has no
+    float surface.  Shared by the fixture gates and the streaming
+    curation ingest's chunk-indexing stage."""
     import hashlib
 
-    chunks = text_chunk_windows(spark, sf_dir).select(
+    keyed = chunks.select(
         (
             F.col("doc_id") * F.lit(CHUNK_VEC_MOD) + F.col("chunk_ix")
         ).alias("vec_id"),
@@ -119,7 +121,13 @@ def chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vecs.append(v)
             yield pd.DataFrame({"vec_id": ids, "e": vecs})
 
-    return chunks.mapInPandas(gen, "vec_id bigint, e array<double>")
+    return keyed.mapInPandas(gen, "vec_id bigint, e array<double>")
+
+
+def chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e) for every fixture chunk — the gate-side instance
+    of :func:`chunk_vectors_frame` over the registered chunk frame."""
+    return chunk_vectors_frame(text_chunk_windows(spark, sf_dir))
 
 
 def _build_chunk_index(spark: SparkSession, sf_dir: str):

@@ -299,13 +299,20 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
+    return chunk_windows_frame(docs.repartition(par))
+
+
+def chunk_windows_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level chunking over any (doc_id, text) frame — the
+    registered gate is this over the fixture; the streaming curation
+    ingest chunks each trigger's curated survivors through the SAME
+    projection (one plan owner, zero drift)."""
     toks = tokens_col(F.col("text"))
     n = F.size(F.col("toks"))
     s = F.col("s")
     n_tok = F.least(F.lit(CHUNK_TOKENS), n - s)
     return (
-        docs.repartition(par)
-        .select("doc_id", toks.alias("toks"))
+        docs.select("doc_id", toks.alias("toks"))
         .filter(n > 0)
         .select(
             "doc_id",

@@ -100,6 +100,7 @@ def run_curation_stream(
     sem_codebook: list[tuple[int, list[float]]] | None = None,
     sem_tau: float | None = None,
     eval_shingles: frozenset | None = None,
+    chunk_index=None,
 ) -> StreamingQuery:
     """Start the incremental curation of ``doc_stream`` (schema:
     doc_id long, text string, source string).  Survivors land in
@@ -116,9 +117,19 @@ def run_curation_stream(
     (centroid_id, ce) model rows (bounded — the codebook pattern).
     ``eval_shingles`` enables the decontamination stage (the session
     eval-suite shingle artifact, see
-    ``curation.decontam_ngram_overlap``).  Leaving a knob ``None``
-    skips its stage — an embedding-less crawl still curates through
-    the text gates."""
+    ``curation.decontam_ngram_overlap``).  ``chunk_index`` (a BUILT
+    ``IvfIndex``, e.g. empty-built over a fixed codebook) enables the
+    retrieval-ingest tail: each trigger's FINAL survivors are chunked
+    (``chunk_windows_frame``) and featurized
+    (``chunk_vectors_frame``), and their vectors append to the
+    persisted chunk index — the full streaming RAG path (crawl →
+    curate → chunk → index), searches see new documents without a
+    rebuild.  Replay-safe via the ann_stream vec_id anti-join, and
+    ordered BEFORE the content-history append (the trigger's commit
+    marker), so a crash between the two replays the chunk ingest as a
+    no-op instead of losing it.  Leaving a knob ``None`` skips its
+    stage — an embedding-less crawl still curates through the text
+    gates."""
     wh, schema = index.wh, index.schema
     hashes_table = f"{curated_table}_hashes"
     semcells_table = f"{curated_table}_semcells"
@@ -397,6 +408,11 @@ def run_curation_stream(
             surv = _semdedup_stage(surv)
         if eval_shingles is not None:
             surv = _decontam_stage(surv)
+        if chunk_index is not None:
+            # the chunk-ingest tail reads surv TWICE (vectors + the
+            # curated append below) — pin once (batch-sized)
+            surv = surv.localCheckpoint()
+            _chunk_index_stage(surv)
         _append_keyed(
             surv.select("doc_id", "text", "source", "content_hash")
             .withColumn("batch_id", F.lit(batch_id)),
@@ -405,6 +421,29 @@ def run_curation_stream(
         _append_keyed(
             rows.select("doc_id", "content_hash"), hashes_table
         )
+
+    def _chunk_index_stage(surv: DataFrame) -> None:
+        """Chunk + featurize this trigger's final survivors and
+        append their vectors to the persisted chunk index (module
+        docstring: ordered before the commit-marker append; vec_id
+        anti-join makes replays no-ops — the ann_stream discipline)."""
+        from bitcoin_datawarehouse_spark.operators.chunk_retrieval import (
+            chunk_vectors_frame,
+        )
+        from bitcoin_datawarehouse_spark.operators.text_stats import (
+            chunk_windows_frame,
+        )
+
+        vecs = chunk_vectors_frame(
+            chunk_windows_frame(surv.select("doc_id", "text"))
+        )
+        seen = (
+            surv.sparkSession.table(chunk_index.lists_name)
+            .select("vec_id")
+        )
+        fresh = vecs.join(seen, "vec_id", "left_anti")
+        if fresh.limit(1).count() > 0:
+            chunk_index.ingest(fresh)
 
     return (
         doc_stream.writeStream.foreachBatch(ingest)

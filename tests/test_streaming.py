@@ -1248,6 +1248,113 @@ def test_stream_curation_semdedup_and_decontam_match_sequential(
     )
 
 
+def test_stream_curation_chunk_index_matches_batch_build(
+    spark, tmp_path
+):
+    """The streaming RAG tail (round 9): each trigger's final
+    survivors chunk + featurize + append into the persisted chunk
+    index.  After draining, searching the stream-fed index must be
+    BIT-IDENTICAL to searching a batch-built index (same codebook)
+    over the same curated set, and a full replay must leave the
+    index unchanged (vec_id anti-join)."""
+    from bitcoin_datawarehouse_spark.operators.chunk_retrieval import (
+        CHUNK_EMB_DIM,
+        CHUNK_VEC_MOD,
+        chunk_vectors_frame,
+    )
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+    from bitcoin_datawarehouse_spark.operators.lsh_index import (
+        LshDedupIndex,
+    )
+    from bitcoin_datawarehouse_spark.operators.text_stats import (
+        chunk_windows_frame,
+    )
+    from bitcoin_datawarehouse_spark.streaming.curation_stream import (
+        run_curation_stream,
+    )
+
+    a = _curation_text("a", "alpha beta gamma delta")
+    b = _curation_text("b", "epsilon zeta eta theta")
+    c = _curation_text("c", "kappa lam mu nu")
+    d = _curation_text("d", "omicron pi rho sigma")
+    batches = [
+        [(1, a, "s0"), (2, b, "s0")],
+        [(3, c, "s1"), (4, d, "s1"), (5, b, "s1")],  # 5: exact dup
+    ]
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"f{i}"))
+
+    def basis(i):
+        v = [0.0] * CHUNK_EMB_DIM
+        v[i] = 1.0
+        return v
+
+    codebook = [(0, basis(0)), (1, basis(1))]
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "wh")))
+    cidx = IvfIndex(idx.wh, schema="rag", name="chunks_stream")
+    empty = spark.createDataFrame([], "vec_id long, e array<double>")
+    cent = spark.createDataFrame(
+        codebook, "centroid_id long, ce array<double>"
+    )
+    cidx.build(empty, centroids=cent)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(
+            stream, idx, str(tmp_path / "ck1"), chunk_index=cidx
+        )
+    )
+
+    curated = idx.wh.read(idx.schema, "curated_docs")
+    assert {r["doc_id"] for r in curated.collect()} == {1, 2, 3, 4}
+
+    # batch reference: same codebook, one ingest over the curated set
+    ref = IvfIndex(
+        Warehouse(spark, str(tmp_path / "ref_wh")),
+        schema="rag",
+        name="chunks_ref",
+    )
+    ref.build(empty, centroids=cent)
+    ref.ingest(
+        chunk_vectors_frame(
+            chunk_windows_frame(curated.select("doc_id", "text"))
+        )
+    )
+
+    queries = chunk_vectors_frame(
+        chunk_windows_frame(curated.select("doc_id", "text"))
+    ).filter(F.col("vec_id") % CHUNK_VEC_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    kw = dict(top_k=3, exclude_self=False,
+              exclude_group_div=CHUNK_VEC_MOD)
+    got = sorted(tuple(r) for r in cidx.search(queries, **kw).collect())
+    want = sorted(tuple(r) for r in ref.search(queries, **kw).collect())
+    assert got == want and got
+
+    # full replay, fresh checkpoint → the index is unchanged
+    n_before = spark.table(cidx.lists_name).count()
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(
+            stream2, idx, str(tmp_path / "ck2"), chunk_index=cidx
+        )
+    )
+    assert spark.table(cidx.lists_name).count() == n_before
+
+
 def test_stream_curation_semdedup_crash_guard_excludes_own_batch(
     spark, tmp_path
 ):

@@ -337,7 +337,14 @@ class IvfIndex:
 
     def _live_lists(self) -> DataFrame:
         """The lists table with tombstones merged on read (broadcast
-        anti-join against the deletes sidecar, if any)."""
+        anti-join against the deletes sidecar, if any).
+
+        Refreshes the catalog relation first: appends may have run
+        through a different session (foreachBatch clones), and this
+        session's cached relation would otherwise serve the file
+        listing it saw last — a stale read for search, DATA LOSS for
+        the compact() read-rewrite cycle (see compact's note)."""
+        self.wh.spark.catalog.refreshTable(self.lists_name)
         lists = self.wh.spark.table(self.lists_name)
         if self.wh.table_exists(self.schema, self.deletes_table):
             dels = self.wh.read(self.schema, self.deletes_table)
@@ -397,6 +404,16 @@ class IvfIndex:
         compaction itself has SUCCEEDED at that point, so raising
         would report a phantom failure (review-caught)."""
         spark = self.wh.spark
+        # REFRESH before the read-rewrite cycle: appends may have run
+        # through a DIFFERENT session (foreachBatch clones — the
+        # streaming ingest loops), and this session's cached relation
+        # would then list only the files it saw last.  Compacting from
+        # that stale snapshot SILENTLY DROPS every row appended since
+        # (observed: a stream's trigger-1 batch vanished after its own
+        # auto-compaction, because the probe had read the table
+        # between triggers and pinned the stale listing) — staleness
+        # here is data loss, not a lagging read.
+        spark.catalog.refreshTable(self.lists_name)
         # stage through a plain warehouse table: write_bucketed DROPs
         # the target first, and DROP TABLE auto-uncaches dependent
         # plans — a cache of spark.table(lists) would be invalidated

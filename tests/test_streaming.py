@@ -1248,6 +1248,50 @@ def test_stream_curation_semdedup_and_decontam_match_sequential(
     )
 
 
+def test_ivf_compact_after_cross_session_append_loses_nothing(
+    spark, tmp_path
+):
+    """Data-loss regression (found by the streaming RAG probe): an
+    ingest appended through a DIFFERENT session (the foreachBatch
+    clone) while THIS session held a cached relation of the lists
+    table; compact() then rewrote the table from the stale listing
+    and silently dropped the appended batch.  compact()/_live_lists
+    now refresh the catalog relation first."""
+    from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
+
+    idx = IvfIndex(
+        Warehouse(spark, str(tmp_path / "wh")),
+        schema="xs",
+        name="e",
+        auto_compact_files=None,
+    )
+    emb1 = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), F.lit(1.0)
+        ).alias("e"),
+    )
+    idx.build(emb1)
+    # pin the stale relation in THIS session's catalog
+    assert spark.table(idx.lists_name).count() == 20
+
+    clone = spark.newSession()
+    emb2 = clone.range(20, 35).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 5).cast("double"), F.lit(1.0)
+        ).alias("e"),
+    )
+    idx.ingest(emb2)
+
+    idx.compact()
+    assert spark.table(idx.lists_name).count() == 35
+    assert (
+        spark.table(idx.lists_name).select("vec_id").distinct().count()
+        == 35
+    )
+
+
 def test_stream_curation_chunk_index_matches_batch_build(
     spark, tmp_path
 ):

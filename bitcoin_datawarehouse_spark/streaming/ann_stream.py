@@ -58,6 +58,11 @@ def run_ivf_ingest_stream(
         # (neither copy is persisted yet) and append both — exactly
         # the duplicated-cand_id ranking corruption described above
         fresh = batch_df.select("vec_id", "e").dropDuplicates(["vec_id"])
+        # refresh before the replay-guard read: if the trigger's
+        # session clone carries a cached relation from an earlier
+        # trigger, a stale `seen` would let a replayed vec_id through
+        # (duplicate list entries — the ranking corruption above)
+        batch_df.sparkSession.catalog.refreshTable(index.lists_name)
         seen = (
             batch_df.sparkSession.table(index.lists_name)
             .select("vec_id")

@@ -437,6 +437,9 @@ def run_curation_stream(
         vecs = chunk_vectors_frame(
             chunk_windows_frame(surv.select("doc_id", "text"))
         )
+        # refresh first — a cached relation from an earlier trigger
+        # would serve a stale replay guard (the ann_stream note)
+        surv.sparkSession.catalog.refreshTable(chunk_index.lists_name)
         seen = (
             surv.sparkSession.table(chunk_index.lists_name)
             .select("vec_id")

@@ -488,12 +488,17 @@ def _chunk_recall_oracle() -> str:
       ) WHERE rnk <= {TOP_K}
     ),
     common AS (
-      SELECT b.query_id,
+      -- driven from qset (not bf): a query with ZERO out-of-document
+      -- chunks must still emit a (query, 0) row, matching the Spark
+      -- side's left join from the query frame (review-caught latent
+      -- row-set divergence on degenerate corpora)
+      SELECT q.vec_id AS query_id,
              CAST(COUNT(h.cand_id) AS BIGINT) AS n_common
-      FROM bf b
+      FROM qset q
+      LEFT JOIN bf b ON b.query_id = q.vec_id
       LEFT JOIN chunk_hits h
         ON h.query_id = b.query_id AND h.cand_id = b.cand_id
-      GROUP BY b.query_id
+      GROUP BY q.vec_id
     )
     SELECT CAST(query_id // {M} AS BIGINT) AS query_doc,
            n_common,

@@ -522,19 +522,19 @@ def trainprep_tokenized_curation(
 
 
 def _tokenized_curation_oracle() -> str:
-    from bitcoin_datawarehouse_spark.operators.bpe import (
-        BPE_MERGE_ROUNDS,
-        _encode_oracle,
-    )
-
-    # the encode oracle is a complete WITH query — embedding it as a
-    # parenthesized subquery keeps its CTE names (w0…, e0…, docw)
-    # scoped away from the curation chain's
+    # the REGISTERED encode oracle text, verbatim (the CLAUDE.md
+    # composite-oracle rule — never regenerate what the stage gate
+    # registers, or the composite silently keeps gating old
+    # semantics after a stage re-registration); it is a complete
+    # WITH query, so embedding it as a parenthesized subquery keeps
+    # its CTE names (w0…, e0…, docw) scoped away from the curation
+    # chain's
+    encode_sql = _registry.ORACLES["text_bpe_encode"]
     return f"""
     WITH {_curation_ctes()},
     bpe AS (
       SELECT doc_id, n_bpe_tokens
-      FROM ({_encode_oracle(BPE_MERGE_ROUNDS)})
+      FROM ({encode_sql})
     ),
     s6tok AS (
       SELECT s6.doc_id, s6.domain, b.n_bpe_tokens AS n_tokens

@@ -434,9 +434,13 @@ def run_curation_stream(
             chunk_windows_frame,
         )
 
+        # in-batch vec_id dedup FIRST (the full ann_stream discipline,
+        # review-caught): a noisy crawl emitting one doc_id twice in a
+        # trigger passes the content-hash window with BOTH texts, and
+        # two identical chunk vec_ids would both pass the anti-join
         vecs = chunk_vectors_frame(
             chunk_windows_frame(surv.select("doc_id", "text"))
-        )
+        ).dropDuplicates(["vec_id"])
         # refresh first — a cached relation from an earlier trigger
         # would serve a stale replay guard (the ann_stream note)
         surv.sparkSession.catalog.refreshTable(chunk_index.lists_name)

@@ -1384,7 +1384,11 @@ def test_stream_curation_chunk_index_matches_batch_build(
     want = sorted(tuple(r) for r in ref.search(queries, **kw).collect())
     assert got == want and got
 
-    # full replay, fresh checkpoint → the index is unchanged
+    # full replay, fresh checkpoint → the index is unchanged.
+    # refreshTable around BOTH counts: the main session's cached
+    # relation would otherwise compare stale-to-stale and could never
+    # catch a broken replay guard (review-caught vacuous assertion)
+    spark.catalog.refreshTable(cidx.lists_name)
     n_before = spark.table(cidx.lists_name).count()
     stream2 = (
         spark.readStream.schema("doc_id long, text string, source string")
@@ -1396,6 +1400,7 @@ def test_stream_curation_chunk_index_matches_batch_build(
             stream2, idx, str(tmp_path / "ck2"), chunk_index=cidx
         )
     )
+    spark.catalog.refreshTable(cidx.lists_name)
     assert spark.table(cidx.lists_name).count() == n_before
 
 

@@ -1,0 +1,262 @@
+"""DSIR-style data selection: hashed n-gram importance resampling
+(north-star extension).
+
+DSIR (Data Selection via Importance Resampling, arXiv:2302.03169)
+selects pretraining documents whose hashed n-gram bag looks like a
+high-quality TARGET corpus: fit unigram+bigram bucket distributions
+for the target and the raw pool, weight each raw document by
+``log p_target(doc) - p_raw(doc)`` under the bag model, and keep a
+weighted sample.  The published method samples with Gumbel noise;
+this implementation makes the deterministic variant — take the TOP
+fraction by importance weight with a doc_id tiebreak — so the result
+is reproducible and cross-engine checkable (the same determinism
+deviation every sampling operator in trainprep.py makes).
+
+The target here is the registered Gopher-keep slice (rules define
+"looks high-quality", DSIR generalizes it distributionally — the
+same seed-judgment pattern as ``text_quality_classifier``, which
+models tokens exactly where this models hashed n-gram buckets).
+
+Exactness: per-bucket log-ratio terms are ROUND(·, 6)-ed with
+integer-valued log2 arguments, accumulated in DECIMAL, surfaced as
+BIGINT micro-bits; selection is rank-based (never a value window —
+the CLAUDE.md scaled-fixture rule), so ties break on doc_id exactly.
+
+Scale design:
+* per-document bucket counts are finished INSIDE the Arrow kernel —
+  md5-hashed unigrams+bigrams fold into ``N_BUCKETS`` counters per
+  document before anything shuffles (hashlib md5 ≡ the engines' md5
+  on the same bytes, the cross-engine hash idiom of trainprep.py);
+* both distribution tables are ≤``N_BUCKETS`` rows — they broadcast
+  into the scoring join; the only corpus-sized shuffles are the
+  kernel repartition and the per-doc weight aggregate (map-side
+  combine finishes doc-local rows early);
+* the top-k selection uses the distributed global rank helper
+  (range-repartition → per-partition row_number → broadcast offsets)
+  — no single-partition window at any scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
+from bitcoin_datawarehouse_spark.functions.ranking import with_global_rank
+from bitcoin_datawarehouse_spark.operators import curation  # noqa: F401  (registers text_gopher_rules)
+from bitcoin_datawarehouse_spark.operators.curation import (
+    gopher_keep_col,
+    gopher_metrics_frame,
+)
+from bitcoin_datawarehouse_spark import registry as _registry
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+#: hashed feature space size (DSIR's published default is 10⁴; the
+#: fixture corpora saturate signal at 256 — a constant, not a tuned
+#: value: every bucket count is exercised at every SF)
+N_BUCKETS = 256
+
+#: keep 1 in SELECT_DENOM documents: k = ceil(n / SELECT_DENOM),
+#: computed in integer arithmetic on both engines
+SELECT_DENOM = 4
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def doc_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, cnt): per-document hashed-n-gram bucket
+    counts (unigrams + space-joined bigrams, md5 → first byte →
+    bucket), pre-aggregated inside the Arrow kernel."""
+    import collections
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def bucket_of(gram: str) -> int:
+        return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:2], 16)
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            bks: list[int] = []
+            cts: list[int] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = [t for t in pat.split(txt.lower()) if t]
+                counts = collections.Counter(bucket_of(t) for t in tk)
+                counts.update(
+                    bucket_of(f"{a} {b}") for a, b in zip(tk, tk[1:])
+                )
+                for bk, c in counts.items():
+                    ids.append(did)
+                    bks.append(bk)
+                    cts.append(c)
+            yield pd.DataFrame({"doc_id": ids, "bucket": bks, "cnt": cts})
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema)
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, weight_micro): per-document importance weight in
+    integer micro-bits under the hashed bag model."""
+    # feats feeds three subtrees of the graph (target counts, raw
+    # counts, scoring join) — cache_tracked, eagerly filled by the
+    # totals collect (CLAUDE.md multi-subtree rule).  Rows for one
+    # document are task-local out of the kernel, so the per-doc
+    # aggregate's map-side combine finishes them before the shuffle.
+    feats = cache_tracked(doc_feature_counts(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tgt = gopher_metrics_frame(docs).filter(gopher_keep_col()).select("doc_id")
+
+    tcnt = (
+        feats.join(F.broadcast(tgt), "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("ct"))
+    )
+    rcnt = feats.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cr")
+    )
+    # the two distribution tables are ≤N_BUCKETS rows: collect their
+    # totals (two exact integers — the tf-idf n_docs pattern); this
+    # also eagerly fills the feats cache
+    nt = int(
+        tcnt.agg(F.sum("ct").alias("s")).collect()[0]["s"] or 0
+    )
+    nr = int(rcnt.agg(F.sum("cr").alias("s")).collect()[0]["s"] or 0)
+
+    terms = (
+        feats.join(F.broadcast(tcnt), "bucket", "left")
+        .join(F.broadcast(rcnt), "bucket")
+        .select(
+            "doc_id",
+            "cnt",
+            F.round(
+                F.log2(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                )
+                - F.log2(F.lit(nt + N_BUCKETS).cast("double"))
+                - F.log2((F.col("cr") + 1).cast("double"))
+                + F.log2(F.lit(nr + N_BUCKETS).cast("double")),
+                6,
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term").cast("decimal(38,10)") * F.col("cnt")).alias(
+                "_w"
+            )
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(_w * 1000000 AS BIGINT)").alias("weight_micro"),
+        )
+    )
+
+
+@query("trainprep_dsir_select")
+def trainprep_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: the top ``ceil(n/SELECT_DENOM)`` documents by
+    hashed-n-gram importance weight toward the Gopher-keep target
+    (module docstring), with their weights and selection ranks."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    k = (n_docs + SELECT_DENOM - 1) // SELECT_DENOM
+    wts = dsir_weights(spark, sf_dir).withColumn(
+        "_neg_w", -F.col("weight_micro")
+    )
+    ranked = with_global_rank(
+        wts, ["_neg_w", "doc_id"], rank_alias="rk", total_alias="_total"
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .select("doc_id", "weight_micro", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _dsir_oracle() -> str:
+    gq = _registry.ORACLES["text_gopher_rules"]
+    return f"""
+    WITH gq AS ({gq}),
+    tk AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(toks) AS gram FROM tk
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+               AS gram
+      FROM tk WHERE len(toks) >= 2
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST((instr('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(md5(gram), 2, 1)) - 1)
+               AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY 1, 2
+    ),
+    tgt AS (SELECT doc_id FROM gq WHERE keep),
+    tcnt AS (
+      SELECT f.bucket, CAST(SUM(f.cnt) AS BIGINT) AS ct
+      FROM feats f JOIN tgt USING (doc_id) GROUP BY f.bucket
+    ),
+    rcnt AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr
+      FROM feats GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tcnt) AS nt,
+             (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) FROM rcnt) AS nr
+    ),
+    terms AS (
+      SELECT f.doc_id, f.cnt,
+             ROUND(log2(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE))
+                   - log2(CAST(o.nt + {N_BUCKETS} AS DOUBLE))
+                   - log2(CAST(r.cr + 1 AS DOUBLE))
+                   + log2(CAST(o.nr + {N_BUCKETS} AS DOUBLE)), 6) AS term
+      FROM feats f
+      LEFT JOIN tcnt t USING (bucket)
+      JOIN rcnt r USING (bucket)
+      CROSS JOIN tot o
+    ),
+    wts AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(CAST(term AS STRING) AS DECIMAL(38,10)) * cnt)
+                  * 1000000 AS BIGINT) AS weight_micro
+      FROM terms GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, weight_micro,
+             CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id)
+                  AS BIGINT) AS rk
+      FROM wts
+    )
+    SELECT doc_id, weight_micro, rk FROM ranked
+    WHERE rk <= (SELECT (COUNT(*) + {SELECT_DENOM - 1}) // {SELECT_DENOM}
+                 FROM documents)"""
+
+
+_registry.ORACLES["trainprep_dsir_select"] = _dsir_oracle()

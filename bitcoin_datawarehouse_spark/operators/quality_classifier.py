@@ -1,0 +1,352 @@
+"""Model-based quality filtering: a multinomial Naive Bayes text
+classifier distilled from the rule-based Gopher gate (north-star
+extension).
+
+Production curation pipelines (CCNet arXiv:1911.00359, LLaMA,
+RefinedWeb arXiv:2306.01116) follow the same recipe: heuristic rules
+label a seed set, a cheap linear bag-of-words classifier (fastText in
+the published pipelines) generalizes the judgment to the whole crawl.
+The self-contained Spark-shaped equivalent trains the classifier
+*inside the plan*: add-one smoothed per-class token counts over a
+deterministic ~30 % train slice labeled by the registered Gopher
+rules, then scores EVERY document with the per-token log-odds
+
+    log2 P(tok | keep) - log2 P(tok | drop)
+
+plus the class-prior log-odds.  The decision surface is exact: each
+per-token term is ROUND(·, 6)-ed, accumulated in DECIMAL, and surfaced
+as integer micro-bits (the ``text_lm_quality`` arithmetic), so the
+keep/drop decision is an integer sign test — bit-identical
+cross-engine by construction, no double comparisons anywhere.
+
+Scale design:
+* per-document token counts are finished INSIDE the Arrow kernel
+  (a document is one input row → its token positions are task-local;
+  no corpus-wide position shuffle), the ``doc_bigram_counts`` /
+  ``doc_shingles`` precedent;
+* the kernel output is hash-partitioned by ``tok`` and cache_tracked:
+  HashPartitioning(tok) satisfies the class-count groupBy AND the
+  scoring join, so the whole train+score graph runs on that single
+  shuffle plus the final per-doc aggregate;
+* the label frame is doc-sized (train-slice ids + one boolean) and
+  broadcasts into the kernel output — the class-count aggregation
+  inherits the tok partitioning through the broadcast join;
+* the trained model is vocabulary-sized; the only driver state is
+  five integers (class token totals, vocabulary size, class doc
+  counts) — same pattern as tf-idf's ``n_docs``;
+* at 100 TB the train slice is a hash bucket of the corpus (here
+  77/256 ≈ 30 %); the model table stays vocabulary-sized and the
+  scoring join broadcasts it.
+
+Reference parity: the reference has no classifier; this extends the
+text-analysis family (SURVEY.md §2.12) with the model-based quality
+stage every published curation pipeline runs between rules and
+sampling.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
+from bitcoin_datawarehouse_spark.operators import curation  # noqa: F401  (registers text_gopher_rules)
+from bitcoin_datawarehouse_spark.operators.curation import (
+    gopher_keep_col,
+    gopher_metrics_frame,
+)
+from bitcoin_datawarehouse_spark import registry as _registry
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+#: md5-bucket upper bound (exclusive, of 256) for the train slice —
+#: ≈30 % of documents, the hash-split idiom (trainprep.py).  The
+#: SAME doc_id bucket drives the Spark slice and the oracle's, so the
+#: train sets are identical by construction.
+TRAIN_BUCKETS = 77
+
+_SQL_TRAIN_BUCKET = (
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, cnt): per-document token counts, pre-aggregated
+    INSIDE the Arrow kernel (positions are task-local per document —
+    the corpus never shuffles at token-position granularity).
+    Unigram sibling of ``lm_quality.doc_bigram_counts``."""
+    import collections
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tok", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            tks: list[str] = []
+            cts: list[int] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                counts = collections.Counter(
+                    t for t in pat.split(txt.lower()) if t
+                )
+                for t, c in counts.items():
+                    ids.append(did)
+                    tks.append(t)
+                    cts.append(c)
+            yield pd.DataFrame({"doc_id": ids, "tok": tks, "cnt": cts})
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema)
+    )
+
+
+def _train_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_pos) on the deterministic train slice: label = the
+    registered Gopher conjunction (rule-based seed judgment)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(hx, i, 1)
+    ) - F.lit(1)
+    bucket = (nib(1) * 16 + nib(2)).cast("int")
+    return (
+        gopher_metrics_frame(docs)
+        .select("doc_id", gopher_keep_col().alias("is_pos"), bucket.alias("_b"))
+        .filter(F.col("_b") < TRAIN_BUCKETS)
+        .drop("_b")
+    )
+
+
+def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, score_micro, pred_keep): NB log-odds in
+    integer micro-bits over EVERY document (train + held-out)."""
+    # single shuffle for the whole train+score graph: the kernel
+    # output hash-partitions by tok, which the class-count groupBy and
+    # the scoring join both reuse.  Cached: three subtrees (class
+    # counts, totals collect, scoring join) would otherwise re-run the
+    # tokenize kernel (CLAUDE.md multi-subtree rule); eager fill via
+    # the totals collect below.
+    dtc = cache_tracked(
+        doc_token_counts(spark, sf_dir).repartition("tok")
+    )
+    lab = cache_tracked(_train_labels(spark, sf_dir))
+    # class doc counts — the prior's two integers (eagerly fills lab)
+    prow = lab.agg(
+        F.count(F.when(F.col("is_pos"), 1)).alias("dpos"),
+        F.count(F.when(~F.col("is_pos"), 1)).alias("dneg"),
+    ).collect()[0]
+    dpos, dneg = int(prow["dpos"]), int(prow["dneg"])
+
+    # vocabulary-sized model table: per-class token occurrence counts
+    # over the train slice (broadcast label join preserves the tok
+    # partitioning → zero extra exchange)
+    cls = cache_tracked(
+        dtc.join(F.broadcast(lab), "doc_id")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("is_pos"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("cpos"),
+            F.sum(F.when(~F.col("is_pos"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("cneg"),
+        )
+    )
+    trow = cls.agg(
+        F.sum("cpos").alias("npos"),
+        F.sum("cneg").alias("nneg"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]  # eager fill for cls AND dtc (cls derives from dtc)
+    npos, nneg, v = int(trow["npos"]), int(trow["nneg"]), int(trow["v"])
+
+    # per-token log-odds, ROUND(·,6) per term (the lm_quality float-
+    # parity pattern: all log2 arguments are exact integers cast to
+    # double, so both engines see identical inputs)
+    terms = dtc.join(cls.select("tok", "cpos", "cneg"), "tok", "left").select(
+        "doc_id",
+        "cnt",
+        F.round(
+            F.log2((F.coalesce(F.col("cpos"), F.lit(0)) + 1).cast("double"))
+            - F.log2(F.lit(npos + v).cast("double"))
+            - F.log2((F.coalesce(F.col("cneg"), F.lit(0)) + 1).cast("double"))
+            + F.log2(F.lit(nneg + v).cast("double")),
+            6,
+        ).alias("term"),
+    )
+    # exact integer micro-bits (decimal accumulation; the surface is
+    # BIGINT — no doubles anywhere in the output)
+    prior_sql = (
+        f"CAST(CAST(CAST(ROUND(log2(CAST({dpos} AS DOUBLE))"
+        f" - log2(CAST({dneg} AS DOUBLE)), 6) AS STRING)"
+        f" AS DECIMAL(38,10)) * 1000000 AS BIGINT)"
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("term").cast("decimal(38,10)") * F.col("cnt")).alias(
+                "_odds"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                f"CAST(_odds * 1000000 AS BIGINT) + {prior_sql}"
+            ).alias("score_micro"),
+        )
+        .withColumn("pred_keep", F.col("score_micro") > 0)
+    )
+
+
+def _classifier_oracle() -> str:
+    gq = _registry.ORACLES["text_gopher_rules"]
+    return f"""
+    WITH gq AS ({gq}),
+    tk AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    dtc AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+      GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT doc_id, keep AS is_pos FROM gq
+      WHERE {_SQL_TRAIN_BUCKET} < {TRAIN_BUCKETS}
+    ),
+    cls AS (
+      SELECT d.tok,
+             CAST(SUM(CASE WHEN l.is_pos THEN d.cnt ELSE 0 END) AS BIGINT)
+               AS cpos,
+             CAST(SUM(CASE WHEN NOT l.is_pos THEN d.cnt ELSE 0 END) AS BIGINT)
+               AS cneg
+      FROM dtc d JOIN lab l USING (doc_id)
+      GROUP BY d.tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(cpos) AS BIGINT) AS npos,
+             CAST(SUM(cneg) AS BIGINT) AS nneg,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM cls
+    ),
+    pri AS (
+      SELECT CAST(CAST(CAST(ROUND(
+               log2(CAST(COUNT(*) FILTER (WHERE is_pos) AS DOUBLE))
+               - log2(CAST(COUNT(*) FILTER (WHERE NOT is_pos) AS DOUBLE)),
+             6) AS STRING) AS DECIMAL(38,10)) * 1000000 AS BIGINT)
+             AS prior_micro
+      FROM lab
+    ),
+    terms AS (
+      SELECT d.doc_id, d.cnt,
+             ROUND(log2(CAST(COALESCE(c.cpos, 0) + 1 AS DOUBLE))
+                   - log2(CAST(t.npos + t.v AS DOUBLE))
+                   - log2(CAST(COALESCE(c.cneg, 0) + 1 AS DOUBLE))
+                   + log2(CAST(t.nneg + t.v AS DOUBLE)), 6) AS term
+      FROM dtc d LEFT JOIN cls c USING (tok) CROSS JOIN tot t
+    ),
+    scores AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(CAST(term AS STRING) AS DECIMAL(38,10)) * cnt)
+                  * 1000000 AS BIGINT)
+               + (SELECT prior_micro FROM pri) AS score_micro
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score_micro, score_micro > 0 AS pred_keep
+    FROM scores"""
+
+
+@query("text_quality_classifier")
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality classifier distilled from the Gopher gate
+    (module docstring): train on the hash-slice labels inside the
+    plan, score every document, surface integer micro-bit log-odds
+    and the keep/drop sign test."""
+    return classifier_scores(spark, sf_dir)
+
+
+_registry.ORACLES["text_quality_classifier"] = _classifier_oracle()
+
+
+@query("text_classifier_heldout_eval")
+def text_classifier_heldout_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The classifier's HELD-OUT confusion matrix vs the Gopher truth
+    — the observable a pipeline operator actually monitors before
+    trusting a model gate (one row: tp/fp/fn/tn + doc counts on the
+    ~70 % of documents the training slice never saw)."""
+    scores = classifier_scores(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    truth = gopher_metrics_frame(docs).select(
+        "doc_id", gopher_keep_col().alias("truth_keep")
+    )
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(hx, i, 1)
+    ) - F.lit(1)
+    bucket = (nib(1) * 16 + nib(2)).cast("int")
+    held = (
+        scores.join(truth, "doc_id")
+        .withColumn("_b", bucket)
+        .filter(F.col("_b") >= TRAIN_BUCKETS)
+    )
+    cnt = lambda c: F.count(F.when(c, 1)).cast("long")  # noqa: E731
+    p, t = F.col("pred_keep"), F.col("truth_keep")
+    return held.agg(
+        F.count(F.lit(1)).cast("long").alias("n_heldout"),
+        cnt(p & t).alias("tp"),
+        cnt(p & ~t).alias("fp"),
+        cnt(~p & t).alias("fn"),
+        cnt(~p & ~t).alias("tn"),
+    )
+
+
+def _heldout_oracle() -> str:
+    gq = _registry.ORACLES["text_gopher_rules"]
+    cls = _registry.ORACLES["text_quality_classifier"]
+    return f"""
+    WITH scored AS ({cls}),
+    gq2 AS ({gq}),
+    held AS (
+      SELECT s.pred_keep, g.keep AS truth_keep
+      FROM scored s JOIN gq2 g USING (doc_id)
+      WHERE {_SQL_TRAIN_BUCKET.replace('doc_id', 's.doc_id')} >= {TRAIN_BUCKETS}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_heldout,
+           CAST(COUNT(*) FILTER (WHERE pred_keep AND truth_keep) AS BIGINT)
+             AS tp,
+           CAST(COUNT(*) FILTER (WHERE pred_keep AND NOT truth_keep) AS BIGINT)
+             AS fp,
+           CAST(COUNT(*) FILTER (WHERE NOT pred_keep AND truth_keep) AS BIGINT)
+             AS fn,
+           CAST(COUNT(*) FILTER (WHERE NOT pred_keep AND NOT truth_keep)
+                AS BIGINT) AS tn
+    FROM held"""
+
+
+_registry.ORACLES["text_classifier_heldout_eval"] = _heldout_oracle()

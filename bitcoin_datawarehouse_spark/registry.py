@@ -57,13 +57,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:
 #: Round-9 rotation (r8 VERDICT item 6): CORRECTNESS_r08 verified all
 #: 50 r8 seats, so every unchanged r8 seat rotates out.  This window
-#: seats the canary, the 4 round-9 NEW queries, the 5 round-9
-#: REWRITES (per the standing rule a materially rewritten
-#: implementation re-enters even if its old body was driver-green),
-#: and fills the other 40 with the STALEST driver rows — ALL 30
-#: remaining r5-vintage queries plus the oldest 10 of the r6 vintage
-#: (alphabetical within vintage) — as re-confirmation against
-#: shared-infrastructure drift.  Every name here has a SQL oracle —
+#: seats the canary, the 7 round-9 NEW queries (4 session-1 + the 3
+#: session-2 model-based-curation gates), the 5 round-9 REWRITES (per
+#: the standing rule a materially rewritten implementation re-enters
+#: even if its old body was driver-green), and fills the other 37
+#: with the STALEST driver rows — ALL 30 remaining r5-vintage queries
+#: plus the oldest 7 of the r6 vintage (alphabetical within vintage)
+#: — as re-confirmation against shared-infrastructure drift.  Every name here has a SQL oracle —
 #: zero rows-only checks in-window.
 DRIVER_WINDOW: list[str] = [
     # canary for the rounds-1/2 decimal→double fix (driver-green r3-r8)
@@ -100,6 +100,14 @@ DRIVER_WINDOW: list[str] = [
     # retrieval-quality observable for the chunk family; shared
     # chunk_hits CTE chain with the retrieval gate)
     "similarity_chunk_recall",
+    # --- round-9 session-2 NEW: model-based curation ---
+    # Naive Bayes quality classifier distilled from the Gopher gate
+    # (integer micro-bit log-odds surface) + its held-out confusion
+    # matrix, and DSIR hashed-n-gram importance resampling toward the
+    # Gopher-keep target
+    "text_quality_classifier",
+    "text_classifier_heldout_eval",
+    "trainprep_dsir_select",
     # --- round-9 re-confirmation fill: the 40 seats left go to the
     # queries whose driver-green rows are OLDEST — every r5-vintage
     # row (30) and the oldest 10 of the r6 vintage (alphabetical
@@ -136,10 +144,12 @@ DRIVER_WINDOW: list[str] = [
     "trainprep_quantize_int8",
     "trainprep_stratified_sample",
     "trainprep_token_budget",
-    # oldest 10 of the r6 vintage (pipeline_scd2_history,
+    # oldest 7 of the r6 vintage (pipeline_scd2_history,
     # graph_pagerank_event_transitions, and events_twap — 13th/12th/
     # 11th alphabetically — ceded their seats to the round-9 new
-    # gates; their r6 rows stand)
+    # gates; er_fuzzy_name_pairs_passjoin, events_gap_islands, and
+    # events_gapfill_locf — 8th-10th — ceded theirs to the session-2
+    # model-based-curation gates; all r6 rows stand)
     "affinity_brand_pairs",
     "cdc_snapshot_diff",
     "dedup_embedding_cosine_lsh_auto",
@@ -147,9 +157,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_paragraphs_by_source",
     "dedup_substring_spans_winnowed",
     "er_fuzzy_name_pairs",
-    "er_fuzzy_name_pairs_passjoin",
-    "events_gap_islands",
-    "events_gapfill_locf",
 ]
 
 
@@ -221,4 +228,6 @@ def load_all_operators() -> None:
         bpe,
         curation_pipeline,
         chunk_retrieval,
+        quality_classifier,
+        dsir,
     )

@@ -1,0 +1,151 @@
+"""Model-based curation operators: Naive Bayes quality classifier
+(quality_classifier.py) and DSIR hashed-n-gram importance resampling
+(dsir.py).
+
+The registered gates prove cross-engine arithmetic; these tests prove
+the LEARNERS — on designed corpora with planted vocabulary signal the
+classifier must generalize to held-out documents and DSIR must enrich
+the selection toward the target slice.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from bitcoin_datawarehouse_spark.registry import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16)
+
+
+def _designed_docs():
+    """Two planted classes the Gopher gate separates AND whose
+    vocabularies are disjoint, so a bag-of-words learner trained on
+    rule labels must classify held-out docs of both classes:
+
+    * keep-class: 40 words from vocabulary A, two stopword hits,
+      clean text (passes every rule);
+    * drop-class: 10 words from vocabulary B (fails the word-count
+      band).
+    """
+    vocab_a = ["apple", "river", "stone", "cloud", "meadow", "lantern"]
+    vocab_b = ["zx", "qv", "wj", "kp", "fz", "gq"]
+    rows = []
+    for i in range(40):  # keep class, doc_ids 0..39
+        words = ["the", "the"] + [
+            vocab_a[(i + j) % len(vocab_a)] for j in range(38)
+        ]
+        rows.append((i, " ".join(words)))
+    for i in range(40):  # drop class, doc_ids 100..139
+        words = [vocab_b[(i + j) % len(vocab_b)] for j in range(10)]
+        rows.append((100 + i, " ".join(words)))
+    return rows
+
+
+@pytest.fixture()
+def designed_dir(spark, tmp_path):
+    df = spark.createDataFrame(_designed_docs(), "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_classifier_generalizes_to_heldout(spark, designed_dir):
+    rows = _designed_docs()
+    # the deterministic hash slice must train on both classes for the
+    # fixture to be meaningful (fixed ids -> fixed outcome)
+    train_pos = [i for i, _ in rows if i < 100 and _bucket(i) < 77]
+    train_neg = [i for i, _ in rows if i >= 100 and _bucket(i) < 77]
+    assert len(train_pos) >= 3 and len(train_neg) >= 3
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["text_quality_classifier"](
+            spark, designed_dir
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    for doc_id, _ in rows:
+        expected = doc_id < 100
+        assert got[doc_id]["pred_keep"] == expected, (
+            doc_id,
+            got[doc_id]["score_micro"],
+        )
+    # scores separate: every keep-class doc outranks every drop-class
+    assert min(
+        got[i]["score_micro"] for i, _ in rows if i < 100
+    ) > max(got[i]["score_micro"] for i, _ in rows if i >= 100)
+
+
+def test_classifier_heldout_eval_counts(spark, designed_dir):
+    rows = _designed_docs()
+    held = [i for i, _ in rows if _bucket(i) >= 77]
+    r = QUERIES["text_classifier_heldout_eval"](spark, designed_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["n_heldout"] == len(held)
+    assert r["n_heldout"] == r["tp"] + r["fp"] + r["fn"] + r["tn"]
+    # perfect separation on the designed corpus
+    assert r["fp"] == 0 and r["fn"] == 0
+    assert r["tp"] == sum(1 for i in held if i < 100)
+    assert r["tn"] == sum(1 for i in held if i >= 100)
+
+
+def test_dsir_enriches_toward_target(spark, designed_dir):
+    """Selection (top 1/4 by weight) must be drawn overwhelmingly from
+    the target (Gopher-keep) class: its vocabulary dominates the
+    target distribution while the drop vocabulary appears only in the
+    raw pool."""
+    sel = QUERIES["trainprep_dsir_select"](spark, designed_dir).collect()
+    assert len(sel) == 20  # ceil(80 / 4)
+    assert all(r["doc_id"] < 100 for r in sel)
+    # ranks are 1..k, each exactly once (global rank, no gaps/ties)
+    assert sorted(r["rk"] for r in sel) == list(range(1, 21))
+
+
+def test_dsir_weights_deterministic_and_complete(spark):
+    """On the real fixture: every non-empty document gets a weight;
+    re-running produces identical weights (pure plan, no RNG)."""
+    from bitcoin_datawarehouse_spark.operators.dsir import dsir_weights
+
+    a = {r["doc_id"]: r["weight_micro"] for r in dsir_weights(spark, SF_SMALL).collect()}
+    b = {r["doc_id"]: r["weight_micro"] for r in dsir_weights(spark, SF_SMALL).collect()}
+    assert a == b
+    assert len(a) == 500
+
+
+ORACLE_PAIR = ["text_quality_classifier", "trainprep_dsir_select"]
+
+
+@pytest.mark.parametrize("name", ORACLE_PAIR)
+def test_new_gates_match_oracle_on_designed_corpus(
+    spark, designed_dir, name
+):
+    """Cross-engine equality on the DESIGNED corpus too (the sf0.01
+    mirror runs via tools/check_oracle.py; this exercises the planted
+    two-vocabulary shape where class counts are lopsided)."""
+    import duckdb
+
+    from bitcoin_datawarehouse_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{designed_dir}/documents.parquet/*.parquet'"
+    )
+    sdf = QUERIES[name](spark, designed_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+    assert norm(srows, sdf.columns) == norm(orows, ocols)

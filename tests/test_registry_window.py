@@ -65,6 +65,10 @@ def test_round9_rotation_is_in_window():
         "dedup_method_agreement",
         "trainprep_full_curation",
         "trainprep_curation_funnel",
+        # new in round-9 session 2: model-based curation
+        "text_quality_classifier",
+        "text_classifier_heldout_eval",
+        "trainprep_dsir_select",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

@@ -157,6 +157,17 @@ HEADLINE = [
     # wall per round (DuckDB pays the curation chain + the embedded
     # encode oracle)
     "trainprep_tokenized_curation",
+    # round-9 session-2 additions (56 → 59): the model-based curation
+    # family — NB quality classifier (train + corpus scoring in one
+    # plan; the model-gate cost next to the rule gate it distills),
+    # DSIR importance selection (hashed n-gram distributions + global
+    # rank), and the classifier-GATED seven-stage composite (the
+    # production configuration once a model replaces the seed rules;
+    # benched next to the Gopher-gated composite so the gate swap's
+    # cost is a recorded number per round)
+    "text_quality_classifier",
+    "trainprep_dsir_select",
+    "trainprep_classifier_curation",
 ]
 
 

@@ -106,16 +106,27 @@ _N_TOKENS_SQL = (
 )
 
 
-def _curation_ctes() -> str:
+def _curation_ctes(
+    quality_sql: str | None = None, keep_col: str = "keep"
+) -> str:
     """The shared WITH-chain of the composite's oracles (stages s1…s6
     plus the mixture CTEs) — reused by the packed-output gate and the
-    funnel gate so the two can never disagree on stage semantics."""
+    funnel gate so the two can never disagree on stage semantics.
+
+    ``quality_sql``/``keep_col`` swap the stage-1 gate (default: the
+    registered Gopher oracle) — the SQL twin of
+    ``_curation_stage_frames``'s ``quality_keep`` hook, used by the
+    classifier-gated composite.  Stages 2-7 compose verbatim either
+    way (only s1 membership changes; the restriction arguments are
+    membership-based, so they hold unchanged)."""
     O = _registry.ORACLES
-    return f"""gq AS ({O["text_gopher_rules"]}),
+    if quality_sql is None:
+        quality_sql = O["text_gopher_rules"]
+    return f"""gq AS ({quality_sql}),
     s1 AS (
       SELECT d.doc_id, d.text, d.source
       FROM documents d JOIN gq ON gq.doc_id = d.doc_id
-      WHERE gq.keep
+      WHERE gq.{keep_col}
     ),
     canon AS (
       SELECT doc_id,

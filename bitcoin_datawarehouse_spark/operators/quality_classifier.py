@@ -139,25 +139,19 @@ def _train_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, score_micro, pred_keep): NB log-odds in
-    integer micro-bits over EVERY document (train + held-out)."""
-    # single shuffle for the whole train+score graph: the kernel
-    # output hash-partitions by tok, which the class-count groupBy and
-    # the scoring join both reuse.  Cached: three subtrees (class
-    # counts, totals collect, scoring join) would otherwise re-run the
-    # tokenize kernel (CLAUDE.md multi-subtree rule); eager fill via
-    # the totals collect below.
-    dtc = cache_tracked(
-        doc_token_counts(spark, sf_dir).repartition("tok")
-    )
+def train_quality_model(
+    spark: SparkSession, sf_dir: str, dtc: DataFrame
+) -> tuple[DataFrame, dict[str, int]]:
+    """Train the NB model over ``dtc`` (the per-doc token counts):
+    returns the vocabulary-sized class-count frame (tok, cpos, cneg)
+    — cache_tracked and eagerly filled — plus the five model integers
+    {npos, nneg, v, dpos, dneg}."""
     lab = cache_tracked(_train_labels(spark, sf_dir))
     # class doc counts — the prior's two integers (eagerly fills lab)
     prow = lab.agg(
         F.count(F.when(F.col("is_pos"), 1)).alias("dpos"),
         F.count(F.when(~F.col("is_pos"), 1)).alias("dneg"),
     ).collect()[0]
-    dpos, dneg = int(prow["dpos"]), int(prow["dneg"])
 
     # vocabulary-sized model table: per-class token occurrence counts
     # over the train slice (broadcast label join preserves the tok
@@ -179,8 +173,23 @@ def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cneg").alias("nneg"),
         F.count(F.lit(1)).alias("v"),
     ).collect()[0]  # eager fill for cls AND dtc (cls derives from dtc)
-    npos, nneg, v = int(trow["npos"]), int(trow["nneg"]), int(trow["v"])
+    consts = {
+        "npos": int(trow["npos"]),
+        "nneg": int(trow["nneg"]),
+        "v": int(trow["v"]),
+        "dpos": int(prow["dpos"]),
+        "dneg": int(prow["dneg"]),
+    }
+    return cls, consts
 
+
+def score_frame(
+    dtc: DataFrame, cls: DataFrame, consts: dict[str, int]
+) -> DataFrame:
+    """Score per-doc token counts against a trained model — shared by
+    the in-plan gate and the persisted-model serve path."""
+    npos, nneg, v = consts["npos"], consts["nneg"], consts["v"]
+    dpos, dneg = consts["dpos"], consts["dneg"]
     # per-token log-odds, ROUND(·,6) per term (the lm_quality float-
     # parity pattern: all log2 arguments are exact integers cast to
     # double, so both engines see identical inputs)
@@ -219,6 +228,131 @@ def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pred_keep", F.col("score_micro") > 0)
     )
+
+
+def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, score_micro, pred_keep): NB log-odds in
+    integer micro-bits over EVERY document (train + held-out)."""
+    # dtc stays in KERNEL partitioning (doc-local rows): the class-
+    # count groupBy then shuffles only the train slice (~30 % of the
+    # token table) and the scoring join broadcasts the vocabulary-
+    # sized model, so the corpus-sized token table never shuffles at
+    # all — measured ~505 → ~219 MB shuffle per execution (0.43×) and
+    # 13.8 → 11.3 s warm at sf10 vs the earlier repartition("tok")
+    # layout (whose single corpus shuffle only wins once the
+    # vocabulary outgrows broadcast AND the scoring join must
+    # sort-merge — the giant-vocab regime a caller can opt into by
+    # pre-partitioning dtc).  Cached: three
+    # subtrees (class counts, totals collect, scoring join) would
+    # otherwise re-run the tokenize kernel (CLAUDE.md multi-subtree
+    # rule); eager fill via the totals collect inside
+    # train_quality_model.
+    dtc = cache_tracked(doc_token_counts(spark, sf_dir))
+    cls, consts = train_quality_model(spark, sf_dir, dtc)
+    return score_frame(dtc, cls, consts)
+
+
+# -- persisted model (build/serve split) -------------------------------------
+
+QC_MODEL_SCHEMA = "models"
+
+
+def save_quality_model(
+    warehouse, spark: SparkSession, sf_dir: str, name: str = "quality_nb"
+) -> None:
+    """Train and persist the NB model: the vocabulary-sized class-
+    count table plus a 1-row constants table (atomic replace — the
+    ivf_index/bpe build/serve discipline)."""
+    dtc = cache_tracked(doc_token_counts(spark, sf_dir))
+    cls, consts = train_quality_model(spark, sf_dir, dtc)
+    warehouse.write_atomic(cls, QC_MODEL_SCHEMA, name)
+    crow = spark.createDataFrame(
+        [tuple(consts[k] for k in ("npos", "nneg", "v", "dpos", "dneg"))],
+        "npos long, nneg long, v long, dpos long, dneg long",
+    )
+    warehouse.write_atomic(crow, QC_MODEL_SCHEMA, f"{name}_consts", coalesce=1)
+
+
+def score_with(
+    warehouse,
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str = "quality_nb",
+) -> DataFrame:
+    """Serve path: score ``docs`` (doc_id, text) with a PERSISTED
+    model — no retraining, no label pass; the corpus work is the
+    token-count kernel plus one join against the loaded model table
+    (path-based parquet reads: fresh listing per frame, immune to the
+    cross-session cached-relation hazard)."""
+    crow = warehouse.read(QC_MODEL_SCHEMA, f"{name}_consts").collect()[0]
+    consts = {k: int(crow[k]) for k in ("npos", "nneg", "v", "dpos", "dneg")}
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    import re as _re
+
+    import pandas as pd  # noqa: F401  (kernel deps resolved at import)
+
+    # reuse the registered kernel by routing docs through it: build the
+    # per-doc counts frame directly from the given frame
+    dtc = _doc_token_counts_frame(docs.repartition(par))
+    cls = warehouse.read(QC_MODEL_SCHEMA, name)
+    return score_frame(dtc, cls, consts)
+
+
+def _doc_token_counts_frame(docs: DataFrame) -> DataFrame:
+    """The token-count Arrow kernel over an arbitrary (doc_id, text)
+    frame (the sf_dir-reading :func:`doc_token_counts` delegates the
+    kernel body here conceptually; kept separate so serve paths can
+    score any frame, not just a fixture table)."""
+    import collections
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pat = re.compile("[^a-z0-9]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tok", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            tks: list[str] = []
+            cts: list[int] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                counts = collections.Counter(
+                    t for t in pat.split(txt.lower()) if t
+                )
+                for t, c in counts.items():
+                    ids.append(did)
+                    tks.append(t)
+                    cts.append(c)
+            yield pd.DataFrame({"doc_id": ids, "tok": tks, "cnt": cts})
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
+
+
+@query("text_quality_classifier_served")
+def text_quality_classifier_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted-model serving round trip, driver-proven: train →
+    Warehouse model tables → load → score, under the SAME oracle as
+    ``text_quality_classifier`` (scores are identical by construction
+    — the persisted counts are the trained counts; the bpe_served /
+    ivf_index persisted-twin discipline)."""
+    from bitcoin_datawarehouse_spark.pipeline.catalog import (
+        Warehouse,
+        scratch_root,
+    )
+
+    wh = Warehouse(spark, scratch_root("bds_qc", sf_dir))
+    save_quality_model(wh, spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return score_with(wh, spark, docs)
 
 
 def _classifier_oracle() -> str:
@@ -288,6 +422,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry.ORACLES["text_quality_classifier"] = _classifier_oracle()
+# the serving twin gates under the SAME oracle (persisted counts are
+# the trained counts — scores identical by construction)
+_registry.ORACLES["text_quality_classifier_served"] = _classifier_oracle()
 
 
 @query("text_classifier_heldout_eval")
@@ -350,3 +487,54 @@ def _heldout_oracle() -> str:
 
 
 _registry.ORACLES["text_classifier_heldout_eval"] = _heldout_oracle()
+
+
+@query("trainprep_classifier_curation")
+def trainprep_classifier_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The seven-stage curation composite with the MODEL-BASED
+    quality gate as stage 1 (the production configuration once a
+    classifier replaces the seed rules): NB pred_keep docs flow
+    through the identical exact-dedup → LSH → SemDeDup → decontam →
+    mixture → split+pack chain via ``curated_packed``'s
+    ``quality_keep`` hook.  Stages 2-7 compose verbatim (only s1
+    membership changes; every restriction argument is
+    membership-based), so the oracle is the registered chain with the
+    classifier oracle swapped in as the gate CTE — it cannot drift
+    from what the stage gates individually prove."""
+    from bitcoin_datawarehouse_spark.operators.curation_pipeline import (
+        curated_packed,
+    )
+
+    keep = (
+        classifier_scores(spark, sf_dir)
+        .filter(F.col("pred_keep"))
+        .select("doc_id")
+    )
+    return curated_packed(spark, sf_dir, quality_keep=keep)
+
+
+def _classifier_curation_oracle() -> str:
+    # the stage modules whose registered oracles the curation chain
+    # embeds must load FIRST (the CLAUDE.md compose-late rule) — a
+    # standalone import of this module must not depend on
+    # load_all_operators' ordering
+    from bitcoin_datawarehouse_spark.operators import (  # noqa: F401
+        bpe,
+        dedup,
+        semdedup,
+    )
+    from bitcoin_datawarehouse_spark.operators import curation_pipeline as cp
+
+    return f"""
+    WITH {cp._curation_ctes(
+        quality_sql=_registry.ORACLES["text_quality_classifier"],
+        keep_col="pred_keep",
+    )},
+    {cp._split_pack_sql("s6")}"""
+
+
+_registry.ORACLES["trainprep_classifier_curation"] = (
+    _classifier_curation_oracle()
+)

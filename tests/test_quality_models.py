@@ -117,6 +117,59 @@ def test_dsir_weights_deterministic_and_complete(spark):
     assert len(a) == 500
 
 
+def test_served_model_equals_in_plan_scores(spark, designed_dir):
+    """Persisted-model serving must reproduce the in-plan gate row for
+    row (the persisted counts ARE the trained counts — the bpe_served
+    load≡train discipline)."""
+    a = sorted(
+        tuple(r)
+        for r in QUERIES["text_quality_classifier"](
+            spark, designed_dir
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in QUERIES["text_quality_classifier_served"](
+            spark, designed_dir
+        ).collect()
+    )
+    assert a == b
+
+
+def test_classifier_curation_composite_consistency(spark):
+    """The classifier-gated composite must agree with manually hooking
+    the classifier keep set into curated_packed (same code path the
+    probe uses), and survivors must be a subset of predicted keeps."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.curation_pipeline import (
+        curated_packed,
+    )
+    from bitcoin_datawarehouse_spark.operators.quality_classifier import (
+        classifier_scores,
+    )
+
+    out = QUERIES["trainprep_classifier_curation"](spark, SF_SMALL)
+    rows = out.collect()
+    keep = {
+        r["doc_id"]
+        for r in classifier_scores(spark, SF_SMALL)
+        .filter(F.col("pred_keep"))
+        .select("doc_id")
+        .collect()
+    }
+    assert rows, "composite produced no packed rows"
+    assert {r["doc_id"] for r in rows} <= keep
+    manual = curated_packed(
+        spark,
+        SF_SMALL,
+        quality_keep=classifier_scores(spark, SF_SMALL)
+        .filter(F.col("pred_keep"))
+        .select("doc_id"),
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, manual))
+
+
 ORACLE_PAIR = ["text_quality_classifier", "trainprep_dsir_select"]
 
 

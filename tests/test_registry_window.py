@@ -69,6 +69,8 @@ def test_round9_rotation_is_in_window():
         "text_quality_classifier",
         "text_classifier_heldout_eval",
         "trainprep_dsir_select",
+        "text_quality_classifier_served",
+        "trainprep_classifier_curation",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

@@ -101,6 +101,7 @@ def run_curation_stream(
     sem_tau: float | None = None,
     eval_shingles: frozenset | None = None,
     chunk_index=None,
+    quality_model: str | None = None,
 ) -> StreamingQuery:
     """Start the incremental curation of ``doc_stream`` (schema:
     doc_id long, text string, source string).  Survivors land in
@@ -129,7 +130,18 @@ def run_curation_stream(
     marker), so a crash between the two replays the chunk ingest as a
     no-op instead of losing it.  Leaving a knob ``None`` skips its
     stage — an embedding-less crawl still curates through the text
-    gates."""
+    gates.
+
+    ``quality_model`` (the name of a persisted NB model in the
+    index's warehouse — ``quality_classifier.save_quality_model``)
+    swaps the stage-1 gate from the Gopher rules to MODEL-BASED
+    scoring (``score_with``): the production configuration where the
+    classifier trains offline and serves FROZEN over the arriving
+    crawl — the streaming twin of ``trainprep_classifier_curation``'s
+    gate swap.  Per trigger the cost is the token kernel over the
+    micro-batch plus one broadcast join against the vocabulary-sized
+    model table (path-based read — fresh listing per trigger, immune
+    to the cross-session cached-relation hazard)."""
     wh, schema = index.wh, index.schema
     hashes_table = f"{curated_table}_hashes"
     semcells_table = f"{curated_table}_semcells"
@@ -152,12 +164,28 @@ def run_curation_stream(
         # kernel), so an unmaterialized batch re-scans the stream
         # source per subtree (observed: numInputRows doubled).
         batch_df = batch_df.localCheckpoint()
-        q = batch_df.join(
-            gopher_metrics_frame(batch_df.select("doc_id", "text"))
-            .filter(gopher_keep_col())
-            .select("doc_id"),
-            "doc_id",
-        ).withColumn(
+        if quality_model is not None:
+            from bitcoin_datawarehouse_spark.operators.quality_classifier import (
+                score_with,
+            )
+
+            keep_ids = (
+                score_with(
+                    wh,
+                    batch_df.sparkSession,
+                    batch_df.select("doc_id", "text"),
+                    quality_model,
+                )
+                .filter(F.col("pred_keep"))
+                .select("doc_id")
+            )
+        else:
+            keep_ids = (
+                gopher_metrics_frame(batch_df.select("doc_id", "text"))
+                .filter(gopher_keep_col())
+                .select("doc_id")
+            )
+        q = batch_df.join(keep_ids, "doc_id").withColumn(
             "content_hash", F.md5(F.col("text").cast("binary"))
         )
         # in-batch exact canonical (min doc_id per content)

@@ -170,6 +170,150 @@ def test_classifier_curation_composite_consistency(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, manual))
 
 
+def test_stream_model_gate_matches_frozen_batch_reference(
+    spark, tmp_path, designed_dir
+):
+    """The streaming curation ingest with ``quality_model=`` must (a)
+    gate on the MODEL, not the rules — a Gopher-passing vocab-B doc is
+    dropped — and (b) produce the same curated set as a sequential
+    batch loop scoring with the same frozen model; replay is a no-op."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.curation import (
+        gopher_keep_col,
+        gopher_metrics_frame,
+    )
+    from bitcoin_datawarehouse_spark.operators.dedup import (
+        shingle_sets_frame,
+    )
+    from bitcoin_datawarehouse_spark.operators.lsh_index import (
+        LshDedupIndex,
+    )
+    from bitcoin_datawarehouse_spark.operators.quality_classifier import (
+        save_quality_model,
+        score_with,
+    )
+    from bitcoin_datawarehouse_spark.pipeline import Warehouse
+    from bitcoin_datawarehouse_spark.streaming.curation_stream import (
+        run_curation_stream,
+    )
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        run_stream_to_completion,
+    )
+
+    vocab_b = ["zx", "qv", "wj", "kp", "fz", "gq"]
+
+    def a_text(words: list[str]) -> str:
+        # 40 words, two stop hits, built from a 3-word DISJOINT subset
+        # of the trained vocab-A (disjoint subsets share no shingles —
+        # rotations of one cycle are genuine near-dups and LSH rightly
+        # drops them, the first draft of this test proved it)
+        body = (words * 13)[:38]
+        return " ".join(["the", "the"] + body)
+
+    # 40 words incl. two stop hits -> PASSES Gopher; vocab-B tokens
+    # -> the model must drop it (mean word len 2 would fail gopher, so
+    # mix in enough 3+-char B-ish words to clear every rule)
+    b_long = " ".join(
+        ["the", "the"]
+        + [vocab_b[j % len(vocab_b)] + "xyz" for j in range(38)]
+    )
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "wh")))
+    # train the model on the designed corpus fixture, persist into the
+    # index warehouse (the serve-time artifact)
+    save_quality_model(idx.wh, spark, designed_dir, name="qmod")
+
+    doc0 = a_text(["apple", "river", "stone"])
+    doc4 = a_text(["cloud", "meadow", "lantern"])
+    doc3 = doc0.rsplit(" ", 1)[0] + " meadow"  # near-dup: 1 of 40 tokens
+    batches = [
+        [(0, doc0, "s0"), (1, doc0, "s0"), (2, b_long, "s1")],
+        [(3, doc3, "s2"), (4, doc4, "s2")],
+    ]
+    # sanity: the distinguishing doc passes the RULES (so only the
+    # model explains its absence)
+    gm = gopher_metrics_frame(
+        spark.createDataFrame([(2, b_long)], "doc_id long, text string")
+    )
+    assert gm.filter(gopher_keep_col()).count() == 1
+
+    src = tmp_path / "in"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(
+            stream, idx, str(tmp_path / "ck1"), quality_model="qmod"
+        )
+    )
+
+    # sequential reference with the SAME frozen model
+    ref_idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "ref_wh")))
+    hist: set[str] = set()
+    curated_ref: set[int] = set()
+    for rows in batches:
+        bdf = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        keep_ids = {
+            r["doc_id"]
+            for r in score_with(
+                idx.wh, spark, bdf.select("doc_id", "text"), "qmod"
+            )
+            .filter(F.col("pred_keep"))
+            .collect()
+        }
+        best: dict[str, tuple] = {}
+        for did, txt, _s in sorted(rows):
+            if did not in keep_ids:
+                continue
+            h = hashlib.md5(txt.encode()).hexdigest()
+            if h in hist or h in best:
+                continue
+            best[h] = (did, txt)
+        hist |= set(best.keys())
+        if best:
+            sdf = spark.createDataFrame(
+                sorted(best.values()), "doc_id long, text string"
+            )
+            dec = ref_idx.ingest_batch(shingle_sets_frame(sdf))
+            curated_ref |= {
+                r["doc_id"] for r in dec.collect() if not r["is_dup"]
+            }
+
+    got = {
+        r["doc_id"]
+        for r in idx.wh.read(idx.schema, "curated_docs").collect()
+    }
+    assert got == curated_ref == {0, 4}
+    # 1 exact-dup, 2 model-dropped (rules would keep it), 3 LSH near-dup
+
+    # replay, fresh checkpoint -> no-op
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(
+            stream2, idx, str(tmp_path / "ck2"), quality_model="qmod"
+        )
+    )
+    assert {
+        r["doc_id"]
+        for r in idx.wh.read(idx.schema, "curated_docs").collect()
+    } == got
+
+
 ORACLE_PAIR = ["text_quality_classifier", "trainprep_dsir_select"]
 
 

@@ -57,12 +57,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:
 #: Round-9 rotation (r8 VERDICT item 6): CORRECTNESS_r08 verified all
 #: 50 r8 seats, so every unchanged r8 seat rotates out.  This window
-#: seats the canary, the 9 round-9 NEW queries (4 session-1 + the 5
-#: session-2 model-based-curation gates), the 5 round-9 REWRITES (per
-#: the standing rule a materially rewritten implementation re-enters
-#: even if its old body was driver-green), and fills the other 35
-#: with the STALEST driver rows — ALL 30 remaining r5-vintage queries
-#: plus the oldest 5 of the r6 vintage (alphabetical within vintage)
+#: seats the canary, the 10 round-9 NEW queries (4 session-1 + the 6
+#: session-2 model-based-curation + soft-dedup gates), the 5 round-9
+#: REWRITES (per the standing rule a materially rewritten
+#: implementation re-enters even if its old body was driver-green),
+#: and fills the other 34 with the STALEST driver rows — ALL 30
+#: remaining r5-vintage queries plus the oldest 4 of the r6 vintage
+#: (alphabetical within vintage)
 #: — as re-confirmation against shared-infrastructure drift.  Every name here has a SQL oracle —
 #: zero rows-only checks in-window.
 DRIVER_WINDOW: list[str] = [
@@ -111,6 +112,8 @@ DRIVER_WINDOW: list[str] = [
     # persisted-model serving twin + the classifier-gated composite
     "text_quality_classifier_served",
     "trainprep_classifier_curation",
+    # duplication-aware Bernoulli sampling over near-dup clusters
+    "dedup_soft_weights",
     # --- round-9 re-confirmation fill: the 40 seats left go to the
     # queries whose driver-green rows are OLDEST — every r5-vintage
     # row (30) and the oldest 10 of the r6 vintage (alphabetical
@@ -151,14 +154,14 @@ DRIVER_WINDOW: list[str] = [
     # graph_pagerank_event_transitions, and events_twap — 13th/12th/
     # 11th alphabetically — ceded their seats to the round-9 new
     # gates; er_fuzzy_name_pairs_passjoin, events_gap_islands,
-    # events_gapfill_locf, er_fuzzy_name_pairs, and
-    # dedup_substring_spans_winnowed — 6th-10th — ceded theirs to the
-    # session-2 model-based-curation gates; all r6 rows stand)
+    # events_gapfill_locf, er_fuzzy_name_pairs,
+    # dedup_substring_spans_winnowed, and dedup_paragraphs_by_source —
+    # 6th-10th and 5th — ceded theirs to the session-2
+    # model-based-curation + soft-dedup gates; all r6 rows stand)
     "affinity_brand_pairs",
     "cdc_snapshot_diff",
     "dedup_embedding_cosine_lsh_auto",
     "dedup_paragraphs",
-    "dedup_paragraphs_by_source",
 ]
 
 
@@ -232,4 +235,5 @@ def load_all_operators() -> None:
         chunk_retrieval,
         quality_classifier,
         dsir,
+        softdedup,
     )

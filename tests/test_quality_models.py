@@ -314,6 +314,75 @@ def test_stream_model_gate_matches_frozen_batch_reference(
     } == got
 
 
+def test_soft_dedup_weights_on_planted_clusters(spark, tmp_path):
+    """SoftDeDup semantics on planted near-dup clusters: cluster
+    labels/sizes are right, singletons are kept unconditionally, and
+    every Bernoulli decision equals the salted-md5 integer test
+    recomputed in pure python (full decision audit, no sampling
+    hand-waving)."""
+    base = "one two three four five six seven eight nine ten"
+    rows = (
+        # a 4-doc near-dup cluster (one token varies at the tail)
+        [(i, base + f" tail{i % 2} extra", "s") for i in range(4)]
+        # singletons with disjoint vocabulary
+        + [
+            (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s"),
+            (11, "red green blue yellow purple orange cyan magenta lime teal", "s"),
+        ]
+    )
+    # doc 0/2 share text exactly ("tail0"), 1/3 share "tail1" — and the
+    # 9-token common prefix links all four into one Jaccard cluster
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_soft_weights"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 6
+    assert {got[i]["component"] for i in range(4)} == {0}
+    assert all(got[i]["cluster_size"] == 4 for i in range(4))
+    for s in (10, 11):
+        assert got[s]["cluster_size"] == 1
+        assert got[s]["kept"] is True  # singletons never downweighted
+
+    def u32(doc_id: int) -> int:
+        return int(
+            hashlib.md5(f"soft{doc_id}".encode()).hexdigest()[:8], 16
+        )
+
+    for did, r in got.items():
+        assert r["kept"] == (u32(did) * r["cluster_size"] < 2**32), did
+
+
+def test_soft_dedup_expected_mass_on_fixture(spark):
+    """On the real fixture: every doc labeled, kept ⊆ corpus,
+    per-cluster kept counts are plausible (≤ size), and the full
+    decision audit holds corpus-wide."""
+    rows = QUERIES["dedup_soft_weights"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    from collections import defaultdict
+
+    by_comp = defaultdict(list)
+    for r in rows:
+        by_comp[r["component"]].append(r)
+    for comp, members in by_comp.items():
+        assert len({m["cluster_size"] for m in members}) == 1
+        assert members[0]["cluster_size"] == len(members)
+    # singletons all kept; decision audit corpus-wide
+    for r in rows:
+        exp = (
+            int(
+                hashlib.md5(f"soft{r['doc_id']}".encode()).hexdigest()[:8],
+                16,
+            )
+            * r["cluster_size"]
+            < 2**32
+        )
+        assert r["kept"] == exp
+
+
 ORACLE_PAIR = ["text_quality_classifier", "trainprep_dsir_select"]
 
 

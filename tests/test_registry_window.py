@@ -71,6 +71,7 @@ def test_round9_rotation_is_in_window():
         "trainprep_dsir_select",
         "text_quality_classifier_served",
         "trainprep_classifier_curation",
+        "dedup_soft_weights",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

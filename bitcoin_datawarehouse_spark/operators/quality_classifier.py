@@ -81,43 +81,12 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, tok, cnt): per-document token counts, pre-aggregated
     INSIDE the Arrow kernel (positions are task-local per document —
     the corpus never shuffles at token-position granularity).
-    Unigram sibling of ``lm_quality.doc_bigram_counts``."""
-    import collections
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    pat = re.compile("[^a-z0-9]+")
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("tok", T.StringType()),
-            T.StructField("cnt", T.LongType()),
-        ]
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            ids: list[int] = []
-            tks: list[str] = []
-            cts: list[int] = []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                counts = collections.Counter(
-                    t for t in pat.split(txt.lower()) if t
-                )
-                for t, c in counts.items():
-                    ids.append(did)
-                    tks.append(t)
-                    cts.append(c)
-            yield pd.DataFrame({"doc_id": ids, "tok": tks, "cnt": cts})
-
+    Unigram sibling of ``lm_quality.doc_bigram_counts``; the kernel
+    body lives in :func:`_doc_token_counts_frame` so serve paths can
+    score any (doc_id, text) frame."""
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    return (
-        docs.repartition(par)
-        .select("doc_id", "text")
-        .mapInPandas(gen, schema)
-    )
+    return _doc_token_counts_frame(docs.repartition(par))
 
 
 def _train_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,10 +121,18 @@ def train_quality_model(
         F.count(F.when(F.col("is_pos"), 1)).alias("dpos"),
         F.count(F.when(~F.col("is_pos"), 1)).alias("dneg"),
     ).collect()[0]
+    if not prow["dpos"] or not prow["dneg"]:
+        # log2(0) diverges cross-engine (Spark NULL vs DuckDB -inf)
+        # and a one-class prior is semantically undefined — fail loud
+        raise ValueError(
+            "degenerate training slice: "
+            f"dpos={prow['dpos']} dneg={prow['dneg']} — the NB prior "
+            "needs both classes present in the hash slice"
+        )
 
     # vocabulary-sized model table: per-class token occurrence counts
-    # over the train slice (broadcast label join preserves the tok
-    # partitioning → zero extra exchange)
+    # over the train slice (the label frame is doc-sized — broadcast;
+    # only the train-slice rows of dtc reach the groupBy shuffle)
     cls = cache_tracked(
         dtc.join(F.broadcast(lab), "doc_id")
         .groupBy("tok")
@@ -287,12 +264,6 @@ def score_with(
     crow = warehouse.read(QC_MODEL_SCHEMA, f"{name}_consts").collect()[0]
     consts = {k: int(crow[k]) for k in ("npos", "nneg", "v", "dpos", "dneg")}
     par = docs.sparkSession.sparkContext.defaultParallelism
-    import re as _re
-
-    import pandas as pd  # noqa: F401  (kernel deps resolved at import)
-
-    # reuse the registered kernel by routing docs through it: build the
-    # per-doc counts frame directly from the given frame
     dtc = _doc_token_counts_frame(docs.repartition(par))
     cls = warehouse.read(QC_MODEL_SCHEMA, name)
     return score_frame(dtc, cls, consts)
@@ -300,9 +271,9 @@ def score_with(
 
 def _doc_token_counts_frame(docs: DataFrame) -> DataFrame:
     """The token-count Arrow kernel over an arbitrary (doc_id, text)
-    frame (the sf_dir-reading :func:`doc_token_counts` delegates the
-    kernel body here conceptually; kept separate so serve paths can
-    score any frame, not just a fixture table)."""
+    frame — shared by the fixture-reading :func:`doc_token_counts`
+    and the serve paths (which score any frame, incl. streaming
+    micro-batches)."""
     import collections
 
     import pandas as pd

@@ -57,6 +57,16 @@ _SQL_TOK = """tok AS (
 
 
 def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, dcnt) over the fixture documents table — the
+    kernel body lives in :func:`_doc_bigram_counts_frame` so serve
+    paths can score any (doc_id, text) frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    # one-split fixture parquet: spread the kernel across cores
+    par = spark.sparkContext.defaultParallelism
+    return _doc_bigram_counts_frame(docs.repartition(par))
+
+
+def _doc_bigram_counts_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, w2, dcnt): per-document bigram-position counts
     (w2 NULL at the document-final position), pre-aggregated INSIDE
     the Arrow kernel.
@@ -106,12 +116,7 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "w1": w1s, "w2": w2s, "dcnt": cts}
             )
 
-    docs = load_table(spark, sf_dir, "documents")
-    # one-split fixture parquet: spread the kernel across cores
-    par = spark.sparkContext.defaultParallelism
-    return docs.repartition(par).select("doc_id", "text").mapInPandas(
-        gen, schema
-    )
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
 
 
 #: Shared oracle CTE chain ending at ``scores`` — both bucketing
@@ -229,11 +234,23 @@ def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.sum("dcnt").alias("cb"))
     )
+    return _score_docbig(docbig, big, uni, vocab)
+
+
+def _score_docbig(
+    docbig: DataFrame, big: DataFrame, uni: DataFrame, vocab: int
+) -> DataFrame:
+    """Score per-doc bigram counts against an LM (count tables +
+    vocabulary size) — shared by the in-plan gate and the
+    persisted-model serve path."""
     # LEFT joins so the one w2-NULL row per document (its final token
     # position) rides along with term=NULL: n_tokens then falls out of
     # the SAME per-doc aggregate as the score — no separate base
-    # aggregate, no scores⋈base join.  (For w2-non-null rows left ≡
-    # inner: big/uni are built from docbig, so every key matches.)
+    # aggregate, no scores⋈base join.  (When the model was trained on
+    # this same corpus, left ≡ inner for w2-non-null rows — every key
+    # matches; the coalesces only bite when a PERSISTED model scores
+    # UNSEEN text: an unseen bigram smooths to count 0 on both
+    # tables.)
     terms = (
         docbig.join(big, ["w1", "w2"], "left")
         .join(uni, "w1", "left")
@@ -241,10 +258,24 @@ def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "dcnt",
             "w2",
-            F.round(
-                F.log2((F.col("cu") + F.lit(vocab)).cast("double"))
-                - F.log2((F.col("cb") + F.lit(1)).cast("double")),
-                6,
+            # the w2-NULL final-position row must KEEP term=NULL (it
+            # carries n_tokens only, never probability mass) — the
+            # coalesces apply to real bigram positions alone
+            F.when(
+                F.col("w2").isNotNull(),
+                F.round(
+                    F.log2(
+                        (
+                            F.coalesce(F.col("cu"), F.lit(0)) + F.lit(vocab)
+                        ).cast("double")
+                    )
+                    - F.log2(
+                        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast(
+                            "double"
+                        )
+                    ),
+                    6,
+                ),
             ).alias("term"),
         )
     )
@@ -290,6 +321,7 @@ def text_lm_quality_buckets(
     sf_dir: str,
     mode: str = "approx",
     accuracy: int = APPROX_PERCENTILE_ACCURACY,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet tertile bucketing with a selectable assignment strategy.
 
@@ -314,7 +346,8 @@ def text_lm_quality_buckets(
     persist+count barrier to pin the nondeterministic range-boundary
     sampling.
     """
-    scores = _lm_scores(spark, sf_dir)
+    if scores is None:
+        scores = _lm_scores(spark, sf_dir)
     if mode == "exact":
         ranked = with_global_rank(
             scores,
@@ -416,3 +449,86 @@ def text_lm_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     why the exact mode is retained as the audit surface.
     """
     return text_lm_quality_buckets(spark, sf_dir, mode="approx")
+
+
+# -- persisted LM (build/serve split) -----------------------------------------
+
+LM_MODEL_SCHEMA = "models"
+
+
+def save_lm_model(
+    warehouse, spark: SparkSession, sf_dir: str, name: str = "lm_bigram"
+) -> None:
+    """Train and persist the bigram LM: the unigram and bigram count
+    tables plus a 1-row constants table (vocabulary size), atomic
+    replace — the ivf_index/bpe/quality-classifier build/serve
+    discipline."""
+    from bitcoin_datawarehouse_spark.functions.cachereg import (
+        cache_tracked,
+    )
+
+    docbig = cache_tracked(
+        doc_bigram_counts(spark, sf_dir).repartition("w1")
+    )
+    uni = docbig.groupBy("w1").agg(F.sum("dcnt").cast("long").alias("cu"))
+    vocab = uni.count()  # fills docbig
+    big = (
+        docbig.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("dcnt").cast("long").alias("cb"))
+    )
+    warehouse.write_atomic(uni, LM_MODEL_SCHEMA, f"{name}_uni")
+    warehouse.write_atomic(big, LM_MODEL_SCHEMA, f"{name}_big")
+    warehouse.write_atomic(
+        spark.createDataFrame([(vocab,)], "v long"),
+        LM_MODEL_SCHEMA,
+        f"{name}_consts",
+        coalesce=1,
+    )
+
+
+def lm_score_with(
+    warehouse,
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str = "lm_bigram",
+) -> DataFrame:
+    """Serve path: (doc_id, n_tokens, n_bigrams, bits_per_token) for
+    ``docs`` (doc_id, text) under a PERSISTED bigram LM — no
+    retraining; the corpus work is the bigram kernel plus the two
+    count-table joins (path-based parquet reads).  Bigrams the model
+    never saw smooth to count 0 (the add-one floor), so unseen text
+    scores high-entropy instead of erroring — exactly CCNet's frozen
+    serving shape."""
+    crow = warehouse.read(LM_MODEL_SCHEMA, f"{name}_consts").collect()[0]
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docbig = _doc_bigram_counts_frame(docs.repartition(par))
+    uni = warehouse.read(LM_MODEL_SCHEMA, f"{name}_uni")
+    big = warehouse.read(LM_MODEL_SCHEMA, f"{name}_big")
+    return _score_docbig(docbig, big, uni, int(crow["v"]))
+
+
+@query("text_lm_quality_served")
+def text_lm_quality_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-LM serving round trip, driver-proven: train →
+    Warehouse model tables → load → score → exact tertile buckets,
+    under the SAME oracle as ``text_lm_quality`` (the persisted counts
+    are the trained counts, so scores are identical by construction —
+    the persisted-twin discipline)."""
+    from bitcoin_datawarehouse_spark.pipeline.catalog import (
+        Warehouse,
+        scratch_root,
+    )
+
+    wh = Warehouse(spark, scratch_root("bds_lm", sf_dir))
+    save_lm_model(wh, spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lm_score_with(wh, spark, docs)
+    return text_lm_quality_buckets(spark, sf_dir, mode="exact", scores=scores)
+
+
+from bitcoin_datawarehouse_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLES["text_lm_quality_served"] = _registry.ORACLES[
+    "text_lm_quality"
+]

@@ -383,6 +383,43 @@ def test_soft_dedup_expected_mass_on_fixture(spark):
         assert r["kept"] == exp
 
 
+def test_lm_served_equals_in_plan_and_smooths_unseen(spark, tmp_path):
+    """The persisted-LM serve path must reproduce the in-plan gate row
+    for row, and scoring UNSEEN text must smooth (add-one floor) to a
+    defined high-entropy score, never NULL."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.lm_quality import (
+        lm_score_with,
+        save_lm_model,
+    )
+    from bitcoin_datawarehouse_spark.pipeline import Warehouse
+    from bitcoin_datawarehouse_spark.registry import QUERIES as Q
+
+    a = sorted(tuple(r) for r in Q["text_lm_quality"](spark, SF_SMALL).collect())
+    b = sorted(
+        tuple(r) for r in Q["text_lm_quality_served"](spark, SF_SMALL).collect()
+    )
+    assert a == b
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    save_lm_model(wh, spark, SF_SMALL)
+    unseen = spark.createDataFrame(
+        [
+            (1, "qqqq wwww eeee rrrr tttt"),  # fully unseen vocabulary
+            (2, "key agg row scan slow fast"),  # in-vocabulary text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in lm_score_with(wh, spark, unseen).collect()
+    }
+    assert rows[1]["bits_per_token"] is not None
+    assert rows[2]["bits_per_token"] is not None
+    # unseen vocabulary must score strictly higher entropy
+    assert rows[1]["bits_per_token"] > rows[2]["bits_per_token"]
+
+
 ORACLE_PAIR = ["text_quality_classifier", "trainprep_dsir_select"]
 
 

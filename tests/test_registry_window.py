@@ -72,6 +72,7 @@ def test_round9_rotation_is_in_window():
         "text_quality_classifier_served",
         "trainprep_classifier_curation",
         "dedup_soft_weights",
+        "text_lm_quality_served",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

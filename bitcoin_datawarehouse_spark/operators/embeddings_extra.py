@@ -1245,3 +1245,99 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry.ORACLES["dedup_method_agreement"] = _method_agreement_oracle()
+
+
+# -- semantic decontamination -------------------------------------------------
+
+
+@query(
+    "decontam_semantic_overlap",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    ev AS (SELECT * FROM n WHERE vec_id % 97 = 0),
+    c AS (SELECT * FROM n WHERE vec_id % 97 <> 0),
+    pairs AS (
+      SELECT c.vec_id, {_SQL_COS.format(a="c", b="ev")} AS cos
+      FROM c JOIN ev ON TRUE
+    )
+    SELECT vec_id,
+           MAX(cos) AS max_eval_cosine,
+           CAST(COUNT(*) FILTER (WHERE cos >= {COSINE_DUP_THRESHOLD})
+                AS BIGINT) AS n_eval_hits,
+           MAX(cos) >= {COSINE_DUP_THRESHOLD} AS contaminated
+    FROM pairs GROUP BY vec_id
+    """,
+)
+def decontam_semantic_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding sibling of
+    ``decontam_ngram_overlap``: a corpus vector is contaminated when
+    its cosine against ANY eval-suite vector (the ``vec_id % 97``
+    slice, mirroring the n-gram stage's ``EVAL_MOD`` eval set) reaches
+    the duplicate threshold.  N-gram overlap misses paraphrased eval
+    leakage; embeddings catch it (the published gap this stage
+    closes).
+
+    Scale shape: the eval suite is a bounded MODEL ARTIFACT (the same
+    argument as the n-gram stage's session shingle set), so it rides
+    the kernel closure and the corpus pass is map-only — one Arrow
+    kernel scores each corpus vector against the broadcast eval
+    matrix with dimension-ordered accumulation (the IEEE-parity
+    discipline of the cosine family); no join, no shuffle beyond the
+    scan.  At 100 TB: eval suites are fixed-size by construction;
+    corpus cost is one read.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    normed = _normed(spark, sf_dir)
+    ev_rows = normed.filter(F.col("vec_id") % 97 == 0).collect()
+    if not ev_rows:
+        raise ValueError("empty eval slice (vec_id % 97) — no decontam set")
+    E = np.array([r["e"] for r in ev_rows], dtype=np.float64)
+    # dim-ordered norm fold, matching list_reduce(x*x) left-to-right
+    e_nrm = np.zeros(len(ev_rows), dtype=np.float64)
+    for d in range(E.shape[1]):
+        e_nrm += E[:, d] * E[:, d]
+    e_nrm = np.sqrt(e_nrm)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("max_eval_cosine", T.DoubleType()),
+            T.StructField("n_eval_hits", T.LongType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+    tau = COSINE_DUP_THRESHOLD
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["e"]), dtype=np.float64)
+            c_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            # dimension-ordered accumulation across the corpus×eval
+            # grid: per pair this is the same left-to-right IEEE
+            # sequence as the oracle's list_reduce fold
+            acc = np.zeros((len(pdf), len(e_nrm)), dtype=np.float64)
+            for d in range(C.shape[1]):
+                acc += C[:, d : d + 1] * E[None, :, d][0]
+            cos = acc / (c_nrm[:, None] * e_nrm[None, :])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "max_eval_cosine": cos.max(axis=1),
+                    "n_eval_hits": (cos >= tau).sum(axis=1).astype("int64"),
+                    "contaminated": cos.max(axis=1) >= tau,
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        normed.filter(F.col("vec_id") % 97 != 0)
+        .repartition(par)
+        .mapInPandas(gen, schema)
+    )

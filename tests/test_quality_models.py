@@ -420,6 +420,35 @@ def test_lm_served_equals_in_plan_and_smooths_unseen(spark, tmp_path):
     assert rows[1]["bits_per_token"] > rows[2]["bits_per_token"]
 
 
+def test_semantic_decontam_on_planted_vectors(spark, tmp_path):
+    """Planted semantics: a corpus vector equal to an eval vector is
+    contaminated (cosine 1), a near-paraphrase above the threshold is
+    contaminated, an orthogonal vector is clean — and eval members
+    themselves never appear in the output."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # eval member (0 % 97 == 0)
+        (97, [0.0, 1.0, 0.0, 0.0]),  # eval member
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact copy of eval 0
+        (2, [0.9, 0.1, 0.0, 0.0]),  # paraphrase of eval 0 (cos ~0.99)
+        (3, [0.0, 0.0, 1.0, 0.0]),  # orthogonal to both -> clean
+    ]
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: r
+        for r in QUERIES["decontam_semantic_overlap"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}  # eval members excluded
+    assert got[1]["contaminated"] and got[1]["max_eval_cosine"] == 1.0
+    assert got[2]["contaminated"] and got[2]["n_eval_hits"] >= 1
+    assert not got[3]["contaminated"] and got[3]["n_eval_hits"] == 0
+
+
 ORACLE_PAIR = ["text_quality_classifier", "trainprep_dsir_select"]
 
 

@@ -73,6 +73,7 @@ def test_round9_rotation_is_in_window():
         "trainprep_classifier_curation",
         "dedup_soft_weights",
         "text_lm_quality_served",
+        "decontam_semantic_overlap",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

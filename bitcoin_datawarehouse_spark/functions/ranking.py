@@ -130,3 +130,57 @@ def ntile_bucket(rank: Column, total: Column, k: int) -> Column:
     return F.when(
         rank <= big_span, _floordiv(rank - 1, q + 1) + 1
     ).otherwise(r + _floordiv(rank - big_span - 1, q) + 1)
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    prefix_alias: str = "prefix_sum",
+    total_alias: str = "total_sum",
+) -> DataFrame:
+    """Append the EXCLUSIVE global running sum of ``value_col`` over
+    the total order ``order_cols`` (plus the grand total) — the scan
+    primitive, same two-phase scheme as :func:`with_global_rank`:
+    range-repartition on the order key, per-partition local prefix
+    (a PARTITIONED window), per-partition sums → broadcast cumulative
+    offsets.  ``SUM(v) OVER (ORDER BY …)`` without PARTITION BY is the
+    same single-task funnel as global row_number; this is its
+    partition-parallel replacement, bit-identical because both are
+    determined by the same total order (exact for integer values; for
+    doubles the fold order would differ — keep values integral)."""
+    spark = df.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    keyed = df.repartitionByRange(npart, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # same nondeterministic-boundary argument as with_global_rank:
+    # counts and rows must see ONE frozen range partitioning
+    keyed = keyed.localCheckpoint()
+
+    sums = keyed.groupBy(_PID).agg(F.sum(value_col).alias("_psum"))
+    woff = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    wtot = W.orderBy(_PID).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offsets = sums.select(
+        _PID,
+        F.coalesce(F.sum("_psum").over(woff), F.lit(0)).alias(_OFFSET),
+        F.sum("_psum").over(wtot).alias(_TOTAL),
+    )
+
+    wloc = (
+        W.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        keyed.withColumn(
+            "_ps_local",
+            F.coalesce(F.sum(value_col).over(wloc), F.lit(0)),
+        )
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(prefix_alias, F.col("_ps_local") + F.col(_OFFSET))
+        .withColumn(total_alias, F.col(_TOTAL))
+        .drop(_PID, _OFFSET, _TOTAL, "_ps_local")
+    )

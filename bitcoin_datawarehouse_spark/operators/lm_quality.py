@@ -532,3 +532,74 @@ from bitcoin_datawarehouse_spark import registry as _registry  # noqa: E402
 _registry.ORACLES["text_lm_quality_served"] = _registry.ORACLES[
     "text_lm_quality"
 ]
+
+
+from bitcoin_datawarehouse_spark.operators.trainprep import (  # noqa: E402
+    PACK_BUDGET as _PACK_BUDGET,
+)
+
+
+@query(
+    "trainprep_curriculum_pack",
+    oracle=f"""
+    WITH {_SQL_SCORES},
+    base AS (
+      SELECT s.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             s.bits_per_token
+      FROM scores s JOIN tok t USING (doc_id)
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, bits_per_token,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY bits_per_token, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM base
+    )
+    SELECT doc_id, n_tokens, bits_per_token, start_offset,
+           CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS chunk_id
+    FROM packed
+    """,
+)
+def trainprep_curriculum_pack(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURRICULUM-ordered sequence packing: the corpus packed into
+    fixed token-budget chunks in easy→hard order (ascending bigram-LM
+    bits-per-token, the curriculum-learning data ordering) — early
+    chunks hold the most predictable text, late chunks the hardest.
+
+    The running token offset over a GLOBAL order is the scan
+    primitive ``SUM(v) OVER (ORDER BY …)`` — a single-task funnel as
+    a monolithic window at corpus scale — computed here with
+    :func:`functions.ranking.with_global_prefix_sum` (range-partition
+    → local prefix → broadcast offsets), the prefix-sum sibling of
+    the distributed global rank.  Ordering key ``(bits_per_token,
+    doc_id)`` is cross-engine total: the score is bit-identical by
+    the micro-bits construction and doc_id breaks ties.  All packed
+    arithmetic is integer-exact (chunk budget = trainprep's
+    ``PACK_BUDGET``)."""
+    from bitcoin_datawarehouse_spark.functions.ranking import (
+        with_global_prefix_sum,
+    )
+    from bitcoin_datawarehouse_spark.operators.trainprep import PACK_BUDGET
+
+    scores = _lm_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "bits_per_token"
+    )
+    packed = with_global_prefix_sum(
+        scores,
+        ["bits_per_token", "doc_id"],
+        "n_tokens",
+        prefix_alias="start_offset",
+        total_alias="_tot",
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "bits_per_token",
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.expr(f"CAST(start_offset DIV {PACK_BUDGET} AS BIGINT)").alias(
+            "chunk_id"
+        ),
+    )

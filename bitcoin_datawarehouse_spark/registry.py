@@ -57,12 +57,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:
 #: Round-9 rotation (r8 VERDICT item 6): CORRECTNESS_r08 verified all
 #: 50 r8 seats, so every unchanged r8 seat rotates out.  This window
-#: seats the canary, the 12 round-9 NEW queries (4 session-1 + the 8
+#: seats the canary, the 13 round-9 NEW queries (4 session-1 + the 9
 #: session-2 model-based-curation + soft-dedup gates), the 5 round-9
 #: REWRITES (per the standing rule a materially rewritten
 #: implementation re-enters even if its old body was driver-green),
-#: and fills the other 32 with the STALEST driver rows — ALL 30
-#: remaining r5-vintage queries plus the oldest 2 of the r6 vintage
+#: and fills the other 31 with the STALEST driver rows — ALL 30
+#: remaining r5-vintage queries plus the oldest 1 of the r6 vintage
 #: (alphabetical within vintage)
 #: — as re-confirmation against shared-infrastructure drift.  Every name here has a SQL oracle —
 #: zero rows-only checks in-window.
@@ -119,6 +119,8 @@ DRIVER_WINDOW: list[str] = [
     "text_lm_quality_served",
     # semantic decontamination (embedding sibling of the n-gram stage)
     "decontam_semantic_overlap",
+    # curriculum-ordered packing via the distributed prefix-sum scan
+    "trainprep_curriculum_pack",
     # --- round-9 re-confirmation fill: the 40 seats left go to the
     # queries whose driver-green rows are OLDEST — every r5-vintage
     # row (30) and the oldest 10 of the r6 vintage (alphabetical
@@ -161,12 +163,11 @@ DRIVER_WINDOW: list[str] = [
     # gates; er_fuzzy_name_pairs_passjoin, events_gap_islands,
     # events_gapfill_locf, er_fuzzy_name_pairs,
     # dedup_substring_spans_winnowed, dedup_paragraphs_by_source,
-    # dedup_paragraphs, and dedup_embedding_cosine_lsh_auto —
-    # 3rd-10th — ceded theirs to the session-2 model-based-curation +
-    # soft-dedup + served-LM + semantic-decontam gates; all r6 rows
-    # stand)
+    # dedup_paragraphs, dedup_embedding_cosine_lsh_auto, and
+    # cdc_snapshot_diff — 2nd-10th — ceded theirs to the session-2
+    # model-based-curation + soft-dedup + served-LM +
+    # semantic-decontam + curriculum gates; all r6 rows stand)
     "affinity_brand_pairs",
-    "cdc_snapshot_diff",
 ]
 
 

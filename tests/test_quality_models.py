@@ -449,6 +449,57 @@ def test_semantic_decontam_on_planted_vectors(spark, tmp_path):
     assert not got[3]["contaminated"] and got[3]["n_eval_hits"] == 0
 
 
+def test_global_prefix_sum_equals_monolithic_window(spark):
+    """The distributed scan must be bit-identical to the
+    single-partition SUM() OVER (ORDER BY …) it replaces, on a frame
+    with ties in the value column and skewed key spacing."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.functions.ranking import (
+        with_global_prefix_sum,
+    )
+
+    rows = [(i, (i * 7919) % 1000, (i % 13) + 1) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, key long, v long")
+    got = {
+        r["id"]: (r["ps"], r["tot"])
+        for r in with_global_prefix_sum(
+            df, ["key", "id"], "v", prefix_alias="ps", total_alias="tot"
+        ).collect()
+    }
+    w = W.orderBy("key", "id").rowsBetween(W.unboundedPreceding, -1)
+    exp = {
+        r["id"]: (r["ps"], r["tot"])
+        for r in df.select(
+            "id",
+            F.coalesce(F.sum("v").over(w), F.lit(0)).alias("ps"),
+            F.sum("v").over(
+                W.orderBy("key", "id").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ).alias("tot"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_curriculum_pack_invariants(spark):
+    """Curriculum packing on the fixture: offsets are the exclusive
+    running sum in (bits_per_token, doc_id) order, chunks are
+    contiguous, and the easiest doc starts at offset 0."""
+    rows = sorted(
+        QUERIES["trainprep_curriculum_pack"](spark, SF_SMALL).collect(),
+        key=lambda r: (r["bits_per_token"], r["doc_id"]),
+    )
+    assert rows[0]["start_offset"] == 0
+    acc = 0
+    for r in rows:
+        assert r["start_offset"] == acc
+        assert r["chunk_id"] == acc // 256
+        acc += r["n_tokens"]
+
+
 ORACLE_PAIR = ["text_quality_classifier", "trainprep_dsir_select"]
 
 

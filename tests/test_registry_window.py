@@ -74,6 +74,7 @@ def test_round9_rotation_is_in_window():
         "dedup_soft_weights",
         "text_lm_quality_served",
         "decontam_semantic_overlap",
+        "trainprep_curriculum_pack",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

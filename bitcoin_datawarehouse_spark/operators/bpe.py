@@ -682,19 +682,25 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document its word count, BPE token count, and tokens-per-word
     (the compression statistic a tokenizer-training loop monitors).
 
-    r9 shape: training through the delta trainer, apply through the
-    Arrow kernel (:func:`bpe_apply_kernel`) — the merge table rides
-    as a rank dict in the task closure, so merge count is a dict
-    size, not an expression-tree depth (r8 VERDICT item 1; the old
-    chained-replace plan is pinned bit-equal in pytest and kept for
-    the probe baseline).
+    r10 shape: training through the PRODUCTION entrypoint
+    :func:`bpe_train_auto` (r9 VERDICT item 2) — the vocabulary count
+    routes a driver-sized word table to the in-process indexed
+    trainer (zero Spark jobs per merge round; at fixture scale this
+    also stops paying the distributed delta loop's per-round job
+    floor) and a larger one to the distributed delta loop, both
+    pinned bit-equal in pytest.  Apply runs through the Arrow kernel
+    (:func:`bpe_apply_kernel`) — the merge table rides as a rank dict
+    in the task closure, so merge count is a dict size, not an
+    expression-tree depth (r8 VERDICT item 1).
 
     The oracle re-trains in SQL (the unrolled CTE chain) and applies
     each round's argmax via per-round literal replace — so the gate
     proves train AND apply cross-engine, including that both engines
     learned the SAME merges.
     """
-    merges = bpe_train(bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS)
+    merges = bpe_train_auto(
+        bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS
+    )
     docs = load_table(spark, sf_dir, "documents")
     return _with_ratio(bpe_apply_kernel(docs, merges))
 
@@ -704,7 +710,7 @@ def text_bpe_encode_served(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The PERSISTED-tokenizer serving configuration, driver-proven:
-    train (distributed delta) → ``save_bpe_merges`` into a scratch
+    train (:func:`bpe_train_auto`) → ``save_bpe_merges`` into a scratch
     Warehouse model table → ``load_bpe_merges`` → the Arrow apply
     kernel — the full build/serve round trip under the SAME oracle as
     ``text_bpe_encode`` (rows are bit-identical by the load≡train
@@ -719,7 +725,9 @@ def text_bpe_encode_served(
     )
 
     wh = Warehouse(spark, scratch_root("bds_bpe", sf_dir))
-    merges = bpe_train(bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS)
+    merges = bpe_train_auto(
+        bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS
+    )
     save_bpe_merges(wh, spark, merges)
     docs = load_table(spark, sf_dir, "documents")
     return encode_with(wh, docs)
@@ -730,10 +738,14 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first ``BPE_MERGE_ROUNDS`` byte-pair merges trained on the
     documents corpus: (merge_round, pair_a, pair_b, merged,
     pair_count) — deterministic tie-break on (count DESC, pair), all
-    integer-exact (module docstring has the full design).  r9: runs
-    the ``get_stats``-delta trainer (:func:`bpe_train`); the oracle is
-    unchanged, so the gate proves the delta maintenance cross-engine
-    against DuckDB's full per-round recount.
+    integer-exact (module docstring has the full design).  r10: runs
+    the PRODUCTION entrypoint :func:`bpe_train_auto` (r9 VERDICT item
+    2), so the driver gate proves the auto-switch itself — the
+    fixture vocabulary routes to the in-process indexed trainer,
+    pinned bit-equal to the distributed ``get_stats``-delta loop in
+    pytest (which stays the >2M-vocab path and keeps its own
+    cross-engine proof through the encode gates' history).  The
+    oracle is unchanged: DuckDB's full per-round recount.
 
     The returned frame is the collected merge table re-created on the
     driver — the merge table is the OUTPUT of an iterative driver-
@@ -741,5 +753,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook pattern); the distributed work is the corpus aggregate +
     the per-round delta passes inside :func:`bpe_train`.
     """
-    merges = bpe_train(bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS)
+    merges = bpe_train_auto(
+        bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS
+    )
     return spark.createDataFrame(merges, _MERGE_TABLE_DDL)

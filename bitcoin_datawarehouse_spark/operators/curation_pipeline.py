@@ -518,12 +518,16 @@ def trainprep_tokenized_curation(
     from bitcoin_datawarehouse_spark.operators.bpe import (
         BPE_MERGE_ROUNDS,
         bpe_apply_kernel,
-        bpe_train,
+        bpe_train_auto,
         bpe_word_table,
     )
 
     s6 = _curation_stage_frames(spark, sf_dir)["mixture"]
-    merges = bpe_train(bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS)
+    # r10: the production auto-regime trainer (routing change only —
+    # pinned bit-equal to the distributed delta loop in pytest)
+    merges = bpe_train_auto(
+        bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS
+    )
     docs = load_table(spark, sf_dir, "documents")
     surv_docs = docs.join(s6.select("doc_id"), "doc_id")
     enc = bpe_apply_kernel(surv_docs, merges).select(

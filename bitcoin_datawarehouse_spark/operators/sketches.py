@@ -7,9 +7,19 @@ t-digest (Spark's approx_percentile) for quantiles.  Both are
 map-side-combinable: the shuffle carries fixed-size sketch state, not
 data.
 
-Sketch contents are engine-specific, so these are rows-only in the
-gate; tests/test_sketches.py bounds their error against the exact
-operators instead (the meaningful contract for an approximation).
+Two gate tiers (r9 VERDICT item 1):
+
+* The builtin-sketch queries (``approx_count_distinct``,
+  ``approx_percentile``) stay rows-only — their register/centroid
+  layouts are engine-private by design; tests/test_sketches_multimodal
+  bounds their error against the exact operators (the meaningful
+  contract for an approximation).
+* The EXPLICIT twins below re-express each sketch with pinned,
+  engine-neutral internals — md5-derived registers (HLL, Flajolet et
+  al. 2007), md5-positioned counters (count-min, Cormode &
+  Muthukrishnan 2005), and a distributed nearest-rank percentile —
+  so the identical estimate is SQL-expressible in DuckDB and the
+  whole family is hash-gated, not just error-bounded.
 """
 
 from __future__ import annotations
@@ -17,7 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.functions.numeric import (
+    SQL_STR_ROUND6,
+    str_round6,
+)
+from bitcoin_datawarehouse_spark.operators.text_stats import (  # noqa: F401 — registers the histogram oracle this module's CMS oracle embeds
+    text_token_histogram,
+)
+from bitcoin_datawarehouse_spark.registry import ORACLES, query
 from bitcoin_datawarehouse_spark.tables import load_table
 
 HLL_RSD = 0.02  # 2% relative standard deviation
@@ -75,8 +92,57 @@ CMS_SEED = 42
 CMS_WIDTH = 2000
 CMS_DEPTH = 5
 
+#: DuckDB mirror of the kernel/probe position derivation: the first
+#: 15 md5 hex digits of "seed:row:token" as a 60-bit integer, mod
+#: width.  ('0x'||hex)::BIGINT == Spark conv(hex,16,10) — probed
+#: equal digit-for-digit.
+def _sql_cms_pos(token_expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{CMS_SEED}:' || CAST(rr.r AS VARCHAR)"
+        f" || ':' || {token_expr}), 1, 15) AS BIGINT) % {CMS_WIDTH}"
+    )
 
-@query("sketch_count_min_token_counts")  # rows-only: sketch internals engine-specific
+
+_SQL_CMS_ROWS = "(SELECT unnest([0, 1, 2, 3, 4]) AS r) rr"
+
+
+def _cms_oracle() -> str:
+    from bitcoin_datawarehouse_spark.operators.text_stats import _SQL_TOKENS
+
+    # the watch-list CTE embeds the registered histogram oracle
+    # VERBATIM (the similarity_ivf_recall composite discipline) so the
+    # probe side can't drift from what text_token_histogram gates;
+    # new CTE names are cms_-prefixed to dodge the embedded chain's.
+    watch = ORACLES["text_token_histogram"]
+    return f"""
+    WITH cms_tok AS (
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+      GROUP BY token
+    ),
+    cms_counters AS (
+      SELECT r, c, SUM(cnt) AS cnt FROM (
+        SELECT rr.r, {_sql_cms_pos('token')} AS c, cnt
+        FROM cms_tok CROSS JOIN {_SQL_CMS_ROWS}
+      ) GROUP BY r, c
+    ),
+    cms_watch AS (
+      {watch}
+    ),
+    cms_probe AS (
+      SELECT w.token, w.term_count AS exact_count, rr.r,
+             {_sql_cms_pos('w.token')} AS c
+      FROM cms_watch w CROSS JOIN {_SQL_CMS_ROWS}
+    )
+    SELECT p.token, p.exact_count,
+           CAST(MIN(COALESCE(cn.cnt, 0)) AS BIGINT) AS cms_count
+    FROM cms_probe p
+    LEFT JOIN cms_counters cn ON cn.r = p.r AND cn.c = p.c
+    GROUP BY p.token, p.exact_count
+    """
+
+
+@query("sketch_count_min_token_counts", oracle=_cms_oracle())
 def sketch_count_min_token_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -96,11 +162,11 @@ def sketch_count_min_token_counts(
     with no driver-side collect, no ``spark._jvm`` py4j access, and
     no classic-API dependency (Spark Connect-compatible; the previous
     revision pre-computed the result on the driver via the JVM
-    CountMinSketch reader, r4 ADVICE).  Estimates are rows-only in
-    the gate (sketch internals are ours), but hash-deterministic:
-    md5 positions, integer counters.  Error contract (exact ≤
-    estimate ≤ exact + ε·N) is pinned in
-    tests/test_sketches_multimodal.py.
+    CountMinSketch reader, r4 ADVICE).  The internals are pinned
+    (md5 positions, integer counters), so since r10 the estimate is
+    HASH-GATED against a DuckDB twin that rebuilds the identical
+    counter table in SQL; the error contract (exact ≤ estimate ≤
+    exact + ε·N) stays pinned in tests/test_sketches_multimodal.py.
     """
     import hashlib
 
@@ -192,3 +258,261 @@ def sketch_count_min_token_counts(
             .alias("cms_count")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: explicit-register twins — the whole sketch family hash-gated
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  #: registers (error ≈ 1.04/√64 ≈ 13% rsd)
+#: h is 60 bits (15 md5 hex digits); low 6 pick the register, the
+#: remaining 54 feed rho ∈ [1, 55] (rho = leading zeros + 1; w == 0 →
+#: all 54 zero → 55)
+HLL_RHO_MAX = 55
+HLL_ALPHA = 0.709  # canonical bias constant for m=64 (Flajolet 2007)
+#: E_raw = α·m²/Z with Z = Σ 2^-reg; computed as one double division
+#: of exact integers: NUM / S where S = Σ 2^(RHO_MAX-reg) ≤ m·2^54 <
+#: 2^63 (BIGINT-exact) and NUM = α·m²·2^RHO_MAX (a Python float whose
+#: repr both engines parse to the identical double)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(2**HLL_RHO_MAX)
+HLL_LC_THRESHOLD = 2.5 * HLL_M  # below this (and V>0): linear counting
+
+
+def _hll_estimate_frame(
+    df: DataFrame, groups: list[str], keep_diag: bool = False
+) -> DataFrame:
+    """groups + ``hkey`` (string) → groups + deterministic HLL estimate.
+
+    The classic estimator with every step engine-neutral:
+
+    * register/rho from md5 (cross-engine identical),
+    * per-(group, register) MAX — a hash aggregate with map-side
+      combine; the shuffle carries ≤ m rows per group, the whole
+      point of HLL at 100 TB,
+    * the harmonic sum as an exact BIGINT (terms 2^(RHO_MAX-reg)),
+      so the only float ops are one division (bit-identical from
+      identical operands) and the linear-counting ln (1-ulp libm
+      risk, absorbed by the str_round6 exposure).
+    """
+    hashed = df.selectExpr(
+        *groups,
+        "CAST(conv(substring(md5(CAST(hkey AS BINARY)), 1, 15), 16, 10)"
+        " AS BIGINT) AS h",
+    ).selectExpr(
+        *groups,
+        f"CAST(h % {HLL_M} AS INT) AS j",
+        f"h DIV {HLL_M} AS w",
+    ).selectExpr(
+        *groups,
+        "j",
+        f"CASE WHEN w = 0 THEN {HLL_RHO_MAX}"
+        f" ELSE {HLL_RHO_MAX} - length(bin(w)) END AS rho",
+    )
+    regs = hashed.groupBy(*groups, "j").agg(F.max("rho").alias("reg"))
+    per = regs.groupBy(*groups).agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - reg)")
+        ).alias("s_present"),
+    )
+    return per.selectExpr(
+        *groups,
+        f"CAST({HLL_M} - n_present AS BIGINT) AS v_zero",
+        f"s_present + ({HLL_M} - n_present)"
+        f" * shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX}) AS s_all",
+    ).selectExpr(
+        *groups,
+        "v_zero",
+        f"CAST({HLL_NUM!r} AS DOUBLE) / CAST(s_all AS DOUBLE) AS e_raw",
+    ).select(
+        *groups,
+        *([F.col("v_zero"), F.col("e_raw")] if keep_diag else []),
+        str_round6(
+            F.expr(
+                f"CASE WHEN v_zero > 0"
+                f" AND e_raw <= CAST({HLL_LC_THRESHOLD!r} AS DOUBLE)"
+                f" THEN CAST({HLL_M} AS DOUBLE)"
+                f" * ln(CAST({HLL_M} AS DOUBLE) / CAST(v_zero AS DOUBLE))"
+                f" ELSE e_raw END"
+            )
+        ).alias("hll_estimate"),
+    )
+
+
+def _sql_hll_oracle(group_expr: str, group_alias: str) -> str:
+    """DuckDB mirror of :func:`_hll_estimate_frame` over orders
+    (hkey = o_custkey), joined to the exact distinct count."""
+    est = (
+        f"CASE WHEN v_zero > 0"
+        f" AND e_raw <= CAST({HLL_LC_THRESHOLD!r} AS DOUBLE)"
+        f" THEN CAST({HLL_M} AS DOUBLE)"
+        f" * ln(CAST({HLL_M} AS DOUBLE) / CAST(v_zero AS DOUBLE))"
+        f" ELSE e_raw END"
+    )
+    return f"""
+    WITH hll_h AS (
+      SELECT {group_expr} AS {group_alias},
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM orders
+    ),
+    hll_rho AS (
+      SELECT {group_alias}, CAST(h % {HLL_M} AS INT) AS j,
+             CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                  ELSE {HLL_RHO_MAX} - length(bin(h // {HLL_M}))
+             END AS rho
+      FROM hll_h
+    ),
+    hll_reg AS (
+      SELECT {group_alias}, j, MAX(rho) AS reg
+      FROM hll_rho GROUP BY {group_alias}, j
+    ),
+    hll_s AS (
+      SELECT {group_alias},
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+             CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - reg))
+                  + ({HLL_M} - COUNT(*))
+                  * (CAST(1 AS BIGINT) << {HLL_RHO_MAX}) AS BIGINT)
+               AS s_all
+      FROM hll_reg GROUP BY {group_alias}
+    ),
+    hll_e AS (
+      SELECT {group_alias}, v_zero,
+             CAST({HLL_NUM!r} AS DOUBLE) / CAST(s_all AS DOUBLE) AS e_raw
+      FROM hll_s
+    ),
+    hll_exact AS (
+      SELECT {group_expr} AS {group_alias},
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+      FROM orders GROUP BY {group_alias}
+    )
+    SELECT e.{group_alias}, {SQL_STR_ROUND6(est)} AS hll_estimate,
+           x.exact_customers
+    FROM hll_e e JOIN hll_exact x USING ({group_alias})
+    """
+
+
+def _hll_explicit(
+    spark: SparkSession, sf_dir: str, group_expr: str, group_alias: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.selectExpr(
+        f"{group_expr} AS {group_alias}",
+        "CAST(o_custkey AS STRING) AS hkey",
+    )
+    est = _hll_estimate_frame(keyed, [group_alias])
+    exact = orders.groupBy(F.expr(group_expr).alias(group_alias)).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers")
+    )
+    return est.join(exact, group_alias)
+
+
+_HLL_MONTH_EXPR = "trunc(CAST(o_orderdate AS DATE), 'MM')"
+_SQL_HLL_MONTH_EXPR = "CAST(date_trunc('month', o_orderdate) AS DATE)"
+
+
+@query(
+    "sketch_hll_explicit_month",
+    oracle=_sql_hll_oracle(_SQL_HLL_MONTH_EXPR, "order_month"),
+)
+def sketch_hll_explicit_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order-month via the EXPLICIT-register
+    HLL twin (m=64), hash-gated against a DuckDB re-derivation and
+    reported next to the exact count.
+
+    Fixture months hold ~150-200 distinct customers around the m=64
+    linear-counting threshold (2.5m = 160), so this single gate
+    exercises BOTH estimator branches across its ~80 groups —
+    raw harmonic-mean months and linear-counting months.
+    """
+    return _hll_explicit(spark, sf_dir, _HLL_MONTH_EXPR, "order_month")
+
+
+@query(
+    "sketch_hll_explicit_priority",
+    oracle=_sql_hll_oracle("o_orderpriority", "priority"),
+)
+def sketch_hll_explicit_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """agg_approx_count_distinct's explicit-register twin: the same
+    o_orderpriority grouping, estimated by the pinned md5-register
+    HLL instead of the engine-private HLL++ — so the builtin sketch
+    query gains a hash-gated sibling on identical group keys (~1300
+    distinct per group: deep raw-branch territory)."""
+    return _hll_explicit(spark, sf_dir, "o_orderpriority", "priority")
+
+
+# --- distributed nearest-rank percentile twin --------------------------------
+
+PCT_POINTS = (50, 90, 99)
+
+
+def _sql_rank_pct(p: int) -> str:
+    # smallest value whose cumulative count reaches ceil(p·n/100) —
+    # pure integer rank arithmetic, value surfaced verbatim
+    return (
+        f"MIN(CASE WHEN cum >= ({p} * n + 99) // 100"
+        f" THEN l_extendedprice END) AS p{p}"
+    )
+
+
+@query(
+    "sketch_percentile_rank_exact",
+    oracle=f"""
+    WITH pct_counts AS (
+      SELECT l_returnflag, l_extendedprice, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pct_cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(c) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+             ) AS cum
+      FROM pct_counts
+    ),
+    pct_n AS (
+      SELECT l_returnflag, SUM(c) AS n FROM pct_counts GROUP BY 1
+    )
+    SELECT c.l_returnflag, {_sql_rank_pct(50)}, {_sql_rank_pct(90)},
+           {_sql_rank_pct(99)}
+    FROM pct_cum c JOIN pct_n USING (l_returnflag)
+    GROUP BY c.l_returnflag
+    """,
+)
+def sketch_percentile_rank_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sketch_approx_percentiles' deterministic twin: exact
+    NEAREST-RANK percentiles (value at rank ⌈p·n/100⌉), computed
+    distributively and hash-gated.
+
+    Scale shape — no per-group sort of raw rows: a hash aggregate
+    first collapses the fact table to (group, value) counts, the
+    cumulative window then runs over the DISTINCT-VALUE frame (price
+    domain, not row count), and each percentile is a conditional MIN.
+    Rank arithmetic is pure integer (⌈p·n/100⌉ = (p·n+99) div 100)
+    and the surfaced value is a verbatim parquet double — zero float
+    arithmetic, so the twin is exactly comparable cross-engine where
+    the interpolated variant (agg_percentiles) needs a 4-dp guard.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("c")
+    )
+    from pyspark.sql import Window as W
+
+    wcum = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cum = counts.withColumn("cum", F.sum("c").over(wcum))
+    n = counts.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    j = cum.join(n, "l_returnflag")
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n + 99) DIV 100"),
+                F.col("l_extendedprice"),
+            )
+        ).alias(f"p{p}")
+        for p in PCT_POINTS
+    ]
+    return j.groupBy("l_returnflag").agg(*aggs)

@@ -154,20 +154,15 @@ DRIVER_WINDOW: list[str] = [
     "trainprep_global_shuffle",
     "trainprep_hash_split",
     "trainprep_pack_sequences",
-    "trainprep_quantize_int8",
-    "trainprep_stratified_sample",
-    "trainprep_token_budget",
-    # oldest 5 of the r6 vintage (pipeline_scd2_history,
-    # graph_pagerank_event_transitions, and events_twap — 13th/12th/
-    # 11th alphabetically — ceded their seats to the round-9 new
-    # gates; er_fuzzy_name_pairs_passjoin, events_gap_islands,
-    # events_gapfill_locf, er_fuzzy_name_pairs,
-    # dedup_substring_spans_winnowed, dedup_paragraphs_by_source,
-    # dedup_paragraphs, dedup_embedding_cosine_lsh_auto, and
-    # cdc_snapshot_diff — 2nd-10th — ceded theirs to the session-2
-    # model-based-curation + soft-dedup + served-LM +
-    # semantic-decontam + curriculum gates; all r6 rows stand)
-    "affinity_brand_pairs",
+    # --- round-10 NEW (provisional seats; final r10 rotation happens
+    # once the session's full gate set is known): the explicit-twin
+    # sketch family — the last operators with no hash-gated row ever
+    # (r9 VERDICT item 1).  They displace the 4 stalest fill seats,
+    # whose r5/r6 driver rows stand.
+    "sketch_count_min_token_counts",
+    "sketch_hll_explicit_month",
+    "sketch_hll_explicit_priority",
+    "sketch_percentile_rank_exact",
 ]
 
 

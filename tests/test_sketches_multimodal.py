@@ -137,3 +137,68 @@ def test_real_image_resize_gate_raises_without_pil():
 
     with pytest.raises(NotImplementedError, match="PIL"):
         resize_image_payload(b"\x89PNG\r\n\x1a\n", 4, 4)
+
+
+def test_hll_explicit_within_error(spark):
+    """Explicit-register twin (m=64, rsd ≈ 13%): every group within
+    ~3σ of the exact count, and the mean relative error well inside
+    one σ — the estimator-quality contract the hash gate can't see."""
+    for name in ("sketch_hll_explicit_month", "sketch_hll_explicit_priority"):
+        rows = QUERIES[name](spark, SF_ORACLE).collect()
+        assert rows, name
+        rel = []
+        for r in rows:
+            err = abs(r["hll_estimate"] - r["exact_customers"])
+            rel.append(err / r["exact_customers"])
+            assert err <= max(10, 0.40 * r["exact_customers"]), (name, r)
+        # mean bound is ~2σ, not σ: the groups share most of their
+        # custkey population (every priority sees ~86% of all 1500
+        # customers), so per-group errors are strongly CORRELATED and
+        # the mean does not average down with group count
+        assert sum(rel) / len(rel) < 0.25, (name, sum(rel) / len(rel))
+
+
+def test_hll_explicit_exercises_both_branches(spark):
+    """The month grouping sits astride the 2.5m linear-counting
+    threshold at sf0.01, so one gate covers BOTH estimator branches."""
+    from bitcoin_datawarehouse_spark.operators.sketches import (
+        HLL_LC_THRESHOLD,
+        _hll_estimate_frame,
+        _HLL_MONTH_EXPR,
+    )
+
+    keyed = load_table(spark, SF_ORACLE, "orders").selectExpr(
+        f"{_HLL_MONTH_EXPR} AS order_month",
+        "CAST(o_custkey AS STRING) AS hkey",
+    )
+    diag = _hll_estimate_frame(keyed, ["order_month"], keep_diag=True)
+    branches = {
+        bool(r["v_zero"] > 0 and r["e_raw"] <= HLL_LC_THRESHOLD)
+        for r in diag.collect()
+    }
+    assert branches == {True, False}
+
+
+def test_percentile_rank_vs_interpolated(spark):
+    """Nearest-rank twin tracks the interpolated exact percentiles
+    (they differ by at most one value step) and is monotone."""
+    rank = {
+        r["l_returnflag"]: r
+        for r in QUERIES["sketch_percentile_rank_exact"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    interp = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_percentiles"](spark, SF_ORACLE).collect()
+    }
+    assert rank.keys() == interp.keys()
+    for flag, r in rank.items():
+        assert r["p50"] <= r["p90"] <= r["p99"], r
+        for p in ("p50", "p90", "p99"):
+            assert abs(r[p] - interp[flag][p]) / interp[flag][p] < 0.01, (
+                flag,
+                p,
+                r[p],
+                interp[flag][p],
+            )

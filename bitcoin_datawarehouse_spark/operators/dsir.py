@@ -68,10 +68,11 @@ _SQL_TOKENS = (
 )
 
 
-def doc_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bucket, cnt): per-document hashed-n-gram bucket
-    counts (unigrams + space-joined bigrams, md5 → first byte →
-    bucket), pre-aggregated inside the Arrow kernel."""
+def _doc_feature_counts_frame(docs: DataFrame) -> DataFrame:
+    """The hashed-n-gram bucket-count Arrow kernel over an arbitrary
+    (doc_id, text) frame — shared by the fixture-reading
+    :func:`doc_feature_counts` and the serve paths (which featurize
+    any frame, incl. streaming micro-batches)."""
     import collections
     import hashlib
 
@@ -107,45 +108,58 @@ def doc_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cts.append(c)
             yield pd.DataFrame({"doc_id": ids, "bucket": bks, "cnt": cts})
 
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
+
+
+def doc_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, cnt): per-document hashed-n-gram bucket
+    counts (unigrams + space-joined bigrams, md5 → first byte →
+    bucket), pre-aggregated inside the Arrow kernel."""
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    return (
-        docs.repartition(par)
-        .select("doc_id", "text")
-        .mapInPandas(gen, schema)
+    return _doc_feature_counts_frame(
+        docs.repartition(par).select("doc_id", "text")
     )
 
 
-def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, weight_micro): per-document importance weight in
-    integer micro-bits under the hashed bag model."""
-    # feats feeds three subtrees of the graph (target counts, raw
-    # counts, scoring join) — cache_tracked, eagerly filled by the
-    # totals collect (CLAUDE.md multi-subtree rule).  Rows for one
-    # document are task-local out of the kernel, so the per-doc
-    # aggregate's map-side combine finishes them before the shuffle.
-    feats = cache_tracked(doc_feature_counts(spark, sf_dir))
+def _dsir_distributions(
+    spark: SparkSession, sf_dir: str, feats: DataFrame
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """(tcnt, rcnt, nt, nr): the two ≤``N_BUCKETS``-row bucket
+    distribution tables (target = Gopher-keep slice, raw = whole
+    pool) and their exact integer totals.  Collecting the totals also
+    eagerly fills the ``feats`` cache (the tf-idf n_docs pattern)."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # plain join, NOT a broadcast hint: the Gopher-keep doc_id set is
+    # CORPUS-PROPORTIONAL (~30% of documents), so forcing a broadcast
+    # is exactly what breaks first at 100 TB — let AQE pick (r9
+    # ADVICE).  The join output collapses to ≤N_BUCKETS rows in the
+    # very next aggregate, so the shuffle is the bounded cost here.
     tgt = gopher_metrics_frame(docs).filter(gopher_keep_col()).select("doc_id")
-
     tcnt = (
-        feats.join(F.broadcast(tgt), "doc_id")
+        feats.join(tgt, "doc_id")
         .groupBy("bucket")
         .agg(F.sum("cnt").cast("long").alias("ct"))
     )
     rcnt = feats.groupBy("bucket").agg(
         F.sum("cnt").cast("long").alias("cr")
     )
-    # the two distribution tables are ≤N_BUCKETS rows: collect their
-    # totals (two exact integers — the tf-idf n_docs pattern); this
-    # also eagerly fills the feats cache
     nt = int(
         tcnt.agg(F.sum("ct").alias("s")).collect()[0]["s"] or 0
     )
     nr = int(rcnt.agg(F.sum("cr").alias("s")).collect()[0]["s"] or 0)
+    return tcnt, rcnt, nt, nr
 
+
+def _weights_from(
+    feats: DataFrame, tcnt: DataFrame, rcnt: DataFrame, nt: int, nr: int
+) -> DataFrame:
+    """(doc_id, weight_micro) under FROZEN distribution tables — the
+    scoring join shared by the in-plan trainer and the persisted-model
+    serve path.  The two tables are ≤``N_BUCKETS`` rows: the broadcast
+    hints here are the bounded-model kind, not the r9-ADVICE hazard."""
     terms = (
         feats.join(F.broadcast(tcnt), "bucket", "left")
         .join(F.broadcast(rcnt), "bucket")
@@ -177,6 +191,35 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, weight_micro): per-document importance weight in
+    integer micro-bits under the hashed bag model."""
+    # feats feeds three subtrees of the graph (target counts, raw
+    # counts, scoring join) — cache_tracked, eagerly filled by the
+    # totals collect (CLAUDE.md multi-subtree rule).  Rows for one
+    # document are task-local out of the kernel, so the per-doc
+    # aggregate's map-side combine finishes them before the shuffle.
+    feats = cache_tracked(doc_feature_counts(spark, sf_dir))
+    tcnt, rcnt, nt, nr = _dsir_distributions(spark, sf_dir, feats)
+    return _weights_from(feats, tcnt, rcnt, nt, nr)
+
+
+def _select_top(wts: DataFrame, k: int) -> DataFrame:
+    """Rank-based top-k selection (weight DESC, doc_id tiebreak) via
+    the distributed global-rank helper — shared by the in-plan and
+    served gates."""
+    ranked = with_global_rank(
+        wts.withColumn("_neg_w", -F.col("weight_micro")),
+        ["_neg_w", "doc_id"],
+        rank_alias="rk",
+        total_alias="_total",
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .select("doc_id", "weight_micro", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 @query("trainprep_dsir_select")
 def trainprep_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection: the top ``ceil(n/SELECT_DENOM)`` documents by
@@ -184,16 +227,96 @@ def trainprep_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (module docstring), with their weights and selection ranks."""
     n_docs = load_table(spark, sf_dir, "documents").count()
     k = (n_docs + SELECT_DENOM - 1) // SELECT_DENOM
-    wts = dsir_weights(spark, sf_dir).withColumn(
-        "_neg_w", -F.col("weight_micro")
+    return _select_top(dsir_weights(spark, sf_dir), k)
+
+
+# -- persisted model (build/serve split) -------------------------------------
+
+DSIR_MODEL_SCHEMA = "models"
+
+
+def save_dsir_model(
+    warehouse, spark: SparkSession, sf_dir: str, name: str = "dsir"
+) -> None:
+    """Fit and persist the DSIR model: the two ≤``N_BUCKETS``-row
+    bucket distribution tables plus a 1-row constants table holding
+    their exact totals AND the build-time selection threshold (the
+    k-th ranked weight, k = ⌈n/SELECT_DENOM⌉) — production scores a
+    crawl against FROZEN target/raw distributions and gates on the
+    frozen threshold (the quality_classifier / lm_quality build/serve
+    discipline, r9 VERDICT item 3)."""
+    feats = cache_tracked(doc_feature_counts(spark, sf_dir))
+    tcnt, rcnt, nt, nr = _dsir_distributions(spark, sf_dir, feats)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    k = (n_docs + SELECT_DENOM - 1) // SELECT_DENOM
+    # the threshold is a 1-row rank probe over the build corpus — the
+    # bounded-artifact collect pattern (never corpus-sized)
+    thr_row = (
+        _select_top(_weights_from(feats, tcnt, rcnt, nt, nr), k)
+        .agg(F.min("weight_micro").alias("thr"))
+        .collect()[0]
     )
-    ranked = with_global_rank(
-        wts, ["_neg_w", "doc_id"], rank_alias="rk", total_alias="_total"
+    thr = int(thr_row["thr"]) if thr_row["thr"] is not None else 0
+    warehouse.write_atomic(
+        tcnt, DSIR_MODEL_SCHEMA, f"{name}_target", coalesce=1
     )
-    return (
-        ranked.filter(F.col("rk") <= k)
-        .select("doc_id", "weight_micro", F.col("rk").cast("long").alias("rk"))
+    warehouse.write_atomic(rcnt, DSIR_MODEL_SCHEMA, f"{name}_raw", coalesce=1)
+    warehouse.write_atomic(
+        spark.createDataFrame(
+            [(nt, nr, thr)], "nt long, nr long, thr_micro long"
+        ),
+        DSIR_MODEL_SCHEMA,
+        f"{name}_consts",
+        coalesce=1,
     )
+
+
+def dsir_score_with(
+    warehouse, docs: DataFrame, name: str = "dsir"
+) -> DataFrame:
+    """Serve path: (doc_id, weight_micro) for ``docs`` (doc_id, text)
+    under a PERSISTED DSIR model — no refitting; the corpus work is
+    the feature kernel plus two ≤``N_BUCKETS``-row broadcast joins.
+    Model tables are read WITH ``docs``' own session
+    (``Warehouse.read_with``), so a foreachBatch caller's whole plan
+    lives on the micro-batch session."""
+    sess = docs.sparkSession
+    crow = warehouse.read_with(
+        sess, DSIR_MODEL_SCHEMA, f"{name}_consts"
+    ).collect()[0]
+    par = sess.sparkContext.defaultParallelism
+    feats = _doc_feature_counts_frame(docs.repartition(par))
+    tcnt = warehouse.read_with(sess, DSIR_MODEL_SCHEMA, f"{name}_target")
+    rcnt = warehouse.read_with(sess, DSIR_MODEL_SCHEMA, f"{name}_raw")
+    return _weights_from(feats, tcnt, rcnt, int(crow["nt"]), int(crow["nr"]))
+
+
+def dsir_threshold(warehouse, spark: SparkSession, name: str = "dsir") -> int:
+    """The persisted build-time selection threshold (micro-bits)."""
+    crow = warehouse.read_with(
+        spark, DSIR_MODEL_SCHEMA, f"{name}_consts"
+    ).collect()[0]
+    return int(crow["thr_micro"])
+
+
+@query("trainprep_dsir_served")
+def trainprep_dsir_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-model serving round trip, driver-proven: fit →
+    Warehouse model tables → load → score → the same rank selection,
+    under the SAME oracle as ``trainprep_dsir_select`` (the persisted
+    distributions are the fitted distributions, so weights are
+    identical by construction — the persisted-twin discipline)."""
+    from bitcoin_datawarehouse_spark.pipeline.catalog import (
+        Warehouse,
+        scratch_root,
+    )
+
+    wh = Warehouse(spark, scratch_root("bds_dsir", sf_dir))
+    save_dsir_model(wh, spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    k = (n_docs + SELECT_DENOM - 1) // SELECT_DENOM
+    return _select_top(dsir_score_with(wh, docs), k)
 
 
 def _dsir_oracle() -> str:
@@ -260,3 +383,9 @@ def _dsir_oracle() -> str:
 
 
 _registry.ORACLES["trainprep_dsir_select"] = _dsir_oracle()
+# the serving twin gates under the SAME oracle (the persisted
+# distributions are the fitted distributions — weights identical by
+# construction)
+_registry.ORACLES["trainprep_dsir_served"] = _registry.ORACLES[
+    "trainprep_dsir_select"
+]

@@ -489,7 +489,6 @@ def save_lm_model(
 
 def lm_score_with(
     warehouse,
-    spark: SparkSession,
     docs: DataFrame,
     name: str = "lm_bigram",
 ) -> DataFrame:
@@ -499,12 +498,16 @@ def lm_score_with(
     count-table joins (path-based parquet reads).  Bigrams the model
     never saw smooth to count 0 (the add-one floor), so unseen text
     scores high-entropy instead of erroring — exactly CCNet's frozen
-    serving shape."""
-    crow = warehouse.read(LM_MODEL_SCHEMA, f"{name}_consts").collect()[0]
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    serving shape.  Model tables are read WITH ``docs``' own session
+    (``Warehouse.read_with``, r9 ADVICE — no dead ``spark`` param)."""
+    sess = docs.sparkSession
+    crow = warehouse.read_with(
+        sess, LM_MODEL_SCHEMA, f"{name}_consts"
+    ).collect()[0]
+    par = sess.sparkContext.defaultParallelism
     docbig = _doc_bigram_counts_frame(docs.repartition(par))
-    uni = warehouse.read(LM_MODEL_SCHEMA, f"{name}_uni")
-    big = warehouse.read(LM_MODEL_SCHEMA, f"{name}_big")
+    uni = warehouse.read_with(sess, LM_MODEL_SCHEMA, f"{name}_uni")
+    big = warehouse.read_with(sess, LM_MODEL_SCHEMA, f"{name}_big")
     return _score_docbig(docbig, big, uni, int(crow["v"]))
 
 
@@ -523,7 +526,7 @@ def text_lm_quality_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, scratch_root("bds_lm", sf_dir))
     save_lm_model(wh, spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    scores = lm_score_with(wh, spark, docs)
+    scores = lm_score_with(wh, docs)
     return text_lm_quality_buckets(spark, sf_dir, mode="exact", scores=scores)
 
 

@@ -252,20 +252,24 @@ def save_quality_model(
 
 def score_with(
     warehouse,
-    spark: SparkSession,
     docs: DataFrame,
     name: str = "quality_nb",
 ) -> DataFrame:
     """Serve path: score ``docs`` (doc_id, text) with a PERSISTED
     model — no retraining, no label pass; the corpus work is the
-    token-count kernel plus one join against the loaded model table
-    (path-based parquet reads: fresh listing per frame, immune to the
-    cross-session cached-relation hazard)."""
-    crow = warehouse.read(QC_MODEL_SCHEMA, f"{name}_consts").collect()[0]
+    token-count kernel plus one join against the loaded model table.
+    Model tables are read WITH ``docs``' own session
+    (``Warehouse.read_with``) so a foreachBatch caller's whole plan
+    lives on the micro-batch session — r10: the old dead ``spark``
+    parameter is gone (r9 ADVICE)."""
+    sess = docs.sparkSession
+    crow = warehouse.read_with(
+        sess, QC_MODEL_SCHEMA, f"{name}_consts"
+    ).collect()[0]
     consts = {k: int(crow[k]) for k in ("npos", "nneg", "v", "dpos", "dneg")}
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = sess.sparkContext.defaultParallelism
     dtc = _doc_token_counts_frame(docs.repartition(par))
-    cls = warehouse.read(QC_MODEL_SCHEMA, name)
+    cls = warehouse.read_with(sess, QC_MODEL_SCHEMA, name)
     return score_frame(dtc, cls, consts)
 
 
@@ -323,7 +327,7 @@ def text_quality_classifier_served(
     wh = Warehouse(spark, scratch_root("bds_qc", sf_dir))
     save_quality_model(wh, spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    return score_with(wh, spark, docs)
+    return score_with(wh, docs)
 
 
 def _classifier_oracle() -> str:

@@ -204,6 +204,19 @@ class Warehouse:
             return df
         return self.read_pruned(schema, table, ranges)[0]
 
+    def read_with(
+        self, session: SparkSession, schema: str, table: str
+    ) -> DataFrame:
+        """Path-based read built from an EXPLICIT session.  Serve
+        paths called inside ``foreachBatch`` pass the micro-batch
+        session (``docs.sparkSession``) so every frame in a trigger's
+        plan shares one session — the CLAUDE.md foreachBatch rule; a
+        read through ``self.spark`` works today only because the
+        sessions share a context (r9 ADVICE: the old serve signatures
+        took a dead ``spark`` parameter while reading on the MAIN
+        session)."""
+        return session.read.parquet(str(self.table_path(schema, table)))
+
     def _manifest_sidecar(self, schema: str, table: str, cols) -> str:
         """Sidecar name for a table's file-stats manifest over a
         given stat-column SET — column-set-keyed so a read over new

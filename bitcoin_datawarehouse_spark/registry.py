@@ -131,7 +131,6 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_delete_where",
     "pipeline_merge_upsert",
     "pipeline_watermark_extract",
-    "profile_column_stats",
     "similarity_bruteforce_topk",
     "similarity_ivf_assign",
     "similarity_ivf_kmeans_assign",
@@ -163,6 +162,8 @@ DRIVER_WINDOW: list[str] = [
     "sketch_hll_explicit_month",
     "sketch_hll_explicit_priority",
     "sketch_percentile_rank_exact",
+    # DSIR persisted-model serving twin (r9 VERDICT item 3)
+    "trainprep_dsir_served",
 ]
 
 

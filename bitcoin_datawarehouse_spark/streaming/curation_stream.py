@@ -102,6 +102,8 @@ def run_curation_stream(
     eval_shingles: frozenset | None = None,
     chunk_index=None,
     quality_model: str | None = None,
+    dsir_model: str | None = None,
+    dsir_threshold_micro: int | None = None,
 ) -> StreamingQuery:
     """Start the incremental curation of ``doc_stream`` (schema:
     doc_id long, text string, source string).  Survivors land in
@@ -141,7 +143,20 @@ def run_curation_stream(
     gate swap.  Per trigger the cost is the token kernel over the
     micro-batch plus one broadcast join against the vocabulary-sized
     model table (path-based read — fresh listing per trigger, immune
-    to the cross-session cached-relation hazard)."""
+    to the cross-session cached-relation hazard).
+
+    ``dsir_model`` (a persisted DSIR model in the index's warehouse —
+    ``dsir.save_dsir_model``) adds the importance-resampling gate
+    after the quality stage: each arriving doc is scored against the
+    FROZEN target/raw bucket distributions and kept iff its
+    weight_micro reaches the threshold (``dsir_threshold_micro``, or
+    the model's persisted BUILD-TIME selection threshold when None) —
+    the streaming serve shape of ``trainprep_dsir_select``: rank
+    selection is corpus-relative and can't run per-trigger, so the
+    frozen-threshold gate is the arrival-order twin (keeps every doc
+    a build-corpus rank selection at that threshold would keep).  Per
+    trigger: the feature kernel over the micro-batch plus two
+    ≤N_BUCKETS-row broadcast joins."""
     wh, schema = index.wh, index.schema
     hashes_table = f"{curated_table}_hashes"
     semcells_table = f"{curated_table}_semcells"
@@ -172,7 +187,6 @@ def run_curation_stream(
             keep_ids = (
                 score_with(
                     wh,
-                    batch_df.sparkSession,
                     batch_df.select("doc_id", "text"),
                     quality_model,
                 )
@@ -185,7 +199,27 @@ def run_curation_stream(
                 .filter(gopher_keep_col())
                 .select("doc_id")
             )
-        q = batch_df.join(keep_ids, "doc_id").withColumn(
+        q = batch_df.join(keep_ids, "doc_id")
+        if dsir_model is not None:
+            from bitcoin_datawarehouse_spark.operators.dsir import (
+                dsir_score_with,
+                dsir_threshold,
+            )
+
+            thr = (
+                dsir_threshold_micro
+                if dsir_threshold_micro is not None
+                else dsir_threshold(wh, batch_df.sparkSession, dsir_model)
+            )
+            dsir_keep = (
+                dsir_score_with(
+                    wh, batch_df.select("doc_id", "text"), dsir_model
+                )
+                .filter(F.col("weight_micro") >= F.lit(int(thr)))
+                .select("doc_id")
+            )
+            q = q.join(dsir_keep, "doc_id")
+        q = q.withColumn(
             "content_hash", F.md5(F.col("text").cast("binary"))
         )
         # in-batch exact canonical (min doc_id per content)

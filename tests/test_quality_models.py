@@ -267,7 +267,7 @@ def test_stream_model_gate_matches_frozen_batch_reference(
         keep_ids = {
             r["doc_id"]
             for r in score_with(
-                idx.wh, spark, bdf.select("doc_id", "text"), "qmod"
+                idx.wh, bdf.select("doc_id", "text"), "qmod"
             )
             .filter(F.col("pred_keep"))
             .collect()
@@ -412,7 +412,7 @@ def test_lm_served_equals_in_plan_and_smooths_unseen(spark, tmp_path):
         "doc_id long, text string",
     )
     rows = {
-        r["doc_id"]: r for r in lm_score_with(wh, spark, unseen).collect()
+        r["doc_id"]: r for r in lm_score_with(wh, unseen).collect()
     }
     assert rows[1]["bits_per_token"] is not None
     assert rows[2]["bits_per_token"] is not None
@@ -532,3 +532,128 @@ def test_new_gates_match_oracle_on_designed_corpus(
         return sorted(tuple(repr(r[i]) for i in order) for r in rows)
 
     assert norm(srows, sdf.columns) == norm(orows, ocols)
+
+
+def test_stream_dsir_gate_matches_frozen_batch_reference(
+    spark, tmp_path, designed_dir
+):
+    """The streaming curation ingest with ``dsir_model=`` must (a)
+    gate on the frozen importance weights — a Gopher-passing doc with
+    off-target vocabulary is dropped — and (b) keep exactly the docs a
+    batch ``dsir_score_with`` pass at the same threshold keeps; the
+    persisted default threshold equals the build-time rank boundary."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.curation import (
+        gopher_keep_col,
+        gopher_metrics_frame,
+    )
+    from bitcoin_datawarehouse_spark.operators.dsir import (
+        SELECT_DENOM,
+        _select_top,
+        dsir_score_with,
+        dsir_threshold,
+        save_dsir_model,
+    )
+    from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+    from bitcoin_datawarehouse_spark.pipeline import Warehouse
+    from bitcoin_datawarehouse_spark.streaming.curation_stream import (
+        run_curation_stream,
+    )
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        run_stream_to_completion,
+    )
+
+    vocab_a = ["apple", "river", "stone", "cloud", "meadow", "lantern"]
+    vocab_b = ["zx", "qv", "wj", "kp", "fz", "gq"]
+
+    def a_text(words):
+        body = (words * 13)[:38]
+        return " ".join(["the", "the"] + body)
+
+    # on-target arrivals: disjoint vocab-A subsets (not near-dups of
+    # each other); off-target arrival: Gopher-PASSING but vocab-B-ish
+    doc1 = a_text(vocab_a[:3])
+    doc2 = a_text(vocab_a[3:])
+    b_long = " ".join(
+        ["the", "the"] + [vocab_b[j % len(vocab_b)] + "xyz" for j in range(38)]
+    )
+    arrivals = [(201, doc1, "s0"), (202, doc2, "s0"), (203, b_long, "s1")]
+    gm = gopher_metrics_frame(
+        spark.createDataFrame(
+            [(i, t) for i, t, _ in arrivals], "doc_id long, text string"
+        )
+    )
+    assert gm.filter(gopher_keep_col()).count() == 3  # only DSIR drops
+
+    idx = LshDedupIndex(Warehouse(spark, str(tmp_path / "wh")))
+    save_dsir_model(idx.wh, spark, designed_dir, name="dmod")
+
+    # persisted default threshold == the build-time rank boundary
+    build_docs = spark.read.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    k = (build_docs.count() + SELECT_DENOM - 1) // SELECT_DENOM
+    boundary = (
+        _select_top(dsir_score_with(idx.wh, build_docs, "dmod"), k)
+        .agg(F.min("weight_micro"))
+        .collect()[0][0]
+    )
+    assert dsir_threshold(idx.wh, spark, "dmod") == boundary
+
+    # batch reference at an explicit separating threshold
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t, _ in arrivals], "doc_id long, text string"
+    )
+    wts = {
+        r["doc_id"]: r["weight_micro"]
+        for r in dsir_score_with(idx.wh, bdf, "dmod").collect()
+    }
+    assert wts[201] > wts[203] and wts[202] > wts[203]
+    thr = (min(wts[201], wts[202]) + wts[203]) // 2
+    ref_keep = {i for i, w in wts.items() if w >= thr}
+    assert ref_keep == {201, 202}
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        arrivals, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(
+            stream,
+            idx,
+            str(tmp_path / "ck1"),
+            dsir_model="dmod",
+            dsir_threshold_micro=int(thr),
+        )
+    )
+    got = {
+        r["doc_id"]
+        for r in idx.wh.read(idx.schema, "curated_docs").collect()
+    }
+    assert got == ref_keep
+
+    # replay with a fresh checkpoint -> no-op
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_curation_stream(
+            stream2,
+            idx,
+            str(tmp_path / "ck2"),
+            dsir_model="dmod",
+            dsir_threshold_micro=int(thr),
+        )
+    )
+    assert {
+        r["doc_id"]
+        for r in idx.wh.read(idx.schema, "curated_docs").collect()
+    } == ref_keep

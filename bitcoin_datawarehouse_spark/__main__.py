@@ -1,14 +1,16 @@
 """Pipeline CLI — reference parity for ``data_integration/arguments.py``.
 
-The reference's CLI (``arguments.py:26-41``) exposes ``--full-refresh``,
+The reference's CLI (``arguments.py:10-33``) exposes ``--full-refresh``,
 ``--incremental-value`` and ``--select t1 t2 …`` over the job registry;
-this CLI drives the same controls against the Spark engine:
+this CLI drives the same controls (plus spec/schema knobs) against the
+Spark engine:
 
     python -m bitcoin_datawarehouse_spark \
         --warehouse /tmp/wh \
         --source-dir recorded_responses/ \
         [--seed-jobs jobs.csv] [--select bitcoin_inputs ...] \
         [--full-refresh] [--incremental-column date] \
+        [--incremental-value 2024-01-01] \
         [--transform-spec column_transform.yaml]
 
 The source is a :class:`FileReplaySource` directory of recorded
@@ -57,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="watermark column for incremental sync (overrides registry)",
     )
     p.add_argument(
+        "--incremental-value",
+        help="explicit initial watermark: fetch only rows past this "
+        "value instead of probing the target's MAX (reference "
+        "arguments.py:19-24 — dev/backfill from a chosen point, "
+        "works on a first sync too)",
+    )
+    p.add_argument(
         "--select",
         nargs="*",
         help="subset of job names to sync (default: all active)",
@@ -98,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
         select=args.select,
         strategy=strategy,
         incremental_column=args.incremental_column,
+        incremental_value=args.incremental_value,
     )
     for r in results:
         print(

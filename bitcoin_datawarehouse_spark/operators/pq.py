@@ -54,11 +54,18 @@ def _collect_subcodebooks(emb: DataFrame):
     """(M, K, SUB_DIM) numpy sub-codebooks from the deterministic
     smallest-vec_ids seed rows — the model artifact every PQ kernel
     ships in its closure (8×16×8 doubles; a trained codebook is the
-    same shape)."""
+    same shape).
+
+    Seed selection is BY RANK of vec_id (one TakeOrderedAndProject),
+    never a ``vec_id < K`` value window — scaled fixtures stride ids
+    by powers of ten, so a value window silently shrinks the codebook
+    (the CLAUDE.md codebook rule; r9 VERDICT item 4 aligned this with
+    chunk_retrieval's discipline).  On dense fixtures the two select
+    identical rows, so the registered gates are bit-unchanged."""
     import numpy as np
 
     rows = sorted(
-        emb.filter(F.col("vec_id") < PQ_K).collect(),
+        emb.select("vec_id", "e").orderBy("vec_id").limit(PQ_K).collect(),
         key=lambda r: r["vec_id"],
     )
     assert len(rows) == PQ_K, "corpus smaller than the codebook seed"

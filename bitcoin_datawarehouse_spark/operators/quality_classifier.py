@@ -131,10 +131,13 @@ def train_quality_model(
         )
 
     # vocabulary-sized model table: per-class token occurrence counts
-    # over the train slice (the label frame is doc-sized — broadcast;
-    # only the train-slice rows of dtc reach the groupBy shuffle)
+    # over the train slice.  Plain join, NOT a broadcast hint: the
+    # label frame is ~30% of all doc_ids — corpus-proportional, so
+    # forcing a broadcast is what breaks first at 100 TB; AQE decides
+    # (r9 ADVICE).  The join output collapses to the vocabulary in
+    # the very next aggregate, so the shuffle is the bounded cost.
     cls = cache_tracked(
-        dtc.join(F.broadcast(lab), "doc_id")
+        dtc.join(lab, "doc_id")
         .groupBy("tok")
         .agg(
             F.sum(F.when(F.col("is_pos"), F.col("cnt")).otherwise(0))

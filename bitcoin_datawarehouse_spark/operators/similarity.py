@@ -139,8 +139,14 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    # query workload BY RANK of vec_id (TakeOrdered), never a value
+    # window (the CLAUDE.md codebook rule — strided scaled fixtures;
+    # identical rows on dense fixtures, so the gate is bit-unchanged)
     qrows = sorted(
-        emb.filter(F.col("vec_id") < N_QUERIES).collect(),
+        emb.select("vec_id", "e")
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .collect(),
         key=lambda r: r["vec_id"],
     )
     qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)

@@ -173,6 +173,7 @@ class Pipeline:
         job: dict[str, Any],
         strategy: LoadStrategy = LoadStrategy.INCREMENTAL,
         incremental_column: str | None = None,
+        incremental_value: str | None = None,
     ) -> JobResult:
         name = job["job_name"]
         loader = Loader(self.wh, self.target_schema, job["target_table"])
@@ -191,12 +192,21 @@ class Pipeline:
             # history — so keyless jobs always fetch everything
             if strategy is LoadStrategy.INCREMENTAL and keys:
                 inc_col = incremental_column or job.get("incremental_column")
-                last = loader.get_max_value(inc_col) if inc_col else None
-                if last is None:
-                    # first-sync fallback (reference __main__.py:105-112)
-                    effective = LoadStrategy.FULL_REFRESH
+                if incremental_value is not None:
+                    # explicit initial-watermark override (reference
+                    # --incremental-value, arguments.py:26-33: "load
+                    # data of last year/month for developing purpose")
+                    # — drives a delta fetch from the SUPPLIED value,
+                    # including on a first sync where the MAX probe
+                    # would otherwise force a full refresh
+                    parameters = incremental_value
                 else:
-                    parameters = str(last)
+                    last = loader.get_max_value(inc_col) if inc_col else None
+                    if last is None:
+                        # first-sync fallback (reference __main__.py:105-112)
+                        effective = LoadStrategy.FULL_REFRESH
+                    else:
+                        parameters = str(last)
             df = fetch_as_df(
                 self.spark, self.source, int(job["query_id"]), parameters
             )
@@ -224,6 +234,7 @@ class Pipeline:
         select: list[str] | None = None,
         strategy: LoadStrategy = LoadStrategy.INCREMENTAL,
         incremental_column: str | None = None,
+        incremental_value: str | None = None,
     ) -> list[JobResult]:
         """Sync every active job (reference run_pipeline,
         __main__.py:132-184); a failed table logs and the loop
@@ -238,6 +249,8 @@ class Pipeline:
             results = []
             for job in self.control.tables_to_sync(select):
                 results.append(
-                    self.run_job(job, strategy, incremental_column)
+                    self.run_job(
+                        job, strategy, incremental_column, incremental_value
+                    )
                 )
             return results

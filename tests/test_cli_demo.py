@@ -159,3 +159,37 @@ def test_storage_loop_demo_end_to_end(tmp_path):
     assert 0 < out["blocks_read"] < out["blocks_total"] / 2
     assert out["range_rows"] > 0
     assert 0 < out["manifest_files_read"] < out["manifest_files_total"] / 2
+
+
+def test_cli_incremental_value_first_sync(tmp_path, recorded):
+    """--incremental-value drives a FIRST sync from the supplied
+    watermark (reference arguments.py:19-24): only rows past the
+    value load, where the default first-sync path would full-refresh
+    everything."""
+    import duckdb
+
+    jobs_csv = tmp_path / "jobs.csv"
+    jobs_csv.write_text(
+        "JOB_NAME,QUERY_ID,TARGET_TABLE,P_KEY,STATUS,ACTIVE,INCREMENTAL_COLUMN\n"
+        "bitcoin_block,2177266,block,hash,0,1,date\n"
+    )
+    src = FileReplaySource(str(recorded), param_column="date")
+    expect = src.fetch(2177266, parameters="2025-01-01")
+    assert 0 < len(expect) < len(src.fetch(2177266))
+
+    rc = cli_main(
+        [
+            "--warehouse", str(tmp_path / "wh"),
+            "--source-dir", str(recorded),
+            "--seed-jobs", str(jobs_csv),
+            "--param-column", "date",
+            "--incremental-value", "2025-01-01",
+        ]
+    )
+    assert rc == 0
+    tbl = tmp_path / "wh" / "bitcoin" / "block"
+    got = duckdb.sql(
+        f"SELECT COUNT(*) AS n, MIN(date) AS lo FROM '{tbl}/*.parquet'"
+    ).fetchone()
+    assert got[0] == len(expect)
+    assert str(got[1]) > "2025-01-01"

@@ -2987,3 +2987,35 @@ def test_length_batches_invariants(spark):
         assert [i for i, _ in ixs] == list(range(len(ixs)))
         for i, sz in ixs[:-1]:
             assert sz == LENGTH_BATCH_SIZE, (bucket, i)
+
+
+def test_seed_selection_is_rank_based_on_strided_ids(spark):
+    """The PQ codebook seed and the brute-force query workload must
+    select BY RANK of vec_id, not a ``vec_id < K`` value window:
+    scaled fixtures (gen_sf) stride copied ids by powers of ten, so a
+    value window silently shrinks — or empties — the selected set
+    (the r7 semdedup coarse-router bug class; r9 VERDICT item 4)."""
+    from bitcoin_datawarehouse_spark.operators.pq import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB_DIM,
+        _collect_subcodebooks,
+    )
+
+    n = 40
+    stride = 10  # ids 0, 10, 20, ... — only 2 fall under `< PQ_K`
+    rows = [
+        (i * stride, [float((i + j) % 7) + 0.25 for j in range(64)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    cb = _collect_subcodebooks(emb)
+    assert cb.shape == (PQ_M, PQ_K, PQ_SUB_DIM)
+    # built from the PQ_K smallest ids (rank selection), row-ordered
+    import numpy as np
+
+    want = np.array(
+        [rows[i][1] for i in range(PQ_K)], dtype=np.float64
+    )
+    got = np.concatenate([cb[m] for m in range(PQ_M)], axis=1)
+    assert np.array_equal(got, want)

@@ -20,6 +20,9 @@ import sys
 import tempfile
 from pathlib import Path
 
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
@@ -50,18 +53,25 @@ def main() -> int:
             "doc_id", "text", "lang"
         )
         n = docs.count()
-        per = n // N_TRIGGERS
+        # ntile by RANK of doc_id, not `doc_id // per` range filters:
+        # range slices drop the trailing n % N_TRIGGERS docs (and
+        # assume contiguous ids), silently overstating streamed input
+        # in the probe JSON (r9 ADVICE)
+        sliced = docs.selectExpr(
+            "doc_id", "text", "lang AS source"
+        ).withColumn(
+            "_t",
+            F.ntile(N_TRIGGERS).over(W.orderBy("doc_id")) - 1,
+        )
         src = scratch / "in"
+        streamed = 0
         for i in range(N_TRIGGERS):
-            (
-                docs.filter(
-                    (docs.doc_id >= i * per) & (docs.doc_id < (i + 1) * per)
-                )
-                .selectExpr("doc_id", "text", "lang AS source")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(str(src / f"f{i}"))
+            part = sliced.filter(F.col("_t") == i).drop("_t")
+            streamed += part.count()
+            part.coalesce(1).write.mode("overwrite").parquet(
+                str(src / f"f{i}")
             )
+        assert streamed == n, (streamed, n)
 
         idx = LshDedupIndex(Warehouse(spark, str(scratch / "wh")))
         save_quality_model(idx.wh, spark, SF_DIR, name="qmod")

@@ -294,7 +294,15 @@ def _hll_estimate_frame(
       identical operands) and the linear-counting ln (1-ulp libm
       risk, absorbed by the str_round6 exposure).
     """
-    hashed = df.selectExpr(
+    hashed = _hll_rho_frame(df, groups)
+    regs = hashed.groupBy(*groups, "j").agg(F.max("rho").alias("reg"))
+    return _hll_estimate_from_registers(regs, groups, keep_diag=keep_diag)
+
+
+def _hll_rho_frame(df: DataFrame, groups: list[str]) -> DataFrame:
+    """groups + ``hkey`` → groups + (register j, rank-of-first-one
+    rho) — the per-key sketch coordinates, engine-neutral md5 bits."""
+    return df.selectExpr(
         *groups,
         "CAST(conv(substring(md5(CAST(hkey AS BINARY)), 1, 15), 16, 10)"
         " AS BIGINT) AS h",
@@ -308,7 +316,14 @@ def _hll_estimate_frame(
         f"CASE WHEN w = 0 THEN {HLL_RHO_MAX}"
         f" ELSE {HLL_RHO_MAX} - length(bin(w)) END AS rho",
     )
-    regs = hashed.groupBy(*groups, "j").agg(F.max("rho").alias("reg"))
+
+
+def _hll_estimate_from_registers(
+    regs: DataFrame, groups: list[str], keep_diag: bool = False
+) -> DataFrame:
+    """(groups, j, reg) register sets → the classic estimate (exact
+    BIGINT harmonic sum, one double division, LC branch, str_round6
+    surface)."""
     per = regs.groupBy(*groups).agg(
         F.count("*").alias("n_present"),
         F.sum(
@@ -516,3 +531,42 @@ def sketch_percentile_rank_exact(
         for p in PCT_POINTS
     ]
     return j.groupBy("l_returnflag").agg(*aggs)
+
+
+_HLL_QUARTER_EXPR = "trunc(CAST(o_orderdate AS DATE), 'QUARTER')"
+_SQL_HLL_QUARTER_EXPR = "CAST(date_trunc('quarter', o_orderdate) AS DATE)"
+
+
+@query(
+    "sketch_hll_merge_quarter",
+    oracle=_sql_hll_oracle(_SQL_HLL_QUARTER_EXPR, "order_quarter"),
+)
+def sketch_hll_merge_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY, hash-proven: the Spark side builds MONTH
+    register sets and merges them up to quarters (per-register MAX —
+    associative, the property that lets partial aggregation carry
+    sketch state instead of keys at 100 TB), while the oracle builds
+    the quarter registers DIRECTLY from the raw keys.  Identical
+    estimates ⇔ merge(month sketches) ≡ sketch(quarter) — the
+    distributed-combine contract itself, checked cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.selectExpr(
+        f"{_HLL_QUARTER_EXPR} AS order_quarter",
+        f"{_HLL_MONTH_EXPR} AS order_month",
+        "CAST(o_custkey AS STRING) AS hkey",
+    )
+    month_regs = (
+        _hll_rho_frame(keyed, ["order_quarter", "order_month"])
+        .groupBy("order_quarter", "order_month", "j")
+        .agg(F.max("rho").alias("reg"))
+    )
+    merged = month_regs.groupBy("order_quarter", "j").agg(
+        F.max("reg").alias("reg")
+    )
+    est = _hll_estimate_from_registers(merged, ["order_quarter"])
+    exact = orders.groupBy(
+        F.expr(_HLL_QUARTER_EXPR).alias("order_quarter")
+    ).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers")
+    )
+    return est.join(exact, "order_quarter")

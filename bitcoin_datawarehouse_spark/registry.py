@@ -134,7 +134,6 @@ DRIVER_WINDOW: list[str] = [
     "similarity_bruteforce_topk",
     "similarity_ivf_assign",
     "similarity_ivf_kmeans_assign",
-    "sql_correlated_subquery",
     "sql_recursive_date_spine",
     "sql_scalar_subqueries",
     "streaming_attribution_join",
@@ -162,6 +161,8 @@ DRIVER_WINDOW: list[str] = [
     "sketch_hll_explicit_month",
     "sketch_hll_explicit_priority",
     "sketch_percentile_rank_exact",
+    # HLL mergeability proof (merge(month) ≡ sketch(quarter))
+    "sketch_hll_merge_quarter",
     # DSIR persisted-model serving twin (r9 VERDICT item 3)
     "trainprep_dsir_served",
 ]

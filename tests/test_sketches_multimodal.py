@@ -202,3 +202,27 @@ def test_percentile_rank_vs_interpolated(spark):
                 r[p],
                 interp[flag][p],
             )
+
+
+def test_hll_merge_equals_direct(spark):
+    """merge(month registers) ≡ sketch(quarter) inside Spark too —
+    the associative-MAX mergeability the gate proves cross-engine,
+    pinned here against the direct quarter build row-for-row."""
+    from bitcoin_datawarehouse_spark.operators.sketches import (
+        _HLL_QUARTER_EXPR,
+        _hll_explicit,
+    )
+
+    merged = {
+        r["order_quarter"]: (r["hll_estimate"], r["exact_customers"])
+        for r in QUERIES["sketch_hll_merge_quarter"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    direct = {
+        r["order_quarter"]: (r["hll_estimate"], r["exact_customers"])
+        for r in _hll_explicit(
+            spark, SF_ORACLE, _HLL_QUARTER_EXPR, "order_quarter"
+        ).collect()
+    }
+    assert merged == direct and len(merged) > 0

@@ -168,6 +168,19 @@ HEADLINE = [
     "text_quality_classifier",
     "trainprep_dsir_select",
     "trainprep_classifier_curation",
+    # round-10 additions (59 → 63): the hash-gated sketch twins — the
+    # CMS counter-table build+probe and the distributed nearest-rank
+    # percentile (its counts-first plan is the scale shape worth a
+    # recorded number next to the t-digest wrapper) — plus the two
+    # model-serving composites the round added: curriculum-ordered
+    # packing (bigram-LM scoring + the distributed prefix-sum scan)
+    # and the DSIR persisted-model serve round trip (benched next to
+    # trainprep_dsir_select so the build/serve split's cost is a
+    # recorded number per round)
+    "sketch_count_min_token_counts",
+    "sketch_percentile_rank_exact",
+    "trainprep_curriculum_pack",
+    "trainprep_dsir_served",
 ]
 
 

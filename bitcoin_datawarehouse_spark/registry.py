@@ -55,116 +55,89 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: its old driver-green row proved the old code, so it re-enters the
 #: window for one round alongside genuinely new registrations.
 #:
-#: Round-9 rotation (r8 VERDICT item 6): CORRECTNESS_r08 verified all
-#: 50 r8 seats, so every unchanged r8 seat rotates out.  This window
-#: seats the canary, the 13 round-9 NEW queries (4 session-1 + the 9
-#: session-2 model-based-curation + soft-dedup gates), the 5 round-9
-#: REWRITES (per the standing rule a materially rewritten
-#: implementation re-enters even if its old body was driver-green),
-#: and fills the other 31 with the STALEST driver rows — ALL 30
-#: remaining r5-vintage queries plus the oldest 1 of the r6 vintage
-#: (alphabetical within vintage)
-#: — as re-confirmation against shared-infrastructure drift.  Every name here has a SQL oracle —
-#: zero rows-only checks in-window.
+#: Round-10 rotation (r9 VERDICT item 7): CORRECTNESS_r09 verified all
+#: 50 r9 seats, so every unchanged r9 seat rotates out.  This window
+#: seats the canary, the 6 round-10 NEW gates (the explicit-twin
+#: sketch family — the last operators that had never held a hash-gated
+#: driver row — plus the DSIR serving twin), the 16 round-10 REWRITES
+#: (BPE gates through bpe_train_auto; DSIR select through the
+#: refactored distribution/scoring split with the broadcast-hint drop;
+#: the rank-selected PQ/bruteforce seed rows; the classifier family
+#: behind the label-join hint drop; the serve paths moved onto
+#: Warehouse.read_with; the chunk gates behind the serve-half
+#: extraction), and fills the remaining 27 seats with the STALEST
+#: driver rows — the alphabetically-first 27 of the r6 vintage (the
+#: 11 remaining r6 rows rotate in next round).  Every name here has a
+#: SQL oracle — zero rows-only checks in-window.
 DRIVER_WINDOW: list[str] = [
-    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r8)
+    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r9)
     "pricing_summary",
-    # --- round-9 NEW ---
-    # chunk-level ANN retrieval composite: chunk → token-hash TF
-    # featurizer → persisted IVF index → own-doc-excluded top-k →
-    # per-doc best-chunk reduction (oracle composes the registered
-    # chunk CTE verbatim with the IVF skeleton)
-    "similarity_chunk_retrieval",
-    # persisted-tokenizer serving round trip (train → Warehouse model
-    # table → load → Arrow apply kernel, under text_bpe_encode's
-    # oracle — the ivf_index persisted-twin discipline)
-    "text_bpe_encode_served",
-    # --- round-9 REWRITES ---
-    # BPE training now runs the get_stats-DELTA pair-count
-    # maintenance (only words containing the merged pair re-count);
-    # the encode gate applies merges through ONE Arrow kernel with a
-    # broadcast rank dict instead of per-merge codegen replace nodes
-    "text_bpe_merges",
-    "text_bpe_encode",
-    # the two pair frames now cache_tracked + eagerly filled (each
-    # fed two subtrees of one action — the r8 VERDICT nit)
-    "dedup_method_agreement",
-    # the composite body moved into curated_packed() with the
-    # probe's quality-stage hook (stage frames signature change)
-    "trainprep_full_curation",
-    "trainprep_curation_funnel",
-    # tokenizer-aware packing: the curation survivors re-measured
-    # with the corpus-trained BPE tokenizer and packed by REAL token
-    # counts (oracle = curation CTEs + the embedded encode oracle)
-    "trainprep_tokenized_curation",
-    # recall@k of the chunk IVF search vs exact brute force (the
-    # retrieval-quality observable for the chunk family; shared
-    # chunk_hits CTE chain with the retrieval gate)
-    "similarity_chunk_recall",
-    # --- round-9 session-2 NEW: model-based curation ---
-    # Naive Bayes quality classifier distilled from the Gopher gate
-    # (integer micro-bit log-odds surface) + its held-out confusion
-    # matrix, and DSIR hashed-n-gram importance resampling toward the
-    # Gopher-keep target
-    "text_quality_classifier",
-    "text_classifier_heldout_eval",
-    "trainprep_dsir_select",
-    # persisted-model serving twin + the classifier-gated composite
-    "text_quality_classifier_served",
-    "trainprep_classifier_curation",
-    # duplication-aware Bernoulli sampling over near-dup clusters
-    "dedup_soft_weights",
-    # persisted bigram-LM serving twin (train → model tables → load →
-    # score → exact buckets, under text_lm_quality's oracle)
-    "text_lm_quality_served",
-    # semantic decontamination (embedding sibling of the n-gram stage)
-    "decontam_semantic_overlap",
-    # curriculum-ordered packing via the distributed prefix-sum scan
-    "trainprep_curriculum_pack",
-    # --- round-9 re-confirmation fill: the 40 seats left go to the
-    # queries whose driver-green rows are OLDEST — every r5-vintage
-    # row (30) and the oldest 10 of the r6 vintage (alphabetical
-    # within vintage; union coverage pinned by test_registry_window)
-    # ---
-    # r5 vintage (all 30)
-    "decontam_minhash_fuzzy",
-    "pipeline_delete_where",
-    "pipeline_merge_upsert",
-    "pipeline_watermark_extract",
-    "similarity_bruteforce_topk",
-    "similarity_ivf_assign",
-    "similarity_ivf_kmeans_assign",
-    "sql_recursive_date_spine",
-    "sql_scalar_subqueries",
-    "streaming_attribution_join",
-    "streaming_dedup_exact",
-    "streaming_quality_filter",
-    "streaming_windowed_counts",
-    "text_gopher_rules",
-    "text_lm_quality_approx",
-    "text_pii_scan",
-    "text_repetition_stats",
-    "text_tfidf_topk",
-    "text_token_count",
-    "text_token_histogram",
-    "trainprep_corpus_pipeline",
-    "trainprep_domain_mixture",
-    "trainprep_global_shuffle",
-    "trainprep_hash_split",
-    "trainprep_pack_sequences",
-    # --- round-10 NEW (provisional seats; final r10 rotation happens
-    # once the session's full gate set is known): the explicit-twin
-    # sketch family — the last operators with no hash-gated row ever
-    # (r9 VERDICT item 1).  They displace the 4 stalest fill seats,
-    # whose r5/r6 driver rows stand.
+    # --- round-10 NEW: the hash-gated sketch twins (r9 VERDICT #1) ---
     "sketch_count_min_token_counts",
     "sketch_hll_explicit_month",
     "sketch_hll_explicit_priority",
-    "sketch_percentile_rank_exact",
-    # HLL mergeability proof (merge(month) ≡ sketch(quarter))
     "sketch_hll_merge_quarter",
-    # DSIR persisted-model serving twin (r9 VERDICT item 3)
+    "sketch_percentile_rank_exact",
+    # --- round-10 NEW: DSIR persisted-model serving twin (#3) ---
     "trainprep_dsir_served",
+    # --- round-10 REWRITES (standing rule: a materially rewritten
+    # implementation re-enters even if its old body was driver-green)
+    # BPE gates + the tokenized composite now train through
+    # bpe_train_auto (the production entrypoint, r9 VERDICT #2)
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "text_bpe_encode_served",
+    "trainprep_tokenized_curation",
+    # DSIR select: distribution/scoring refactor + target-join
+    # broadcast-hint drop (r9 ADVICE)
+    "trainprep_dsir_select",
+    # rank-selected seed rows (r9 VERDICT #4)
+    "similarity_bruteforce_topk",
+    "similarity_pq_encode",
+    "similarity_pq_adc_topk",
+    "similarity_ivfpq_topk",
+    # classifier family: label-join broadcast-hint drop + the serve
+    # path's session-threading (Warehouse.read_with)
+    "text_quality_classifier",
+    "text_quality_classifier_served",
+    "text_classifier_heldout_eval",
+    "trainprep_classifier_curation",
+    # LM serving twin: session-threaded model reads
+    "text_lm_quality_served",
+    # chunk gates: serve-half extraction (_chunk_retrieval_serve)
+    "similarity_chunk_retrieval",
+    "similarity_chunk_recall",
+    # --- round-10 re-confirmation fill: the 27 stalest driver rows
+    # (r6 vintage, alphabetical; the 3 pq/ivfpq r6 rows re-enter above
+    # as rewrites; tpch_q18…trainprep_weighted_sample — the remaining
+    # 11 r6 rows — rotate in next round) ---
+    "cdc_snapshot_diff",
+    "dedup_embedding_cosine_lsh_auto",
+    "dedup_paragraphs",
+    "dedup_paragraphs_by_source",
+    "dedup_substring_spans_winnowed",
+    "er_fuzzy_name_pairs",
+    "er_fuzzy_name_pairs_passjoin",
+    "events_gap_islands",
+    "events_gapfill_locf",
+    "events_twap",
+    "graph_pagerank_event_transitions",
+    "pipeline_scd2_history",
+    "pipeline_scd2_point_in_time_join",
+    "profile_group_trend",
+    "profile_key_skew",
+    "profile_numeric_correlation",
+    "similarity_ivf_index_topk",
+    "similarity_ivfpq_index_topk",
+    "storage_zorder_cells",
+    "streaming_drift_monitor",
+    "text_language_id",
+    "text_quality_score",
+    "tpch_q12_lateship_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
 ]
 
 

@@ -42,39 +42,42 @@ def test_ordered_queries_matches_entrypoint():
     assert list(ordered_queries()) == list(entrymod.queries())
 
 
-def test_round9_rotation_is_in_window():
+def test_round10_rotation_is_in_window():
     """Rotation rule (r4 ADVICE, refined r6/r7 VERDICT item 8): new
     registrations AND queries materially rewritten since their last
     driver check must hold window seats until a driver round proves
     the CURRENT implementation (plus the pricing_summary decimal
-    canary).  The r8 obligations all discharged via their
-    CORRECTNESS_r08 green rows (50/50) — their seats rotated to the
-    round-9 set below plus the stalest-vintage re-confirmation fill
-    (all 30 r5-vintage rows + the oldest 10 of the r6 vintage)."""
+    canary).  The r9 obligations all discharged via their
+    CORRECTNESS_r09 green rows (50/50) — their seats rotated to the
+    round-10 set below plus the stalest-vintage re-confirmation fill
+    (the alphabetically-first 27 of the r6 vintage)."""
     rotation = {
-        # new in round 9
-        "similarity_chunk_retrieval",
-        "text_bpe_encode_served",
-        "trainprep_tokenized_curation",
-        "similarity_chunk_recall",
-        # rewritten in round 9: BPE delta trainer + Arrow-kernel
-        # apply, the method-agreement pair-frame caching, and the
-        # composite-body extraction (curated_packed + quality hook)
+        # new in round 10: the hash-gated sketch twins + DSIR serve
+        "sketch_count_min_token_counts",
+        "sketch_hll_explicit_month",
+        "sketch_hll_explicit_priority",
+        "sketch_hll_merge_quarter",
+        "sketch_percentile_rank_exact",
+        "trainprep_dsir_served",
+        # rewritten in round 10: bpe_train_auto routing, the DSIR
+        # refactor + broadcast-hint drops, rank-selected seed rows,
+        # session-threaded serve reads, chunk serve-half extraction
         "text_bpe_merges",
         "text_bpe_encode",
-        "dedup_method_agreement",
-        "trainprep_full_curation",
-        "trainprep_curation_funnel",
-        # new in round-9 session 2: model-based curation
-        "text_quality_classifier",
-        "text_classifier_heldout_eval",
+        "text_bpe_encode_served",
+        "trainprep_tokenized_curation",
         "trainprep_dsir_select",
+        "similarity_bruteforce_topk",
+        "similarity_pq_encode",
+        "similarity_pq_adc_topk",
+        "similarity_ivfpq_topk",
+        "text_quality_classifier",
         "text_quality_classifier_served",
+        "text_classifier_heldout_eval",
         "trainprep_classifier_curation",
-        "dedup_soft_weights",
         "text_lm_quality_served",
-        "decontam_semantic_overlap",
-        "trainprep_curriculum_pack",
+        "similarity_chunk_retrieval",
+        "similarity_chunk_recall",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

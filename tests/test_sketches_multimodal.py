@@ -226,3 +226,45 @@ def test_hll_merge_equals_direct(spark):
         ).collect()
     }
     assert merged == direct and len(merged) > 0
+
+
+def test_hll_sketch_table_sequential_and_replay(spark, tmp_path):
+    """The persisted register table's two streaming laws: sequential
+    batch ingest ≡ the one-shot build (MAX associativity), and
+    replaying an already-folded batch is a no-op (MAX idempotence) —
+    no replay guard needed, unlike count-based state."""
+    from bitcoin_datawarehouse_spark.operators.sketches import (
+        HllSketchTable,
+        _HLL_MONTH_EXPR,
+        _hll_explicit,
+    )
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+
+    keyed = load_table(spark, SF_ORACLE, "orders").selectExpr(
+        f"{_HLL_MONTH_EXPR} AS order_month",
+        "CAST(o_custkey AS STRING) AS hkey",
+        "o_orderkey % 3 AS _b",
+    )
+    tbl = HllSketchTable(Warehouse(spark, str(tmp_path / "wh")), ["order_month"])
+    for b in (0, 1, 2):
+        tbl.ingest(keyed.filter(F.col("_b") == b).drop("_b"))
+
+    got = {
+        r["order_month"]: r["hll_estimate"]
+        for r in tbl.estimates(spark).collect()
+    }
+    oneshot = {
+        r["order_month"]: r["hll_estimate"]
+        for r in _hll_explicit(
+            spark, SF_ORACLE, _HLL_MONTH_EXPR, "order_month"
+        ).collect()
+    }
+    assert got == oneshot and len(got) > 0
+
+    # crash-replay: fold batch 1 again — state must not move
+    tbl.ingest(keyed.filter(F.col("_b") == 1).drop("_b"))
+    again = {
+        r["order_month"]: r["hll_estimate"]
+        for r in tbl.estimates(spark).collect()
+    }
+    assert again == got

@@ -412,6 +412,21 @@ SHUFFLE_BUDGET = {
     # bounded counts agg + its window + the broadcast offsets join.
     # A 4th exchange here would mean the rank block itself regressed.
     "text_lm_quality": 3,
+    # explicit-register HLL: (month, j) register agg + the per-month
+    # estimate agg + the exact count-distinct's two exchanges — the
+    # estimate↔exact join is a BroadcastExchange (group-cardinality
+    # frames).  The shuffle after the register agg carries ≤ m rows
+    # per group — the sketch contract made visible in the plan.
+    "sketch_hll_explicit_month": 4,
+    # one extra keyed aggregate: the (quarter, month, j) register agg
+    # merges up to (quarter, j) before the same estimate tail
+    "sketch_hll_merge_quarter": 5,
+    # counts-first percentile: (flag, price) hash agg + the cumulative
+    # window over the DISTINCT-VALUE frame + the per-flag total agg +
+    # the final conditional-MIN agg; a 5th exchange would mean raw
+    # rows reached the window (the exact anti-pattern this twin
+    # replaces)
+    "sketch_percentile_rank_exact": 4,
 }
 
 

@@ -268,3 +268,70 @@ def test_hll_sketch_table_sequential_and_replay(spark, tmp_path):
         for r in tbl.estimates(spark).collect()
     }
     assert again == got
+
+
+def test_hll_sketch_stream_matches_one_shot(spark, tmp_path):
+    """The Structured-Streaming arrival path: three file-triggers of
+    keyed orders fold into the persisted register table; estimates
+    served off the final state equal the one-shot build (the
+    sequential law, now through foreachBatch), and re-streaming with a
+    fresh checkpoint leaves the state unchanged (MAX idempotence —
+    exactly-once without a replay guard)."""
+    from bitcoin_datawarehouse_spark.operators.sketches import (
+        HllSketchTable,
+        _HLL_MONTH_EXPR,
+        _hll_explicit,
+    )
+    from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        run_stream_to_completion,
+    )
+    from bitcoin_datawarehouse_spark.streaming.sketch_stream import (
+        run_hll_sketch_stream,
+    )
+
+    keyed = load_table(spark, SF_ORACLE, "orders").selectExpr(
+        f"{_HLL_MONTH_EXPR} AS order_month",
+        "CAST(o_custkey AS STRING) AS hkey",
+        "o_orderkey % 3 AS _b",
+    )
+    src = tmp_path / "in"
+    for b in (0, 1, 2):
+        keyed.filter(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{b}"))
+
+    tbl = HllSketchTable(
+        Warehouse(spark, str(tmp_path / "wh")), ["order_month"]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema("order_month date, hkey string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    run_stream_to_completion(
+        run_hll_sketch_stream(stream(), tbl, str(tmp_path / "ck1"))
+    )
+    got = {
+        r["order_month"]: r["hll_estimate"]
+        for r in tbl.estimates(spark).collect()
+    }
+    oneshot = {
+        r["order_month"]: r["hll_estimate"]
+        for r in _hll_explicit(
+            spark, SF_ORACLE, _HLL_MONTH_EXPR, "order_month"
+        ).collect()
+    }
+    assert got == oneshot and len(got) > 0
+
+    # full replay, fresh checkpoint -> state unchanged
+    run_stream_to_completion(
+        run_hll_sketch_stream(stream(), tbl, str(tmp_path / "ck2"))
+    )
+    assert {
+        r["order_month"]: r["hll_estimate"]
+        for r in tbl.estimates(spark).collect()
+    } == got

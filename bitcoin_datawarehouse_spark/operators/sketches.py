@@ -354,9 +354,15 @@ def _hll_estimate_from_registers(
     )
 
 
-def _sql_hll_oracle(group_expr: str, group_alias: str) -> str:
-    """DuckDB mirror of :func:`_hll_estimate_frame` over orders
-    (hkey = o_custkey), joined to the exact distinct count."""
+def _sql_hll_oracle(
+    group_expr: str,
+    group_alias: str,
+    relation: str = "orders",
+    key_expr: str = "CAST(o_custkey AS VARCHAR)",
+    exact_alias: str = "exact_customers",
+) -> str:
+    """DuckDB mirror of :func:`_hll_estimate_frame` over ``relation``
+    (hkey = ``key_expr``), joined to the exact distinct count."""
     est = (
         f"CASE WHEN v_zero > 0"
         f" AND e_raw <= CAST({HLL_LC_THRESHOLD!r} AS DOUBLE)"
@@ -367,9 +373,9 @@ def _sql_hll_oracle(group_expr: str, group_alias: str) -> str:
     return f"""
     WITH hll_h AS (
       SELECT {group_expr} AS {group_alias},
-             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+             CAST('0x' || substr(md5({key_expr}), 1, 15)
                   AS BIGINT) AS h
-      FROM orders
+      FROM {relation}
     ),
     hll_rho AS (
       SELECT {group_alias}, CAST(h % {HLL_M} AS INT) AS j,
@@ -398,11 +404,11 @@ def _sql_hll_oracle(group_expr: str, group_alias: str) -> str:
     ),
     hll_exact AS (
       SELECT {group_expr} AS {group_alias},
-             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
-      FROM orders GROUP BY {group_alias}
+             CAST(COUNT(DISTINCT {key_expr}) AS BIGINT) AS {exact_alias}
+      FROM {relation} GROUP BY {group_alias}
     )
     SELECT e.{group_alias}, {SQL_STR_ROUND6(est)} AS hll_estimate,
-           x.exact_customers
+           x.{exact_alias}
     FROM hll_e e JOIN hll_exact x USING ({group_alias})
     """
 
@@ -681,3 +687,52 @@ def sketch_hll_stream_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("bigint").alias("exact_customers")
     )
     return tbl.estimates(spark).join(exact, "order_month")
+
+
+def _sql_tokens() -> str:
+    from bitcoin_datawarehouse_spark.operators.text_stats import _SQL_TOKENS
+
+    return _SQL_TOKENS
+
+
+@query(
+    "sketch_hll_vocab_per_lang",
+    oracle=_sql_hll_oracle(
+        "lang",
+        "lang",
+        relation=(
+            "(SELECT lang, unnest("
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+            " t -> t <> '')"
+            ") AS token FROM documents)"
+        ),
+        key_expr="token",
+        exact_alias="exact_vocab",
+    ),
+)
+def sketch_hll_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus VOCABULARY cardinality per language via the explicit
+    HLL — the tokenizer-sizing / corpus-profiling observable ("how
+    many distinct tokens does each language slice hold?") that an
+    exact count-distinct answers only by shuffling the whole
+    vocabulary.
+
+    The 100 TB shape this pins: the token stream explodes map-side,
+    the register aggregate collapses it to ≤ m rows per language
+    BEFORE the shuffle (map-side combine on (lang, j) MAX), so the
+    exchange carries register sets, never tokens — the same plan at
+    any corpus size.  The fixture's exact twin rides along for the
+    error-contract pytest, exactly as in the customer gates."""
+    from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par)
+        .select("lang", F.explode(tokens_col(F.col("text"))).alias("hkey"))
+    )
+    est = _hll_estimate_frame(tok, ["lang"])
+    exact = tok.groupBy("lang").agg(
+        F.countDistinct("hkey").cast("bigint").alias("exact_vocab")
+    )
+    return est.join(exact, "lang")

@@ -57,7 +57,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:
 #: Round-10 rotation (r9 VERDICT item 7): CORRECTNESS_r09 verified all
 #: 50 r9 seats, so every unchanged r9 seat rotates out.  This window
-#: seats the canary, the 7 round-10 NEW gates (the explicit-twin
+#: seats the canary, the 8 round-10 NEW gates (the explicit-twin
 #: sketch family — the last operators that had never held a hash-gated
 #: driver row — incl. the persisted incremental register table, plus
 #: the DSIR serving twin), the 16 round-10 REWRITES
@@ -66,9 +66,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: the rank-selected PQ/bruteforce seed rows; the classifier family
 #: behind the label-join hint drop; the serve paths moved onto
 #: Warehouse.read_with; the chunk gates behind the serve-half
-#: extraction), and fills the remaining 26 seats with the STALEST
-#: driver rows — the alphabetically-first 26 of the r6 vintage (the
-#: 12 remaining r6 rows rotate in next round).  Every name here has a
+#: extraction), and fills the remaining 25 seats with the STALEST
+#: driver rows — the alphabetically-first 25 of the r6 vintage (the
+#: 13 remaining r6 rows rotate in next round).  Every name here has a
 #: SQL oracle — zero rows-only checks in-window.
 DRIVER_WINDOW: list[str] = [
     # canary for the rounds-1/2 decimal→double fix (driver-green r3-r9)
@@ -79,6 +79,7 @@ DRIVER_WINDOW: list[str] = [
     "sketch_hll_explicit_priority",
     "sketch_hll_merge_quarter",
     "sketch_hll_stream_month",
+    "sketch_hll_vocab_per_lang",
     "sketch_percentile_rank_exact",
     # --- round-10 NEW: DSIR persisted-model serving twin (#3) ---
     "trainprep_dsir_served",
@@ -111,8 +112,8 @@ DRIVER_WINDOW: list[str] = [
     "similarity_chunk_recall",
     # --- round-10 re-confirmation fill: the 27 stalest driver rows
     # (r6 vintage, alphabetical; the 3 pq/ivfpq r6 rows re-enter above
-    # as rewrites; tpch_q17…trainprep_weighted_sample — the remaining
-    # 12 r6 rows — rotate in next round) ---
+    # as rewrites; tpch_q15…trainprep_weighted_sample — the remaining
+    # 13 r6 rows — rotate in next round) ---
     "cdc_snapshot_diff",
     "dedup_embedding_cosine_lsh_auto",
     "dedup_paragraphs",
@@ -138,7 +139,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q12_lateship_priority",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
 ]
 
 

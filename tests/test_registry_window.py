@@ -50,7 +50,7 @@ def test_round10_rotation_is_in_window():
     canary).  The r9 obligations all discharged via their
     CORRECTNESS_r09 green rows (50/50) — their seats rotated to the
     round-10 set below plus the stalest-vintage re-confirmation fill
-    (the alphabetically-first 26 of the r6 vintage)."""
+    (the alphabetically-first 25 of the r6 vintage)."""
     rotation = {
         # new in round 10: the hash-gated sketch twins + DSIR serve
         "sketch_count_min_token_counts",
@@ -58,6 +58,7 @@ def test_round10_rotation_is_in_window():
         "sketch_hll_explicit_priority",
         "sketch_hll_merge_quarter",
         "sketch_hll_stream_month",
+        "sketch_hll_vocab_per_lang",
         "sketch_percentile_rank_exact",
         "trainprep_dsir_served",
         # rewritten in round 10: bpe_train_auto routing, the DSIR

@@ -335,3 +335,14 @@ def test_hll_sketch_stream_matches_one_shot(spark, tmp_path):
         r["order_month"]: r["hll_estimate"]
         for r in tbl.estimates(spark).collect()
     } == got
+
+
+def test_hll_vocab_within_error(spark):
+    """Vocabulary-cardinality gate: estimate within ~3σ of the exact
+    per-language vocabulary (fixture langs hold thousands of distinct
+    tokens — deep raw-branch territory for m=64)."""
+    rows = QUERIES["sketch_hll_vocab_per_lang"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["hll_estimate"] - r["exact_vocab"])
+        assert err <= max(10, 0.40 * r["exact_vocab"]), r

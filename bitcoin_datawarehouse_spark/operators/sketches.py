@@ -690,6 +690,10 @@ def sketch_hll_stream_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_tokens() -> str:
+    """Single source of truth for the oracle-side tokenizer: the same
+    DuckDB expression text_stats' oracles use, so a change to the
+    pinned tokenizer can't silently diverge the vocab oracle
+    (text_stats does not import sketches — no cycle)."""
     from bitcoin_datawarehouse_spark.operators.text_stats import _SQL_TOKENS
 
     return _SQL_TOKENS
@@ -702,8 +706,7 @@ def _sql_tokens() -> str:
         "lang",
         relation=(
             "(SELECT lang, unnest("
-            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
-            " t -> t <> '')"
+            f"{_sql_tokens()}"
             ") AS token FROM documents)"
         ),
         key_expr="token",
@@ -724,13 +727,18 @@ def sketch_hll_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size.  The fixture's exact twin rides along for the
     error-contract pytest, exactly as in the customer gates."""
     from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
+    from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    tok = (
+    # the exploded token frame feeds TWO subtrees of one action (the
+    # HLL estimate and the exact twin) — cache it eagerly or the
+    # repartition+tokenize+explode runs twice per execution
+    tok = cache_tracked(
         docs.repartition(par)
         .select("lang", F.explode(tokens_col(F.col("text"))).alias("hkey"))
     )
+    tok.count()
     est = _hll_estimate_frame(tok, ["lang"])
     exact = tok.groupBy("lang").agg(
         F.countDistinct("hkey").cast("bigint").alias("exact_vocab")

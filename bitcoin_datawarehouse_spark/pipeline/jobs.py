@@ -24,6 +24,7 @@ correct; the *data* path stays fully distributed.
 from __future__ import annotations
 
 import enum
+import logging
 import traceback
 from dataclasses import dataclass
 from typing import Any
@@ -38,6 +39,8 @@ from bitcoin_datawarehouse_spark.pipeline.transform import (
     lowercase_columns,
     with_audit_column,
 )
+
+_LOG = logging.getLogger(__name__)
 
 ETL_SCHEMA = "etl"
 JOB_TABLE = "etl_job"
@@ -192,7 +195,18 @@ class Pipeline:
             # history — so keyless jobs always fetch everything
             if strategy is LoadStrategy.INCREMENTAL and keys:
                 inc_col = incremental_column or job.get("incremental_column")
-                if incremental_value is not None:
+                if incremental_value is not None and not inc_col:
+                    # a watermark override for a job with NO incremental
+                    # column would silently turn its full fetch into a
+                    # delta keyed only by the source's param column —
+                    # ignore it loudly instead
+                    _LOG.warning(
+                        "--incremental-value %r ignored for job %s: no "
+                        "incremental column defined",
+                        incremental_value,
+                        name,
+                    )
+                if incremental_value is not None and inc_col:
                     # explicit initial-watermark override (reference
                     # --incremental-value, arguments.py:26-33: "load
                     # data of last year/month for developing purpose")

@@ -193,3 +193,34 @@ def test_cli_incremental_value_first_sync(tmp_path, recorded):
     ).fetchone()
     assert got[0] == len(expect)
     assert str(got[1]) > "2025-01-01"
+
+def test_cli_incremental_value_ignored_without_inc_col(tmp_path, recorded):
+    """A watermark override on a job with NO incremental column is
+    ignored (with a warning), not silently applied: the job still
+    loads EVERYTHING via its normal first-sync full refresh instead
+    of a delta keyed only by the source's param column (r10 ADVICE)."""
+    import duckdb
+
+    jobs_csv = tmp_path / "jobs.csv"
+    jobs_csv.write_text(
+        "JOB_NAME,QUERY_ID,TARGET_TABLE,P_KEY,STATUS,ACTIVE\n"
+        "bitcoin_block,2177266,block,hash,0,1\n"
+    )
+    src = FileReplaySource(str(recorded), param_column="date")
+    everything = src.fetch(2177266)
+
+    rc = cli_main(
+        [
+            "--warehouse", str(tmp_path / "wh"),
+            "--source-dir", str(recorded),
+            "--seed-jobs", str(jobs_csv),
+            "--param-column", "date",
+            "--incremental-value", "2025-01-01",
+        ]
+    )
+    assert rc == 0
+    tbl = tmp_path / "wh" / "bitcoin" / "block"
+    got = duckdb.sql(
+        f"SELECT COUNT(*) AS n FROM '{tbl}/*.parquet'"
+    ).fetchone()
+    assert got[0] == len(everything)

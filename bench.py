@@ -181,6 +181,16 @@ HEADLINE = [
     "sketch_percentile_rank_exact",
     "trainprep_curriculum_pack",
     "trainprep_dsir_served",
+    # round-11 additions (63 → 66): the serve-only twins (r10 VERDICT
+    # item 1) — each gate's untimed warm pass builds/persists the
+    # model if absent, so the timed best-of-3 is the FROZEN-model
+    # scoring wall; benched next to their build-inclusive siblings so
+    # the build/serve economics are separate recorded numbers per
+    # round (r10: trainprep_dsir_served at 9.6 s was 18% of the
+    # headline and misstated production serving cost)
+    "trainprep_dsir_serve_only",
+    "text_quality_classifier_serve_only",
+    "text_lm_quality_serve_only",
 ]
 
 
@@ -320,6 +330,64 @@ def main() -> None:
     }
     if skip:
         out["skipped"] = sorted(skip)
+
+    # Same-session DuckDB pair (r10 VERDICT item 7): the controlled
+    # Spark-vs-DuckDB comparison must live IN the recorded JSON, not
+    # in prose — cross-round JSON diffs were repeatedly dominated by
+    # machine-state factors (r10 read as a 1.17× "regression" while
+    # the controlled same-session pair was 0.91×).  Run the natural-
+    # mode comparator (the SQL a native DuckDB user would write) as a
+    # subprocess right after the Spark timings — same machine state,
+    # back to back — and emit {spark_s, duckdb_s, ratio} per shared
+    # query plus the headline ratio.  Never fatal: the Spark line is
+    # the driver contract and must survive a comparator failure.
+    if os.environ.get("SPARK_GRAFT_DUCKDB_PAIR", "1") != "0":
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    str(
+                        Path(__file__).resolve().parent
+                        / "tools"
+                        / "bench_duckdb.py"
+                    ),
+                    "--natural",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                env=os.environ.copy(),
+            )
+            dk = json.loads(proc.stdout.strip().splitlines()[-1])
+            pair = {
+                name: {
+                    "spark_s": timings[name],
+                    "duckdb_s": dk["queries"][name],
+                    "ratio": round(
+                        timings[name] / dk["queries"][name], 3
+                    )
+                    if dk["queries"][name] > 0
+                    else None,
+                }
+                for name in timings
+                if name in dk.get("queries", {})
+            }
+            spark_shared = sum(v["spark_s"] for v in pair.values())
+            duck_shared = sum(v["duckdb_s"] for v in pair.values())
+            out["pair"] = pair
+            out["pair_spark_total"] = round(spark_shared, 3)
+            out["pair_duckdb_total"] = round(duck_shared, 3)
+            out["pair_ratio"] = (
+                round(spark_shared / duck_shared, 3)
+                if duck_shared > 0
+                else None
+            )
+            out["pair_mode"] = dk.get("mode", "natural")
+        except Exception as e:  # noqa: BLE001 — comparator is best-effort
+            out["pair_error"] = f"{type(e).__name__}: {e}"
+
     print(
         json.dumps(
             out

@@ -586,6 +586,33 @@ def encode_with(
     return _with_ratio(bpe_apply_kernel(docs, merges))
 
 
+def bpe_parts_from_merges(
+    spark: SparkSession, merges: list[MergeRow]
+) -> dict[str, DataFrame]:
+    """Package a trained merge list as a single-part model for the
+    versioned ``pipeline.model_registry`` — {"merges": frame}."""
+    return {"merges": spark.createDataFrame(merges, _MERGE_TABLE_DDL)}
+
+
+def encode_resolved(model, docs: DataFrame) -> DataFrame:
+    """Encode ``docs`` with a generation resolved from the versioned
+    registry (part "merges") — the bounded merge table collects
+    (merge-count-sized) into the Arrow apply kernel; one atomic
+    generation, never a mixed tokenizer."""
+    rows = model.parts["merges"].orderBy("merge_round").collect()
+    merges = [
+        (
+            int(r["merge_round"]),
+            r["pair_a"],
+            r["pair_b"],
+            r["merged"],
+            int(r["pair_count"]),
+        )
+        for r in rows
+    ]
+    return _with_ratio(bpe_apply_kernel(docs, merges))
+
+
 # -- oracles ----------------------------------------------------------------
 
 

@@ -456,13 +456,11 @@ def text_lm_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_MODEL_SCHEMA = "models"
 
 
-def save_lm_model(
-    warehouse, spark: SparkSession, sf_dir: str, name: str = "lm_bigram"
-) -> None:
-    """Train and persist the bigram LM: the unigram and bigram count
-    tables plus a 1-row constants table (vocabulary size), atomic
-    replace — the ivf_index/bpe/quality-classifier build/serve
-    discipline."""
+def fit_lm_parts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Train the bigram LM and return its parts as FRAMES —
+    {"uni", "big", "consts"} — shared by :func:`save_lm_model` (fixed
+    table names) and the versioned ``pipeline.model_registry``
+    (atomic generations)."""
     from bitcoin_datawarehouse_spark.functions.cachereg import (
         cache_tracked,
     )
@@ -477,13 +475,25 @@ def save_lm_model(
         .groupBy("w1", "w2")
         .agg(F.sum("dcnt").cast("long").alias("cb"))
     )
-    warehouse.write_atomic(uni, LM_MODEL_SCHEMA, f"{name}_uni")
-    warehouse.write_atomic(big, LM_MODEL_SCHEMA, f"{name}_big")
+    return {
+        "uni": uni,
+        "big": big,
+        "consts": spark.createDataFrame([(vocab,)], "v long"),
+    }
+
+
+def save_lm_model(
+    warehouse, spark: SparkSession, sf_dir: str, name: str = "lm_bigram"
+) -> None:
+    """Train and persist the bigram LM: the unigram and bigram count
+    tables plus a 1-row constants table (vocabulary size), atomic
+    replace — the ivf_index/bpe/quality-classifier build/serve
+    discipline."""
+    parts = fit_lm_parts(spark, sf_dir)
+    warehouse.write_atomic(parts["uni"], LM_MODEL_SCHEMA, f"{name}_uni")
+    warehouse.write_atomic(parts["big"], LM_MODEL_SCHEMA, f"{name}_big")
     warehouse.write_atomic(
-        spark.createDataFrame([(vocab,)], "v long"),
-        LM_MODEL_SCHEMA,
-        f"{name}_consts",
-        coalesce=1,
+        parts["consts"], LM_MODEL_SCHEMA, f"{name}_consts", coalesce=1
     )
 
 
@@ -511,6 +521,18 @@ def lm_score_with(
     return _score_docbig(docbig, big, uni, int(crow["v"]))
 
 
+def lm_score_resolved(model, docs: DataFrame) -> DataFrame:
+    """Score ``docs`` with a generation resolved from the versioned
+    ``pipeline.model_registry`` (parts "uni"/"big"/"consts") — one
+    atomic generation, never a mixed model."""
+    crow = model.parts["consts"].collect()[0]
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docbig = _doc_bigram_counts_frame(docs.repartition(par))
+    return _score_docbig(
+        docbig, model.parts["big"], model.parts["uni"], int(crow["v"])
+    )
+
+
 @query("text_lm_quality_served")
 def text_lm_quality_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-LM serving round trip, driver-proven: train →
@@ -530,9 +552,47 @@ def text_lm_quality_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_lm_quality_buckets(spark, sf_dir, mode="exact", scores=scores)
 
 
+def ensure_lm_model(
+    warehouse, spark: SparkSession, sf_dir: str, name: str = "lm_bigram"
+) -> bool:
+    """Train+persist the bigram LM iff absent (idempotent over the
+    immutable fixtures) — the serve-only gate's precondition (r10
+    VERDICT item 1).  Returns True when a build ran."""
+    if all(
+        warehouse.table_exists(LM_MODEL_SCHEMA, f"{name}{suffix}")
+        for suffix in ("_uni", "_big", "_consts")
+    ):
+        return False
+    save_lm_model(warehouse, spark, sf_dir, name)
+    return True
+
+
+@query("text_lm_quality_serve_only")
+def text_lm_quality_serve_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION serving economics, split from training: perplexity-
+    score the corpus under an already-persisted bigram LM — the timed
+    plan is one bigram kernel + the two frozen count-table joins +
+    the exact tertile bucketing; no training aggregation.  Same
+    oracle as ``text_lm_quality`` (frozen counts ≡ trained counts);
+    the ``_served`` twin keeps timing the full round trip."""
+    from bitcoin_datawarehouse_spark.pipeline.catalog import (
+        Warehouse,
+        scratch_root,
+    )
+
+    wh = Warehouse(spark, scratch_root("bds_lm", sf_dir))
+    ensure_lm_model(wh, spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lm_score_with(wh, docs)
+    return text_lm_quality_buckets(spark, sf_dir, mode="exact", scores=scores)
+
+
 from bitcoin_datawarehouse_spark import registry as _registry  # noqa: E402
 
 _registry.ORACLES["text_lm_quality_served"] = _registry.ORACLES[
+    "text_lm_quality"
+]
+_registry.ORACLES["text_lm_quality_serve_only"] = _registry.ORACLES[
     "text_lm_quality"
 ]
 

@@ -55,90 +55,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: its old driver-green row proved the old code, so it re-enters the
 #: window for one round alongside genuinely new registrations.
 #:
-#: Round-10 rotation (r9 VERDICT item 7): CORRECTNESS_r09 verified all
-#: 50 r9 seats, so every unchanged r9 seat rotates out.  This window
-#: seats the canary, the 8 round-10 NEW gates (the explicit-twin
-#: sketch family — the last operators that had never held a hash-gated
-#: driver row — incl. the persisted incremental register table, plus
-#: the DSIR serving twin), the 16 round-10 REWRITES
-#: (BPE gates through bpe_train_auto; DSIR select through the
-#: refactored distribution/scoring split with the broadcast-hint drop;
-#: the rank-selected PQ/bruteforce seed rows; the classifier family
-#: behind the label-join hint drop; the serve paths moved onto
-#: Warehouse.read_with; the chunk gates behind the serve-half
-#: extraction), and fills the remaining 25 seats with the STALEST
-#: driver rows — the alphabetically-first 25 of the r6 vintage (the
-#: 13 remaining r6 rows rotate in next round).  Every name here has a
-#: SQL oracle — zero rows-only checks in-window.
+#: Round-11 rotation (r10 VERDICT item 5): CORRECTNESS_r10 verified all
+#: 50 r10 seats, so every unchanged r10 seat rotates out.  This window
+#: seats the canary, the round-11 NEW gates (the serve-only twins that
+#: split frozen-model serving cost from build cost — r10 VERDICT
+#: item 1), the round-11 REWRITE (``sketch_hll_vocab_per_lang``: its
+#: two-subtree token frame is now cache_tracked and its oracle
+#: tokenizer is sourced from text_stats — r10 ADVICE), and fills the
+#: remaining seats with the STALEST driver rows: the 13 remaining r6
+#: vintage rows (tpch_q15…trainprep_weighted_sample, promised in the
+#: r10 rotation note) then the alphabetically-first 32 of the r7
+#: vintage.  Every name here has a SQL oracle — zero rows-only checks
+#: in-window.
 DRIVER_WINDOW: list[str] = [
-    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r9)
+    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r10)
     "pricing_summary",
-    # --- round-10 NEW: the hash-gated sketch twins (r9 VERDICT #1) ---
-    "sketch_count_min_token_counts",
-    "sketch_hll_explicit_month",
-    "sketch_hll_explicit_priority",
-    "sketch_hll_merge_quarter",
-    "sketch_hll_stream_month",
-    "sketch_hll_vocab_per_lang",
-    "sketch_percentile_rank_exact",
-    # --- round-10 NEW: DSIR persisted-model serving twin (#3) ---
-    "trainprep_dsir_served",
-    # --- round-10 REWRITES (standing rule: a materially rewritten
+    # --- round-11 NEW: serve-only twins (r10 VERDICT #1) ---
+    "trainprep_dsir_serve_only",
+    "text_quality_classifier_serve_only",
+    "text_lm_quality_serve_only",
+    # --- round-11 REWRITE (standing rule: a materially rewritten
     # implementation re-enters even if its old body was driver-green)
-    # BPE gates + the tokenized composite now train through
-    # bpe_train_auto (the production entrypoint, r9 VERDICT #2)
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "text_bpe_encode_served",
-    "trainprep_tokenized_curation",
-    # DSIR select: distribution/scoring refactor + target-join
-    # broadcast-hint drop (r9 ADVICE)
-    "trainprep_dsir_select",
-    # rank-selected seed rows (r9 VERDICT #4)
-    "similarity_bruteforce_topk",
-    "similarity_pq_encode",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_topk",
-    # classifier family: label-join broadcast-hint drop + the serve
-    # path's session-threading (Warehouse.read_with)
-    "text_quality_classifier",
-    "text_quality_classifier_served",
-    "text_classifier_heldout_eval",
-    "trainprep_classifier_curation",
-    # LM serving twin: session-threaded model reads
-    "text_lm_quality_served",
-    # chunk gates: serve-half extraction (_chunk_retrieval_serve)
-    "similarity_chunk_retrieval",
-    "similarity_chunk_recall",
-    # --- round-10 re-confirmation fill: the 27 stalest driver rows
-    # (r6 vintage, alphabetical; the 3 pq/ivfpq r6 rows re-enter above
-    # as rewrites; tpch_q15…trainprep_weighted_sample — the remaining
-    # 13 r6 rows — rotate in next round) ---
-    "cdc_snapshot_diff",
-    "dedup_embedding_cosine_lsh_auto",
-    "dedup_paragraphs",
-    "dedup_paragraphs_by_source",
-    "dedup_substring_spans_winnowed",
-    "er_fuzzy_name_pairs",
-    "er_fuzzy_name_pairs_passjoin",
-    "events_gap_islands",
-    "events_gapfill_locf",
-    "events_twap",
-    "graph_pagerank_event_transitions",
-    "pipeline_scd2_history",
-    "pipeline_scd2_point_in_time_join",
-    "profile_group_trend",
-    "profile_key_skew",
-    "profile_numeric_correlation",
-    "similarity_ivf_index_topk",
-    "similarity_ivfpq_index_topk",
-    "storage_zorder_cells",
-    "streaming_drift_monitor",
-    "text_language_id",
-    "text_quality_score",
-    "tpch_q12_lateship_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
+    "sketch_hll_vocab_per_lang",
+    # --- round-11 re-confirmation fill: the 13 remaining r6-vintage
+    # rows first ---
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "trainprep_mixture_temperature",
+    "trainprep_weighted_sample",
+    # --- then the alphabetically-first 32 of the r7 vintage (the 15
+    # remaining r7 rows rotate in next round) ---
+    "agg_count_distinct",
+    "agg_daily_revenue",
+    "agg_having",
+    "agg_percentiles",
+    "asof_join_daily_price",
+    "dedup_exact_docs",
+    "dedup_exact_rows",
+    "dedup_minhash_estimate_error",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_semdedup",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "distinct_pairs",
+    "events_rolling_zscore",
+    "expr_case_when_buckets",
+    "extract_projection_range",
+    "grouping_sets_priority",
+    "join_anti_not_exists",
+    "join_fact_dim_broadcast",
+    "join_self_nation_pairs",
+    "join_semi_exists",
+    "json_extract_props",
+    "multimodal_feature_extract",
+    "multimodal_metadata",
+    "profile_drift_tv",
+    "profile_equidepth_hist",
+    "scalar_functions_showcase",
+    "sessionize_events",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "similarity_ann_lsh",
 ]
 
 

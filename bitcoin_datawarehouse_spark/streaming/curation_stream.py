@@ -104,6 +104,7 @@ def run_curation_stream(
     quality_model: str | None = None,
     dsir_model: str | None = None,
     dsir_threshold_micro: int | None = None,
+    quality_registry=None,
 ) -> StreamingQuery:
     """Start the incremental curation of ``doc_stream`` (schema:
     doc_id long, text string, source string).  Survivors land in
@@ -156,7 +157,15 @@ def run_curation_stream(
     frozen-threshold gate is the arrival-order twin (keeps every doc
     a build-corpus rank selection at that threshold would keep).  Per
     trigger: the feature kernel over the micro-batch plus two
-    ≤N_BUCKETS-row broadcast joins."""
+    ≤N_BUCKETS-row broadcast joins.
+
+    ``quality_registry`` (a ``pipeline.model_registry.ModelRegistry``)
+    upgrades the ``quality_model`` gate from fixed table names to the
+    VERSIONED registry: each trigger resolves the current generation
+    (pointer read first, then that generation's part tables — one
+    atomic model, never a mix), so an offline re-train can
+    atomically swap the serving model between triggers while the
+    stream runs (r10 VERDICT item 2)."""
     wh, schema = index.wh, index.schema
     hashes_table = f"{curated_table}_hashes"
     semcells_table = f"{curated_table}_semcells"
@@ -179,7 +188,20 @@ def run_curation_stream(
         # kernel), so an unmaterialized batch re-scans the stream
         # source per subtree (observed: numInputRows doubled).
         batch_df = batch_df.localCheckpoint()
-        if quality_model is not None:
+        if quality_model is not None and quality_registry is not None:
+            from bitcoin_datawarehouse_spark.operators.quality_classifier import (
+                score_resolved,
+            )
+
+            model = quality_registry.resolve(
+                batch_df.sparkSession, quality_model
+            )
+            keep_ids = (
+                score_resolved(model, batch_df.select("doc_id", "text"))
+                .filter(F.col("pred_keep"))
+                .select("doc_id")
+            )
+        elif quality_model is not None:
             from bitcoin_datawarehouse_spark.operators.quality_classifier import (
                 score_with,
             )

@@ -42,44 +42,25 @@ def test_ordered_queries_matches_entrypoint():
     assert list(ordered_queries()) == list(entrymod.queries())
 
 
-def test_round10_rotation_is_in_window():
+def test_round11_rotation_is_in_window():
     """Rotation rule (r4 ADVICE, refined r6/r7 VERDICT item 8): new
     registrations AND queries materially rewritten since their last
     driver check must hold window seats until a driver round proves
     the CURRENT implementation (plus the pricing_summary decimal
-    canary).  The r9 obligations all discharged via their
-    CORRECTNESS_r09 green rows (50/50) — their seats rotated to the
-    round-10 set below plus the stalest-vintage re-confirmation fill
-    (the alphabetically-first 25 of the r6 vintage)."""
+    canary).  The r10 obligations all discharged via their
+    CORRECTNESS_r10 green rows (50/50) — their seats rotated to the
+    round-11 set below plus the stalest-vintage re-confirmation fill
+    (the 13 remaining r6 rows, then the alphabetically-first r7
+    rows)."""
     rotation = {
-        # new in round 10: the hash-gated sketch twins + DSIR serve
-        "sketch_count_min_token_counts",
-        "sketch_hll_explicit_month",
-        "sketch_hll_explicit_priority",
-        "sketch_hll_merge_quarter",
-        "sketch_hll_stream_month",
+        # new in round 11: the serve-only twins that split frozen-
+        # model serving cost from build cost (r10 VERDICT item 1)
+        "trainprep_dsir_serve_only",
+        "text_quality_classifier_serve_only",
+        "text_lm_quality_serve_only",
+        # rewritten in round 11: tracked cache on the two-subtree
+        # token frame + shared-source oracle tokenizer (r10 ADVICE)
         "sketch_hll_vocab_per_lang",
-        "sketch_percentile_rank_exact",
-        "trainprep_dsir_served",
-        # rewritten in round 10: bpe_train_auto routing, the DSIR
-        # refactor + broadcast-hint drops, rank-selected seed rows,
-        # session-threaded serve reads, chunk serve-half extraction
-        "text_bpe_merges",
-        "text_bpe_encode",
-        "text_bpe_encode_served",
-        "trainprep_tokenized_curation",
-        "trainprep_dsir_select",
-        "similarity_bruteforce_topk",
-        "similarity_pq_encode",
-        "similarity_pq_adc_topk",
-        "similarity_ivfpq_topk",
-        "text_quality_classifier",
-        "text_quality_classifier_served",
-        "text_classifier_heldout_eval",
-        "trainprep_classifier_curation",
-        "text_lm_quality_served",
-        "similarity_chunk_retrieval",
-        "similarity_chunk_recall",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

@@ -456,18 +456,36 @@ def text_lm_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_MODEL_SCHEMA = "models"
 
 
-def fit_lm_parts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def fit_lm_parts(
+    spark: SparkSession, sf_dir: str, hot_head_safe: bool = False
+) -> dict[str, DataFrame]:
     """Train the bigram LM and return its parts as FRAMES —
     {"uni", "big", "consts"} — shared by :func:`save_lm_model` (fixed
     table names) and the versioned ``pipeline.model_registry``
-    (atomic generations)."""
+    (atomic generations).
+
+    Skew dial (r10 VERDICT item 4, measured at 500k docs):
+    the default shares ONE ``repartition("w1")`` exchange between both
+    count aggregates — 9.9 s vs 12.3 s for independent aggregates on
+    the real Zipf fixture (alternating-order reproduction), because
+    the cached exchange is reused.  Under an ADVERSARIAL head word
+    (planted 50% of all bigram rows on one w1) the shared exchange
+    funnels half the cache into one partition and inverts 3.2×
+    (9.6 s vs 3.0 s — tools/probe_skew_curation.py).  Real-corpus
+    Zipf heads ("the" ≈ 5-7% of tokens) stay far from the knee, so
+    the shared exchange is the default; pass ``hot_head_safe=True``
+    for corpora with a known degenerate head (log/boilerplate dumps)
+    to run the two aggregates independently — each then collapses the
+    hot key MAP-SIDE via partial aggregation.  Both plans produce
+    identical model tables."""
     from bitcoin_datawarehouse_spark.functions.cachereg import (
         cache_tracked,
     )
 
-    docbig = cache_tracked(
-        doc_bigram_counts(spark, sf_dir).repartition("w1")
-    )
+    docbig = doc_bigram_counts(spark, sf_dir)
+    if not hot_head_safe:
+        docbig = docbig.repartition("w1")
+    docbig = cache_tracked(docbig)
     uni = docbig.groupBy("w1").agg(F.sum("dcnt").cast("long").alias("cu"))
     vocab = uni.count()  # fills docbig
     big = (

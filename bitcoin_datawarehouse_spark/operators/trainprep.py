@@ -326,6 +326,8 @@ def trainprep_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+    # bounded: `per` is one row per domain (tens) — never copy this
+    # unpartitioned window onto a corpus-sized frame
     total = F.sum("n_tokens").over(W.partitionBy())
     alloc = F.floor(
         F.lit(TOKEN_BUDGET) * F.col("n_tokens").cast("double") / total

@@ -321,3 +321,19 @@ def test_curation_stream_stays_green_across_model_swap(spark, tmp_path):
     # doc 2 arrived under the drop-all generation → gated out; doc 1
     # stays curated (history untouched by the swap)
     assert curated == {1}
+
+
+def test_lm_hot_head_safe_plan_is_equivalent(spark):
+    """The skew escape hatch (fit_lm_parts(hot_head_safe=True), r10
+    VERDICT item 4) must produce bit-identical model tables — only
+    the exchange layout differs."""
+    from bitcoin_datawarehouse_spark.operators.lm_quality import (
+        fit_lm_parts,
+    )
+
+    a = fit_lm_parts(spark, SF_SMALL)
+    b = fit_lm_parts(spark, SF_SMALL, hot_head_safe=True)
+    for part in ("uni", "big", "consts"):
+        assert sorted(map(tuple, a[part].collect())) == sorted(
+            map(tuple, b[part].collect())
+        ), part

@@ -89,12 +89,10 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_token_counts_frame(docs.repartition(par))
 
 
-def _train_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, is_pos) on the deterministic train slice: label = the
-    registered Gopher conjunction (rule-based seed judgment)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+def _train_labels_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_pos) on the deterministic train slice of an
+    arbitrary (doc_id, text) frame: label = the registered Gopher
+    conjunction (rule-based seed judgment)."""
     hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
     nib = lambda i: F.instr(  # noqa: E731
         F.lit("0123456789abcdef"), F.substring(hx, i, 1)
@@ -108,6 +106,14 @@ def _train_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _train_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-reading wrapper of :func:`_train_labels_frame`."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _train_labels_frame(docs)
+
+
 def train_quality_model(
     spark: SparkSession, sf_dir: str, dtc: DataFrame
 ) -> tuple[DataFrame, dict[str, int]]:
@@ -115,7 +121,16 @@ def train_quality_model(
     returns the vocabulary-sized class-count frame (tok, cpos, cneg)
     — cache_tracked and eagerly filled — plus the five model integers
     {npos, nneg, v, dpos, dneg}."""
-    lab = cache_tracked(_train_labels(spark, sf_dir))
+    return _train_core(dtc, _train_labels(spark, sf_dir))
+
+
+def _train_core(
+    dtc: DataFrame, labels: DataFrame
+) -> tuple[DataFrame, dict[str, int]]:
+    """The NB training body over (per-doc token counts, labels) —
+    shared by the fixture-reading :func:`train_quality_model` and the
+    frame-shaped :func:`fit_quality_parts_frame` (streaming refresh)."""
+    lab = cache_tracked(labels)
     # class doc counts — the prior's two integers (eagerly fills lab)
     prow = lab.agg(
         F.count(F.when(F.col("is_pos"), 1)).alias("dpos"),
@@ -249,6 +264,25 @@ def fit_quality_parts(
     dtc = cache_tracked(doc_token_counts(spark, sf_dir))
     cls, consts = train_quality_model(spark, sf_dir, dtc)
     crow = spark.createDataFrame(
+        [tuple(consts[k] for k in ("npos", "nneg", "v", "dpos", "dneg"))],
+        "npos long, nneg long, v long, dpos long, dneg long",
+    )
+    return {"cls": cls, "consts": crow}
+
+
+def fit_quality_parts_frame(docs: DataFrame) -> dict[str, DataFrame]:
+    """Frame-shaped trainer: fit the NB model over an arbitrary
+    (doc_id, text) corpus — the builder the STREAMING refresh loop
+    (``streaming.model_refresh_stream``) retrains with, where the
+    corpus is the accumulated arrivals table rather than a fixture.
+    Identical algebra to :func:`fit_quality_parts` (same kernel, same
+    rule-based seed labels, same train-slice hash)."""
+    sess = docs.sparkSession
+    par = sess.sparkContext.defaultParallelism
+    docs = docs.select("doc_id", "text").repartition(par)
+    dtc = cache_tracked(_doc_token_counts_frame(docs))
+    cls, consts = _train_core(dtc, _train_labels_frame(docs))
+    crow = sess.createDataFrame(
         [tuple(consts[k] for k in ("npos", "nneg", "v", "dpos", "dneg"))],
         "npos long, nneg long, v long, dpos long, dneg long",
     )

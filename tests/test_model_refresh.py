@@ -337,3 +337,117 @@ def test_lm_hot_head_safe_plan_is_equivalent(spark):
         assert sorted(map(tuple, a[part].collect())) == sorted(
             map(tuple, b[part].collect())
         ), part
+
+
+def test_fit_quality_parts_frame_matches_fixture_fit(spark):
+    """The frame-shaped trainer (the streaming refresh loop's builder)
+    must equal the fixture-reading trainer bit-for-bit when handed the
+    same corpus."""
+    from bitcoin_datawarehouse_spark.operators.quality_classifier import (
+        fit_quality_parts,
+        fit_quality_parts_frame,
+    )
+    from bitcoin_datawarehouse_spark.tables import load_table
+
+    a = fit_quality_parts(spark, SF_SMALL)
+    b = fit_quality_parts_frame(
+        load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    )
+    for part in ("cls", "consts"):
+        assert sorted(map(tuple, a[part].collect())) == sorted(
+            map(tuple, b[part].collect())
+        ), part
+
+
+def test_model_refresh_stream_bootstraps_and_refreshes_on_volume(
+    spark, tmp_path
+):
+    """The in-stream maintenance loop: trigger 1 bootstraps generation
+    1, a small second batch leaves the model stable, a large third
+    batch fires the volume trigger and publishes generation 2 — and a
+    full replay from a fresh checkpoint is a corpus no-op that leaves
+    the generation unchanged (the stored build profile matches the
+    unchanged corpus)."""
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        run_stream_to_completion,
+    )
+    from bitcoin_datawarehouse_spark.streaming.model_refresh_stream import (
+        REFRESH_SCHEMA,
+        run_model_refresh_stream,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    reg = ModelRegistry(wh)
+    builds = {"n": 0}
+
+    def build(corpus):
+        # marker = build sequence number; a real family builder
+        # (fit_quality_parts_frame) is pinned equal to the batch
+        # trainer in its own test — here the mechanics are under test
+        builds["n"] += 1
+        return _marker_parts(spark, builds["n"])
+
+    src = tmp_path / "in"
+    batches = [
+        [(i, "alpha beta gamma") for i in range(20)],
+        [(100 + i, "alpha beta gamma") for i in range(2)],   # +10%
+        [(200 + i, "alpha beta gamma") for i in range(40)],  # ~2.8x
+    ]
+
+    def _arrive(i):
+        spark.createDataFrame(
+            batches[i], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"f{i}"))
+
+    def _drain(ck="ck"):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        run_stream_to_completion(
+            run_model_refresh_stream(
+                stream,
+                reg,
+                "gate_nb",
+                lambda corpus: build(corpus),
+                str(tmp_path / ck),
+                RefreshPolicy(tv_threshold=0.5, growth_factor=1.5),
+            )
+        )
+
+    _arrive(0)
+    _drain()
+    assert reg.resolve(spark, "gate_nb").generation == 1
+
+    _arrive(1)  # +2 docs: under the growth factor → stable
+    _drain()
+    assert reg.resolve(spark, "gate_nb").generation == 1
+
+    _arrive(2)  # 62 docs vs the 20-doc build corpus → volume trigger
+    _drain()
+    assert reg.resolve(spark, "gate_nb").generation == 2
+    assert builds["n"] == 2  # bootstrap + one refresh, nothing else
+
+    log = sorted(
+        (
+            int(r["batch_id"]),
+            int(r["corpus_docs"]),
+            bool(r["refreshed"]),
+            int(r["generation"]),
+        )
+        for r in wh.read(REFRESH_SCHEMA, "gate_nb_refresh_log").collect()
+    )
+    assert [(c, r, g) for _, c, r, g in log] == [
+        (20, True, 1),   # bootstrap
+        (22, False, 1),  # stable
+        (62, True, 2),   # volume refresh
+    ]
+
+    # replay from a fresh checkpoint: corpus append is idempotent and
+    # the profile matches generation 2's build corpus → no new builds
+    _drain(ck="ck2")
+    assert reg.resolve(spark, "gate_nb").generation == 2
+    assert builds["n"] == 2
+    corpus_rows = wh.read(REFRESH_SCHEMA, "gate_nb_refresh_corpus").count()
+    assert corpus_rows == 62

@@ -303,16 +303,28 @@ def main() -> None:
     skip &= set(HEADLINE)  # output's "skipped" lists EFFECTIVE skips only
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
 
+    # Adaptive repeats (round 11): best-of-N exists because sub-2s
+    # queries carry ±50% JVM/GC scheduling noise; queries whose WARM
+    # pass already runs ≥ ADAPTIVE_CUTOFF_S are plan-dominated (the
+    # noise floor is a small fraction of the wall) and every extra
+    # repeat costs what it measures — one timed run suffices.  This
+    # keeps the harness wall bounded as heavy composite gates joined
+    # the headline (measured: fixed best-of-3 pushed the sf0.1 wall
+    # to ~8 min before the DuckDB pair even ran).
+    ADAPTIVE_CUTOFF_S = 2.5
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in skip:
             continue
         fn = QUERIES[name]
+        t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm_dt = time.time() - t0
         release_rank_caches()
         release_tracked_caches()
+        reps = 1 if warm_dt >= ADAPTIVE_CUTOFF_S else repeats
         best = None
-        for _ in range(repeats):
+        for _ in range(reps):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0

@@ -191,6 +191,15 @@ HEADLINE = [
     "trainprep_dsir_serve_only",
     "text_quality_classifier_serve_only",
     "text_lm_quality_serve_only",
+    # round-11 additions (66 → 68): materialized-view maintenance —
+    # the append-combine monoid (batch aggregate + state-sized key
+    # join; never re-reads the base) and the touched-group recompute
+    # under an update (the retraction-free min/max path); benched so
+    # the per-batch maintenance wall is a recorded number next to the
+    # full GROUP BY it replaces (pricing_summary is the same-grain
+    # from-scratch aggregate)
+    "pipeline_matview_append_combine",
+    "pipeline_matview_update_recompute",
 ]
 
 

@@ -1,0 +1,238 @@
+"""Oracle-gated, read-only expressions of materialized-view maintenance.
+
+The stateful loop (persisted state table, atomic swaps) lives in
+pipeline/matview.py and is pinned by tests/test_matview.py against a
+temp warehouse; the queries here run the SAME maintenance algebra —
+the actual ``combine_states`` / affected-group-recompute code, not a
+re-derivation — as pure reads over the fixtures, so the driver's
+DuckDB gate checks the algebra itself at sf0.01:
+
+* append    — ``combine(agg(old slice), agg(batch slice))`` must equal
+              the direct aggregate over everything (self-maintainable
+              monoid: sums/counts add, min/max take extremes, avg
+              derives from the sum+count pair);
+* update    — retraction-free maintenance: recompute ONLY the groups
+              the update touched (including the groups rows MIGRATED
+              into) and splice them over the prior state;
+* delete    — same splice, with fully-emptied groups dropping out.
+
+Reference parity: the reference re-runs its rollups from scratch in
+Dune per sync (etl_job.csv:2-6 opaque query_ids); these gates pin the
+incremental equivalent.  Scale shape: the append path never touches
+the base (batch aggregate + state-sized key join); the update/delete
+paths read the base ONCE through a broadcast semi-join on the touched
+group keys — partition-prunable when the base is laid out by a
+group-key prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.functions.numeric import SQL_DAVG, SQL_DSUM
+from bitcoin_datawarehouse_spark.pipeline.matview import (
+    Measure,
+    _agg_exprs,
+    combine_states,
+    exposed_cols,
+)
+from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.tables import load_table
+
+KEYS = ["o_orderstatus", "o_orderpriority"]
+
+MEASURES = [
+    Measure("sum_price", "sum", "o_totalprice"),
+    Measure("n_orders", "count", None),
+    Measure("max_price", "max", "o_totalprice"),
+    Measure("min_odate", "min", "o_orderdate"),
+    Measure("avg_price", "avg", "o_totalprice"),
+]
+
+#: the exposed-aggregate select list every oracle shares (numeric.py
+#: engine-neutral surfaces: string-routed decimal sum / 6-dp avg)
+_ORACLE_AGGS = f"""
+      {SQL_DSUM('o_totalprice', 'sum_price')},
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      MAX(o_totalprice) AS max_price,
+      MIN(o_orderdate) AS min_odate,
+      {SQL_DAVG('o_totalprice', 'avg_price')}
+"""
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy(*KEYS).agg(*_agg_exprs(MEASURES))
+
+
+def _expose(state: DataFrame) -> DataFrame:
+    return state.select(*exposed_cols(KEYS, MEASURES))
+
+
+@query(
+    "pipeline_matview_append_combine",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+      {_ORACLE_AGGS}
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def pipeline_matview_append_combine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Append-only view maintenance: the standing state (¾ of orders)
+    absorbs an insert batch (the remaining ¼) through
+    ``combine_states`` — and must equal the direct GROUP BY over the
+    whole table (the oracle).
+
+    This is the self-maintainability proof for the whole measure set:
+    exact decimal sums add, counts add, min/max take extremes, and the
+    avg derives from the combined sum+count pair, so incremental ==
+    from-scratch bit-for-bit even on the engine-neutral 2-dp/6-dp
+    surfaces.  At scale the batch aggregate is map-side-combined and
+    the merge join moves state-sized (group-cardinality) data only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    standing = _agg(orders.filter(F.col("o_orderkey") % 4 != 3))
+    delta = _agg(orders.filter(F.col("o_orderkey") % 4 == 3))
+    return _expose(combine_states(standing, delta, KEYS, MEASURES))
+
+
+@query(
+    "pipeline_matview_star_append",
+    oracle=f"""
+    SELECT c.c_mktsegment, o.o_orderpriority AS o_orderpriority,
+      {_ORACLE_AGGS}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def pipeline_matview_star_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view over a STAR JOIN (fact ⋈ dimension, grouped by
+    a dimension attribute) maintained under fact appends: the delta
+    batch joins the broadcast dimension and combines into the standing
+    state — the base fact is never re-joined or re-scanned.  This is
+    the IVM shape real dashboards need (revenue by segment), and it
+    works because the view definition distributes over fact-side
+    union: agg((A ∪ B) ⋈ dim) = combine(agg(A ⋈ dim), agg(B ⋈ dim)).
+    (A DIMENSION change is not self-maintainable this way — that is an
+    update, handled by the touched-group recompute path.)
+
+    Scale shape: per batch, one broadcast join + one map-side-combined
+    aggregate over the batch, then the state-sized key merge.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    star_keys = ["c_mktsegment", "o_orderpriority"]
+
+    def agg_star(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+            .groupBy(*star_keys)
+            .agg(*_agg_exprs(MEASURES))
+        )
+
+    standing = agg_star(orders.filter(F.col("o_orderkey") % 4 != 3))
+    delta = agg_star(orders.filter(F.col("o_orderkey") % 4 == 3))
+    combined = combine_states(standing, delta, star_keys, MEASURES)
+    return combined.select(*exposed_cols(star_keys, MEASURES))
+
+
+@query(
+    "pipeline_matview_update_recompute",
+    oracle=f"""
+    WITH base AS (
+      SELECT
+        CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END
+          AS o_orderstatus,
+        o_orderpriority,
+        CASE WHEN o_orderkey % 10 = 3
+             THEN o_totalprice * CAST(0.5 AS DOUBLE)
+             ELSE o_totalprice END AS o_totalprice,
+        o_orderdate
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderpriority,
+      {_ORACLE_AGGS}
+    FROM base
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def pipeline_matview_update_recompute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Update maintenance without retraction: a tenth of the orders are
+    re-priced (halved) AND migrate status → 'U' (so their old groups
+    lose rows and a brand-new group gains them).  min/max cannot be
+    maintained through that incrementally, so the view recomputes
+    exactly the touched groups — old groups ∪ new groups of the
+    changed rows — from the post-update base and splices them over the
+    prior state; the oracle is the direct aggregate over the
+    post-update table.
+
+    Scale shape: prior state carries every untouched group with ZERO
+    base I/O; the recompute reads the base once through a broadcast
+    semi-join on touched group keys (partition-pruned when the base is
+    laid out by the group prefix).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    upd = F.col("o_orderkey") % 10 == 3
+    base_after = orders.select(
+        "o_orderkey",
+        F.when(upd, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_orderpriority",
+        F.when(upd, F.col("o_totalprice") * F.lit(0.5))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+    )
+    prior = _agg(orders)
+    touched = (
+        orders.filter(upd)
+        .select(*KEYS)
+        .unionByName(base_after.filter(upd).select(*KEYS))
+        .distinct()
+    )
+    recomputed = _agg(
+        base_after.join(F.broadcast(touched), KEYS, "leftsemi")
+    )
+    kept = prior.join(F.broadcast(touched), KEYS, "left_anti")
+    return _expose(kept.unionByName(recomputed))
+
+
+@query(
+    "pipeline_matview_delete_groups",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+      {_ORACLE_AGGS}
+    FROM orders
+    WHERE NOT (o_orderstatus = 'P' OR o_totalprice > 400000)
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def pipeline_matview_delete_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete maintenance incl. the emptied-group case: the predicate
+    removes EVERY 'P'-status row (those groups must vanish from the
+    view, not linger as zeros) and trims high-price rows from the
+    surviving groups (whose sums/max must shrink — the retraction
+    min/max can't do incrementally).  Touched groups = the deleted
+    rows' groups; recompute-and-splice over the post-delete base; the
+    oracle aggregates the survivors directly.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pred = (F.col("o_orderstatus") == "P") | (F.col("o_totalprice") > 400000)
+    prior = _agg(orders)
+    touched = orders.filter(pred).select(*KEYS).distinct()
+    base_after = orders.filter(~pred)
+    recomputed = _agg(
+        base_after.join(F.broadcast(touched), KEYS, "leftsemi")
+    )
+    kept = prior.join(F.broadcast(touched), KEYS, "left_anti")
+    return _expose(kept.unionByName(recomputed))

@@ -74,6 +74,12 @@ DRIVER_WINDOW: list[str] = [
     "trainprep_dsir_serve_only",
     "text_quality_classifier_serve_only",
     "text_lm_quality_serve_only",
+    # --- round-11 NEW: materialized-view maintenance algebra
+    # (pipeline/matview.py; gates run the real combine/recompute code) ---
+    "pipeline_matview_append_combine",
+    "pipeline_matview_star_append",
+    "pipeline_matview_update_recompute",
+    "pipeline_matview_delete_groups",
     # --- round-11 REWRITE (standing rule: a materially rewritten
     # implementation re-enters even if its old body was driver-green)
     "sketch_hll_vocab_per_lang",
@@ -92,8 +98,9 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q9_product_profit",
     "trainprep_mixture_temperature",
     "trainprep_weighted_sample",
-    # --- then the alphabetically-first 32 of the r7 vintage (the 15
-    # remaining r7 rows rotate in next round) ---
+    # --- then the alphabetically-first 28 of the r7 vintage (the 19
+    # remaining r7 rows rotate in next round; four fill seats ceded
+    # to the matview gates above — their r7 driver rows stand) ---
     "agg_count_distinct",
     "agg_daily_revenue",
     "agg_having",
@@ -122,10 +129,6 @@ DRIVER_WINDOW: list[str] = [
     "profile_equidepth_hist",
     "scalar_functions_showcase",
     "sessionize_events",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "similarity_ann_lsh",
 ]
 
 
@@ -200,4 +203,5 @@ def load_all_operators() -> None:
         quality_classifier,
         dsir,
         softdedup,
+        matview_semantics,
     )

@@ -1,0 +1,241 @@
+"""Materialized-aggregate-view maintenance (pipeline/matview.py).
+
+The driver-gated queries in operators/matview_semantics.py prove the
+maintenance ALGEBRA against DuckDB; these tests pin the STATEFUL loop
+— persisted state, atomic swaps, the loader-shaped sync entry points —
+against a temp warehouse, always by comparing the incrementally
+maintained view to a from-scratch rebuild over the same final base.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_datawarehouse_spark.pipeline import Warehouse
+from bitcoin_datawarehouse_spark.pipeline.matview import (
+    MaterializedAggView,
+    Measure,
+)
+
+MEASURES = [
+    Measure("total", "sum", "v"),
+    Measure("n", "count", None),
+    Measure("n_v", "count", "v"),
+    Measure("vmin", "min", "v"),
+    Measure("vmax", "max", "v"),
+    Measure("vavg", "avg", "v"),
+]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "g string, id long, v double")
+
+
+def _view(wh, table):
+    return MaterializedAggView(wh, "mv", table, ["g"], MEASURES)
+
+
+def _snap(view):
+    return sorted(tuple(r) for r in view.read().collect())
+
+
+def _expected(wh, spark, base_df, tag):
+    ref = _view(wh, f"expected_{tag}")
+    ref.full_refresh(base_df)
+    return _snap(ref)
+
+
+def test_append_batches_equal_full_recompute(spark, tmp_warehouse):
+    wh = Warehouse(spark, tmp_warehouse)
+    v = _view(wh, "rollup")
+    b1 = _mk(spark, [("a", 1, 10.5), ("a", 2, 2.25), ("b", 3, 7.0)])
+    b2 = _mk(spark, [("b", 4, -1.5), ("c", 5, 100.0)])  # new group c
+    b3 = _mk(spark, [("a", 6, 0.125), ("c", 7, 3.5), ("d", 8, 9.0)])
+    v.apply_append(b1)
+    v.apply_append(b2)
+    v.apply_append(b3)
+    full = b1.unionByName(b2).unionByName(b3)
+    assert _snap(v) == _expected(wh, spark, full, "append")
+
+
+def test_upsert_lowers_max_and_migrates_group(spark, tmp_warehouse):
+    wh = Warehouse(spark, tmp_warehouse)
+    v = _view(wh, "rollup")
+    base = _mk(
+        spark,
+        [("a", 1, 10.0), ("a", 2, 99.0), ("b", 3, 5.0), ("b", 4, 7.0),
+         ("c", 5, 1.0)],
+    )
+    v.full_refresh(base)
+    # id=2 keeps group 'a' but loses its max; id=3 MIGRATES b -> c
+    batch = _mk(spark, [("a", 2, 1.0), ("c", 3, 50.0)])
+    base_after = base.join(batch.select("id"), "id", "left_anti").unionByName(
+        batch
+    )
+    v.sync_upsert(base, base_after, batch, ["id"])
+    snap = _snap(v)
+    assert snap == _expected(wh, spark, base_after, "upsert")
+    by_g = {row[0]: row for row in snap}
+    assert by_g["a"][5] == 10.0  # vmax retracted from 99 to 10
+    assert by_g["b"][2] == 1  # group b lost the migrated row
+    assert by_g["c"][2] == 2  # and group c gained it
+
+
+def test_delete_drops_emptied_group(spark, tmp_warehouse):
+    wh = Warehouse(spark, tmp_warehouse)
+    v = _view(wh, "rollup")
+    base = _mk(
+        spark,
+        [("a", 1, 10.0), ("a", 2, 4.0), ("c", 3, 1.0), ("c", 4, 2.0)],
+    )
+    v.full_refresh(base)
+    pred = (F.col("g") == "c") | (F.col("id") == 1)
+    deleted = base.filter(pred)
+    base_after = base.filter(~pred)
+    v.sync_delete(base_after, deleted)
+    snap = _snap(v)
+    assert snap == _expected(wh, spark, base_after, "delete")
+    assert [r[0] for r in snap] == ["a"]  # group c vanished, no zombie row
+
+
+def test_null_measures_match_direct_aggregate(spark, tmp_warehouse):
+    wh = Warehouse(spark, tmp_warehouse)
+    v = _view(wh, "rollup")
+    b1 = _mk(spark, [("a", 1, None), ("b", 2, 3.0)])
+    b2 = _mk(spark, [("a", 3, None), ("b", 4, None)])
+    v.apply_append(b1)
+    v.apply_append(b2)
+    snap = _snap(v)
+    assert snap == _expected(wh, spark, b1.unionByName(b2), "nulls")
+    by_g = {row[0]: row for row in snap}
+    # all-null group: SUM/MIN/MAX/AVG stay NULL (not zero), COUNT(*)
+    # counts rows, COUNT(v) doesn't
+    assert by_g["a"][1] is None and by_g["a"][4] is None
+    assert by_g["a"][2] == 2 and by_g["a"][3] == 0
+    # mixed group: the null drops out of every aggregate
+    assert by_g["b"] == ("b", 3.0, 2, 1, 3.0, 3.0, 3.0)
+
+
+def test_append_plan_never_references_base(spark, tmp_warehouse):
+    """The self-maintainability claim as a plan shape: absorbing a
+    batch builds on the persisted STATE + the batch only — the base
+    table's storage path must not appear anywhere in the plan."""
+    wh = Warehouse(spark, tmp_warehouse)
+    base = _mk(spark, [("a", 1, 10.0), ("b", 2, 5.0)])
+    wh.write_atomic(base, "facts", "base_tbl")
+    v = _view(wh, "rollup")
+    v.full_refresh(wh.read("facts", "base_tbl"))
+    batch = _mk(spark, [("a", 3, 2.0)])
+    from bitcoin_datawarehouse_spark.pipeline.matview import combine_states
+
+    combined = combine_states(
+        v.state(), v._aggregate(batch), v.keys, v.measures
+    )
+    plan = combined._jdf.queryExecution().executedPlan().toString()
+    assert "base_tbl" not in plan
+    # and the combine is correct, not just base-free
+    v.apply_append(batch)
+    assert _snap(v) == _expected(
+        wh, spark, base.unionByName(batch), "planfree"
+    )
+
+
+def test_view_swap_is_versioned_and_rollbackable(spark, tmp_path):
+    """State swaps ride write_atomic, so the view inherits snapshot /
+    rollback — a bad batch is one rollback away, same as any table."""
+    wh = Warehouse(spark, str(tmp_path / "vwh"), keep_versions=2)
+    v = _view(wh, "rollup")
+    good = _mk(spark, [("a", 1, 1.0)])
+    v.apply_append(good)
+    before = _snap(v)
+    v.apply_append(_mk(spark, [("a", 2, 1e9)]))  # the "bad batch"
+    assert _snap(v) != before
+    wh.rollback("mv", "rollup")
+    assert _snap(v) == before
+
+
+def test_streaming_matview_drains_and_is_exactly_once(spark, tmp_path):
+    """Three micro-batches fold into the view; the result equals the
+    batch rebuild; a replayed trigger (same batch_id) is a no-op; a
+    crash between the generation write and the pointer flip replays
+    cleanly (the orphan generation is overwritten, never counted)."""
+    from bitcoin_datawarehouse_spark.pipeline.matview import StreamingMatView
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        run_stream_to_completion,
+    )
+    from bitcoin_datawarehouse_spark.streaming.matview_stream import (
+        run_matview_stream,
+    )
+
+    rows = [("a", 1, 10.5), ("b", 2, 2.0), ("a", 3, 4.25),
+            ("c", 4, -1.0), ("b", 5, 8.0), ("c", 6, 0.5)]
+    all_df = _mk(spark, rows)
+    src = tmp_path / "src"
+    for i in range(3):
+        all_df.filter(F.col("id") % 3 == i).repartition(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    wh = Warehouse(spark, str(tmp_path / "swh"))
+    sv = StreamingMatView(wh, "mv", "live", ["g"], MEASURES)
+    stream = (
+        spark.readStream.schema("g string, id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_matview_stream(stream, sv, str(tmp_path / "ck"))
+    )
+    got = sorted(tuple(r) for r in sv.read(spark).collect())
+    assert got == _expected(wh, spark, all_df, "stream")
+
+    # replayed trigger: an already-absorbed batch_id must be skipped
+    assert sv.absorb(_mk(spark, [("a", 99, 1000.0)]), batch_id=0) is False
+    assert sorted(tuple(r) for r in sv.read(spark).collect()) == got
+
+    # crash window: a generation written WITHOUT its pointer flip is
+    # invisible — the replay overwrites it and counts the batch once
+    ptr = sv._pointer(spark)
+    orphan = sv._gen(ptr[0] + 1)
+    wh.write_atomic(_mk(spark, [("zzz", 0, 0.0)]), "mv", orphan)
+    extra = _mk(spark, [("d", 7, 7.0)])
+    assert sv.absorb(extra, batch_id=ptr[1] + 1) is True
+    got2 = sorted(tuple(r) for r in sv.read(spark).collect())
+    assert got2 == _expected(
+        wh, spark, all_df.unionByName(extra), "stream2"
+    )
+
+
+def test_sync_views_through_merge_wiring(spark, tmp_warehouse):
+    """The production wiring: a loader merge keeps attached views
+    consistent — including the replaced rows' OLD groups, whose
+    touched set must be pinned before the merge swaps the base away."""
+    from bitcoin_datawarehouse_spark.pipeline import Loader
+    from bitcoin_datawarehouse_spark.pipeline.matview import (
+        sync_views_through_merge,
+    )
+
+    wh = Warehouse(spark, tmp_warehouse)
+    loader = Loader(wh, "facts", "t")
+    v = _view(wh, "rollup")
+    # first sync: no base yet — views bootstrap from the batch alone
+    b1 = _mk(spark, [("a", 1, 10.0), ("a", 2, 99.0), ("b", 3, 5.0)])
+    sync_views_through_merge(loader, [v], b1, ["id"])
+    assert _snap(v) == _expected(wh, spark, wh.read("facts", "t"), "w1")
+    # upsert: id=2 migrates a -> c AND drops the old group's max
+    b2 = _mk(spark, [("c", 2, 1.0), ("b", 4, 8.0)])
+    sync_views_through_merge(loader, [v], b2, ["id"])
+    base_after = wh.read("facts", "t")
+    assert base_after.count() == 4
+    snap = _snap(v)
+    assert snap == _expected(wh, spark, base_after, "w2")
+    by_g = {row[0]: row for row in snap}
+    assert by_g["a"][5] == 10.0  # old group's max recomputed w/o id=2
+    assert by_g["c"][2] == 1  # migrated row counted in its new group
+
+
+def test_measure_validation():
+    with pytest.raises(ValueError):
+        Measure("x", "median", "v")
+    with pytest.raises(ValueError):
+        Measure("x", "sum", None)

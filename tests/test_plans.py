@@ -772,3 +772,44 @@ def test_chunk_retrieval_serve_plan_shape(spark):
         assert "SelectedBucketsCount" in plan, plan
     finally:
         release_tracked_caches()
+
+
+def test_matview_append_combine_reuses_group_partitioning(plan_of):
+    """The append-absorption monoid: each slice aggregates with
+    map-side partial combine, and the full-outer state merge RIDES the
+    aggregates' hash partitioning — exactly two exchanges (one per
+    slice), no third for the join, nothing broadcast-nested-loop."""
+    import re
+
+    plan = plan_of("pipeline_matview_append_combine")
+    assert_no_cartesian(plan)
+    assert_partial_aggregation(plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_matview_recompute_touched_groups_is_broadcast(plan_of):
+    """Update/delete maintenance: the touched-group set reaches the
+    base scan and the prior state through BROADCAST semi/anti joins —
+    the recompute never shuffles the base on anything but the final
+    group aggregate."""
+    for name in (
+        "pipeline_matview_update_recompute",
+        "pipeline_matview_delete_groups",
+    ):
+        plan = plan_of(name)
+        assert_no_cartesian(plan)
+        assert plan.count("BroadcastExchange") >= 2, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
+def test_matview_star_append_broadcasts_dim_once_per_slice(plan_of):
+    """Star-join view maintenance: each fact slice joins the dimension
+    BROADCAST (two slices → two broadcast hash joins), aggregates with
+    partial combine, and the state merge rides the aggregates' hash
+    partitioning — two exchanges total, no shuffle join of the fact."""
+    import re
+
+    plan = plan_of("pipeline_matview_star_append")
+    assert_no_cartesian(plan)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan

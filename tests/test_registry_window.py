@@ -61,6 +61,12 @@ def test_round11_rotation_is_in_window():
         # rewritten in round 11: tracked cache on the two-subtree
         # token frame + shared-source oracle tokenizer (r10 ADVICE)
         "sketch_hll_vocab_per_lang",
+        # new in round 11: materialized-view maintenance algebra
+        # (pipeline/matview.py + operators/matview_semantics.py)
+        "pipeline_matview_append_combine",
+        "pipeline_matview_star_append",
+        "pipeline_matview_update_recompute",
+        "pipeline_matview_delete_groups",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

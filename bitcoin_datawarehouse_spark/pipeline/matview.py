@@ -45,16 +45,25 @@ tests/test_matview.py.
 
 from __future__ import annotations
 
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.functions.numeric import DEC, str_round6
 
 from .catalog import Warehouse
+from .loader import (
+    BROADCAST_BATCH_MAX_ROWS,
+    _part_key,
+    _partition_dirs,
+    _write_day_partitioned,
+)
 
 _NROWS = "__nrows"
+_BUCKET = "__bucket"
 
 
 @dataclass(frozen=True)
@@ -115,9 +124,17 @@ def _combine_col(old: Column, new: Column, how: str) -> Column:
     other side is present).
     """
     if how in ("sum", "cnt"):
-        zero = F.lit(0).cast(DEC) if how == "sum" else F.lit(0).cast("long")
-        return F.when(old.isNull() & new.isNull(), F.lit(None)).otherwise(
-            F.coalesce(old, zero) + F.coalesce(new, zero)
+        # Spark's decimal-add promotion turns (38,10)+(38,10) into
+        # (38,9); cast back so the STATE schema is one fixed type —
+        # a bucketed layout mixes fresh-aggregate and combined files
+        # in one table, and parquet refuses a scale mismatch on read.
+        # The cast is exact for any aggregate below 1e28.
+        typ = DEC if how == "sum" else "long"
+        zero = F.lit(0).cast(typ)
+        return (
+            F.when(old.isNull() & new.isNull(), F.lit(None))
+            .otherwise(F.coalesce(old, zero) + F.coalesce(new, zero))
+            .cast(typ)
         )
     fn = F.least if how == "min" else F.greatest
     return fn(old, new)
@@ -209,31 +226,132 @@ class MaterializedAggView:
         table: str,
         keys: list[str],
         measures: list[Measure],
+        state_buckets: int | None = None,
+        state_partition_key: str | None = None,
     ) -> None:
+        """Two partitioned-state layouts for big views (either one
+        makes a batch rewrite only its TOUCHED partition directories
+        via dynamic partition overwrite, instead of the whole state):
+
+        * ``state_buckets=N`` — Hive-partition by a hash bucket of the
+          group keys.  Balanced by construction; wins when a batch
+          touches FEWER GROUPS than buckets (dimension-update shaped
+          batches).  A batch spraying >> N distinct groups touches
+          every bucket and gains nothing — hashing destroys locality.
+        * ``state_partition_key=k`` (one of ``keys``) — partition by
+          that key's values.  The continuous-aggregate layout: when
+          batches ALIGN with the key (time-grain views fed by daily
+          arrivals), a batch touches exactly its own partitions, so
+          per-batch state I/O is O(touched key values) no matter how
+          many groups exist overall.
+
+        Leave both None for rollup-sized states (a handful of groups),
+        where one small file beats a directory tree.
+        """
         if not keys:
             raise ValueError("matview needs at least one group key")
         names = [m.name for m in measures]
         if len(set(names)) != len(names):
             raise ValueError("duplicate measure names")
+        if state_buckets and state_partition_key:
+            raise ValueError("pick ONE of state_buckets / state_partition_key")
+        if state_partition_key and state_partition_key not in keys:
+            raise ValueError("state_partition_key must be a group key")
         self.wh = wh
         self.schema = schema
         self.table = table
         self.keys = list(keys)
         self.measures = list(measures)
+        self.state_buckets = state_buckets
+        self._part = _BUCKET if state_buckets else state_partition_key
 
     # -- internals ---------------------------------------------------------
     def _aggregate(self, rows: DataFrame) -> DataFrame:
         return rows.groupBy(*self.keys).agg(*_agg_exprs(self.measures))
 
+    def _bucket_expr(self) -> Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]),
+            F.lit(self.state_buckets),
+        ).cast("int")
+
+    def _partify(self, df: DataFrame) -> DataFrame:
+        """Ensure the partition column is present (hash mode derives
+        it; key mode already carries it as a group key)."""
+        if self.state_buckets:
+            return df.withColumn(_BUCKET, self._bucket_expr())
+        return df
+
+    def _unpartify(self, df: DataFrame) -> DataFrame:
+        if self.state_buckets:
+            return df.drop(_BUCKET)
+        return df
+
     def _write(self, state: DataFrame) -> None:
         # group-key cardinality is usually tiny next to the base; cap
         # output files so a 32-way shuffle doesn't write 32 shards of
-        # a 15-row rollup.  (A genuinely huge state would warrant a
-        # partitioned layout — write_atomic(partition_by=...) slots in
-        # here unchanged.)
-        self.wh.write_atomic(state, self.schema, self.table, coalesce=4)
+        # a 15-row rollup.
+        if self._part:
+            self.wh.write_atomic(
+                self._partify(state),
+                self.schema,
+                self.table,
+                coalesce=self.state_buckets or 32,
+                partition_by=[self._part],
+            )
+        else:
+            self.wh.write_atomic(state, self.schema, self.table, coalesce=4)
+
+    def _overwrite_buckets(self, content: DataFrame) -> None:
+        """Dynamic partition overwrite: replace exactly the bucket
+        directories present in ``content``, byte-untouched elsewhere."""
+        spark = content.sparkSession
+        path = str(self.wh.table_path(self.schema, self.table))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            _write_day_partitioned(content, self._part, path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def _touched_bucket_slice(
+        self, sess, touched_keys: DataFrame
+    ) -> tuple[DataFrame | None, list[int]]:
+        """(old rows of the touched buckets, touched bucket ids).
+        The bucket list prunes the state read to its directories —
+        names-only scandir, same discipline as the partitioned merge."""
+        tk = self._partify(touched_keys)
+        buckets = [r[0] for r in tk.select(self._part).distinct().collect()]
+        tp = self.wh.table_path(self.schema, self.table)
+        by_value = _partition_dirs(tp, self._part)
+        existing = [
+            by_value[_part_key(b)]
+            for b in buckets
+            if _part_key(b) in by_value
+        ]
+        if existing:
+            old = sess.read.option("basePath", str(tp)).parquet(*existing)
+        else:
+            old = None
+        return old, buckets
+
+    def _drop_emptied_buckets(
+        self, content_buckets: set[int], touched_buckets: list[int]
+    ) -> None:
+        """Dynamic partition overwrite cannot write an EMPTY partition:
+        a touched bucket whose every group vanished keeps its stale
+        directory after the write — drop those dirs explicitly."""
+        tp = self.wh.table_path(self.schema, self.table)
+        by_value = _partition_dirs(tp, self._part)
+        for b in touched_buckets:
+            if b not in content_buckets and _part_key(b) in by_value:
+                shutil.rmtree(by_value[_part_key(b)], ignore_errors=True)
 
     def exists(self) -> bool:
+        if self._part:
+            return self.wh.table_exists_partitioned(self.schema, self.table)
         return self.wh.table_exists(self.schema, self.table)
 
     def state(self) -> DataFrame:
@@ -252,13 +370,39 @@ class MaterializedAggView:
         over the batch plus a state-sized key join.  The base table is
         not referenced at all (tests pin that the plan reads only the
         batch and the view), so at 100 TB the per-batch cost is the
-        batch scan, full stop.
+        batch scan, full stop.  With ``state_buckets`` the join and
+        the rewrite shrink further to the delta's TOUCHED buckets
+        (probe-measured: the unbucketed highcard append's wall is the
+        full-state rewrite, not the combine).
         """
         delta = self._aggregate(batch)
         if not self.exists():
             self._write(delta)
             return
-        self._write(combine_states(self.state(), delta, self.keys, self.measures))
+        if not self._part:
+            self._write(
+                combine_states(self.state(), delta, self.keys, self.measures)
+            )
+            return
+        # partitioned: delta feeds the partition probe AND the combine
+        delta = cache_tracked(delta)
+        try:
+            old, _ = self._touched_bucket_slice(
+                delta.sparkSession, delta.select(*self.keys)
+            )
+            if old is None:
+                content = delta
+            else:
+                # groups in the touched partitions but NOT in the
+                # delta pass through combine unchanged (null delta
+                # side), so the overwrite rewrites whole partition
+                # dirs consistently
+                content = combine_states(
+                    self._unpartify(old), delta, self.keys, self.measures
+                )
+            self._overwrite_buckets(self._partify(content))
+        finally:
+            delta.unpersist()
 
     def apply_changes(self, base_after: DataFrame, touched_keys: DataFrame) -> None:
         """Recompute exactly the groups in ``touched_keys`` from the
@@ -273,15 +417,12 @@ class MaterializedAggView:
         cache_tracked and filled eagerly — the fill's count also
         decides whether it is broadcastable (the loader's threshold)
         or must shuffle-join a pathological batch that touched more
-        groups than a broadcast can carry.
+        groups than a broadcast can carry.  With ``state_buckets`` the
+        keep side shrinks from the whole state to the touched buckets
+        and the rewrite to those directories — emptied groups drop
+        there too (they are in the touched set but not in the
+        recomputed aggregate, so the bucket's new content omits them).
         """
-        from bitcoin_datawarehouse_spark.functions.cachereg import (
-            cache_tracked,
-        )
-        from bitcoin_datawarehouse_spark.pipeline.loader import (
-            BROADCAST_BATCH_MAX_ROWS,
-        )
-
         touched = cache_tracked(touched_keys.select(*self.keys).distinct())
         try:
             small = touched.count() <= BROADCAST_BATCH_MAX_ROWS
@@ -292,8 +433,32 @@ class MaterializedAggView:
             if not self.exists():
                 self._write(recomputed)
                 return
-            kept = self.state().join(hinted, self.keys, "left_anti")
-            self._write(kept.unionByName(recomputed))
+            if not self._part:
+                kept = self.state().join(hinted, self.keys, "left_anti")
+                self._write(kept.unionByName(recomputed))
+                return
+            old, tb = self._touched_bucket_slice(
+                base_after.sparkSession, touched
+            )
+            recomputed = self._partify(recomputed)
+            if old is None:
+                content = recomputed
+            else:
+                content = old.join(
+                    hinted, self.keys, "left_anti"
+                ).unionByName(recomputed)
+            # content feeds the partition census AND the write
+            content = cache_tracked(content)
+            try:
+                have = {
+                    r[0]
+                    for r in content.select(self._part).distinct().collect()
+                }
+                if have:
+                    self._overwrite_buckets(content)
+                self._drop_emptied_buckets(have, tb)
+            finally:
+                content.unpersist()
         finally:
             touched.unpersist()
 

@@ -234,6 +234,124 @@ def test_sync_views_through_merge_wiring(spark, tmp_warehouse):
     assert by_g["c"][2] == 1  # migrated row counted in its new group
 
 
+def test_bucketed_state_matches_unbucketed_and_prunes_io(spark, tmp_warehouse):
+    """``state_buckets``: the same append/upsert/delete sequence lands
+    on identical exposed rows as the unbucketed view, and an append
+    that touches a subset of buckets leaves every other bucket's files
+    BYTE-identical (the O(touched buckets) claim, physically)."""
+    import hashlib
+
+    wh = Warehouse(spark, tmp_warehouse)
+    flat = _view(wh, "flat")
+    bkt = MaterializedAggView(
+        wh, "mv", "bucketed", ["g"], MEASURES, state_buckets=8
+    )
+    b1 = _mk(spark, [(f"g{i}", i, float(i)) for i in range(16)])
+    for v in (flat, bkt):
+        v.apply_append(b1)
+    assert _snap(bkt) == _snap(flat)
+
+    # fingerprint every bucket file, then append ONE group's rows
+    root = wh.table_path("mv", "bucketed")
+    before = {
+        str(p.relative_to(root)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in root.rglob("*.parquet")
+    }
+    b2 = _mk(spark, [("g3", 100, 50.0), ("g3", 101, -2.0)])
+    for v in (flat, bkt):
+        v.apply_append(b2)
+    assert _snap(bkt) == _snap(flat)
+    after = {
+        str(p.relative_to(root)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in root.rglob("*.parquet")
+    }
+    untouched_same = [
+        f for f in before
+        if f in after and before[f] == after[f]
+    ]
+    # >=6 of 8 bucket dirs hold no g3 — their files must be untouched
+    assert len(untouched_same) >= 6, (before, after)
+
+    # upsert with migration + delete, still equivalent
+    base = b1.unionByName(b2)
+    batch = _mk(spark, [("g3", 100, 1.0), ("zz", 5, 9.0)])
+    base_after = base.join(batch.select("id"), "id", "left_anti").unionByName(
+        batch
+    )
+    for v in (flat, bkt):
+        v.sync_upsert(base, base_after, batch, ["id"])
+    assert _snap(bkt) == _snap(flat)
+    pred = F.col("g") == "g3"
+    deleted = base_after.filter(pred)
+    final = base_after.filter(~pred)
+    for v in (flat, bkt):
+        v.sync_delete(final, deleted)
+    assert _snap(bkt) == _snap(flat)
+    assert _snap(bkt) == _expected(wh, spark, final, "bktfinal")
+    assert "g3" not in {r[0] for r in _snap(bkt)}  # emptied group dropped
+
+
+def test_key_partitioned_state_is_day_local(spark, tmp_warehouse):
+    """``state_partition_key``: the continuous-aggregate layout — a
+    time-grain view fed by day-aligned batches rewrites ONLY the
+    arriving day's directory; prior days stay byte-identical; results
+    match the flat view; deleting a whole day drops its directory."""
+    import hashlib
+
+    wh = Warehouse(spark, tmp_warehouse)
+    keys = ["d", "g"]
+
+    def mkd(rows):
+        return spark.createDataFrame(
+            rows, "d string, g string, id long, v double"
+        )
+
+    flat = MaterializedAggView(wh, "mv", "flat", keys, MEASURES)
+    part = MaterializedAggView(
+        wh, "mv", "byday", keys, MEASURES, state_partition_key="d"
+    )
+    day1 = mkd([("d1", "a", 1, 1.0), ("d1", "b", 2, 2.0)])
+    day2 = mkd([("d2", "a", 3, 3.0), ("d2", "c", 4, 4.0)])
+    for v in (flat, part):
+        v.apply_append(day1)
+    root = wh.table_path("mv", "byday")
+    before = {
+        str(p.relative_to(root)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in root.rglob("*.parquet")
+    }
+    for v in (flat, part):
+        v.apply_append(day2)
+    after = {
+        str(p.relative_to(root)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in root.rglob("*.parquet")
+    }
+    assert all(f.startswith("d=d1") for f in before)
+    assert all(before[f] == after[f] for f in before), (before, after)
+    snap = sorted(tuple(r) for r in part.read().collect())
+    assert snap == sorted(tuple(r) for r in flat.read().collect())
+
+    # retention delete: day d1 vanishes — its directory must too
+    base = day1.unionByName(day2)
+    deleted = base.filter(F.col("d") == "d1")
+    final = base.filter(F.col("d") != "d1")
+    for v in (flat, part):
+        v.sync_delete(final, deleted)
+    assert sorted(tuple(r) for r in part.read().collect()) == sorted(
+        tuple(r) for r in flat.read().collect()
+    )
+    assert not list(root.glob("d=d1")), "emptied day dir must be dropped"
+
+    with pytest.raises(ValueError):
+        MaterializedAggView(
+            wh, "mv", "x", keys, MEASURES,
+            state_buckets=4, state_partition_key="d",
+        )
+    with pytest.raises(ValueError):
+        MaterializedAggView(
+            wh, "mv", "x", keys, MEASURES, state_partition_key="nope"
+        )
+
+
 def test_measure_validation():
     with pytest.raises(ValueError):
         Measure("x", "median", "v")

@@ -9,8 +9,19 @@ for BOTH state shapes that matter:
 * ``lowcard``  — 15 groups (status × priority): state is trivially
   small, the win is skipping the 15 M-row scan;
 * ``highcard`` — ~1.5 M groups (o_custkey): the state itself is a
-  real table, so the append path's state-sized key join is the cost
-  being bought instead of the base scan.
+  real table, so the append path's state-sized key join AND the
+  full-state rewrite are the costs being bought instead of the base
+  scan;
+* ``highcard_bucketed`` — the same view with ``state_buckets=256``
+  and a DIMENSION-SHAPED narrow batch (~50 customers): the rewrite
+  shrinks to the touched buckets.  The same narrow batch also runs
+  against the UNBUCKETED highcard view, so the bucketing win is a
+  controlled pair (hash bucketing is honest-to-useless for a batch
+  spraying ≫256 groups — that is the spread-batch row above);
+* ``monthgrain`` — (o_month, o_orderpriority) view with
+  ``state_partition_key='o_month'`` fed a one-month-aligned batch:
+  the continuous-aggregate layout — per-batch state I/O is one month
+  directory regardless of history length.
 
 Each op runs twice (same session, state rebuilt in between) — single
 cold walls are not results (SCALING.md probe discipline).  After the
@@ -136,6 +147,59 @@ def main() -> int:
         bad = a.exceptAll(b).count() + b.exceptAll(a).count()
         emit(view=shape, op="verify_upsert", mismatch_rows=bad)
         assert bad == 0, f"{shape}: incremental != rebuild ({bad} rows)"
+
+    # ---- controlled pair: narrow (dimension-shaped) batch, bucketed
+    # vs flat state over the same ~1.5M-group view --------------------
+    narrow = (
+        base.filter(F.col("o_custkey") % 30011 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 2 * NEW_KEY_OFFSET)
+    )
+    wh.write_atomic(narrow, "facts", "narrow_batch")
+    narrow = wh.read("facts", "narrow_batch")
+    nk = narrow.select("o_custkey").distinct().count()
+    flat_hc = MaterializedAggView(
+        wh, "mv", "v_hc_flat", ["o_custkey"], measures
+    )
+    bkt_hc = MaterializedAggView(
+        wh, "mv", "v_hc_bkt", ["o_custkey"], measures, state_buckets=256
+    )
+    for rep in (1, 2):
+        for label, v in (("highcard_flat", flat_hc), ("highcard_bucketed", bkt_hc)):
+            v.full_refresh(base)
+            t0 = time.time()
+            v.apply_append(narrow)
+            emit(view=label, op="append_narrow", rep=rep, touched_groups=nk,
+                 wall_s=round(time.time() - t0, 2))
+
+    # ---- month-grain continuous aggregate, month-aligned arrivals ---
+    mcol = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    base_m = base.withColumn("o_month", mcol)
+    mkeys = ["o_month", "o_orderpriority"]
+    vm = MaterializedAggView(
+        wh, "mv", "v_month", mkeys, measures, state_partition_key="o_month"
+    )
+    month_batch = (
+        base_m.filter(F.col("o_month") == F.lit("1995-06-01").cast("date"))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 3 * NEW_KEY_OFFSET)
+    )
+    wh.write_atomic(month_batch, "facts", "month_batch")
+    month_batch = wh.read("facts", "month_batch")
+    mb = month_batch.count()
+    for rep in (1, 2):
+        t0 = time.time()
+        vm.full_refresh(base_m)
+        emit(view="monthgrain", op="full_refresh", rep=rep,
+             wall_s=round(time.time() - t0, 2))
+        t0 = time.time()
+        vm.apply_append(month_batch)
+        emit(view="monthgrain", op="append_month", rep=rep, batch_rows=mb,
+             wall_s=round(time.time() - t0, 2))
+    ref_m = MaterializedAggView(wh, "mv", "ref_month", mkeys, measures)
+    ref_m.full_refresh(base_m.unionByName(month_batch))
+    a, b = vm.read(), ref_m.read()
+    bad = a.exceptAll(b).count() + b.exceptAll(a).count()
+    emit(view="monthgrain", op="verify_append", mismatch_rows=bad)
+    assert bad == 0, f"monthgrain: incremental != rebuild ({bad} rows)"
     return 0
 
 

@@ -316,3 +316,77 @@ def pipeline_scd2_point_in_time_join(
         )
         .select("o_orderkey", "o_custkey", "o_orderdate", "seg")
     )
+
+
+@query(
+    "pipeline_quality_metric_anomaly",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey % 8 AS batch, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders
+      WHERE NOT (o_custkey % 8 = 3 AND o_orderstatus <> 'F')
+      GROUP BY 1
+    ),
+    med AS (SELECT CAST(MEDIAN(cnt) AS DOUBLE) AS med FROM counts),
+    mad AS (
+      SELECT CAST(MEDIAN(ABS(cnt - med)) AS DOUBLE) AS mad
+      FROM counts, med
+    )
+    SELECT c.batch, c.cnt, m.med AS med, d.mad AS mad,
+           (ABS(c.cnt - m.med) > CAST(4 AS DOUBLE) * d.mad) AS is_anomaly
+    FROM counts c, med m, mad d
+    """,
+)
+def pipeline_quality_metric_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metric-history anomaly detection (pipeline/quality.py
+    ``MetricHistory``) as a pure read: eight deterministic 'daily
+    batches' of orders, one of which arrives SHORT (batch 3 loses its
+    non-'F' rows — an internally-valid batch that is wrong against
+    history, the failure mode per-batch expectations cannot see).
+    Each batch's row count is judged against the batch population with
+    the robust median ± k·MAD rule the class uses (k=4 here: at 3 the
+    fixture's own sampling variance puts one HEALTHY batch 80.5 vs
+    threshold 75 — a measured false positive; the planted batch sits
+    at 49·MAD either way) (median, not mean:
+    the bad batch itself cannot drag the baseline).  The short batch
+    must flag, the seven healthy ones must not.
+
+    Cross-engine exactness: counts are BIGINTs; both engines'
+    median-of-even-N interpolate to the average of the two middle
+    values (exact .5-grain doubles), so the flags hash bit-for-bit.
+    Scale shape: one map-side-combined count aggregate over the fact,
+    then two aggregates over the BATCH-sized frame and two 1-row
+    broadcasts — history work is ledger-sized, never fact-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    batch = (F.col("o_custkey") % 8).alias("batch")
+    counts = (
+        orders.filter(
+            ~(
+                (F.col("o_custkey") % 8 == 3)
+                & (F.col("o_orderstatus") != "F")
+            )
+        )
+        .groupBy(batch)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    med = counts.agg(F.median("cnt").cast("double").alias("med"))
+    with_med = counts.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.median(F.abs(F.col("cnt") - F.col("med"))).cast("double").alias("mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "batch",
+            "cnt",
+            "med",
+            "mad",
+            (
+                F.abs(F.col("cnt") - F.col("med"))
+                > F.lit(4).cast("double") * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+    )

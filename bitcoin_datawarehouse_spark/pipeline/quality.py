@@ -162,3 +162,127 @@ class QualityGate:
         obs = Observation()
         observed = df.observe(obs, *[e.metric for e in self.expectations])
         return CheckedFrame(observed, obs, self.expectations)
+
+
+# -- metric history + anomaly detection (the Deequ-style loop) -------------
+#
+# A per-batch gate catches ABSOLUTE violations (null key, negative
+# amount); the failure mode it cannot see is a batch that is
+# internally valid but WRONG AGAINST HISTORY — a half-sized load, a
+# null-ratio that doubled, a mean that jumped an order of magnitude.
+# Production systems keep the per-batch metrics and flag deviations
+# from the trailing distribution (the published Deequ
+# anomaly-detection architecture).  The detector here is median ± k·MAD
+# rather than mean ± k·σ: one prior bad batch inflates a standard
+# deviation enough to mask the next bad batch, while the median
+# absolute deviation barely moves (breakdown point 50%).
+
+
+@dataclass(frozen=True)
+class Anomaly:
+    metric: str
+    value: float
+    median: float
+    mad: float
+    threshold: float
+
+    def __str__(self) -> str:  # pragma: no cover - formatting
+        return (
+            f"{self.metric}={self.value} outside median {self.median} "
+            f"± {self.threshold} (MAD {self.mad})"
+        )
+
+
+class MetricHistory:
+    """Persisted per-batch quality-metric ledger for one warehouse.
+
+    ``record`` appends the verified metric dict of a batch (one row
+    per metric — the table stays ledger-sized: batches × metrics);
+    ``check`` compares a new batch's metrics against the trailing
+    ``window`` batches with the median ± k·MAD rule.  The history
+    read is two aggregates over a bounded frame (the window filter
+    prunes by batch_seq), never a driver-side loop over raw rows.
+    """
+
+    def __init__(self, wh, job: str, schema: str = "etl",
+                 table: str = "quality_metrics") -> None:
+        self.wh = wh
+        self.job = job
+        self.schema = schema
+        self.table = table
+
+    def _exists(self) -> bool:
+        return self.wh.table_exists(self.schema, self.table)
+
+    def last_seq(self) -> int:
+        if not self._exists():
+            return 0
+        df = self.wh.read(self.schema, self.table)
+        row = df.filter(F.col("job") == self.job).agg(
+            F.max("batch_seq").alias("mx")
+        ).first()
+        return int(row["mx"] or 0)
+
+    def record(self, metrics: dict[str, Any], batch_seq: int | None = None) -> int:
+        """Append one batch's metrics; returns its sequence number."""
+        seq = batch_seq if batch_seq is not None else self.last_seq() + 1
+        sess = self.wh.spark
+        rows = [
+            (self.job, int(seq), str(k), float(v))
+            for k, v in metrics.items()
+            if v is not None
+        ]
+        df = sess.createDataFrame(
+            rows, "job string, batch_seq long, metric string, value double"
+        )
+        if self._exists():
+            self.wh.append(df, self.schema, self.table)
+        else:
+            self.wh.write_atomic(df, self.schema, self.table, coalesce=1)
+        return seq
+
+    def check(
+        self,
+        metrics: dict[str, Any],
+        k: float = 3.0,
+        window: int = 100,
+        floor: float = 0.0,
+        min_history: int = 4,
+    ) -> list[Anomaly]:
+        """Flag metrics outside ``median ± max(k·MAD, floor)`` of the
+        trailing ``window`` batches.  Returns [] while fewer than
+        ``min_history`` batches exist (a two-batch 'history' flags
+        everything).  ``floor`` keeps a zero-MAD history (constant
+        metric) from flagging benign jitter."""
+        if not self._exists():
+            return []
+        hist = self.wh.read(self.schema, self.table).filter(
+            (F.col("job") == self.job)
+            & (F.col("batch_seq") > self.last_seq() - window)
+        )
+        med = hist.groupBy("metric").agg(
+            F.median("value").alias("med"),
+            F.count("value").alias("n"),
+        )
+        mad = (
+            hist.join(F.broadcast(med), "metric")
+            .groupBy("metric")
+            .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+        )
+        stats = {
+            r["metric"]: r
+            for r in med.join(mad, "metric").collect()
+        }
+        out: list[Anomaly] = []
+        for name, value in metrics.items():
+            if value is None or name not in stats:
+                continue
+            s = stats[name]
+            if s["n"] < min_history:
+                continue
+            thr = max(k * s["mad"], floor)
+            if abs(float(value) - s["med"]) > thr:
+                out.append(
+                    Anomaly(name, float(value), s["med"], s["mad"], thr)
+                )
+        return out

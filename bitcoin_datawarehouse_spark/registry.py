@@ -80,6 +80,9 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_matview_star_append",
     "pipeline_matview_update_recompute",
     "pipeline_matview_delete_groups",
+    # --- round-11 NEW: metric-history anomaly gate (pipeline/quality.py
+    # MetricHistory — the median±k·MAD rule as a pure read) ---
+    "pipeline_quality_metric_anomaly",
     # --- round-11 REWRITE (standing rule: a materially rewritten
     # implementation re-enters even if its old body was driver-green)
     "sketch_hll_vocab_per_lang",
@@ -98,9 +101,9 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q9_product_profit",
     "trainprep_mixture_temperature",
     "trainprep_weighted_sample",
-    # --- then the alphabetically-first 28 of the r7 vintage (the 19
-    # remaining r7 rows rotate in next round; four fill seats ceded
-    # to the matview gates above — their r7 driver rows stand) ---
+    # --- then the alphabetically-first 27 of the r7 vintage (the 20
+    # remaining r7 rows rotate in next round; five fill seats ceded to
+    # the matview/quality gates above — their r7 driver rows stand) ---
     "agg_count_distinct",
     "agg_daily_revenue",
     "agg_having",
@@ -128,7 +131,6 @@ DRIVER_WINDOW: list[str] = [
     "profile_drift_tv",
     "profile_equidepth_hist",
     "scalar_functions_showcase",
-    "sessionize_events",
 ]
 
 

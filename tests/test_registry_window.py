@@ -67,6 +67,8 @@ def test_round11_rotation_is_in_window():
         "pipeline_matview_star_append",
         "pipeline_matview_update_recompute",
         "pipeline_matview_delete_groups",
+        # new in round 11: metric-history anomaly detection
+        "pipeline_quality_metric_anomaly",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.functions.zorder import bucketize, zorder2
 
+from bitcoin_datawarehouse_spark.pipeline.loader import (
+    dynamic_partition_overwrite,
+)
 Z_TOTAL_BITS = 32  # two 16-bit interleaved dimensions
 
 
@@ -151,19 +154,9 @@ class ZOrderedTable:
             .repartition(F.col("zblock"))
             .sortWithinPartitions("zblock", "zkey")
         )
-        prev = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "STATIC"
-        )
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
+        with dynamic_partition_overwrite(self.spark):
             frame.write.mode("overwrite").partitionBy("zblock").parquet(
                 str(self.path / "data")
-            )
-        finally:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
             )
         return [d.name for d in over]
 

@@ -28,6 +28,8 @@ batch is small, which is the common incremental case — batches are
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -181,20 +183,9 @@ class Loader:
             else:
                 keep = old_slice.join(batch, unique_keys, "left_anti")
             merged = keep.unionByName(batch, allowMissingColumns=True)
-            spark = merged.sparkSession
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "STATIC"
-            )
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
+            with dynamic_partition_overwrite(merged.sparkSession):
                 _write_day_partitioned(
                     merged, partition_col, path, max_records_per_file
-                )
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
                 )
         finally:
             batch.unpersist()
@@ -360,6 +351,23 @@ class Loader:
 
 #: Hive's sentinel directory for NULL partition values
 _HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark):
+    """Scoped ``partitionOverwriteMode=dynamic`` (save/set/restore).
+
+    One shared implementation for every partition-scoped rewrite site
+    (loader merge, matview bucket/day maintenance, z-table compaction)
+    so the conf juggling cannot drift between copies."""
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def _part_key(value) -> str:

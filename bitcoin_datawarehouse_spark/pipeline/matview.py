@@ -29,9 +29,16 @@ The *read surface* derives the engine-neutral exposed columns from
 state: 2-dp DOUBLE sums, 6-dp string-routed averages — decimal never
 escapes.
 
-State swaps ride :meth:`Warehouse.write_atomic`, so readers see
+FLAT state swaps ride :meth:`Warehouse.write_atomic`, so readers see
 old-state-or-new-state, never a torn view, and snapshots/rollback work
-on the view like any other table.
+on the view like any other table.  The PARTITIONED layouts
+(``state_buckets`` / ``state_partition_key``) trade that for
+partition-local rewrites — the same contract as
+``Loader.load_incremental_partitioned``: a reader concurrent with
+maintenance can see bucket A post-batch and bucket B pre-batch, and
+there is no whole-view snapshot to roll back to.  Run partitioned
+maintenance under ``Warehouse.lock`` when readers need a consistent
+cross-partition view, or keep the flat layout.
 
 Reference parity: the reference maintains no aggregates in-process —
 its rollups live in opaque Dune query_ids (etl_job.csv:2-6) re-run
@@ -60,6 +67,7 @@ from .loader import (
     _part_key,
     _partition_dirs,
     _write_day_partitioned,
+    dynamic_partition_overwrite,
 )
 
 _NROWS = "__nrows"
@@ -208,7 +216,9 @@ class MaterializedAggView:
     maintained batch-by-batch.
 
     The view table lives at ``schema.table`` in the same warehouse;
-    all writes are atomic swaps.  Callers choose the maintenance entry
+    flat-layout writes are atomic swaps (partitioned layouts rewrite
+    touched directories in place — see the module docstring for the
+    consistency contract).  Callers choose the maintenance entry
     point that matches what happened to the base:
 
     * :meth:`full_refresh` — rebuild from the (current) base;
@@ -305,16 +315,9 @@ class MaterializedAggView:
     def _overwrite_buckets(self, content: DataFrame) -> None:
         """Dynamic partition overwrite: replace exactly the bucket
         directories present in ``content``, byte-untouched elsewhere."""
-        spark = content.sparkSession
         path = str(self.wh.table_path(self.schema, self.table))
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "STATIC"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with dynamic_partition_overwrite(content.sparkSession):
             _write_day_partitioned(content, self._part, path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     def _touched_bucket_slice(
         self, sess, touched_keys: DataFrame
@@ -431,7 +434,11 @@ class MaterializedAggView:
                 base_after.join(hinted, self.keys, "leftsemi")
             )
             if not self.exists():
-                self._write(recomputed)
+                # no prior state to splice into: writing only the
+                # touched groups would silently drop every OTHER group
+                # of base_after forever (review-caught) — bootstrap is
+                # a full refresh
+                self._write(self._aggregate(base_after))
                 return
             if not self._part:
                 kept = self.state().join(hinted, self.keys, "left_anti")
@@ -522,20 +529,24 @@ def sync_views_through_merge(
     """
     sess = batch.sparkSession
     had_base = loader.wh.table_exists(loader.schema, loader.table)
-    base_before = (
-        loader.wh.read_with(sess, loader.schema, loader.table)
-        if had_base
-        else None
-    )
-    touched: list[DataFrame] = []
-    for v in views:
-        t = batch.select(*v.keys)
-        if base_before is not None:
-            replaced = base_before.join(
+    replaced = None
+    if had_base:
+        # ONE pre-merge base pass shared by every view: the matched
+        # rows are batch-sized, so the checkpoint is tiny and each
+        # view's touched projection comes off it, not off the base
+        replaced = (
+            loader.wh.read_with(sess, loader.schema, loader.table)
+            .join(
                 batch.select(*unique_keys).distinct(),
                 unique_keys,
                 "leftsemi",
             )
+            .localCheckpoint()
+        )
+    touched: list[DataFrame] = []
+    for v in views:
+        t = batch.select(*v.keys)
+        if replaced is not None:
             t = t.unionByName(replaced.select(*v.keys))
         touched.append(t.distinct().localCheckpoint())
     loader.load_incremental(batch, unique_keys, order_col=order_col)
@@ -567,6 +578,15 @@ class StreamingMatView:
     build from the micro-batch session (the CLAUDE.md foreachBatch
     rule); serving reads are path-based via the pointer, so they see
     complete old or complete new state across sessions, never a mix.
+
+    Boundary: generations rewrite the WHOLE state per trigger, so this
+    class is for rollup-sized streaming views (the common case — a
+    dashboard aggregate).  A group-cardinality-huge streaming view
+    should instead run the batch wiring per micro-batch over a
+    partitioned :class:`MaterializedAggView` (``state_partition_key``)
+    and carry its own replay ledger — partition-pruned rewrites and
+    atomic generation pointers pull in opposite directions, and this
+    class picks the exactly-once side.
     """
 
     def __init__(
@@ -624,8 +644,10 @@ class StreamingMatView:
         # vacuum generations beyond the in-flight-reader grace window
         for t in self.wh.list_tables(self.schema):
             if t.startswith(f"{self.table}__g"):
-                k = int(t.rsplit("__g", 1)[1])
-                if k < gen - self.keep_back:
+                suffix = t.rsplit("__g", 1)[1]
+                if not suffix.isdigit():
+                    continue  # a sibling like '{table}__graph', not a gen
+                if int(suffix) < gen - self.keep_back:
                     self.wh.drop_table(self.schema, t)
         return True
 

@@ -256,10 +256,14 @@ class MetricHistory:
         metric) from flagging benign jitter."""
         if not self._exists():
             return []
-        hist = self.wh.read(self.schema, self.table).filter(
-            (F.col("job") == self.job)
-            & (F.col("batch_seq") > self.last_seq() - window)
+        mine = self.wh.read(self.schema, self.table).filter(
+            F.col("job") == self.job
         )
+        # one frame, two actions on the job-filtered ledger (max-seq
+        # probe + the stats collect) — not a third full-table read
+        # through last_seq()
+        mx = mine.agg(F.max("batch_seq").alias("mx")).first()["mx"] or 0
+        hist = mine.filter(F.col("batch_seq") > mx - window)
         med = hist.groupBy("metric").agg(
             F.median("value").alias("med"),
             F.count("value").alias("n"),

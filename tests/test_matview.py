@@ -357,3 +357,32 @@ def test_measure_validation():
         Measure("x", "median", "v")
     with pytest.raises(ValueError):
         Measure("x", "sum", None)
+
+
+def test_apply_changes_bootstrap_is_full_refresh(spark, tmp_warehouse):
+    """apply_changes on a never-refreshed view must not write only the
+    touched groups as the whole state (that would silently drop every
+    other group forever) — it bootstraps with a full refresh."""
+    wh = Warehouse(spark, tmp_warehouse)
+    v = _view(wh, "rollup")
+    base = _mk(spark, [("a", 1, 1.0), ("b", 2, 2.0), ("c", 3, 3.0)])
+    deleted = base.filter(F.col("g") == "c")
+    base_after = base.filter(F.col("g") != "c")
+    v.sync_delete(base_after, deleted)  # view didn't exist yet
+    snap = _snap(v)
+    assert snap == _expected(wh, spark, base_after, "boot")
+    assert {r[0] for r in snap} == {"a", "b"}  # untouched groups kept
+
+
+def test_streaming_vacuum_ignores_sibling_tables(spark, tmp_path):
+    """The generation vacuum parses '{table}__g<k>' suffixes; a sibling
+    table whose name merely starts with '{table}__g' (e.g.
+    'live__graph') must be skipped, not crash the trigger."""
+    from bitcoin_datawarehouse_spark.pipeline.matview import StreamingMatView
+
+    wh = Warehouse(spark, str(tmp_path / "swh"))
+    wh.write_atomic(_mk(spark, [("x", 1, 1.0)]), "mv", "live__graph")
+    sv = StreamingMatView(wh, "mv", "live", ["g"], MEASURES, keep_back=0)
+    assert sv.absorb(_mk(spark, [("a", 1, 1.0)]), batch_id=0) is True
+    assert sv.absorb(_mk(spark, [("a", 2, 1.0)]), batch_id=1) is True
+    assert "live__graph" in wh.list_tables("mv")  # sibling untouched

@@ -5,9 +5,12 @@ proves they COMPOSE under one session's cache/catalog state:
 
 1. ELT pipeline (CLI surface): seed the job registry, first sync
    (full refresh), incremental sync (watermark pushdown + merge);
-2. bad batch + recovery: a poisoned third sync lands, a quality probe
-   catches it, snapshot ROLLBACK restores the table, a corrected
-   re-sync converges, VACUUM reclaims the snapshots;
+2. bad batch + recovery: a poisoned third sync lands, the
+   METRIC-HISTORY anomaly detector (median ± k·MAD over the prior
+   syncs' ledger) catches it — an internally-valid batch wrong only
+   against history — snapshot ROLLBACK restores the table, a
+   corrected re-sync converges clean against the same ledger, VACUUM
+   reclaims the snapshots;
 3. SQL serving over the warehouse views reflects the recovered state;
 4. model lifecycle: the NB gate model bootstraps through the
    versioned ModelRegistry, a volume-triggered REFRESH publishes a
@@ -101,11 +104,28 @@ def test_day_in_production(spark, tmp_path):
             for name, qid, tgt, key in REFERENCE_JOBS
         ]
     )
+    from bitcoin_datawarehouse_spark.pipeline.quality import MetricHistory
+
+    hist = MetricHistory(wh, "block_sync")
+
+    def block_metrics():
+        row = (
+            wh.read("bitcoin", "block")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.max("total_fees").alias("max_fees"),
+            )
+            .first()
+        )
+        return {"rows": float(row["rows"]), "max_fees": float(row["max_fees"])}
+
     first = pipe.run()
     assert all(r.ok for r in first)
+    hist.record(block_metrics())
     record_responses(responses, synth_rows(24))
     second = pipe.run()
     assert all(r.ok for r in second)
+    hist.record(block_metrics())
     good_blocks = wh.read("bitcoin", "block").count()
     assert good_blocks == 24
 
@@ -116,8 +136,11 @@ def test_day_in_production(spark, tmp_path):
     record_responses(responses, poisoned)
     third = pipe.run()
     assert all(r.ok for r in third)  # the pipeline can't know yet
-    bad = wh.read("bitcoin", "block").filter(F.col("total_fees") > 1e6)
-    assert bad.count() > 0  # quality probe fires
+    # the METRIC-HISTORY detector fires — the batch is internally
+    # valid (every row well-typed), wrong only against history; row
+    # growth 16→24→32 stays inside the band, the fee spike does not
+    flagged = hist.check(block_metrics(), k=4.0, min_history=2, floor=1.0)
+    assert [a.metric for a in flagged] == ["max_fees"]
 
     # rollback restores the pre-bad snapshot
     wh.rollback("bitcoin", "block")
@@ -134,6 +157,9 @@ def test_day_in_production(spark, tmp_path):
     final_block = wh.read("bitcoin", "block")
     assert final_block.count() == 32
     assert final_block.filter(F.col("total_fees") > 1e6).count() == 0
+    # the corrected state is unremarkable against history — record it
+    assert hist.check(block_metrics(), k=4.0, min_history=2, floor=1.0) == []
+    hist.record(block_metrics())
 
     # vacuum reclaims the recovery points once the day is verified
     assert wh.vacuum("bitcoin", "block", keep=1) >= 1

@@ -360,9 +360,15 @@ def pipeline_quality_metric_anomaly(
     then two aggregates over the BATCH-sized frame and two 1-row
     broadcasts — history work is ledger-sized, never fact-sized.
     """
+    from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
+
     orders = load_table(spark, sf_dir, "orders")
     batch = (F.col("o_custkey") % 8).alias("batch")
-    counts = (
+    # the batch-count frame feeds FOUR subtrees of the one action
+    # (median, the med-joined frame, MAD, the final projection) — an
+    # uncached version re-scans the fact once per subtree (measured: 8
+    # parquet scans in the plan).  8 rows; eagerly filled.
+    counts = cache_tracked(
         orders.filter(
             ~(
                 (F.col("o_custkey") % 8 == 3)
@@ -372,6 +378,7 @@ def pipeline_quality_metric_anomaly(
         .groupBy(batch)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    counts.count()
     med = counts.agg(F.median("cnt").cast("double").alias("med"))
     with_med = counts.crossJoin(F.broadcast(med))
     mad = with_med.agg(

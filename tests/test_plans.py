@@ -813,3 +813,24 @@ def test_matview_star_append_broadcasts_dim_once_per_slice(plan_of):
     assert_no_cartesian(plan)
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_quality_anomaly_gate_scans_fact_once(spark):
+    """The metric-anomaly gate's batch-count frame feeds four subtrees
+    of one action; tracked-cached, the fact is scanned ONCE and every
+    consumer reads the 8-row cache (uncached: 4 full re-scans)."""
+    import re
+
+    from bitcoin_datawarehouse_spark.functions.cachereg import (
+        release_tracked_caches,
+    )
+    from bitcoin_datawarehouse_spark.plans.audit import df_plan
+    from bitcoin_datawarehouse_spark.registry import QUERIES
+
+    try:
+        frame = QUERIES["pipeline_quality_metric_anomaly"](spark, SF_SMALL)
+        plan = df_plan(frame)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 4, plan
+    finally:
+        release_tracked_caches()

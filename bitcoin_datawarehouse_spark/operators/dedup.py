@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from bitcoin_datawarehouse_spark.functions.cachereg import (
     cache_tracked,
 )
+from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -687,7 +688,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ">> (bit % 4)) & 1) = 1 THEN 1 ELSE -1 END"
     )
     return (
-        tok.crossJoin(F.broadcast(bits))
+        scalar_cross(tok, bits)
         .groupBy("doc_id", "bit")
         .agg(F.sum(contrib).alias("s"))
         .groupBy("doc_id")

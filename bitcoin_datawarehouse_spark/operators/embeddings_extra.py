@@ -24,6 +24,7 @@ from bitcoin_datawarehouse_spark.operators.similarity import (
     dot_col,
     norm_col,
 )
+from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -500,7 +501,7 @@ def nearest_centroid(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """
     cos = dot_col(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
     return (
-        emb.crossJoin(F.broadcast(cent))
+        scalar_cross(emb, cent)
         .select("vec_id", "centroid_id", cos.alias("cos"))
         .groupBy("vec_id")
         .agg(
@@ -1218,14 +1219,12 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp.count()
     sp.count()
     both = tp.join(sp, ["doc_a", "doc_b"], "semi")
-    counts = (
-        tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_text_pairs"))
-        .crossJoin(
-            sp.agg(F.count(F.lit(1)).cast("bigint").alias("n_sem_pairs"))
-        )
-        .crossJoin(
-            both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
-        )
+    counts = scalar_cross(
+        scalar_cross(
+            tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_text_pairs")),
+            sp.agg(F.count(F.lit(1)).cast("bigint").alias("n_sem_pairs")),
+        ),
+        both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both")),
     )
     return counts.select(
         "n_text_pairs",

@@ -45,6 +45,7 @@ from bitcoin_datawarehouse_spark.functions.ranking import (
     ntile_bucket,
     with_global_rank,
 )
+from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -388,7 +389,7 @@ def text_lm_quality_buckets(
             "bits_per_token", [1 / 3, 2 / 3], accuracy
         ).alias("_thr")
     )
-    return scores.crossJoin(F.broadcast(thr)).select(
+    return scalar_cross(scores, thr).select(
         "doc_id",
         "n_tokens",
         "n_bigrams",

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -113,7 +114,7 @@ def pipeline_watermark_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("o_orderdate").alias("w"))
     )
     return (
-        orders.crossJoin(F.broadcast(wm))
+        scalar_cross(orders, wm)
         .filter(F.col("o_orderdate") > F.col("w"))
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
@@ -380,12 +381,12 @@ def pipeline_quality_metric_anomaly(
     )
     counts.count()
     med = counts.agg(F.median("cnt").cast("double").alias("med"))
-    with_med = counts.crossJoin(F.broadcast(med))
+    with_med = scalar_cross(counts, med)
     mad = with_med.agg(
         F.median(F.abs(F.col("cnt") - F.col("med"))).cast("double").alias("mad")
     )
     return (
-        with_med.crossJoin(F.broadcast(mad))
+        scalar_cross(with_med, mad)
         .select(
             "batch",
             "cnt",

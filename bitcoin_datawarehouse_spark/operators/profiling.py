@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -604,7 +605,7 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").cast("bigint").alias("t10"))
         )
         n = F.col("n_rows").cast("double")
-        return tot.crossJoin(t10).select(
+        return scalar_cross(tot, t10).select(
             F.lit(col).alias("keycol"),
             "n_rows",
             "n_keys",

@@ -28,6 +28,7 @@ from bitcoin_datawarehouse_spark.functions.zorder import (
     sql_zorder2,
     zorder2,
 )
+from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -99,7 +100,7 @@ def storage_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day = F.datediff(F.to_date("o_orderdate"), F.col("d0"))
     cells = (
-        orders.crossJoin(F.broadcast(scale))
+        scalar_cross(orders, scale)
         .select(
             bucketize(F.col("o_custkey"), F.col("mc"), Z_BITS).alias(
                 "cust_bucket"

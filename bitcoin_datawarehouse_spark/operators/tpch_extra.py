@@ -67,6 +67,7 @@ from bitcoin_datawarehouse_spark.functions.numeric import (
     str_round6,
 )
 from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
+from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -615,7 +616,7 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        c.crossJoin(F.broadcast(avg_bal))
+        scalar_cross(c, avg_bal)
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(
             o.filter(

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.functions.numeric import DEC, SQL_DEC
+from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -252,7 +253,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").cast("bigint").alias("total_cents")
     )
     return (
-        g.crossJoin(F.broadcast(total))
+        scalar_cross(g, total)
         .filter(F.col("value_cents") * 1250 > F.col("total_cents"))
         .select(
             "ps_partkey",

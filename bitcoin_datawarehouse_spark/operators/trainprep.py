@@ -32,6 +32,7 @@ from bitcoin_datawarehouse_spark.functions.numeric import (
     str_round6,
 )
 from bitcoin_datawarehouse_spark.operators.text import _SQL_TOKENS
+from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -722,7 +723,7 @@ def trainprep_weighted_sample(
         / F.col("sw"),
     )
     return (
-        w.crossJoin(F.broadcast(sw))
+        scalar_cross(w, sw)
         .where(F.col("u") < p)
         .select(
             "doc_id", "source", "weight", str_round6(p).alias("incl_p")

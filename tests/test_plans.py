@@ -560,6 +560,42 @@ def test_no_bare_cache_or_persist_outside_sanctioned_modules():
     )
 
 
+def test_no_bare_crossjoin_outside_scalars():
+    """Round-11 verdict: one scalar crossJoin (profile_key_skew's
+    top-10 attach) had silently dropped the F.broadcast hint its nine
+    siblings carried — at scale an unhinted crossJoin rides on a
+    planner estimate and can become a shuffled cartesian.  Structural
+    fix: scalar attachments go through functions.scalars.scalar_cross
+    (which pins the hint); a mid-chain ``.crossJoin(`` is allowed only
+    with ``F.broadcast(`` inline on the same line."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "bitcoin_datawarehouse_spark"
+    pat = re.compile(r"\.crossJoin\(")
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        if py.name == "scalars.py":
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if pat.search(code) and "F.broadcast(" not in code:
+                offenders.append(f"{py.relative_to(pkg)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "bare .crossJoin() without an inline F.broadcast hint "
+        "(use functions.scalars.scalar_cross):\n" + "\n".join(offenders)
+    )
+
+
+def test_key_skew_scalar_attach_is_broadcast(plan_of):
+    """The plan test the round-11 blemish should have had: every
+    scalar attach in profile_key_skew must be a broadcast nested-loop
+    join, never a shuffled CartesianProduct."""
+    plan = plan_of("profile_key_skew")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_cache_tracked_self_prunes_released_handles(spark):
     """Streaming ingests register one cache per micro-batch and
     unpersist at the call site; the registry must not accrete those

@@ -529,6 +529,22 @@ def sync_views_through_merge(
     """
     sess = batch.sparkSession
     had_base = loader.wh.table_exists(loader.schema, loader.table)
+    if not had_base and loader.wh.table_exists_partitioned(
+        loader.schema, loader.table
+    ):
+        # the base was seeded through the PARTITIONED loader path
+        # (col=value dirs) — the flat existence probe above would
+        # return False, the replaced-rows pass would be skipped, and
+        # replaced rows' OLD groups would silently go stale in every
+        # view (r11 ADVICE).  This wiring drives the flat
+        # load_incremental, so a partitioned base is a caller error;
+        # fail loudly instead of under-maintaining.
+        raise ValueError(
+            f"{loader.schema}.{loader.table} has a partitioned layout; "
+            "sync_views_through_merge wires the flat load_incremental — "
+            "maintain views over a partitioned base with "
+            "apply_changes/sync_upsert around your partitioned merge"
+        )
     replaced = None
     if had_base:
         # ONE pre-merge base pass shared by every view: the matched

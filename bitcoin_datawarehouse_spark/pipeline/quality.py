@@ -201,7 +201,11 @@ class MetricHistory:
     ``check`` compares a new batch's metrics against the trailing
     ``window`` batches with the median ± k·MAD rule.  The history
     read is two aggregates over a bounded frame (the window filter
-    prunes by batch_seq), never a driver-side loop over raw rows.
+    keeps the most recent ``window`` DISTINCT batch_seq values — rank,
+    not value, so sparse/jumpy caller-supplied seqs such as
+    epoch-derived ids neither shrink the baseline below
+    ``min_history`` nor stretch it past the intended window — r11
+    ADVICE), never a driver-side loop over raw rows.
     """
 
     def __init__(self, wh, job: str, schema: str = "etl",
@@ -224,8 +228,22 @@ class MetricHistory:
         return int(row["mx"] or 0)
 
     def record(self, metrics: dict[str, Any], batch_seq: int | None = None) -> int:
-        """Append one batch's metrics; returns its sequence number."""
-        seq = batch_seq if batch_seq is not None else self.last_seq() + 1
+        """Append one batch's metrics; returns its sequence number.
+
+        The derived-seq path (``batch_seq=None``) is a
+        read-modify-write over the shared ledger (``last_seq()+1``
+        then append), so it runs under the warehouse lock — two
+        concurrent jobs recording for the same job name would
+        otherwise assign the SAME seq and double-weight those batches
+        in the median/MAD baseline (r11 ADVICE).  Caller-supplied
+        seqs skip the lock: uniqueness is then the caller's contract.
+        """
+        if batch_seq is None:
+            with self.wh.lock(f"metric_history_{self.schema}_{self.table}"):
+                return self._record_at(self.last_seq() + 1, metrics)
+        return self._record_at(batch_seq, metrics)
+
+    def _record_at(self, seq: int, metrics: dict[str, Any]) -> int:
         sess = self.wh.spark
         rows = [
             (self.job, int(seq), str(k), float(v))
@@ -259,11 +277,23 @@ class MetricHistory:
         mine = self.wh.read(self.schema, self.table).filter(
             F.col("job") == self.job
         )
-        # one frame, two actions on the job-filtered ledger (max-seq
-        # probe + the stats collect) — not a third full-table read
-        # through last_seq()
-        mx = mine.agg(F.max("batch_seq").alias("mx")).first()["mx"] or 0
-        hist = mine.filter(F.col("batch_seq") > mx - window)
+        # trailing window by RANK over distinct batch_seq, not by seq
+        # VALUE (seqs are caller-supplied and may be sparse — e.g.
+        # epoch-derived; a value window would then cover the wrong
+        # number of batches).  The floor probe is one distributed
+        # TakeOrdered over the batches-sized distinct-seq frame — not
+        # a third full-table read through last_seq().
+        floor_row = (
+            mine.select("batch_seq")
+            .distinct()
+            .orderBy(F.desc("batch_seq"))
+            .limit(window)
+            .agg(F.min("batch_seq").alias("floor_seq"))
+            .first()
+        )
+        if floor_row["floor_seq"] is None:
+            return []
+        hist = mine.filter(F.col("batch_seq") >= floor_row["floor_seq"])
         med = hist.groupBy("metric").agg(
             F.median("value").alias("med"),
             F.count("value").alias("n"),

@@ -386,3 +386,27 @@ def test_streaming_vacuum_ignores_sibling_tables(spark, tmp_path):
     assert sv.absorb(_mk(spark, [("a", 1, 1.0)]), batch_id=0) is True
     assert sv.absorb(_mk(spark, [("a", 2, 1.0)]), batch_id=1) is True
     assert "live__graph" in wh.list_tables("mv")  # sibling untouched
+
+
+def test_sync_views_rejects_partitioned_base_layout(spark, tmp_warehouse):
+    """r11 ADVICE: a base seeded via the PARTITIONED loader path made
+    the flat existence probe return False, silently skipping the
+    replaced-rows pass — views went stale with no error.  The flat
+    wiring now fails loudly on the layout mismatch."""
+    import pytest
+
+    from bitcoin_datawarehouse_spark.pipeline import Loader
+    from bitcoin_datawarehouse_spark.pipeline.matview import (
+        sync_views_through_merge,
+    )
+
+    wh = Warehouse(spark, tmp_warehouse)
+    loader = Loader(wh, "facts", "t")
+    loader.load_incremental_partitioned(
+        _mk(spark, [("a", 1, 10.0), ("b", 2, 5.0)]), ["id"], "g"
+    )
+    v = _view(wh, "rollup")
+    with pytest.raises(ValueError, match="partitioned layout"):
+        sync_views_through_merge(
+            loader, [v], _mk(spark, [("a", 3, 7.0)]), ["id"]
+        )

@@ -76,3 +76,46 @@ def test_window_limits_history(spark, tmp_warehouse):
     # the all-time baseline is still dominated by the old regime
     # (median 100, MAD 0 → the floor is the threshold) and flags it
     assert h.check({"rows": 1000}, k=4.0, window=100, floor=5.0) != []
+
+
+def test_sparse_seq_window_is_by_rank_not_value(spark, tmp_warehouse):
+    """r11 ADVICE: batch_seq is caller-supplied and may be sparse
+    (epoch-derived ids); the trailing window must cover the last N
+    DISTINCT seqs by RANK.  Under value-windowing, window=3 over seqs
+    100/200/300/400 kept only seq 400 (n=1 < min_history) and the
+    check silently skipped every metric."""
+    wh = Warehouse(spark, tmp_warehouse)
+    h = MetricHistory(wh, "blocks")
+    for seq, v in [(100, 1.0), (200, 1.0), (300, 9.0), (400, 9.0)]:
+        h.record({"rows": v}, batch_seq=seq)
+    bad = h.check({"rows": 1.0}, k=3.0, window=3, min_history=3)
+    assert [a.metric for a in bad] == ["rows"]
+    # median over the last-3-by-rank slice [1, 9, 9] — a full-history
+    # median would be 5.0, a value-window slice would never get here
+    assert bad[0].median == 9.0
+    assert h.check({"rows": 9.0}, k=3.0, window=3, min_history=3) == []
+
+
+def test_derived_seq_record_takes_warehouse_lock(
+    spark, tmp_warehouse, monkeypatch
+):
+    """r11 ADVICE: last_seq()+append is a read-modify-write over the
+    shared ledger — the derived-seq path runs under the warehouse
+    lock so two concurrent recorders cannot assign the same seq and
+    double-weight the baseline.  Caller-supplied seqs skip the lock
+    (uniqueness is then the caller's contract)."""
+    wh = Warehouse(spark, tmp_warehouse)
+    calls: list[str] = []
+    real_lock = wh.lock
+
+    def spy(name="pipeline", timeout_s=60.0):
+        calls.append(name)
+        return real_lock(name, timeout_s)
+
+    monkeypatch.setattr(wh, "lock", spy)
+    h = MetricHistory(wh, "blocks")
+    assert h.record({"rows": 1.0}) == 1
+    assert calls and calls[-1].startswith("metric_history")
+    n = len(calls)
+    assert h.record({"rows": 2.0}, batch_seq=50) == 50
+    assert len(calls) == n

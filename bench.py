@@ -200,6 +200,11 @@ HEADLINE = [
     # from-scratch aggregate)
     "pipeline_matview_append_combine",
     "pipeline_matview_update_recompute",
+    # round-12 addition (68 → 69): the matview × frozen-classifier
+    # composition — a maintained rollup over the model-gated corpus
+    # (the untimed warm pass absorbs the one-time NB model build via
+    # ensure_quality_model, so the timed runs are gate + rollup)
+    "pipeline_matview_classified_append",
 ]
 
 
@@ -352,6 +357,48 @@ def main() -> None:
     if skip:
         out["skipped"] = sorted(skip)
 
+    # machine-state context (r11 VERDICT item 5): the DuckDB side of
+    # the pair swings ±25% with concurrent load — record the 1/5/15-min
+    # load averages so a reader can discount a noisy pair_ratio
+    try:
+        out["load_avg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        pass
+
+    # shared-subset round-over-round (r11 VERDICT item 5): pair_ratio
+    # is a coin flip under comparator variance; the honest
+    # round-over-round metric is this run's Spark sum vs the PREVIOUS
+    # recorded run over the queries both measured — emitted here so it
+    # never has to be hand-computed in SCALING.md again.  The driver's
+    # BENCH_r{N}.json stores only a truncated stdout tail (parsed=None
+    # on long lines), so bench keeps its OWN committed history:
+    # bench_history.jsonl, one full JSON line per run, compared
+    # same-sf only.
+    hist_path = Path(__file__).resolve().parent / "bench_history.jsonl"
+    prev = None
+    if hist_path.exists():
+        for line in hist_path.read_text().splitlines():
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if cand.get("sf") == sf and cand.get("queries"):
+                prev = cand  # last same-sf entry wins
+    if prev is not None:
+        pq = prev["queries"]
+        shared = [n for n in timings if n in pq]
+        now_s = sum(timings[n] for n in shared)
+        prev_s = sum(pq[n] for n in shared)
+        out["shared_subset_vs_prev"] = {
+            "prev_ts": prev.get("ts"),
+            "n_shared": len(shared),
+            "spark_now_s": round(now_s, 3),
+            "spark_prev_s": round(prev_s, 3),
+            "ratio_vs_prev": (
+                round(now_s / prev_s, 3) if prev_s > 0 else None
+            ),
+        }
+
     # Same-session DuckDB pair (r10 VERDICT item 7): the controlled
     # Spark-vs-DuckDB comparison must live IN the recorded JSON, not
     # in prose — cross-round JSON diffs were repeatedly dominated by
@@ -408,6 +455,14 @@ def main() -> None:
             out["pair_mode"] = dk.get("mode", "natural")
         except Exception as e:  # noqa: BLE001 — comparator is best-effort
             out["pair_error"] = f"{type(e).__name__}: {e}"
+
+    # append AFTER the pair so history carries the comparator numbers
+    out["ts"] = int(time.time())
+    try:
+        with hist_path.open("a") as fh:
+            fh.write(json.dumps(out) + "\n")
+    except OSError:  # pragma: no cover - read-only checkout
+        pass
 
     print(
         json.dumps(

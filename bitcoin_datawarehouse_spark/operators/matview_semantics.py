@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_datawarehouse_spark import registry as _registry
+from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.functions.numeric import SQL_DAVG, SQL_DSUM
 from bitcoin_datawarehouse_spark.pipeline.matview import (
     Measure,
@@ -236,3 +238,104 @@ def pipeline_matview_delete_groups(
     )
     kept = prior.join(F.broadcast(touched), KEYS, "left_anti")
     return _expose(kept.unionByName(recomputed))
+
+
+# ---------------------------------------------------------------------------
+# Round 12: matview × model-registry composition — a maintained rollup
+# over a corpus a FROZEN classifier gated (the two r11 families composed)
+# ---------------------------------------------------------------------------
+
+DOC_KEYS = ["lang", "source"]
+
+DOC_MEASURES = [
+    Measure("sum_tokens", "sum", "n_tokens"),
+    Measure("n_docs", "count", None),
+    Measure("max_score", "max", "score_micro"),
+    Measure("min_score", "min", "score_micro"),
+    Measure("avg_chars", "avg", "n_chars"),
+]
+
+
+def _classified_append_oracle() -> str:
+    # compose-late rule: the stage oracle this embeds must be
+    # registered regardless of load_all_operators' ordering
+    from bitcoin_datawarehouse_spark.operators import (  # noqa: F401
+        quality_classifier,
+    )
+
+    cls = _registry.ORACLES["text_quality_classifier_serve_only"]
+    return f"""
+    WITH cls AS ({cls}),
+    kept AS (
+      SELECT d.lang, d.source, d.n_chars, c.n_tokens, c.score_micro
+      FROM documents d JOIN cls c ON c.doc_id = d.doc_id
+      WHERE c.pred_keep
+    )
+    SELECT lang, source,
+      {SQL_DSUM("n_tokens", "sum_tokens")},
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      MAX(score_micro) AS max_score,
+      MIN(score_micro) AS min_score,
+      {SQL_DAVG("n_chars", "avg_chars")}
+    FROM kept GROUP BY lang, source
+    """
+
+
+@query("pipeline_matview_classified_append")
+def pipeline_matview_classified_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A maintained per-(lang, source) rollup over the slice of the
+    corpus a FROZEN NB quality model keeps — the warehouse pattern
+    where ingest batches pass a registry-served gate before a
+    materialized view absorbs them.
+
+    The model is persisted once (``ensure_quality_model`` — the
+    serve-only economics: the in-plan work is one token kernel + a
+    vocabulary-sized model join, no training pass), the gated corpus
+    splits into a standing ¾ and an arriving ¼ batch, each aggregates
+    with the view's state algebra, and ``combine_states`` must equal
+    the direct aggregate over every kept document (the oracle: the
+    registered classifier oracle's keeps, embedded verbatim, rolled up
+    with the engine-neutral matview surfaces).  Soundness of gating
+    before splitting: the frozen gate is per-row deterministic, so it
+    distributes over the batch union.
+
+    The scored+joined frame feeds BOTH split subtrees of one action —
+    cache_tracked, or the token kernel runs twice (CLAUDE.md).
+    """
+    from bitcoin_datawarehouse_spark.operators.quality_classifier import (
+        ensure_quality_model,
+        score_with,
+    )
+    from bitcoin_datawarehouse_spark.pipeline.catalog import (
+        Warehouse,
+        scratch_root,
+    )
+
+    wh = Warehouse(spark, scratch_root("bds_qc", sf_dir))
+    ensure_quality_model(wh, spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    scores = score_with(wh, docs)
+    kept = cache_tracked(
+        docs.select("doc_id", "lang", "source", "n_chars").join(
+            scores.filter(F.col("pred_keep")).select(
+                "doc_id", "n_tokens", "score_micro"
+            ),
+            "doc_id",
+        )
+    )
+    kept.count()
+
+    def agg(rows: DataFrame) -> DataFrame:
+        return rows.groupBy(*DOC_KEYS).agg(*_agg_exprs(DOC_MEASURES))
+
+    standing = agg(kept.filter(F.col("doc_id") % 4 != 3))
+    delta = agg(kept.filter(F.col("doc_id") % 4 == 3))
+    combined = combine_states(standing, delta, DOC_KEYS, DOC_MEASURES)
+    return combined.select(*exposed_cols(DOC_KEYS, DOC_MEASURES))
+
+
+_registry.ORACLES["pipeline_matview_classified_append"] = (
+    _classified_append_oracle()
+)

@@ -73,6 +73,34 @@ from .loader import (
 _NROWS = "__nrows"
 _BUCKET = "__bucket"
 
+#: auto bucket-count clamps: below 8 a directory tree loses to one
+#: flat file; above 4096 the per-dir file/footer floor dominates a
+#: maintenance rewrite (same ceiling as ZOrderedTable's block grid).
+AUTO_BUCKETS_MIN = 8
+AUTO_BUCKETS_MAX = 4096
+
+
+def auto_state_buckets(n_groups: int) -> int:
+    """Bucket count for ``state_buckets="auto"``: √G rounded to a
+    power of two, clamped to [8, 4096].
+
+    √G balances the two costs a bucketed state pays per batch: a
+    batch touching T groups rewrites ≤T buckets of ~G/N groups each
+    (wants N large), while the state read/write pays a per-directory
+    file floor (wants N small); N=√G makes the touched-rewrite term
+    T·√G and keeps bucket dirs group-√G-sized.  The r11 probe showed
+    why a FIXED count can't serve: at 15M groups a 514-key batch hit
+    218/256 buckets (85% of the state rewritten); √15M→4096 bounds
+    the same batch to ≤514/4096 dirs (~13%).  Power-of-two keeps the
+    pmod cheap and the count stable under small G jitter.
+    """
+    import math
+
+    if n_groups <= AUTO_BUCKETS_MIN * AUTO_BUCKETS_MIN:
+        return AUTO_BUCKETS_MIN
+    n = 1 << round(math.log2(math.sqrt(n_groups)))
+    return max(AUTO_BUCKETS_MIN, min(AUTO_BUCKETS_MAX, n))
+
 
 @dataclass(frozen=True)
 class Measure:
@@ -236,7 +264,7 @@ class MaterializedAggView:
         table: str,
         keys: list[str],
         measures: list[Measure],
-        state_buckets: int | None = None,
+        state_buckets: int | str | None = None,
         state_partition_key: str | None = None,
     ) -> None:
         """Two partitioned-state layouts for big views (either one
@@ -248,6 +276,11 @@ class MaterializedAggView:
           touches FEWER GROUPS than buckets (dimension-update shaped
           batches).  A batch spraying >> N distinct groups touches
           every bucket and gains nothing — hashing destroys locality.
+          ``state_buckets="auto"`` sizes N from the OBSERVED group
+          count at bootstrap (√G, :func:`auto_state_buckets` — the
+          auto_lsh_bits discipline) and persists the choice in a
+          sidecar so reopening the view resolves the same layout;
+          :meth:`rebucket` re-sizes after the view grows.
         * ``state_partition_key=k`` (one of ``keys``) — partition by
           that key's values.  The continuous-aggregate layout: when
           batches ALIGN with the key (time-grain views fed by daily
@@ -267,33 +300,67 @@ class MaterializedAggView:
             raise ValueError("pick ONE of state_buckets / state_partition_key")
         if state_partition_key and state_partition_key not in keys:
             raise ValueError("state_partition_key must be a group key")
+        if isinstance(state_buckets, str) and state_buckets != "auto":
+            raise ValueError(
+                f"state_buckets must be an int, 'auto', or None — "
+                f"got {state_buckets!r}"
+            )
         self.wh = wh
         self.schema = schema
         self.table = table
         self.keys = list(keys)
         self.measures = list(measures)
-        self.state_buckets = state_buckets
+        self._auto_buckets = state_buckets == "auto"
+        self.state_buckets = (
+            None if self._auto_buckets else state_buckets
+        )
         self._part = _BUCKET if state_buckets else state_partition_key
 
     # -- internals ---------------------------------------------------------
     def _aggregate(self, rows: DataFrame) -> DataFrame:
         return rows.groupBy(*self.keys).agg(*_agg_exprs(self.measures))
 
+    def _bucketed(self) -> bool:
+        return self._part == _BUCKET
+
+    def _sidecar(self):
+        """Auto-bucket sidecar: the resolved count must survive the
+        view OBJECT (reopening an 'auto' view must hash into the SAME
+        layout, or every maintenance splice misroutes groups).  The
+        ``.__`` infix keeps it out of ``list_tables`` and clear of
+        write_atomic's swap namespaces."""
+        tp = self.wh.table_path(self.schema, self.table)
+        return tp.parent / f"{self.table}.__buckets"
+
+    def _buckets(self) -> int:
+        """The resolved bucket count (fixed, or auto via sidecar)."""
+        if self.state_buckets is not None:
+            return self.state_buckets
+        sc = self._sidecar()
+        if sc.exists():
+            self.state_buckets = int(sc.read_text().strip())
+            return self.state_buckets
+        raise RuntimeError(
+            f"{self.schema}.{self.table}: state_buckets='auto' is "
+            "unresolved — bootstrap the view (full_refresh / first "
+            "batch) before partition-level maintenance"
+        )
+
     def _bucket_expr(self) -> Column:
         return F.pmod(
             F.xxhash64(*[F.col(k) for k in self.keys]),
-            F.lit(self.state_buckets),
+            F.lit(self._buckets()),
         ).cast("int")
 
     def _partify(self, df: DataFrame) -> DataFrame:
         """Ensure the partition column is present (hash mode derives
         it; key mode already carries it as a group key)."""
-        if self.state_buckets:
+        if self._bucketed():
             return df.withColumn(_BUCKET, self._bucket_expr())
         return df
 
     def _unpartify(self, df: DataFrame) -> DataFrame:
-        if self.state_buckets:
+        if self._bucketed():
             return df.drop(_BUCKET)
         return df
 
@@ -301,16 +368,61 @@ class MaterializedAggView:
         # group-key cardinality is usually tiny next to the base; cap
         # output files so a 32-way shuffle doesn't write 32 shards of
         # a 15-row rollup.
-        if self._part:
+        if not self._part:
+            self.wh.write_atomic(state, self.schema, self.table, coalesce=4)
+            return
+        if self._auto_buckets and self.state_buckets is None:
+            # bootstrap of an auto-bucketed view: size N from the
+            # observed group count (state feeds the count AND the
+            # write — cache it), persist the choice
+            state = cache_tracked(state)
+            try:
+                n = auto_state_buckets(state.count())
+                self.wh.create_schema(self.schema)
+                self._sidecar().write_text(str(n))
+                self.state_buckets = n
+                self.wh.write_atomic(
+                    self._partify(state),
+                    self.schema,
+                    self.table,
+                    coalesce=n,
+                    partition_by=[self._part],
+                )
+            finally:
+                state.unpersist()
+            return
+        self.wh.write_atomic(
+            self._partify(state),
+            self.schema,
+            self.table,
+            coalesce=self._buckets() if self._bucketed() else 32,
+            partition_by=[self._part],
+        )
+
+    def rebucket(self) -> int:
+        """Re-size an auto-bucketed view after it grew: re-derive √G
+        from the CURRENT group count and rewrite the state once under
+        the new layout (atomic swap).  Cheap relative to maintenance
+        history — one state-sized rewrite — and idempotent when the
+        count lands on the same power of two.  Returns the new count.
+        """
+        if not self._auto_buckets:
+            raise ValueError("rebucket() applies to state_buckets='auto'")
+        state = cache_tracked(self._unpartify(self.state()))
+        try:
+            n = auto_state_buckets(state.count())
+            self._sidecar().write_text(str(n))
+            self.state_buckets = n
             self.wh.write_atomic(
                 self._partify(state),
                 self.schema,
                 self.table,
-                coalesce=self.state_buckets or 32,
+                coalesce=n,
                 partition_by=[self._part],
             )
-        else:
-            self.wh.write_atomic(state, self.schema, self.table, coalesce=4)
+        finally:
+            state.unpersist()
+        return n
 
     def _overwrite_buckets(self, content: DataFrame) -> None:
         """Dynamic partition overwrite: replace exactly the bucket
@@ -500,6 +612,123 @@ class MaterializedAggView:
         rows' groups."""
         self.apply_changes(base_after, deleted_rows.select(*self.keys))
 
+    # -- partitioned-base maintenance ---------------------------------------
+    def _pruned_base_read(
+        self, sess, base_schema: str, base_table: str,
+        partition_col: str, touched: DataFrame,
+    ) -> DataFrame:
+        """Read ONLY the base partition directories the touched groups
+        live in (names-only scandir + basePath — the
+        load_incremental_partitioned discipline).  Sound because the
+        base is partitioned by a view GROUP KEY: every row of a
+        touched group sits in that group's partition directory."""
+        vals = [
+            r[0] for r in touched.select(partition_col).distinct().collect()
+        ]
+        tp = self.wh.table_path(base_schema, base_table)
+        by_value = _partition_dirs(tp, partition_col)
+        dirs = [
+            by_value[_part_key(v)] for v in vals if _part_key(v) in by_value
+        ]
+        if not dirs:
+            return None
+        return sess.read.option("basePath", str(tp)).parquet(*dirs)
+
+    def apply_changes_partitioned(
+        self,
+        base_schema: str,
+        base_table: str,
+        base_partition_col: str,
+        touched_keys: DataFrame,
+    ) -> None:
+        """:meth:`apply_changes` with the post-change base READ pruned
+        to the touched groups' partition directories.
+
+        The plain entry point takes ``base_after`` as a frame and the
+        recompute is a full (filtered) base scan — correct, but at
+        100 TB the one maintenance path whose cost depended on caller
+        discipline (r11 verdict).  Here the view reads the base
+        itself from the warehouse: ``base_partition_col`` must be one
+        of the view's group keys and the base must be Hive-partitioned
+        by it (the ``load_incremental_partitioned`` layout), so every
+        row of a touched group lives inside a touched directory and
+        the recompute scans O(touched partitions), not O(base).
+
+        Bootstrap (view missing) still requires the whole base — a
+        pruned bootstrap would silently drop every other group — so
+        it full-refreshes from an unpruned partitioned read.
+        """
+        if base_partition_col not in self.keys:
+            raise ValueError(
+                f"base partition column {base_partition_col!r} must be "
+                f"one of the view's group keys {self.keys} — otherwise "
+                "a touched group's rows can live outside the touched "
+                "partitions and the pruned recompute would be wrong"
+            )
+        if not self.wh.table_exists_partitioned(base_schema, base_table):
+            raise ValueError(
+                f"{base_schema}.{base_table} is not Hive-partitioned — "
+                "use apply_changes(base_after, touched) for flat bases"
+            )
+        sess = self.wh.spark
+        tp = self.wh.table_path(base_schema, base_table)
+        if not self.exists():
+            self._write(
+                self._aggregate(sess.read.parquet(str(tp)))
+            )
+            return
+        touched = cache_tracked(touched_keys.select(*self.keys).distinct())
+        try:
+            touched.count()
+            pruned = self._pruned_base_read(
+                sess, base_schema, base_table, base_partition_col, touched
+            )
+            if pruned is None:
+                # every touched partition vanished: recompute finds no
+                # rows, the splice just drops the touched groups (the
+                # root read carries the base schema; LIMIT 0 scans
+                # nothing)
+                pruned = sess.read.parquet(str(tp)).limit(0)
+            self.apply_changes(pruned, touched)
+        finally:
+            touched.unpersist()
+
+    def sync_upsert_partitioned(
+        self,
+        base_schema: str,
+        base_table: str,
+        base_partition_col: str,
+        batch: DataFrame,
+        unique_keys: list[str],
+    ) -> DataFrame:
+        """Pre-merge half of partitioned upsert maintenance: derive
+        the touched groups with a PRUNED pre-merge base read and pin
+        them (eager localCheckpoint — the merge is about to swap the
+        directories out from under the lineage).
+
+        Call BEFORE ``Loader.load_incremental_partitioned``, then
+        :meth:`apply_changes_partitioned` with the returned frame
+        after it (``sync_views_through_partitioned_merge`` is the
+        packaged wiring).  Sound under the partitioned merge's
+        documented contract — the merge keys include/determine the
+        partition column, so a replaced row lives in the batch's own
+        partitions and the pruned read sees it.
+        """
+        sess = self.wh.spark
+        touched = batch.select(*self.keys)
+        before = None
+        if self.wh.table_exists_partitioned(base_schema, base_table):
+            before = self._pruned_base_read(
+                sess, base_schema, base_table, base_partition_col,
+                batch.select(*self.keys),
+            )
+        if before is not None:
+            replaced = before.join(
+                batch.select(*unique_keys).distinct(), unique_keys, "leftsemi"
+            )
+            touched = touched.unionByName(replaced.select(*self.keys))
+        return touched.distinct().localCheckpoint()
+
     # -- read surface ------------------------------------------------------
     def read(self) -> DataFrame:
         """The exposed rollup (engine-neutral column types — no decimals)."""
@@ -567,8 +796,119 @@ def sync_views_through_merge(
         touched.append(t.distinct().localCheckpoint())
     loader.load_incremental(batch, unique_keys, order_col=order_col)
     base_after = loader.wh.read_with(sess, loader.schema, loader.table)
+    _apply_views_one_pass(base_after, base_after, views, touched)
+
+
+def _apply_views_one_pass(
+    sliceable: DataFrame,
+    full_base: DataFrame,
+    views: list["MaterializedAggView"],
+    touched: list[DataFrame],
+) -> None:
+    """Recompute every view's touched groups with ONE shared pass over
+    the post-change base.
+
+    Per-view ``apply_changes(base, t)`` scans the base once each — N
+    views = N base scans per sync (r11 verdict #3).  Instead the rows
+    belonging to ANY view's touched groups are extracted in a single
+    pass (one left join per view against its broadcast checkpointed
+    touched set, OR over the match markers — the touched sets are
+    group-key-sized, so all N joins ride one base scan) and cached;
+    each view's recompute semi-join then reads the cached slice, which
+    is a superset of exactly the rows it needs.  Views that do not
+    exist yet bootstrap from ``full_base`` (a pruned/sliced frame
+    would silently drop their other groups forever).
+    """
+    live: list[tuple[MaterializedAggView, DataFrame]] = []
     for v, t in zip(views, touched):
-        v.apply_changes(base_after, t)
+        if v.exists():
+            live.append((v, t))
+        else:
+            v.apply_changes(full_base, t)
+    if not live:
+        return
+    marked = sliceable
+    marks: list[str] = []
+    for i, (v, t) in enumerate(live):
+        m = f"__mv_touch_{i}"
+        marked = marked.join(
+            F.broadcast(t.withColumn(m, F.lit(True))), v.keys, "left"
+        )
+        marks.append(m)
+    # markers are True or NULL (left-join miss): first non-null wins
+    any_touched = F.coalesce(*[F.col(m) for m in marks], F.lit(False))
+    shared = cache_tracked(marked.filter(any_touched).drop(*marks))
+    try:
+        shared.count()  # eager fill: N downstream actions share ONE scan
+        for v, t in live:
+            v.apply_changes(shared, t)
+    finally:
+        shared.unpersist()
+
+
+def sync_views_through_partitioned_merge(
+    loader,
+    views: list["MaterializedAggView"],
+    batch: DataFrame,
+    unique_keys: list[str],
+    partition_col: str,
+    order_col: str | None = None,
+) -> None:
+    """The partitioned-base production wiring: run a
+    ``Loader.load_incremental_partitioned`` merge and keep the views
+    consistent, with every base touch pruned to the batch's partition
+    directories.
+
+    Requires ``partition_col`` to be a group key of EVERY view (the
+    group-key-prefix layout): a touched group's rows then all live in
+    touched directories, so the pre-merge replaced-row derivation, the
+    post-merge recompute, and the shared cross-view slice each cost
+    O(touched partitions) — never a base scan.  The same merge-key
+    contract as the loader applies (merge keys include/determine the
+    partition column).
+    """
+    for v in views:
+        if partition_col not in v.keys:
+            raise ValueError(
+                f"view {v.schema}.{v.table}: partition column "
+                f"{partition_col!r} must be one of its group keys "
+                f"{v.keys} for pruned maintenance"
+            )
+    if not views:
+        loader.load_incremental_partitioned(
+            batch, unique_keys, partition_col, order_col=order_col
+        )
+        return
+    sess = batch.sparkSession
+    touched = [
+        v.sync_upsert_partitioned(
+            loader.schema, loader.table, partition_col, batch, unique_keys
+        )
+        for v in views
+    ]
+    loader.load_incremental_partitioned(
+        batch, unique_keys, partition_col, order_col=order_col
+    )
+    tp = loader.wh.table_path(loader.schema, loader.table)
+    full_base = sess.read.parquet(str(tp))
+    # one pruned read covering every view's touched partitions
+    vals = touched[0].select(partition_col)
+    for t in touched[1:]:
+        vals = vals.unionByName(t.select(partition_col))
+    by_value = _partition_dirs(tp, partition_col)
+    dirs = sorted(
+        {
+            by_value[_part_key(r[0])]
+            for r in vals.distinct().collect()
+            if _part_key(r[0]) in by_value
+        }
+    )
+    pruned = (
+        sess.read.option("basePath", str(tp)).parquet(*dirs)
+        if dirs
+        else full_base.limit(0)
+    )
+    _apply_views_one_pass(pruned, full_base, views, touched)
 
 
 class StreamingMatView:

@@ -55,82 +55,83 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: its old driver-green row proved the old code, so it re-enters the
 #: window for one round alongside genuinely new registrations.
 #:
-#: Round-11 rotation (r10 VERDICT item 5): CORRECTNESS_r10 verified all
-#: 50 r10 seats, so every unchanged r10 seat rotates out.  This window
-#: seats the canary, the round-11 NEW gates (the serve-only twins that
-#: split frozen-model serving cost from build cost — r10 VERDICT
-#: item 1), the round-11 REWRITE (``sketch_hll_vocab_per_lang``: its
-#: two-subtree token frame is now cache_tracked and its oracle
-#: tokenizer is sourced from text_stats — r10 ADVICE), and fills the
-#: remaining seats with the STALEST driver rows: the 13 remaining r6
-#: vintage rows (tpch_q15…trainprep_weighted_sample, promised in the
-#: r10 rotation note) then the alphabetically-first 32 of the r7
+#: Round-12 rotation (r11 VERDICT item 3): CORRECTNESS_r11 verified all
+#: 50 r11 seats, so unchanged r11 seats rotate out.  This window seats
+#: the canary, the round-12 NEW composition gate (matview algebra over
+#: the frozen-classifier keeps — r11 VERDICT item 4), the round-12
+#: REWRITES (the matview gates re-enter because pipeline/matview.py was
+#: materially extended this round — auto buckets, partitioned-base
+#: pruning, the shared post-merge pass; profile_key_skew and
+#: dedup_method_agreement re-enter because their scalar crossJoins
+#: gained the broadcast hint, a physical-plan change), then fills with
+#: the STALEST driver rows: the 20 remaining r7-vintage rows (promised
+#: in the r11 rotation note) and the alphabetically-first 22 of the r8
 #: vintage.  Every name here has a SQL oracle — zero rows-only checks
 #: in-window.
 DRIVER_WINDOW: list[str] = [
-    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r10)
+    # canary for the rounds-1/2 decimal→double fix (driver-green r3-r11)
     "pricing_summary",
-    # --- round-11 NEW: serve-only twins (r10 VERDICT #1) ---
-    "trainprep_dsir_serve_only",
-    "text_quality_classifier_serve_only",
-    "text_lm_quality_serve_only",
-    # --- round-11 NEW: materialized-view maintenance algebra
-    # (pipeline/matview.py; gates run the real combine/recompute code) ---
+    # --- round-12 NEW: matview × model-registry composition (the view
+    # absorbs batches a frozen NB model gated; oracle embeds the
+    # registered classifier oracle verbatim) ---
+    "pipeline_matview_classified_append",
+    # --- round-12 REWRITE: pipeline/matview.py materially extended
+    # (state_buckets='auto', partition-pruned recompute, one shared
+    # post-merge pass) — its gates re-enter per the standing rule ---
     "pipeline_matview_append_combine",
     "pipeline_matview_star_append",
     "pipeline_matview_update_recompute",
     "pipeline_matview_delete_groups",
-    # --- round-11 NEW: metric-history anomaly gate (pipeline/quality.py
-    # MetricHistory — the median±k·MAD rule as a pure read) ---
-    "pipeline_quality_metric_anomaly",
-    # --- round-11 REWRITE (standing rule: a materially rewritten
-    # implementation re-enters even if its old body was driver-green)
-    "sketch_hll_vocab_per_lang",
-    # --- round-11 re-confirmation fill: the 13 remaining r6-vintage
+    # --- round-12 REWRITE: scalar-attach plans gained the broadcast
+    # hint (functions/scalars.scalar_cross) ---
+    "profile_key_skew",
+    "dedup_method_agreement",
+    # --- round-12 re-confirmation fill: the 20 remaining r7-vintage
     # rows first ---
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "tpch_q4_priority_check",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "trainprep_mixture_temperature",
-    "trainprep_weighted_sample",
-    # --- then the alphabetically-first 27 of the r7 vintage (the 20
-    # remaining r7 rows rotate in next round; five fill seats ceded to
-    # the matview/quality gates above — their r7 driver rows stand) ---
-    "agg_count_distinct",
-    "agg_daily_revenue",
-    "agg_having",
-    "agg_percentiles",
-    "asof_join_daily_price",
-    "dedup_exact_docs",
-    "dedup_exact_rows",
-    "dedup_minhash_estimate_error",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_semdedup",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "distinct_pairs",
-    "events_rolling_zscore",
-    "expr_case_when_buckets",
-    "extract_projection_range",
-    "grouping_sets_priority",
-    "join_anti_not_exists",
-    "join_fact_dim_broadcast",
-    "join_self_nation_pairs",
-    "join_semi_exists",
-    "json_extract_props",
-    "multimodal_feature_extract",
-    "multimodal_metadata",
-    "profile_drift_tv",
-    "profile_equidepth_hist",
-    "scalar_functions_showcase",
+    "sessionize_events",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "similarity_ann_lsh",
+    "similarity_ann_multiprobe",
+    "similarity_ivf_recall",
+    "similarity_lsh_buckets",
+    "text_bm25_topk",
+    "text_fingerprint",
+    "text_lm_quality",
+    "topk_global",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "window_first_last",
+    "window_lag_delta",
+    "window_rank_dense",
+    "window_topk_per_group",
+    # --- then the alphabetically-first 22 of the r8 vintage (the 22
+    # remaining r8 rows rotate in next round) ---
+    "agg_string_concat",
+    "cogroup_asof_alignment",
+    "cohort_weekly_retention",
+    "cube_revenue",
+    "decontam_ngram_overlap",
+    "dedup_canonical_docs",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_wide",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_semantic_semdedup_auto",
+    "dedup_substring_spans",
+    "er_entity_clusters",
+    "expr_null_semantics",
+    "funnel_view_signup_purchase",
+    "join_full_outer",
+    "join_left_order_counts",
+    "join_range_bucketized",
+    "join_star_regional_revenue",
+    "map_props_entries",
 ]
 
 

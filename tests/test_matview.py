@@ -410,3 +410,251 @@ def test_sync_views_rejects_partitioned_base_layout(spark, tmp_warehouse):
         sync_views_through_merge(
             loader, [v], _mk(spark, [("a", 3, 7.0)]), ["id"]
         )
+
+
+# --- round 12: auto-sized buckets, partition-pruned recompute, shared pass
+
+
+def test_auto_state_buckets_law():
+    """√G rounded to a power of two, clamped to [8, 4096] — the r11
+    probe's failure case (15M groups on fixed-256) must land on the
+    4096 ceiling."""
+    from bitcoin_datawarehouse_spark.pipeline.matview import (
+        AUTO_BUCKETS_MAX,
+        AUTO_BUCKETS_MIN,
+        auto_state_buckets,
+    )
+
+    assert auto_state_buckets(0) == AUTO_BUCKETS_MIN
+    assert auto_state_buckets(64) == AUTO_BUCKETS_MIN
+    assert auto_state_buckets(10_000) == 128
+    assert auto_state_buckets(15_000_000) == 4096
+    assert auto_state_buckets(10**12) == AUTO_BUCKETS_MAX
+    for g in (100, 10**4, 10**6, 10**8):
+        n = auto_state_buckets(g)
+        assert n & (n - 1) == 0
+        assert AUTO_BUCKETS_MIN <= n <= AUTO_BUCKETS_MAX
+
+
+def test_auto_bucketed_view_matches_flat_and_persists_sidecar(
+    spark, tmp_warehouse
+):
+    """state_buckets='auto': sized √G at bootstrap, the choice
+    persists in a sidecar, and a REOPENED view object resolves the
+    same layout (a different N would hash groups into the wrong
+    directories and every splice would misroute)."""
+    wh = Warehouse(spark, tmp_warehouse)
+    flat = _view(wh, "flat_a")
+    auto = MaterializedAggView(
+        wh, "mv", "autob", ["g"], MEASURES, state_buckets="auto"
+    )
+    b1 = _mk(spark, [(f"g{i}", i, float(i)) for i in range(300)])
+    for v in (flat, auto):
+        v.apply_append(b1)
+    assert auto.state_buckets == 16  # sqrt(300) -> 2^4
+    sidecar = wh.table_path("mv", "autob").parent / "autob.__buckets"
+    assert sidecar.read_text() == "16"
+    assert _snap(auto) == _snap(flat)
+
+    reopened = MaterializedAggView(
+        wh, "mv", "autob", ["g"], MEASURES, state_buckets="auto"
+    )
+    b2 = _mk(spark, [("g3", 1000, 50.0), ("new", 1001, -2.0)])
+    for v in (flat, reopened):
+        v.apply_append(b2)
+    assert reopened.state_buckets == 16
+    assert _snap(reopened) == _snap(flat)
+
+
+def test_rebucket_resizes_after_growth(spark, tmp_warehouse):
+    """An auto view bootstrapped small keeps its layout as it grows
+    (stability); rebucket() re-derives √G once and the rewritten
+    state still equals a from-scratch rebuild."""
+    wh = Warehouse(spark, tmp_warehouse)
+    v = MaterializedAggView(
+        wh, "mv", "grow", ["g"], MEASURES, state_buckets="auto"
+    )
+    b1 = _mk(spark, [(f"g{i}", i, float(i)) for i in range(100)])
+    v.apply_append(b1)
+    assert v.state_buckets == 8  # sqrt(100) -> 2^3
+    b2 = _mk(spark, [(f"h{i}", 10_000 + i, 1.0) for i in range(5000)])
+    v.apply_append(b2)
+    assert v.rebucket() == 64  # sqrt(5100) ~ 71 -> 2^6
+    sidecar = wh.table_path("mv", "grow").parent / "grow.__buckets"
+    assert sidecar.read_text() == "64"
+    assert _snap(v) == _expected(
+        wh, spark, b1.unionByName(b2), "grow_exp"
+    )
+    # the state table really is laid out on the new bucket count
+    root = wh.table_path("mv", "grow")
+    dirs = {p.name for p in root.iterdir() if p.is_dir()}
+    assert max(int(d.split("=")[1]) for d in dirs) < 64
+    assert len(dirs) > 8
+
+
+def test_apply_changes_partitioned_prunes_and_matches(spark, tmp_warehouse):
+    """The r11 'what's wrong #1' fix: against a group-key-partitioned
+    base, the recompute READS only the touched groups' partition
+    directories (inputFiles proves it) and the spliced view still
+    equals a from-scratch rebuild."""
+    from bitcoin_datawarehouse_spark.pipeline import Loader
+
+    wh = Warehouse(spark, tmp_warehouse)
+    loader = Loader(wh, "facts", "pt")
+    base = _mk(spark, [(f"g{i % 10}", i, float(i)) for i in range(200)])
+    loader.load_incremental_partitioned(base, ["id"], "g")
+    v = _view(wh, "proll")
+    v.full_refresh(wh.read("facts", "pt"))
+
+    # in-place update of g3 + a brand-new id in g7 (no partition
+    # migration — the partitioned merge contract forbids it)
+    batch = _mk(spark, [("g3", 3, 999.0), ("g7", 1000, 1.0)])
+    touched = v.sync_upsert_partitioned("facts", "pt", "g", batch, ["id"])
+    loader.load_incremental_partitioned(batch, ["id"], "g")
+
+    pruned = v._pruned_base_read(spark, "facts", "pt", "g", touched)
+    files = pruned.inputFiles()
+    assert files
+    assert all(("/g=g3/" in f) or ("/g=g7/" in f) for f in files), files
+
+    v.apply_changes_partitioned("facts", "pt", "g", touched)
+    assert _snap(v) == _expected(wh, spark, wh.read("facts", "pt"), "pexp")
+
+
+def test_apply_changes_partitioned_rejects_non_key_partition(
+    spark, tmp_warehouse
+):
+    from bitcoin_datawarehouse_spark.pipeline import Loader
+
+    wh = Warehouse(spark, tmp_warehouse)
+    Loader(wh, "facts", "pt2").load_incremental_partitioned(
+        _mk(spark, [("a", 1, 1.0)]), ["id"], "g"
+    )
+    v = _view(wh, "vx")
+    with pytest.raises(ValueError, match="group keys"):
+        v.apply_changes_partitioned(
+            "facts", "pt2", "id", _mk(spark, [("a", 1, 1.0)]).select("g")
+        )
+
+
+def test_sync_views_through_partitioned_merge_multi_view(
+    spark, tmp_warehouse
+):
+    """The packaged partitioned wiring: two views stay consistent
+    through first-sync bootstrap, an update batch, and an insert-only
+    batch — each maintained from pruned reads and one shared slice."""
+    from bitcoin_datawarehouse_spark.pipeline import Loader
+    from bitcoin_datawarehouse_spark.pipeline.matview import (
+        sync_views_through_partitioned_merge,
+    )
+
+    wh = Warehouse(spark, tmp_warehouse)
+    loader = Loader(wh, "facts", "pw")
+    v1 = _view(wh, "pw_roll")
+    v2 = MaterializedAggView(
+        wh, "mv", "pw_minmax", ["g"], [Measure("lo", "min", "v"),
+                                       Measure("hi", "max", "v")]
+    )
+    b1 = _mk(spark, [(f"g{i % 5}", i, float(i)) for i in range(50)])
+    sync_views_through_partitioned_merge(loader, [v1, v2], b1, ["id"], "g")
+    base = wh.read("facts", "pw")
+    assert _snap(v1) == _expected(wh, spark, base, "pw1")
+
+    b2 = _mk(spark, [("g2", 2, -50.0), ("g4", 500, 99.0)])
+    sync_views_through_partitioned_merge(loader, [v1, v2], b2, ["id"], "g")
+    base = wh.read("facts", "pw")
+    assert _snap(v1) == _expected(wh, spark, base, "pw2")
+    lo_hi = {r[0]: (r[1], r[2]) for r in v2.read().collect()}
+    assert lo_hi["g2"][0] == -50.0
+    assert lo_hi["g4"][1] == 99.0
+
+
+def _slow_overwrite(monkeypatch, wrote_first, resume):
+    """Patch _overwrite_buckets to write ONE touched bucket, signal,
+    then wait before writing the rest — a deterministic stand-in for
+    the non-atomic window dynamic partition overwrite always has."""
+    from bitcoin_datawarehouse_spark.pipeline import matview as mv
+
+    orig = mv.MaterializedAggView._overwrite_buckets
+
+    def slow(self, content):
+        # splitting ONE overwrite into two actions makes the second
+        # re-scan files the first replaced — pin the frame (the real
+        # code writes it in a single action and never hits this)
+        content = content.localCheckpoint()
+        buckets = sorted(
+            r[0] for r in content.select(mv._BUCKET).distinct().collect()
+        )
+        first, rest = buckets[0], buckets[1:]
+        orig(self, content.filter(F.col(mv._BUCKET) == first))
+        wrote_first.set()
+        assert resume.wait(timeout=60)
+        if rest:
+            orig(self, content.filter(F.col(mv._BUCKET).isin(rest)))
+
+    monkeypatch.setattr(mv.MaterializedAggView, "_overwrite_buckets", slow)
+
+
+def test_partitioned_reader_without_lock_sees_torn_view(
+    spark, tmp_warehouse, monkeypatch
+):
+    """The module-docstring contract, executable: a reader concurrent
+    with PARTITIONED maintenance can see bucket A post-batch and
+    bucket B pre-batch — a state that equals neither the old nor the
+    new view."""
+    import threading
+
+    wh = Warehouse(spark, tmp_warehouse)
+    v = MaterializedAggView(
+        wh, "mv", "torn", ["g"], MEASURES, state_buckets=4
+    )
+    b1 = _mk(spark, [(f"g{i}", i, 1.0) for i in range(12)])
+    v.apply_append(b1)
+    pre = _snap(v)
+    wrote_first, resume = threading.Event(), threading.Event()
+    _slow_overwrite(monkeypatch, wrote_first, resume)
+    b2 = _mk(spark, [(f"g{i}", 100 + i, 10.0) for i in range(12)])
+    t = threading.Thread(target=v.apply_append, args=(b2,), daemon=True)
+    t.start()
+    assert wrote_first.wait(timeout=60)
+    mid = _snap(v)  # no lock: reads between the two bucket writes
+    resume.set()
+    t.join(timeout=120)
+    post = _snap(v)
+    assert post == _expected(wh, spark, b1.unionByName(b2), "torn_exp")
+    assert mid != pre and mid != post  # the torn read, pinned
+
+
+def test_partitioned_reader_under_lock_is_consistent(
+    spark, tmp_warehouse, monkeypatch
+):
+    """Running the SAME interleaving under Warehouse.lock removes the
+    torn window: the maintenance holds the lock across both bucket
+    writes, so a lock-taking reader sees complete-old or complete-new,
+    never a mix."""
+    import threading
+
+    wh = Warehouse(spark, tmp_warehouse)
+    v = MaterializedAggView(
+        wh, "mv", "locked", ["g"], MEASURES, state_buckets=4
+    )
+    b1 = _mk(spark, [(f"g{i}", i, 1.0) for i in range(12)])
+    v.apply_append(b1)
+    pre = _snap(v)
+    wrote_first, resume = threading.Event(), threading.Event()
+    _slow_overwrite(monkeypatch, wrote_first, resume)
+    b2 = _mk(spark, [(f"g{i}", 100 + i, 10.0) for i in range(12)])
+
+    def maintain():
+        with wh.lock("mv_maintenance", timeout_s=120):
+            v.apply_append(b2)
+
+    t = threading.Thread(target=maintain, daemon=True)
+    t.start()
+    assert wrote_first.wait(timeout=60)
+    resume.set()  # the reader below must NOT depend on us releasing it
+    with wh.lock("mv_maintenance", timeout_s=120):
+        mid = _snap(v)
+    t.join(timeout=120)
+    assert mid in (pre, _snap(v))  # complete-old or complete-new only
+    assert _snap(v) == _expected(wh, spark, b1.unionByName(b2), "lock_exp")

@@ -42,33 +42,29 @@ def test_ordered_queries_matches_entrypoint():
     assert list(ordered_queries()) == list(entrymod.queries())
 
 
-def test_round11_rotation_is_in_window():
+def test_round12_rotation_is_in_window():
     """Rotation rule (r4 ADVICE, refined r6/r7 VERDICT item 8): new
     registrations AND queries materially rewritten since their last
     driver check must hold window seats until a driver round proves
     the CURRENT implementation (plus the pricing_summary decimal
-    canary).  The r10 obligations all discharged via their
-    CORRECTNESS_r10 green rows (50/50) — their seats rotated to the
-    round-11 set below plus the stalest-vintage re-confirmation fill
-    (the 13 remaining r6 rows, then the alphabetically-first r7
+    canary).  The r11 obligations all discharged via their
+    CORRECTNESS_r11 green rows (50/50) — their seats rotated to the
+    round-12 set below plus the stalest-vintage re-confirmation fill
+    (the 20 remaining r7 rows, then the alphabetically-first r8
     rows)."""
     rotation = {
-        # new in round 11: the serve-only twins that split frozen-
-        # model serving cost from build cost (r10 VERDICT item 1)
-        "trainprep_dsir_serve_only",
-        "text_quality_classifier_serve_only",
-        "text_lm_quality_serve_only",
-        # rewritten in round 11: tracked cache on the two-subtree
-        # token frame + shared-source oracle tokenizer (r10 ADVICE)
-        "sketch_hll_vocab_per_lang",
-        # new in round 11: materialized-view maintenance algebra
-        # (pipeline/matview.py + operators/matview_semantics.py)
+        # new in round 12: matview × frozen-classifier composition
+        "pipeline_matview_classified_append",
+        # rewritten in round 12: pipeline/matview.py materially
+        # extended (auto buckets / pruned recompute / shared pass)
         "pipeline_matview_append_combine",
         "pipeline_matview_star_append",
         "pipeline_matview_update_recompute",
         "pipeline_matview_delete_groups",
-        # new in round 11: metric-history anomaly detection
-        "pipeline_quality_metric_anomaly",
+        # rewritten in round 12: scalar attaches gained the broadcast
+        # hint (functions/scalars.scalar_cross)
+        "profile_key_skew",
+        "dedup_method_agreement",
     }
     assert rotation <= set(DRIVER_WINDOW)
     assert "pricing_summary" in DRIVER_WINDOW

@@ -451,3 +451,115 @@ def test_model_refresh_stream_bootstraps_and_refreshes_on_volume(
     assert builds["n"] == 2
     corpus_rows = wh.read(REFRESH_SCHEMA, "gate_nb_refresh_corpus").count()
     assert corpus_rows == 62
+
+
+def test_pipeline_run_consults_model_refresh(spark, tmp_path):
+    """r11 VERDICT item 8, closed: Pipeline.run consults the attached
+    ModelRefreshSpec after each sync — bootstrap on the first run, a
+    stable no-op when nothing changed, a retrain when the corpus
+    grows past the policy, and a new generation served atomically."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.pipeline.jobs import (
+        JobControl,
+        ModelRefreshSpec,
+        Pipeline,
+    )
+    from bitcoin_datawarehouse_spark.pipeline.model_registry import (
+        RefreshPolicy,
+    )
+    from bitcoin_datawarehouse_spark.pipeline.source import StaticSource
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    reg = ModelRegistry(wh)
+    rows = [
+        {"id": i, "date": f"2025-01-0{i}", "text": "alpha beta " * i}
+        for i in range(1, 4)
+    ]
+
+    def source_fn(params):
+        return list(rows)
+
+    src = StaticSource({7: source_fn})
+    JobControl(spark, wh).seed([
+        {"job_name": "docs", "query_id": 7, "target_table": "docs",
+         "p_key": "id", "status": 0, "active": 1,
+         "incremental_column": "date"},
+    ])
+    builds: list[int] = []
+
+    def build_parts(docs):
+        builds.append(docs.count())
+        return {
+            "stats": docs.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs")
+            )
+        }
+
+    spec = ModelRefreshSpec(
+        name="doc_stats",
+        registry=reg,
+        docs_for=lambda s, w: w.read("bitcoin", "docs"),
+        build_parts=build_parts,
+        policy=RefreshPolicy(tv_threshold=0.5, growth_factor=1.5),
+        watch_jobs=frozenset({"docs"}),
+    )
+    pipe = Pipeline(spark, wh, src, model_refresh=[spec])
+
+    pipe.run()  # first sync: 3 docs -> bootstrap generation 1
+    assert pipe.last_refresh["doc_stats"].refresh
+    assert reg.current_generation(spark, "doc_stats") == 1
+    assert builds == [3]
+
+    pipe.run()  # same rows re-synced: stable, no retrain
+    assert not pipe.last_refresh["doc_stats"].refresh
+    assert reg.current_generation(spark, "doc_stats") == 1
+    assert builds == [3]
+
+    rows.extend(
+        {"id": 10 + i, "date": "2025-01-09", "text": "gamma " * (8 + i)}
+        for i in range(5)
+    )
+    pipe.run()  # corpus grew 8/3 = 2.7x >= 1.5 -> retrain, generation 2
+    assert pipe.last_refresh["doc_stats"].refresh
+    assert reg.current_generation(spark, "doc_stats") == 2
+    assert builds == [3, 8]
+    served = reg.resolve(spark, "doc_stats")
+    assert served.parts["stats"].collect()[0]["n_docs"] == 8
+
+
+def test_pipeline_model_refresh_failure_is_not_fatal(spark, tmp_path):
+    """A fit-parts failure must not poison the run: tables stay
+    synced, the error is recorded, the old generation keeps serving."""
+    from bitcoin_datawarehouse_spark.pipeline.jobs import (
+        JobControl,
+        ModelRefreshSpec,
+        Pipeline,
+    )
+    from bitcoin_datawarehouse_spark.pipeline.source import StaticSource
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    reg = ModelRegistry(wh)
+    src = StaticSource(
+        {7: [{"id": 1, "date": "2025-01-01", "text": "alpha"}]}
+    )
+    JobControl(spark, wh).seed([
+        {"job_name": "docs", "query_id": 7, "target_table": "docs",
+         "p_key": "id", "status": 0, "active": 1,
+         "incremental_column": "date"},
+    ])
+
+    def broken_build(docs):
+        raise RuntimeError("fit exploded")
+
+    spec = ModelRefreshSpec(
+        name="doc_stats",
+        registry=reg,
+        docs_for=lambda s, w: w.read("bitcoin", "docs"),
+        build_parts=broken_build,
+    )
+    pipe = Pipeline(spark, wh, src, model_refresh=[spec])
+    results = pipe.run()
+    assert all(r.ok for r in results)  # the sync itself succeeded
+    assert isinstance(pipe.last_refresh["doc_stats"], RuntimeError)
+    assert reg.current_generation(spark, "doc_stats") is None

@@ -200,6 +200,60 @@ def main() -> int:
     bad = a.exceptAll(b).count() + b.exceptAll(a).count()
     emit(view="monthgrain", op="verify_append", mismatch_rows=bad)
     assert bad == 0, f"monthgrain: incremental != rebuild ({bad} rows)"
+
+    # ---- r12: partition-pruned sync_upsert vs the 2-base-pass law ----
+    # Base laid out by a group-key prefix (o_month, the loader's
+    # partitioned path); an update re-prices ONE month.  The flat-API
+    # sync_upsert pays two filtered FULL base passes (replaced-row
+    # derivation + recompute); the partitioned path reads only the
+    # touched month's directory twice.  Both maintained states must
+    # equal the post-change rebuild.
+    from bitcoin_datawarehouse_spark.pipeline import Loader
+
+    Loader(wh, "facts", "opart_pre").load_incremental_partitioned(
+        base_m, ["o_orderkey"], "o_month"
+    )
+    upd_m = (
+        base_m.filter(F.col("o_month") == F.lit("1995-06-01").cast("date"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(0.9))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    # materialize the batch (CLAUDE.md: a batch left as a filter over
+    # the base re-scans history per action and buries the signal)
+    wh.write_atomic(upd_m, "facts", "upd_month")
+    upd_m = wh.read("facts", "upd_month")
+    post_m = base_m.join(
+        upd_m.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(upd_m)
+    Loader(wh, "facts", "opart_post").load_incremental_partitioned(
+        post_m, ["o_orderkey"], "o_month"
+    )
+    pre_frame = wh.read("facts", "opart_pre")
+    post_frame = wh.read("facts", "opart_post")
+    um = upd_m.count()
+    vpp = MaterializedAggView(wh, "mv", "v_pp", mkeys, measures)
+    for rep in (1, 2):
+        vpp.full_refresh(pre_frame)
+        t0 = time.time()
+        vpp.sync_upsert(pre_frame, post_frame, upd_m, ["o_orderkey"])
+        emit(view="monthpart", op="upsert_flat_law", rep=rep, batch_rows=um,
+             wall_s=round(time.time() - t0, 2))
+        vpp.full_refresh(pre_frame)
+        t0 = time.time()
+        touched = vpp.sync_upsert_partitioned(
+            "facts", "opart_pre", "o_month", upd_m, ["o_orderkey"]
+        )
+        vpp.apply_changes_partitioned(
+            "facts", "opart_post", "o_month", touched
+        )
+        emit(view="monthpart", op="upsert_pruned", rep=rep, batch_rows=um,
+             wall_s=round(time.time() - t0, 2))
+    ref_pp = MaterializedAggView(wh, "mv", "ref_pp", mkeys, measures)
+    ref_pp.full_refresh(post_frame)
+    a, b = vpp.read(), ref_pp.read()
+    bad = a.exceptAll(b).count() + b.exceptAll(a).count()
+    emit(view="monthpart", op="verify_pruned_upsert", mismatch_rows=bad)
+    assert bad == 0, f"monthpart: pruned upsert != rebuild ({bad} rows)"
     return 0
 
 

@@ -658,3 +658,43 @@ def test_partitioned_reader_under_lock_is_consistent(
     t.join(timeout=120)
     assert mid in (pre, _snap(v))  # complete-old or complete-new only
     assert _snap(v) == _expected(wh, spark, b1.unionByName(b2), "lock_exp")
+
+
+def test_multi_view_sync_shares_one_cached_base_slice(
+    spark, tmp_warehouse, monkeypatch
+):
+    """r11 verdict #3, structurally: with N attached views, the
+    post-merge recompute must feed every EXISTING view the SAME
+    cached slice frame (one base pass fills it), not a fresh base
+    read per view."""
+    from bitcoin_datawarehouse_spark.pipeline import Loader
+    from bitcoin_datawarehouse_spark.pipeline import matview as mv
+
+    wh = Warehouse(spark, tmp_warehouse)
+    loader = Loader(wh, "facts", "shared")
+    v1 = _view(wh, "sh_roll")
+    v2 = MaterializedAggView(
+        wh, "mv", "sh_minmax", ["g"],
+        [Measure("lo", "min", "v"), Measure("hi", "max", "v")],
+    )
+    b1 = _mk(spark, [(f"g{i % 4}", i, float(i)) for i in range(40)])
+    mv.sync_views_through_merge(loader, [v1, v2], b1, ["id"])
+
+    seen = []
+    orig = mv.MaterializedAggView.apply_changes
+
+    def spy(self, base_after, touched_keys):
+        # capture cached-ness NOW — the wiring unpersists on exit
+        seen.append((base_after, base_after.storageLevel.useMemory))
+        return orig(self, base_after, touched_keys)
+
+    monkeypatch.setattr(mv.MaterializedAggView, "apply_changes", spy)
+    b2 = _mk(spark, [("g1", 1, -9.0), ("g3", 100, 42.0)])
+    mv.sync_views_through_merge(loader, [v1, v2], b2, ["id"])
+    assert len(seen) == 2
+    assert seen[0][0] is seen[1][0]  # the SAME slice object for both views
+    assert seen[0][1] and seen[1][1]  # and it is the cached slice
+    base = wh.read("facts", "shared")
+    assert _snap(v1) == _expected(wh, spark, base, "sh1")
+    lo_hi = {r[0]: (r[1], r[2]) for r in v2.read().collect()}
+    assert lo_hi["g1"][0] == -9.0 and lo_hi["g3"][1] == 42.0

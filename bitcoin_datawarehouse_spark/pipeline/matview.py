@@ -424,6 +424,29 @@ class MaterializedAggView:
             state.unpersist()
         return n
 
+    def maybe_rebucket(self, min_step: int = 2) -> int | None:
+        """Re-size iff the view has outgrown (or outshrunk) its layout
+        by ≥ ``min_step`` power-of-two steps — the maintenance-loop
+        hook that keeps the auto policy honest over a view's lifetime
+        without rewriting the state on every drift wobble.
+
+        One group-count aggregate decides; the rewrite only happens at
+        a ≥``min_step``-step gap (default 2 = a ~16× group-count
+        change under the √G law), so steady-state syncs pay a count,
+        never a rewrite.  Returns the new bucket count when a rewrite
+        ran, else None.
+        """
+        if not self._auto_buckets:
+            raise ValueError("maybe_rebucket() applies to state_buckets='auto'")
+        current = self._buckets()
+        ideal = auto_state_buckets(self.state().count())
+        gap = abs(
+            ideal.bit_length() - current.bit_length()
+        )
+        if gap < min_step:
+            return None
+        return self.rebucket()
+
     def _overwrite_buckets(self, content: DataFrame) -> None:
         """Dynamic partition overwrite: replace exactly the bucket
         directories present in ``content``, byte-untouched elsewhere."""

@@ -698,3 +698,31 @@ def test_multi_view_sync_shares_one_cached_base_slice(
     assert _snap(v1) == _expected(wh, spark, base, "sh1")
     lo_hi = {r[0]: (r[1], r[2]) for r in v2.read().collect()}
     assert lo_hi["g1"][0] == -9.0 and lo_hi["g3"][1] == 42.0
+
+
+def test_maybe_rebucket_only_fires_on_big_gap(spark, tmp_warehouse):
+    """The maintenance-loop hook: steady-state syncs pay one
+    group-count aggregate, never a rewrite; a ≥2-power-of-two gap
+    between the persisted layout and the √G ideal triggers the
+    one-shot rebucket."""
+    wh = Warehouse(spark, tmp_warehouse)
+    v = MaterializedAggView(
+        wh, "mv", "mgrow", ["g"], MEASURES, state_buckets="auto"
+    )
+    b1 = _mk(spark, [(f"g{i}", i, float(i)) for i in range(300)])
+    v.apply_append(b1)
+    assert v.state_buckets == 16
+    assert v.maybe_rebucket() is None  # ideal == current
+
+    b2 = _mk(spark, [(f"h{i}", 1000 + i, 1.0) for i in range(600)])
+    v.apply_append(b2)
+    assert v.maybe_rebucket() is None  # ~900 groups -> 32: 1 step, hold
+    assert v.state_buckets == 16
+
+    b3 = _mk(spark, [(f"k{i}", 10_000 + i, 2.0) for i in range(19_100)])
+    v.apply_append(b3)
+    assert v.maybe_rebucket() == 128  # ~20k groups: 3 steps, rewrite
+    sidecar = wh.table_path("mv", "mgrow").parent / "mgrow.__buckets"
+    assert sidecar.read_text() == "128"
+    full = b1.unionByName(b2).unionByName(b3)
+    assert _snap(v) == _expected(wh, spark, full, "mgrow_exp")

@@ -961,11 +961,10 @@ class StreamingMatView:
     Boundary: generations rewrite the WHOLE state per trigger, so this
     class is for rollup-sized streaming views (the common case — a
     dashboard aggregate).  A group-cardinality-huge streaming view
-    should instead run the batch wiring per micro-batch over a
-    partitioned :class:`MaterializedAggView` (``state_partition_key``)
-    and carry its own replay ledger — partition-pruned rewrites and
-    atomic generation pointers pull in opposite directions, and this
-    class picks the exactly-once side.
+    uses :class:`DeltaStreamingMatView` instead — its delta log keeps
+    the per-trigger write batch-sized while preserving the same
+    atomic-pointer exactly-once argument, at the price of a
+    compaction-bounded read-side fold.
     """
 
     def __init__(
@@ -1040,3 +1039,178 @@ class StreamingMatView:
             )
         state = self.wh.read_with(sess, self.schema, self._gen(ptr[0]))
         return state.select(*exposed_cols(self.keys, self.measures))
+
+
+class DeltaStreamingMatView:
+    """Exactly-once streaming maintenance whose per-trigger cost is
+    proportional to the BATCH, not the state — the
+    group-cardinality-huge case :class:`StreamingMatView` documents as
+    its boundary (that class rewrites the whole state per trigger,
+    which is right for rollup-sized views and absurd for millions of
+    groups).
+
+    Design: a generational DELTA LOG.  Each absorbed batch writes one
+    batch-group-sized delta table ``{t}__d{k}`` (the batch's internal
+    aggregate state) and then flips the 1-row pointer
+    ``{t}__dptr(base_gen, n_absorbed, batch_id, delta_floor)`` — the
+    same single-atomic-commit-point argument as StreamingMatView: a
+    crash between the delta write and the flip leaves an orphan
+    ``__d{k}`` the replayed trigger overwrites (same k, same content),
+    so no batch can ever be double-counted or lost.  Reads fold
+    ``base ⊕ d_{floor+1} ⊕ … ⊕ d_k`` through :func:`combine_states`
+    (all state-sized key joins); :meth:`compact` bounds the fold depth
+    by merging pending deltas into a new base generation and flipping
+    the pointer ``(base_gen+1, k, batch_id, k)`` — again atomic, so a
+    crash mid-compaction is invisible.  Vacuum keeps the previous base
+    AND its still-referenced deltas for in-flight readers
+    (``keep_back`` flips of grace), mirroring the model-registry
+    contract.
+
+    100-TB shape: per trigger one map-side-combined aggregate over the
+    micro-batch + one tiny write; read cost ∝ pending deltas (a
+    compaction-cadence dial, same trade as any LSM); compaction is one
+    state-sized fold, amortized.  All frames in a trigger build from
+    the micro-batch session (the CLAUDE.md foreachBatch rule).
+    """
+
+    def __init__(
+        self,
+        wh: Warehouse,
+        schema: str,
+        table: str,
+        keys: list[str],
+        measures: list[Measure],
+        keep_back: int = 1,
+    ) -> None:
+        self.wh = wh
+        self.schema = schema
+        self.table = table
+        self.keys = list(keys)
+        self.measures = list(measures)
+        self.keep_back = keep_back
+
+    # -- naming / pointer --------------------------------------------------
+    def _ptr_t(self) -> str:
+        return f"{self.table}__dptr"
+
+    def _base_t(self, j: int) -> str:
+        return f"{self.table}__b{j}"
+
+    def _delta_t(self, k: int) -> str:
+        return f"{self.table}__d{k}"
+
+    def _pointer(self, sess) -> dict | None:
+        if not self.wh.table_exists(self.schema, self._ptr_t()):
+            return None
+        row = self.wh.read_with(sess, self.schema, self._ptr_t()).collect()[0]
+        return {
+            "base_gen": int(row["base_gen"]),
+            "n_absorbed": int(row["n_absorbed"]),
+            "batch_id": int(row["batch_id"]),
+            "delta_floor": int(row["delta_floor"]),
+        }
+
+    def _flip(self, sess, base_gen, n_absorbed, batch_id, delta_floor):
+        self.wh.write_atomic(
+            sess.createDataFrame(
+                [(base_gen, n_absorbed, batch_id, delta_floor)],
+                "base_gen long, n_absorbed long, batch_id long, "
+                "delta_floor long",
+            ),
+            self.schema,
+            self._ptr_t(),
+            coalesce=1,
+        )
+
+    # -- streaming ---------------------------------------------------------
+    def absorb(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """foreachBatch body; returns False for a replayed trigger.
+        Writes ONE batch-group-sized delta — the base tables are never
+        touched (pytest pins their files byte-identical)."""
+        sess = batch_df.sparkSession
+        ptr = self._pointer(sess)
+        if ptr is not None and batch_id <= ptr["batch_id"]:
+            return False
+        delta = batch_df.groupBy(*self.keys).agg(*_agg_exprs(self.measures))
+        k = (ptr["n_absorbed"] if ptr else 0) + 1
+        self.wh.write_atomic(delta, self.schema, self._delta_t(k), coalesce=4)
+        self._flip(
+            sess,
+            ptr["base_gen"] if ptr else 0,
+            k,
+            batch_id,
+            ptr["delta_floor"] if ptr else 0,
+        )
+        return True
+
+    # -- reads -------------------------------------------------------------
+    def _state(self, sess) -> DataFrame:
+        ptr = self._pointer(sess)
+        if ptr is None:
+            raise FileNotFoundError(
+                f"{self.schema}.{self.table}: no absorbed batches yet"
+            )
+        frames: list[DataFrame] = []
+        if ptr["base_gen"] > 0:
+            frames.append(
+                self.wh.read_with(
+                    sess, self.schema, self._base_t(ptr["base_gen"])
+                )
+            )
+        for i in range(ptr["delta_floor"] + 1, ptr["n_absorbed"] + 1):
+            frames.append(
+                self.wh.read_with(sess, self.schema, self._delta_t(i))
+            )
+        state = frames[0]
+        for f in frames[1:]:
+            state = combine_states(state, f, self.keys, self.measures)
+        return state
+
+    def pending_deltas(self, sess) -> int:
+        ptr = self._pointer(sess)
+        if ptr is None:
+            return 0
+        return ptr["n_absorbed"] - ptr["delta_floor"]
+
+    def read(self, sess) -> DataFrame:
+        """The exposed rollup: pointer-resolved base ⊕ pending deltas
+        — complete as of the last flipped pointer, never torn."""
+        return self._state(sess).select(
+            *exposed_cols(self.keys, self.measures)
+        )
+
+    # -- maintenance -------------------------------------------------------
+    def compact(self, sess) -> int:
+        """Fold every pending delta into a new base generation and
+        flip the pointer; returns the number of deltas folded (0 when
+        already compact).  Crash-safe: until the flip, readers and
+        replays see the old pointer; the half-written new base is an
+        orphan the next compaction overwrites."""
+        ptr = self._pointer(sess)
+        if ptr is None or ptr["n_absorbed"] == ptr["delta_floor"]:
+            return 0
+        folded = ptr["n_absorbed"] - ptr["delta_floor"]
+        old_floor = ptr["delta_floor"]
+        new_gen = ptr["base_gen"] + 1
+        self.wh.write_atomic(
+            self._state(sess), self.schema, self._base_t(new_gen), coalesce=8
+        )
+        self._flip(
+            sess, new_gen, ptr["n_absorbed"], ptr["batch_id"],
+            ptr["n_absorbed"],
+        )
+        # vacuum beyond the in-flight-reader grace window: a reader
+        # pinned at the PREVIOUS pointer still needs the previous base
+        # and the deltas above ITS floor — deltas ≤ old_floor were
+        # already folded into the previous base, and bases older than
+        # keep_back flips have no pinned readers left
+        for t in self.wh.list_tables(self.schema):
+            if t.startswith(f"{self.table}__b"):
+                suffix = t.rsplit("__b", 1)[1]
+                if suffix.isdigit() and int(suffix) < new_gen - self.keep_back:
+                    self.wh.drop_table(self.schema, t)
+            if t.startswith(f"{self.table}__d"):
+                suffix = t.rsplit("__d", 1)[1]
+                if suffix.isdigit() and int(suffix) <= old_floor:
+                    self.wh.drop_table(self.schema, t)
+        return folded

@@ -41,3 +41,33 @@ def run_matview_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_delta_matview_stream(
+    fact_stream: DataFrame,
+    view,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Fold ``fact_stream`` into a
+    :class:`~bitcoin_datawarehouse_spark.pipeline.matview.DeltaStreamingMatView`
+    per trigger — the big-state arrival path: each trigger writes one
+    batch-group-sized delta (the base is never rewritten in-trigger),
+    and ``compact_every`` bounds the read-side fold depth by folding
+    the delta log into a new base generation every N pending deltas.
+    Compaction inside ``foreachBatch`` is safe — the stream is the
+    single writer, and the fold commits through the same atomic
+    pointer flip as the absorb."""
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        view.absorb(batch_df, batch_id)
+        if compact_every and view.pending_deltas(sess) >= compact_every:
+            view.compact(sess)
+
+    return (
+        fact_stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -726,3 +726,122 @@ def test_maybe_rebucket_only_fires_on_big_gap(spark, tmp_warehouse):
     assert sidecar.read_text() == "128"
     full = b1.unionByName(b2).unionByName(b3)
     assert _snap(v) == _expected(wh, spark, full, "mgrow_exp")
+
+
+def test_delta_streaming_matview_exactly_once_and_batch_sized_writes(
+    spark, tmp_path
+):
+    """The big-state streaming path: per-trigger cost ∝ batch (base
+    files byte-untouched by absorbs), drain ≡ rebuild, replayed
+    batch_id skipped, crash-window orphan delta overwritten and
+    counted once."""
+    import hashlib
+
+    from bitcoin_datawarehouse_spark.pipeline.matview import (
+        DeltaStreamingMatView,
+    )
+    from bitcoin_datawarehouse_spark.streaming.jobs import (
+        run_stream_to_completion,
+    )
+    from bitcoin_datawarehouse_spark.streaming.matview_stream import (
+        run_delta_matview_stream,
+    )
+
+    rows = [(f"g{i % 5}", i, float(i)) for i in range(30)]
+    all_df = _mk(spark, rows)
+    src = tmp_path / "src"
+    for i in range(3):
+        all_df.filter(F.col("id") % 3 == i).repartition(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    wh = Warehouse(spark, str(tmp_path / "dwh"))
+    dv = DeltaStreamingMatView(wh, "mv", "dlive", ["g"], MEASURES)
+    stream = (
+        spark.readStream.schema("g string, id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_stream_to_completion(
+        run_delta_matview_stream(stream, dv, str(tmp_path / "ck"))
+    )
+    got = sorted(tuple(r) for r in dv.read(spark).collect())
+    assert got == _expected(wh, spark, all_df, "dstream")
+    assert dv.pending_deltas(spark) == 3
+
+    # replayed trigger: already-absorbed batch_id is a no-op
+    assert dv.absorb(_mk(spark, [("g0", 99, 1e6)]), batch_id=0) is False
+    assert sorted(tuple(r) for r in dv.read(spark).collect()) == got
+
+    # per-trigger writes are delta-only: absorb a 4th batch and check
+    # every pre-existing delta file is byte-identical (no state rewrite)
+    root = wh.root
+    before = {
+        str(p.relative_to(root)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in root.rglob("*.parquet")
+        if "__d" in str(p)
+    }
+    extra = _mk(spark, [("g1", 100, 50.0), ("zz", 101, 1.0)])
+    assert dv.absorb(extra, batch_id=3) is True
+    after = {
+        str(p.relative_to(root)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in root.rglob("*.parquet")
+        if "__d" in str(p)
+    }
+    assert all(after[f] == h for f, h in before.items() if f in after)
+    assert sorted(tuple(r) for r in dv.read(spark).collect()) == _expected(
+        wh, spark, all_df.unionByName(extra), "dstream2"
+    )
+
+    # crash window: an orphan delta written WITHOUT its pointer flip
+    # is invisible — the replay overwrites it and counts the batch once
+    ptr = dv._pointer(spark)
+    orphan = dv._delta_t(ptr["n_absorbed"] + 1)
+    wh.write_atomic(_mk(spark, [("boom", 0, 9e9)]), "mv", orphan)
+    nxt = _mk(spark, [("g2", 200, 2.0)])
+    assert dv.absorb(nxt, batch_id=4) is True
+    assert sorted(tuple(r) for r in dv.read(spark).collect()) == _expected(
+        wh, spark, all_df.unionByName(extra).unionByName(nxt), "dstream3"
+    )
+
+
+def test_delta_streaming_matview_compaction_bounds_the_log(spark, tmp_path):
+    """compact() folds the pending deltas into a new base generation
+    atomically: exposed rows unchanged, pending count drops to zero,
+    folded deltas vacuumed past the grace window, and absorbs after
+    compaction keep combining correctly."""
+    from bitcoin_datawarehouse_spark.pipeline.matview import (
+        DeltaStreamingMatView,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "cwh"))
+    dv = DeltaStreamingMatView(wh, "mv", "clog", ["g"], MEASURES)
+    batches = [
+        _mk(spark, [(f"g{j % 4}", 10 * i + j, float(i + j)) for j in range(6)])
+        for i in range(4)
+    ]
+    for i, b in enumerate(batches):
+        assert dv.absorb(b, batch_id=i)
+    assert dv.pending_deltas(spark) == 4
+    before = sorted(tuple(r) for r in dv.read(spark).collect())
+
+    assert dv.compact(spark) == 4
+    assert dv.pending_deltas(spark) == 0
+    assert sorted(tuple(r) for r in dv.read(spark).collect()) == before
+    assert dv.compact(spark) == 0  # idempotent when already compact
+
+    b5 = _mk(spark, [("g0", 999, -3.0), ("new", 1000, 7.0)])
+    assert dv.absorb(b5, batch_id=4)
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    full = full.unionByName(b5)
+    assert sorted(tuple(r) for r in dv.read(spark).collect()) == _expected(
+        wh, spark, full, "clog_exp"
+    )
+    # second compaction folds the post-compact delta and vacuums the
+    # pre-compact delta log (indexes 1..4 are <= old_floor, past grace)
+    assert dv.compact(spark) == 1
+    tables = set(wh.list_tables("mv"))
+    assert not any(t.startswith("clog__d1") for t in tables)
+    assert "clog__b1" in tables  # previous base kept for in-flight readers
+    assert "clog__b2" in tables

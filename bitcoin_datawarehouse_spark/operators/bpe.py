@@ -92,6 +92,7 @@ from bitcoin_datawarehouse_spark.functions.numeric import (
 from bitcoin_datawarehouse_spark.operators.dedup import tokens_col
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 #: merge rounds of the registered gate query (parametric in
 #: production — a real tokenizer runs tens of thousands; the
@@ -549,7 +550,7 @@ def save_bpe_merges(
     """Persist a trained merge table as a Warehouse model table
     (atomic replace; the ivf_index build/serve discipline — train
     once, every later encode serves from the artifact)."""
-    df = spark.createDataFrame(merges, _MERGE_TABLE_DDL)
+    df = local_rows_df(spark, merges, _MERGE_TABLE_DDL)
     warehouse.write_atomic(df, BPE_MODEL_SCHEMA, name, coalesce=1)
 
 
@@ -591,7 +592,7 @@ def bpe_parts_from_merges(
 ) -> dict[str, DataFrame]:
     """Package a trained merge list as a single-part model for the
     versioned ``pipeline.model_registry`` — {"merges": frame}."""
-    return {"merges": spark.createDataFrame(merges, _MERGE_TABLE_DDL)}
+    return {"merges": local_rows_df(spark, merges, _MERGE_TABLE_DDL)}
 
 
 def encode_resolved(model, docs: DataFrame) -> DataFrame:
@@ -783,4 +784,4 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train_auto(
         bpe_word_table(spark, sf_dir), BPE_MERGE_ROUNDS
     )
-    return spark.createDataFrame(merges, _MERGE_TABLE_DDL)
+    return local_rows_df(spark, merges, _MERGE_TABLE_DDL)

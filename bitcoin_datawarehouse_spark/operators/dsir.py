@@ -53,6 +53,7 @@ from bitcoin_datawarehouse_spark.operators.curation import (
 from bitcoin_datawarehouse_spark import registry as _registry
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 #: hashed feature space size (DSIR's published default is 10⁴; the
 #: fixture corpora saturate signal at 256 — a constant, not a tuned
@@ -256,7 +257,7 @@ def fit_dsir_parts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         "target": tcnt,
         "raw": rcnt,
-        "consts": spark.createDataFrame(
+        "consts": local_rows_df(spark, 
             [(nt, nr, thr)], "nt long, nr long, thr_micro long"
         ),
     }

@@ -67,6 +67,7 @@ from bitcoin_datawarehouse_spark.operators.similarity import (
 )
 from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
 from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 
 class IvfIndex:
@@ -214,7 +215,7 @@ class IvfIndex:
             for c in range(cb.shape[1])
         ]
         self.wh.write_atomic(
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 rows, "m int, code int, ce array<double>"
             ),
             self.schema,
@@ -321,7 +322,7 @@ class IvfIndex:
         """
         spark = self.wh.spark
         if not isinstance(vec_ids, DataFrame):
-            vec_ids = spark.createDataFrame(
+            vec_ids = local_rows_df(spark, 
                 [(int(v),) for v in vec_ids], "vec_id long"
             )
         # coalesce(1) on BOTH paths: the distinct() shuffle would

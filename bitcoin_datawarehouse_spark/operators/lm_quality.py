@@ -48,6 +48,7 @@ from bitcoin_datawarehouse_spark.functions.ranking import (
 from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 _SQL_TOK = """tok AS (
       SELECT doc_id,
@@ -497,7 +498,7 @@ def fit_lm_parts(
     return {
         "uni": uni,
         "big": big,
-        "consts": spark.createDataFrame([(vocab,)], "v long"),
+        "consts": local_rows_df(spark, [(vocab,)], "v long"),
     }
 
 

@@ -63,6 +63,7 @@ from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
 from bitcoin_datawarehouse_spark.pipeline.loader import (
     BROADCAST_BATCH_MAX_ROWS,
 )
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 #: auto-compact the index tables once either accretes this many
 #: parquet files (each micro-batch append adds its own files; scans
@@ -142,7 +143,7 @@ class LshDedupIndex:
         """
         spark = self.wh.spark
         if not isinstance(doc_ids, DataFrame):
-            doc_ids = spark.createDataFrame(
+            doc_ids = local_rows_df(spark, 
                 [(int(v),) for v in doc_ids], "doc_id long"
             )
         # coalesce(1) on BOTH paths: the distinct() shuffle would

@@ -60,6 +60,7 @@ from bitcoin_datawarehouse_spark.operators.curation import (
 from bitcoin_datawarehouse_spark import registry as _registry
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 #: md5-bucket upper bound (exclusive, of 256) for the train slice —
 #: ≈30 % of documents, the hash-split idiom (trainprep.py).  The
@@ -263,7 +264,7 @@ def fit_quality_parts(
     generation."""
     dtc = cache_tracked(doc_token_counts(spark, sf_dir))
     cls, consts = train_quality_model(spark, sf_dir, dtc)
-    crow = spark.createDataFrame(
+    crow = local_rows_df(spark, 
         [tuple(consts[k] for k in ("npos", "nneg", "v", "dpos", "dneg"))],
         "npos long, nneg long, v long, dpos long, dneg long",
     )
@@ -282,7 +283,7 @@ def fit_quality_parts_frame(docs: DataFrame) -> dict[str, DataFrame]:
     docs = docs.select("doc_id", "text").repartition(par)
     dtc = cache_tracked(_doc_token_counts_frame(docs))
     cls, consts = _train_core(dtc, _train_labels_frame(docs))
-    crow = sess.createDataFrame(
+    crow = local_rows_df(sess, 
         [tuple(consts[k] for k in ("npos", "nneg", "v", "dpos", "dneg"))],
         "npos long, nneg long, v long, dpos long, dneg long",
     )

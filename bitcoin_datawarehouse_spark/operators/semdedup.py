@@ -48,6 +48,7 @@ from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
 )
 
 from bitcoin_datawarehouse_spark.registry import query
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 
 def semdedup_flags(
@@ -927,7 +928,7 @@ def dedup_semantic_semdedup_auto(
     if n_vectors is None:
         n_vectors = st["n"]
     if n_vectors == 0:
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [],
             "vec_id long, centroid_id long,"
             " cos_centroid double, keep boolean",

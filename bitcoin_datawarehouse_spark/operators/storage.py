@@ -31,6 +31,7 @@ from bitcoin_datawarehouse_spark.functions.zorder import (
 from bitcoin_datawarehouse_spark.functions.scalars import scalar_cross
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 #: z-key resolution per dimension (16 bits each → 32-bit Morton key)
 Z_BITS = 16
@@ -236,7 +237,7 @@ def sync_manifest(
         elif len(vanished) == len(known):
             kept = None
         else:
-            vdf = spark.createDataFrame(
+            vdf = local_rows_df(spark, 
                 [(p,) for p in vanished], "file_path string"
             )
             kept = manifest.join(

@@ -100,6 +100,10 @@ class JobControl:
     def seed(self, rows: list[dict[str, Any]]) -> None:
         """Seed the registry (reference load_metadata.ipynb: CSV →
         lowercase columns → stamp last_updated_ts → load)."""
+        # localframe-exempt: seeding relies on Spark's dict-row type
+        # INFERENCE (no DDL to give local_rows_df, and pandas would
+        # infer differently, e.g. None-bearing ints to float); runs
+        # once per deployment, so the slice tax is irrelevant
         df = self.spark.createDataFrame(rows)  # type: ignore[arg-type]
         df = _ensure_ledger_columns(with_audit_stamp(lowercase_columns(df)))
         self.wh.write_atomic(df, ETL_SCHEMA, JOB_TABLE, coalesce=1)

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.functions.cachereg import cache_tracked
 from bitcoin_datawarehouse_spark.functions.numeric import DEC, str_round6
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 from .catalog import Warehouse
 from .loader import (
@@ -1012,7 +1013,7 @@ class StreamingMatView:
             state = combine_states(old, delta, self.keys, self.measures)
         self.wh.write_atomic(state, self.schema, self._gen(gen), coalesce=4)
         self.wh.write_atomic(
-            sess.createDataFrame(
+            local_rows_df(sess, 
                 [(gen, batch_id)], "gen long, batch_id long"
             ),
             self.schema,
@@ -1112,7 +1113,7 @@ class DeltaStreamingMatView:
 
     def _flip(self, sess, base_gen, n_absorbed, batch_id, delta_floor):
         self.wh.write_atomic(
-            sess.createDataFrame(
+            local_rows_df(sess, 
                 [(base_gen, n_absorbed, batch_id, delta_floor)],
                 "base_gen long, n_absorbed long, batch_id long, "
                 "delta_floor long",

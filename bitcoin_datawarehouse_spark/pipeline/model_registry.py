@@ -47,6 +47,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 MODEL_SCHEMA = "models"
 
@@ -222,7 +223,7 @@ class ModelRegistry:
             self.wh.write_atomic(
                 df, self.schema, self._part_table(name, gen, p)
             )
-        ptr = sess.createDataFrame(
+        ptr = local_rows_df(sess, 
             [(gen, ",".join(sorted(all_parts)))], "gen long, parts string"
         )
         self.wh.write_atomic(

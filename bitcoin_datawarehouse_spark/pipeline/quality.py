@@ -27,6 +27,7 @@ from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 
 class QualityError(RuntimeError):
@@ -250,7 +251,7 @@ class MetricHistory:
             for k, v in metrics.items()
             if v is not None
         ]
-        df = sess.createDataFrame(
+        df = local_rows_df(sess, 
             rows, "job string, batch_seq long, metric string, value double"
         )
         if self._exists():

@@ -76,6 +76,7 @@ from bitcoin_datawarehouse_spark.operators.embeddings_extra import (
     COSINE_DUP_THRESHOLD,
 )
 from bitcoin_datawarehouse_spark.operators.lsh_index import LshDedupIndex
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 
 def _py_round6(x: float) -> float:
@@ -335,7 +336,7 @@ def run_curation_stream(
             F.col("embedding").cast("array<double>").alias("e"),
         )
         emb_b = surv.select("doc_id").join(embr, "doc_id")
-        cent = bspark.createDataFrame(
+        cent = local_rows_df(bspark, 
             sem_codebook, "centroid_id long, ce array<double>"
         ).withColumn("cn", norm_col(F.col("ce")))
         # eager: the assignment feeds the cell kernel AND the state
@@ -364,7 +365,7 @@ def run_curation_stream(
                 .join(surv.select("doc_id"), "doc_id", "left_anti")
             )
         else:
-            state = bspark.createDataFrame(
+            state = local_rows_df(bspark, 
                 [], "centroid_id long, doc_id long, e array<double>"
             )
         merged = assigned.select(
@@ -428,7 +429,7 @@ def run_curation_stream(
         if not drops:
             return surv
         return surv.join(
-            surv.sparkSession.createDataFrame(
+            local_rows_df(surv.sparkSession, 
                 [(d,) for d in drops], "doc_id long"
             ),
             "doc_id",

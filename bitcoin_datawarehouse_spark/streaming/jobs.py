@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from bitcoin_datawarehouse_spark.pipeline.catalog import Warehouse
 from bitcoin_datawarehouse_spark.pipeline.loader import Loader
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 #: events fixture schema (ts already truncated to micros by the batch
 #: reader; streaming file sources need an explicit schema anyway)
@@ -288,7 +289,7 @@ def drift_monitor_stream(
             return
         bspark = batch_df.sparkSession
         bwh = Warehouse(bspark, str(wh.root))
-        ref = bspark.createDataFrame(
+        ref = local_rows_df(bspark, 
             list(reference), "bucket bigint, n_ref bigint"
         )
         cur = batch_df.groupBy(

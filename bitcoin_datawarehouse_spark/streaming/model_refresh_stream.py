@@ -42,6 +42,7 @@ from bitcoin_datawarehouse_spark.pipeline.model_registry import (
     ModelRegistry,
     RefreshPolicy,
 )
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 
 #: where the accumulated corpus and the decision log live
 REFRESH_SCHEMA = "models_meta"
@@ -94,7 +95,7 @@ def run_model_refresh_stream(
         # 4. decision log — one row per trigger
         gen = registry.current_generation(sess, name)
         wh.append(
-            sess.createDataFrame(
+            local_rows_df(sess, 
                 [
                     (
                         int(batch_id),

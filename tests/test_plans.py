@@ -870,3 +870,40 @@ def test_quality_anomaly_gate_scans_fact_once(spark):
         assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 4, plan
     finally:
         release_tracked_caches()
+
+
+def test_driver_local_frames_go_through_local_rows_df():
+    """Round-12 find: ``createDataFrame`` on a plain Python row list
+    slices the rows across defaultParallelism PYTHON partitions, and
+    the coalesce(1..4) every control-table write applies then executes
+    all slices sequentially in one task — one Python-worker round trip
+    per slice, measured 4.4 s per 1-ROW pointer flip at local[32]
+    (0.2 s through functions/localframe.py's single-Arrow-partition
+    path).  Structural guard: the only package callers of
+    createDataFrame are the helper itself (its fallback) and
+    pipeline/schema.py's rows_to_df (the DATA ingestion path, whose
+    frames are written unccoalesced)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "bitcoin_datawarehouse_spark"
+    sanctioned = {"localframe.py", "schema.py"}
+    pat = re.compile(r"\.createDataFrame\(")
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        if py.name in sanctioned:
+            continue
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
+            code = line.split("#", 1)[0]
+            if pat.search(code):
+                # a '# localframe-exempt' comment within the 5 lines
+                # above documents a deliberate inference-dependent site
+                ctx = "\n".join(lines[max(0, i - 6): i])
+                if "localframe-exempt" in ctx:
+                    continue
+                offenders.append(f"{py.relative_to(pkg)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "driver-local frames must go through "
+        "functions.localframe.local_rows_df:\n" + "\n".join(offenders)
+    )

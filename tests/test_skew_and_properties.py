@@ -671,3 +671,74 @@ def test_global_rank_blocks_release_without_manual_call(spark):
     assert cached_bytes() <= baseline, (
         "ranked-query storage never released"
     )
+
+
+# --- matview combine_states monoid property (round 12) ---------------------
+#
+# The delta-log streaming view folds MANY state slices through
+# combine_states; the pairwise tests in test_matview.py don't exercise
+# arbitrary k-way splits, group/null patterns, or fold depth.  Decimal
+# sums make the fold order-independent, so ANY split of the rows must
+# expose bit-identical results to the direct aggregate.
+
+from bitcoin_datawarehouse_spark.pipeline.matview import (  # noqa: E402
+    Measure,
+    _agg_exprs,
+    combine_states,
+    exposed_cols,
+)
+
+_MV_MEASURES = [
+    Measure("total", "sum", "v"),
+    Measure("n", "count", None),
+    Measure("n_v", "count", "v"),
+    Measure("vmin", "min", "v"),
+    Measure("vmax", "max", "v"),
+    Measure("vavg", "avg", "v"),
+]
+
+_mv_row = st.tuples(
+    st.sampled_from("abcd"),
+    st.one_of(
+        st.none(), st.integers(-(10**6), 10**6).map(lambda i: i / 100)
+    ),
+    st.integers(0, 3),  # which slice the row lands in
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(_mv_row, min_size=1, max_size=40))
+def test_combine_states_fold_matches_direct_aggregate(spark, data):
+    """agg(∪ slices) == fold(combine_states, agg(slice_i)) on the
+    exposed engine-neutral surface, for ANY row partition — the monoid
+    law every maintenance path (append, delta log, compaction) rests
+    on, including all-null groups and empty-slice-free folds."""
+    rows = [(g, i, v) for i, (g, v, _) in enumerate(data)]
+    schema = "g string, id long, v double"
+    keys = ["g"]
+
+    def agg(frame):
+        return frame.groupBy("g").agg(*_agg_exprs(_MV_MEASURES))
+
+    def expose(state):
+        return sorted(
+            tuple(r)
+            for r in state.select(
+                *exposed_cols(keys, _MV_MEASURES)
+            ).collect()
+        )
+
+    slices: dict[int, list] = {}
+    for i, (g, v, s) in enumerate(data):
+        slices.setdefault(s, []).append((g, i, v))
+    frames = [
+        agg(spark.createDataFrame(r, schema)) for r in slices.values()
+    ]
+    state = frames[0]
+    for f in frames[1:]:
+        state = combine_states(state, f, keys, _MV_MEASURES)
+    assert expose(state) == expose(agg(spark.createDataFrame(rows, schema)))

@@ -196,6 +196,9 @@ def _chunk_retrieval_serve(idx, queries: DataFrame) -> DataFrame:
         top_k=TOP_K,
         exclude_self=False,
         exclude_group_div=CHUNK_VEC_MOD,
+        # the workload is rank-limited to N_CHUNK_QUERY_DOCS rows —
+        # a static upper bound, so search skips its row-count job
+        n_queries=N_CHUNK_QUERY_DOCS,
     )
 
     # reduce: best chunk per (query, doc), then rank docs per query
@@ -406,6 +409,7 @@ def similarity_chunk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=TOP_K,
         exclude_self=False,
         exclude_group_div=CHUNK_VEC_MOD,
+        n_queries=N_CHUNK_QUERY_DOCS,
     ).select("query_id", "cand_id")
 
     qrows = sorted(queries.collect(), key=lambda r: r["query_id"])

@@ -278,13 +278,21 @@ def _curation_stage_frames(
         .filter(F.col("_rn") == 1)
         .select("doc_id", "text", "source", n_tokens.alias("n_tokens"))
     )
-    s2.count()  # eager fill: shingle kernel + stage-3 continuation
+    # no separate s2 eager fill (r12): the docsets count below reads
+    # s2 through exactly ONE subtree (the shingle kernel), so s2's
+    # cache fills as a side effect of that first materialization —
+    # race-free by the single-subtree argument; every LATER action
+    # (the s5 fill, the packed output, the funnel union) reads the
+    # already-filled cache.  The old s2.count() re-ran the gopher +
+    # window-dedup subgraph as its own job purely to fill the cache
+    # one action earlier — one full barrier per composite for nothing.
 
     # 3. MinHash-LSH near-dup over the SURVIVORS (restriction-exact)
     docsets = cache_tracked(
         shingle_sets_frame(s2.select("doc_id", "text"))
     )
     docsets.count()  # eager fill: band explode + both verify sides
+    # (this one action also fills the s2 cache — see above)
     drops3 = (
         minhash_pairs_from_sets(docsets)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

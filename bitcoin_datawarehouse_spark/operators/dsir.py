@@ -89,20 +89,44 @@ def _doc_feature_counts_frame(docs: DataFrame) -> DataFrame:
         ]
     )
 
-    def bucket_of(gram: str) -> int:
-        return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:2], 16)
-
     def gen(batches):
+        # gram→bucket memo across documents within this worker (the
+        # shingle_sets_frame md5-memo discipline): gram vocabularies
+        # are Zipf — repeats dominate — and the bucket is a pure
+        # function of the gram text, so each distinct gram is hashed
+        # once per task instead of once per occurrence.  digest()[0]
+        # IS int(hexdigest()[:2], 16) (the first byte); the cap keeps
+        # the memo a bounded per-worker model (~30 MB), reset keeps
+        # values exact.
+        memo: dict[str, int] = {}
+        memo_cap = 400_000
+
+        def bucket_of(gram: str) -> int:
+            b = memo.get(gram)
+            if b is None:
+                if len(memo) >= memo_cap:
+                    memo.clear()
+                b = hashlib.md5(gram.encode("utf-8")).digest()[0]
+                memo[gram] = b
+            return b
+
         for pdf in batches:
             ids: list[int] = []
             bks: list[int] = []
             cts: list[int] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 tk = [t for t in pat.split(txt.lower()) if t]
-                counts = collections.Counter(bucket_of(t) for t in tk)
-                counts.update(
-                    bucket_of(f"{a} {b}") for a, b in zip(tk, tk[1:])
-                )
+                counts: collections.Counter = collections.Counter()
+                # count unique grams FIRST, hash each distinct gram
+                # once (occurrence counts transfer: bucket(g) is
+                # per-gram, so Σ_g cnt(g) grouped by bucket is
+                # unchanged)
+                for g, c in collections.Counter(tk).items():
+                    counts[bucket_of(g)] += c
+                for (a, b), c in collections.Counter(
+                    zip(tk, tk[1:])
+                ).items():
+                    counts[bucket_of(f"{a} {b}")] += c
                 for bk, c in counts.items():
                     ids.append(did)
                     bks.append(bk)
@@ -147,10 +171,26 @@ def _dsir_distributions(
     rcnt = feats.groupBy("bucket").agg(
         F.sum("cnt").cast("long").alias("cr")
     )
-    nt = int(
-        tcnt.agg(F.sum("ct").alias("s")).collect()[0]["s"] or 0
+    # both scalar totals in ONE pass (r12): a left join marks target
+    # membership (tgt is per-doc distinct — gopher emits one row per
+    # document, so the join never multiplies), nt sums the marked
+    # rows, nr sums everything.  Replaces two sequential collect
+    # actions — each a full aggregate pass over feats — with one; the
+    # single action still eagerly fills the feats cache (feats is
+    # read by exactly one subtree here).  Equality: nt = Σ cnt over
+    # target docs = SUM(tcnt.ct); nr = Σ cnt = SUM(rcnt.cr).
+    row = (
+        feats.join(tgt.withColumn("_t", F.lit(1)), "doc_id", "left")
+        .agg(
+            F.sum(F.when(F.col("_t") == 1, F.col("cnt")))
+            .cast("long")
+            .alias("nt"),
+            F.sum("cnt").cast("long").alias("nr"),
+        )
+        .collect()[0]
     )
-    nr = int(rcnt.agg(F.sum("cr").alias("s")).collect()[0]["s"] or 0)
+    nt = int(row["nt"] or 0)
+    nr = int(row["nr"] or 0)
     return tcnt, rcnt, nt, nr
 
 

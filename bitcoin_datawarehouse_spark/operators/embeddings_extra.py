@@ -615,7 +615,7 @@ def probe_assignments(
 
 
 def _nearest_centroid_kernel_impl(
-    emb: DataFrame, cent: DataFrame, keep_vec: bool
+    emb: DataFrame, cent: DataFrame, keep_vec: bool, codebook=None
 ) -> DataFrame:
     """Shared body of :func:`nearest_centroid_kernel`.
 
@@ -624,12 +624,20 @@ def _nearest_centroid_kernel_impl(
     vec_id, e) that lets IVF search join candidates WITHOUT a second
     shuffle of the corpus by vec_id (at warehouse scale this is what
     writing the lists bucketed by centroid_id achieves statically).
+
+    ``codebook``: an already-collected ``(ids, cmat, cn)`` triple from
+    :func:`collect_codebook` — callers that collected the SAME
+    ``cent`` frame for their probe side pass it through so the
+    codebook is fetched once per query, not once per consumer (r12:
+    each redundant collect was a full driver job).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    ids, cmat, cn = collect_codebook(cent)
+    ids, cmat, cn = (
+        codebook if codebook is not None else collect_codebook(cent)
+    )
     fields = [
         T.StructField("vec_id", T.LongType()),
         T.StructField("centroid_id", T.LongType()),
@@ -784,7 +792,8 @@ def _ivf_topk_impl(
     # rerank instead of a driver-collected closure dict, and the
     # shared probe kernel replaces a crossJoin + row_number window
     # (one query-keyed shuffle saved per search)
-    cb_ids, cb_mat, _cb_n = collect_codebook(cent)
+    cb = collect_codebook(cent)
+    cb_ids, cb_mat, _cb_n = cb
     probes = probe_assignments(qset, cb_ids, cb_mat, nprobe)
     # Inverted lists WITH vectors: each vector belongs to exactly one
     # centroid list, so probes ⋈ lists is already distinct per
@@ -792,7 +801,7 @@ def _ivf_topk_impl(
     # through the assignment kernel makes this broadcast join the
     # candidate FETCH too (no second shuffle of the corpus by vec_id).
     lists = _nearest_centroid_kernel_impl(
-        emb, cent, keep_vec=True
+        emb, cent, keep_vec=True, codebook=cb
     ).select(
         F.col("vec_id").alias("cand_id"), "centroid_id",
         F.col("e").alias("ce2"),
@@ -1033,11 +1042,14 @@ def auto_ivf_nprobe(
     qset = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    cb_ids, cb_mat, _ = collect_codebook(cent)
+    cb = collect_codebook(cent)
+    cb_ids, cb_mat, _ = cb
     bf = similarity_bruteforce_topk(spark, sf_dir).select(
         "query_id", "cand_id"
     )
-    assign = _nearest_centroid_kernel_impl(emb, cent, keep_vec=False)
+    assign = _nearest_centroid_kernel_impl(
+        emb, cent, keep_vec=False, codebook=cb
+    )
     pranks = probe_ranks(qset, cb_ids, cb_mat)
     pr = (
         bf.join(

@@ -35,7 +35,7 @@ iterative operator gets a real cross-engine check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bitcoin_datawarehouse_spark.operators.dedup import (
@@ -43,9 +43,7 @@ from bitcoin_datawarehouse_spark.operators.dedup import (
     _SQL_SHING,
     dedup_ngram_jaccard,
 )
-from bitcoin_datawarehouse_spark.functions.cachereg import (
-    cache_tracked,
-)
+from bitcoin_datawarehouse_spark.functions.localframe import local_rows_df
 from bitcoin_datawarehouse_spark.registry import query
 from bitcoin_datawarehouse_spark.tables import load_table
 
@@ -55,22 +53,35 @@ from bitcoin_datawarehouse_spark.tables import load_table
 #: converge-or-raise surface still refuses silently-split components.
 MAX_SUPERSTEPS = 40
 
+#: edge sets at or below this size solve as ONE driver-side
+#: union-find instead of the iterative star contraction (r12
+#: optimization: the distributed loop pays ~3 scheduling barriers per
+#: round × O(log n) rounds — pure per-job floor for graphs this
+#: small; the same auto-regime discipline as bpe.py's
+#: BPE_LOCAL_VOCAB_MAX).  Sized to stay driver-trivial: 200k edges ≈
+#: 3 MB over the Arrow collect path, union-find is linear, and the
+#: resulting star-edge frame (≤ 2·|E| rows) broadcasts.  Production
+#: dup-pair sets past this take the unchanged distributed path.
+CC_LOCAL_EDGE_MAX = 200_000
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star pass over a canonical (hi > lo) edge set: every
     neighbor LARGER than u connects to min(Γ(u) ∪ {u}).  Output stays
     canonical and self-loop-free by construction (emitted pairs are
-    (v, m) with v > u ≥ m)."""
+    (v, m) with v > u ≥ m).
+
+    r12 shape: per-node minima via a window over the SAME
+    hash-clustering the old groupBy used — each row gets its group's
+    min in one exchange, where the groupBy+re-join form shuffled the
+    edge set twice (once into the aggregate, once into the join) per
+    pass.  Same math, one exchange fewer."""
     both = e.select(
         F.col("hi").alias("u"), F.col("lo").alias("v")
     ).unionByName(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
-    mins = (
-        both.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select("u", F.least("mn", "u").alias("m"))
-    )
+    m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
     return (
-        both.join(mins, "u")
+        both.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         .distinct()
@@ -80,14 +91,20 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star pass: orient each edge to its larger endpoint,
     then connect every smaller neighbor (and the endpoint itself) to
-    the minimum neighbor.  Canonical in, canonical out."""
-    mins = e.groupBy(F.col("hi").alias("u")).agg(F.min("lo").alias("m"))
-    leaves = (
-        e.join(mins, e["hi"] == mins["u"])
-        .filter(F.col("lo") != F.col("m"))
-        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    the minimum neighbor.  Canonical in, canonical out.
+
+    Same window rewrite as :func:`_large_star`: the per-``hi`` min
+    rides a window instead of a groupBy+join, so the pass reads its
+    input ONCE — which also removes the mid-round localCheckpoint the
+    join form needed (the large-star output now feeds exactly one
+    subtree).  ``centers`` emits one (hi, m) per ROW; the closing
+    ``distinct`` (already required by the contraction) collapses them
+    to one per group, identical to the old mins-frame output."""
+    withm = e.withColumn("m", F.min("lo").over(W.partitionBy("hi")))
+    leaves = withm.filter(F.col("lo") != F.col("m")).select(
+        F.col("lo").alias("hi"), F.col("m").alias("lo")
     )
-    centers = mins.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+    centers = withm.select("hi", F.col("m").alias("lo"))
     return leaves.unionByName(centers).distinct()
 
 
@@ -105,7 +122,16 @@ def _star_contraction(
     never a checksum: a hash collision here would silently split a
     component.
     """
-    e = (
+    e = _canon_edges(edges)
+    n_e = e.count()
+    return _star_rounds(e, n_e, max_rounds)
+
+
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Canonicalize (src, dst) to a deduped self-loop-free (hi > lo)
+    edge set, eagerly localCheckpoint-ed (the loop below and the
+    local-solve collect both re-read it)."""
+    return (
         edges.select(
             F.greatest("src", "dst").alias("hi"),
             F.least("src", "dst").alias("lo"),
@@ -114,17 +140,19 @@ def _star_contraction(
         .distinct()
         .localCheckpoint()
     )
-    n_e = e.count()
+
+
+def _star_rounds(
+    e: DataFrame, n_e: int, max_rounds: int
+) -> tuple[DataFrame, int]:
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        # the large-star output feeds TWO subtrees of small-star (the
-        # per-node mins aggregate and the leaves join probe), and mins
-        # feeds two more — checkpoint it so the large-star shuffle pass
-        # runs once per round, not 2-3× (the CLAUDE.md shared-subgraph
-        # rule, review-caught in this hot per-round loop)
-        mid = _large_star(e).localCheckpoint()
-        nxt = _small_star(mid).localCheckpoint()
+        # both star passes now read their input exactly once (window
+        # minima — see _large_star/_small_star), so one round is ONE
+        # materialization: the old per-round mid-checkpoint of the
+        # large-star output is gone with the join that needed it
+        nxt = _small_star(_large_star(e)).localCheckpoint()
         n_nxt = nxt.count()
         if n_nxt == n_e and nxt.join(e, ["hi", "lo"], "left_anti").isEmpty():
             return nxt, rounds
@@ -137,8 +165,43 @@ def _star_contraction(
     )
 
 
+def _local_star_edges(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a BOUNDED canonical edge set
+    (≤ :data:`CC_LOCAL_EDGE_MAX` rows, enforced by the caller):
+    returns the same (hi = non-root vertex, lo = component minimum)
+    star-edge frame the distributed contraction converges to.  Two
+    narrow long columns ride the Arrow ``toPandas`` path; the result
+    is a star-forest-sized control frame (one row per non-root
+    vertex), built through the sanctioned single-partition
+    local-frame helper."""
+    pdf = e.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for hi, lo in zip(pdf["hi"], pdf["lo"]):
+        ra, rb = find(int(hi)), find(int(lo))
+        if ra != rb:
+            # attach the larger root under the smaller: roots stay
+            # component minima, matching the star fixed point
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [
+        (v, find(v)) for v in list(parent) if find(v) != v
+    ]
+    return local_rows_df(e.sparkSession, rows, "hi long, lo long")
+
+
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_supersteps: int = MAX_SUPERSTEPS
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_supersteps: int = MAX_SUPERSTEPS,
+    local_edge_max: int = CC_LOCAL_EDGE_MAX,
 ) -> DataFrame:
     """(vertex) + (src, dst) undirected edges → (vertex, component)
     where component = min vertex id in the connected component.
@@ -156,8 +219,17 @@ def connected_components(
     the larger endpoint of a star edge pointing at its component's
     minimum; vertices absent from the star edges (isolated, or roots)
     are their own component.
+
+    r12 auto-regime: edge sets at or below ``local_edge_max`` solve
+    as one driver-side union-find (:func:`_local_star_edges`) — the
+    iterative loop's per-round scheduling barriers are pure overhead
+    for driver-trivial graphs (the ``bpe_train_auto`` local/
+    distributed switch discipline).  The gating count is the same
+    canonical-edge count the loop needed anyway; both paths produce
+    the identical star-edge set (pytest-pinned), so the surface and
+    the converge-or-raise contract are unchanged.
     """
-    star, _ = _star_contraction(edges, max_supersteps)
+    star = star_edges(edges, max_supersteps, local_edge_max)
     return vertices.join(
         star.select(F.col("hi").alias("vertex"), F.col("lo").alias("root")),
         "vertex",
@@ -165,6 +237,26 @@ def connected_components(
     ).select(
         "vertex", F.coalesce("root", "vertex").alias("component")
     )
+
+
+def star_edges(
+    edges: DataFrame,
+    max_supersteps: int = MAX_SUPERSTEPS,
+    local_edge_max: int = CC_LOCAL_EDGE_MAX,
+) -> DataFrame:
+    """(hi = non-root vertex, lo = its component's minimum id) star
+    forest of the undirected (src, dst) edge set — the shared core of
+    :func:`connected_components`, exposed so callers that only need a
+    LABEL JOIN (every vertex absent from the star is its own
+    component) can skip building an explicit vertex frame: the star
+    edges alone determine every label under a left-join + coalesce,
+    because paired ROOTS coalesce to themselves exactly like isolated
+    vertices do."""
+    e = _canon_edges(edges)
+    n_e = e.count()
+    if n_e <= local_edge_max:
+        return _local_star_edges(e)
+    return _star_rounds(e, n_e, max_supersteps)[0]
 
 
 @query(
@@ -210,29 +302,32 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vertex")
     )
-    pairs = cache_tracked(
-        dedup_ngram_jaccard(spark, sf_dir).select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    pairs.count()  # eager fill: read by `paired` and every superstep
-    # propagate only over vertices that appear in an edge — singleton
-    # docs (the overwhelming majority of a deduped corpus) can never
-    # change label, so they skip the iteration entirely and join back
-    # at the end.  At 100 TB this shrinks the superstep working set
-    # from |corpus| to |paired docs|.
-    paired = (
-        pairs.select(F.col("src").alias("vertex"))
-        .unionByName(pairs.select(F.col("dst").alias("vertex")))
-        .distinct()
-    )
-    comp = connected_components(paired, pairs)
+    # r12: join the documents against the STAR EDGES directly — a
+    # paired root coalesces to itself exactly like a singleton, so
+    # the old explicit `paired` vertex frame (a union + distinct
+    # shuffle reading the pair cache twice, which in turn forced a
+    # tracked cache + its eager-fill action on the pair frame) added
+    # nothing: star_edges reads the pairs exactly once
+    # (_canon_edges), so no cache is needed at all.  Singletons — the
+    # overwhelming majority of a deduped corpus at 100 TB — still
+    # never enter the contraction: the star works on pair-touched
+    # vertices only.
+    star = star_edges(pairs)
     return (
-        docs.join(comp, "vertex", "left")
+        docs.join(
+            star.select(
+                F.col("hi").alias("vertex"), F.col("lo").alias("root")
+            ),
+            "vertex",
+            "left",
+        )
         .select(
             F.col("vertex").alias("doc_id"),
-            F.coalesce("component", "vertex").alias("component"),
-            (F.col("vertex") == F.coalesce("component", "vertex")).alias(
+            F.coalesce("root", "vertex").alias("component"),
+            (F.col("vertex") == F.coalesce("root", "vertex")).alias(
                 "is_canonical"
             ),
         )

@@ -461,6 +461,7 @@ class IvfIndex:
         top_k: int = TOP_K,
         exclude_self: bool = True,
         exclude_group_div: int | None = None,
+        n_queries: int | None = None,
     ) -> DataFrame:
         """Top-k nearest neighbors for ``queries`` (query_id, qe) from
         the persisted lists: (query_id, cand_id, cosine, rnk).
@@ -517,8 +518,15 @@ class IvfIndex:
         # exact by construction (each query emits ≤ nprobe rows) and
         # avoids a third probe-kernel execution: the gate only needs
         # the ROW COUNT, which the query side gives with a cheap
-        # column-pruned count
-        n_probe_rows = queries.count() * self.nprobe
+        # column-pruned count — or, when the caller statically knows
+        # its workload size (the gate queries, streaming triggers with
+        # a counted batch), the ``n_queries`` hint skips even that job
+        # (r12; the hint only gates a broadcast-vs-shuffle choice, so
+        # a generous over-estimate is safe, an under-estimate only
+        # risks broadcasting a larger-than-intended probe side)
+        n_probe_rows = (
+            n_queries if n_queries is not None else queries.count()
+        ) * self.nprobe
         probe_side = (
             F.broadcast(probes)
             if n_probe_rows <= self.BROADCAST_PROBE_ROWS
@@ -693,7 +701,9 @@ def _scratch_index_search(
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    return idx.search(queries)
+    # ≤ N_QUERIES rows by the filter — a static upper bound, so
+    # search skips its row-count job (over-estimates are safe)
+    return idx.search(queries, n_queries=N_QUERIES)
 
 
 @query("similarity_ivf_index_topk", oracle=IVF_TOPK_ORACLE)

@@ -317,7 +317,9 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign_and_encode(emb: DataFrame, cent: DataFrame, cb) -> DataFrame:
+def _assign_and_encode(
+    emb: DataFrame, cent: DataFrame, cb, codebook=None
+) -> DataFrame:
     """(vec_id, centroid_id, pq_code) in ONE shuffle-free Arrow pass —
     the IVF-PQ inverted-list row: coarse assignment (same
     dim-ordered argmax contract as ``nearest_centroid_kernel``) and
@@ -336,7 +338,12 @@ def _assign_and_encode(emb: DataFrame, cent: DataFrame, cb) -> DataFrame:
         dim_ordered_dot_sq,
     )
 
-    ids, cmat, cn = collect_codebook(cent)
+    # codebook pass-through (r12): a caller that already collected
+    # this cent frame for its probe side hands the triple in, saving
+    # one driver job per query
+    ids, cmat, cn = (
+        codebook if codebook is not None else collect_codebook(cent)
+    )
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -467,9 +474,10 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     cb = _collect_subcodebooks(emb)
-    cids, cmat, _cn = collect_codebook(cent)
+    cbk = collect_codebook(cent)
+    cids, cmat, _cn = cbk
 
-    lists = _assign_and_encode(emb, cent, cb)
+    lists = _assign_and_encode(emb, cent, cb, codebook=cbk)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )

@@ -70,7 +70,9 @@ def semdedup_flags(
     expose it through :func:`str_round6`.
     """
     ids, cmat, cn = collect_codebook(cent)
-    assigned = _nearest_centroid_kernel_impl(emb, cent, keep_vec=True)
+    assigned = _nearest_centroid_kernel_impl(
+        emb, cent, keep_vec=True, codebook=(ids, cmat, cn)
+    )
     return _cluster_flags(assigned, ids, cmat, cn, tau)
 
 
@@ -399,7 +401,7 @@ TWO_LEVEL_KK_SQL = f"""kk AS (
     )"""
 
 
-def _fine_to_coarse(cent: DataFrame, coarse: DataFrame):
+def _fine_to_coarse(cent: DataFrame, coarse: DataFrame, codebooks=None):
     """Driver-side routing model (K×Kc·d on collected codebooks —
     a model, not data): (ids, cmat, cn, occupied coarse column
     indices, occ coarse matrices, cell→fine-row-indices map).  Each
@@ -413,8 +415,14 @@ def _fine_to_coarse(cent: DataFrame, coarse: DataFrame):
         dim_ordered_dot_sq,
     )
 
-    ids, cmat, cn = collect_codebook(cent)
-    cids, ccmat, ccn = collect_codebook(coarse)
+    # ``codebooks``: pre-collected ((ids, cmat, cn), (cids, ccmat,
+    # ccn)) — the auto query's head TakeOrdered already shipped the
+    # vectors, so the two per-frame collect jobs are skipped (r12)
+    if codebooks is not None:
+        (ids, cmat, cn), (cids, ccmat, ccn) = codebooks
+    else:
+        ids, cmat, cn = collect_codebook(cent)
+        cids, ccmat, ccn = collect_codebook(coarse)
     fdot, _, _ = dim_ordered_dot_sq(cmat, ccmat)
     fcos = fdot / np.outer(cn, ccn)
     fbest = np.argmax(fcos, axis=1)  # first max → smallest coarse id
@@ -426,7 +434,7 @@ def _fine_to_coarse(cent: DataFrame, coarse: DataFrame):
 
 
 def two_level_assign(
-    emb: DataFrame, cent: DataFrame, coarse: DataFrame
+    emb: DataFrame, cent: DataFrame, coarse: DataFrame, codebooks=None
 ) -> DataFrame:
     """(vec_id, centroid_id, e): hierarchical coarse→fine assignment —
     the standalone surface (the registered query path fuses the fine
@@ -443,7 +451,7 @@ def two_level_assign(
     )
 
     ids, cmat, cn, occupied, occ_cc, occ_ccn, cell_fines = _fine_to_coarse(
-        cent, coarse
+        cent, coarse, codebooks=codebooks
     )
 
     schema = T.StructType(
@@ -487,7 +495,11 @@ def two_level_assign(
 
 
 def semdedup_flags_two_level_split(
-    emb: DataFrame, cent: DataFrame, coarse: DataFrame, tau: float
+    emb: DataFrame,
+    cent: DataFrame,
+    coarse: DataFrame,
+    tau: float,
+    codebooks=None,
 ) -> DataFrame:
     """The CAP-REGIME variant of :func:`semdedup_flags_two_level`:
     fine assignment and the keep/drop decision run in SEPARATE
@@ -516,7 +528,7 @@ def semdedup_flags_two_level_split(
     )
 
     ids, cmat, cn, occupied, occ_cc, occ_ccn, cell_fines = _fine_to_coarse(
-        cent, coarse
+        cent, coarse, codebooks=codebooks
     )
     spark = emb.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -580,7 +592,11 @@ def semdedup_flags_two_level_split(
 
 
 def semdedup_flags_two_level(
-    emb: DataFrame, cent: DataFrame, coarse: DataFrame, tau: float
+    emb: DataFrame,
+    cent: DataFrame,
+    coarse: DataFrame,
+    tau: float,
+    codebooks=None,
 ) -> DataFrame:
     """:func:`semdedup_flags` with the hierarchical assignment stage —
     the same (vec_id, centroid_id, cos_c, keep) surface and the same
@@ -619,7 +635,7 @@ def semdedup_flags_two_level(
     )
 
     ids, cmat, cn, occupied, occ_cc, occ_ccn, cell_fines = _fine_to_coarse(
-        cent, coarse
+        cent, coarse, codebooks=codebooks
     )
 
     route_schema = T.StructType(
@@ -851,13 +867,36 @@ def _semdedup_two_level_query(
     value-range filters against its boundaries.
     """
     emb = _normed(spark, sf_dir)
+    import numpy as np
+
     need = max(fine_k, clo_rank + coarse_k)
-    head = [
-        r["vec_id"]
-        for r in emb.select("vec_id").orderBy("vec_id").limit(need).collect()
-    ]
-    fine_hi = head[min(fine_k, len(head)) - 1]
+    # the head TakeOrdered ships the VECTORS along with the ids (r12):
+    # both codebooks are rank-slices of these rows, so collecting
+    # (e, nrm) here replaces the two per-frame collect_codebook jobs
+    # the flags path used to run — three driver jobs become one.
+    # Driver-bounded by the same K+Kc cap as before (≤ 65 792 rows ≈
+    # 34 MB at dim 64).
+    head_rows = (
+        emb.select("vec_id", "e", "nrm")
+        .orderBy("vec_id")
+        .limit(need)
+        .collect()
+    )
+    head = [r["vec_id"] for r in head_rows]
+    # numpy construction mirrors collect_codebook exactly (dtype and
+    # id-ascending order are part of the tie-break contract)
+    h_ids = np.array(head, dtype=np.int64)
+    h_mat = np.array([list(r["e"]) for r in head_rows], dtype=np.float64)
+    h_cn = np.array([float(r["nrm"]) for r in head_rows], dtype=np.float64)
+    fine_cut = min(fine_k, len(head))
+    fine_hi = head[fine_cut - 1]
     cidx = head[clo_rank : clo_rank + coarse_k]
+    fine_cb = (h_ids[:fine_cut], h_mat[:fine_cut], h_cn[:fine_cut])
+    coarse_cb = (
+        h_ids[clo_rank : clo_rank + coarse_k],
+        h_mat[clo_rank : clo_rank + coarse_k],
+        h_cn[clo_rank : clo_rank + coarse_k],
+    )
     cent = emb.filter(F.col("vec_id") <= fine_hi).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("e").alias("ce"),
@@ -873,7 +912,13 @@ def _semdedup_two_level_query(
     flags_fn = (
         semdedup_flags_two_level_split if split else semdedup_flags_two_level
     )
-    flags = flags_fn(emb, cent, coarse, COSINE_DUP_THRESHOLD)
+    flags = flags_fn(
+        emb,
+        cent,
+        coarse,
+        COSINE_DUP_THRESHOLD,
+        codebooks=(fine_cb, coarse_cb),
+    )
     return flags.select(
         "vec_id",
         "centroid_id",

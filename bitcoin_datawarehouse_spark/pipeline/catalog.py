@@ -55,6 +55,29 @@ def _require_local_scheme(wdir: str, what: str) -> None:
         )
 
 
+def _bucket_clustered(
+    df: DataFrame, bucket_cols: list[str], n_buckets: int
+) -> DataFrame:
+    """Hash-cluster ``df`` on the bucket columns into a MULTIPLE of
+    ``n_buckets`` partitions before a bucketed write (r12).
+
+    A bucketed ``saveAsTable`` never shuffles: every write task opens
+    one file per bucket value it holds, so an unclustered input
+    produces up to tasks×buckets files (the same failure mode as an
+    unclustered partitionBy write — CLAUDE.md's
+    ``_write_day_partitioned`` rule).  Repartitioning on the bucket
+    columns into P = k·n_buckets partitions aligns tasks with buckets
+    exactly — ``pmod(h, n_buckets) = pmod(pmod(h, k·n_buckets),
+    n_buckets)`` for Spark's Murmur3 column hash, so each task holds
+    rows of precisely ONE bucket and writes k files per bucket total
+    (k = 1 when the cluster's parallelism fits inside n_buckets).
+    Guide §6: output files in the fewer-and-larger regime; probed-
+    bucket searches open k files instead of ~tasks per bucket."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    mult = max(1, -(-par // n_buckets))  # ceil division
+    return df.repartition(n_buckets * mult, *bucket_cols)
+
+
 def lakehouse_pair(
     spark: SparkSession,
     lake_root: str,
@@ -553,6 +576,15 @@ class Warehouse:
         two tables bucketed identically join WITHOUT a shuffle — the
         co-location lever for repeated fact↔fact joins.
 
+        r12: the input is hash-CLUSTERED on the bucket columns before
+        the write (see :func:`_bucket_clustered`) — a bucketed
+        ``saveAsTable`` does not shuffle, so an unclustered input
+        writes up to tasks×buckets files (measured: 329–351 files per
+        128-bucket IVF lists table at sf0.1; ≤128 after).  The same
+        partitionBy rule CLAUDE.md records for
+        ``loader._write_day_partitioned``, applied to the bucket
+        layout.
+
         Registered through the session catalog (``saveAsTable``) since
         bucketing metadata lives there; the files land under
         ``spark.sql.warehouse.dir``.  Returns the catalog table name
@@ -589,7 +621,8 @@ class Warehouse:
                 if stale.exists():
                     shutil.rmtree(stale)
         writer = (
-            df.write.mode("overwrite")
+            _bucket_clustered(df, bucket_cols, n_buckets)
+            .write.mode("overwrite")
             .bucketBy(n_buckets, *bucket_cols)
         )
         if sort_cols:
@@ -613,7 +646,11 @@ class Warehouse:
         bucketing spec must match the existing table's — Spark rejects
         a mismatched append, which is the correctness guard."""
         name = f"{schema}_{table}"
-        writer = df.write.mode("append").bucketBy(n_buckets, *bucket_cols)
+        writer = (
+            _bucket_clustered(df, bucket_cols, n_buckets)
+            .write.mode("append")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(name)

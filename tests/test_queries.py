@@ -294,6 +294,40 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_local_gate_matches_distributed(spark):
+    """r12 auto-regime pin: the size-gated driver-side union-find
+    (edge count ≤ CC_LOCAL_EDGE_MAX) and the forced-distributed
+    alternating-star loop (local_edge_max=0) label every vertex
+    identically — multiple components, isolated vertices, reversed
+    duplicates, and a planted chain (the star loop's worst shape)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_datawarehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(17)
+    n = 400
+    raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(250)]
+    raw += [(b, a) for a, b in raw[:40]]  # reversed duplicates
+    raw += [(i, i + 1) for i in range(n, n + 60)]  # planted chain
+    vertices = spark.range(n + 61).select(F.col("id").alias("vertex"))
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    local = {
+        (r["vertex"], r["component"])
+        for r in connected_components(vertices, edges).collect()
+    }
+    dist = {
+        (r["vertex"], r["component"])
+        for r in connected_components(
+            vertices, edges, local_edge_max=0
+        ).collect()
+    }
+    assert local == dist and len(local) == n + 61
+
+
 def test_semdedup_planted_keep_rule(spark):
     """SemDeDup semantics on planted clusters: within a duplicate
     neighbourhood the member FARTHEST from the centroid survives

@@ -388,8 +388,17 @@ def bpe_train_auto(words: DataFrame, n_rounds: int) -> list[MergeRow]:
     INITIAL word table (:func:`bpe_word_table`'s single-character
     bracket groups — the local unwrap strips brackets to recover the
     raw word)."""
-    if words.count() <= BPE_LOCAL_VOCAB_MAX:
-        rows = words.select("s", "cnt").collect()
+    # ONE limit-probe replaces the count-then-collect pair (r12): a
+    # collect of at most BPE_LOCAL_VOCAB_MAX+1 rows both DECIDES the
+    # regime (more rows came back than the cap ⇒ distributed) and IS
+    # the local trainer's input when the local regime wins — the same
+    # driver budget as the old gated collect, one action instead of
+    # two, and the limit short-circuits where the count scanned
+    # everything.
+    rows = (
+        words.select("s", "cnt").limit(BPE_LOCAL_VOCAB_MAX + 1).collect()
+    )
+    if len(rows) <= BPE_LOCAL_VOCAB_MAX:
         # the collected form is bracketed symbols — unwrap to the raw
         # word (single chars) for the local trainer
         wc = [

@@ -623,16 +623,19 @@ def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docsets = cache_tracked(doc_shingle_sets(spark, sf_dir))
-    docsets.count()  # eager fill: bands + both verify sides read it
     is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == 0
     # Benchmark suites are bounded by construction, but the same
     # size guard as the loader/incremental paths applies: a
     # mislabeled corpus-sized "eval set" must take the shuffle join,
-    # never a forced driver-memory broadcast.  The count is a cheap
-    # aggregate over the already-cached kernel frame.
-    eval_is_small = (
-        docsets.filter(is_eval).count() <= BROADCAST_BATCH_MAX_ROWS
-    )
+    # never a forced driver-memory broadcast.  ONE action does double
+    # duty (the dedup_incremental_batch pattern, r12): it eagerly
+    # fills the docsets cache (bands + both verify sides read it) AND
+    # returns the eval-side row count for the broadcast guard —
+    # replacing the separate fill-count + gate-count pair.
+    n_eval = docsets.agg(
+        F.sum(is_eval.cast("long")).alias("n")
+    ).first()["n"]
+    eval_is_small = (n_eval or 0) <= BROADCAST_BATCH_MAX_ROWS
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if eval_is_small else df

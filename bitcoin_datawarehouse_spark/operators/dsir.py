@@ -314,15 +314,28 @@ def save_dsir_model(
     frozen threshold (the quality_classifier / lm_quality build/serve
     discipline, r9 VERDICT item 3)."""
     parts = fit_dsir_parts(spark, sf_dir)
-    warehouse.write_atomic(
-        parts["target"], DSIR_MODEL_SCHEMA, f"{name}_target", coalesce=1
-    )
-    warehouse.write_atomic(
-        parts["raw"], DSIR_MODEL_SCHEMA, f"{name}_raw", coalesce=1
-    )
-    warehouse.write_atomic(
-        parts["consts"], DSIR_MODEL_SCHEMA, f"{name}_consts", coalesce=1
-    )
+    # the three part tables are independent outputs over the already-
+    # filled feats cache — overlap their write jobs from a small driver
+    # thread pool (guide §2.6: actions are only sequential because the
+    # driver calls them sequentially; write_atomic is path-based, so no
+    # catalog contention).  Each write stays atomic per table; the
+    # model contract (readers resolve whole generations through the
+    # registry / ensure-if-missing gates) is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                warehouse.write_atomic,
+                parts[part],
+                DSIR_MODEL_SCHEMA,
+                f"{name}_{part}",
+                coalesce=1,
+            )
+            for part in ("target", "raw", "consts")
+        ]
+        for f in futs:
+            f.result()
 
 
 def dsir_score_with(

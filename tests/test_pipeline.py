@@ -1446,7 +1446,15 @@ def test_ivfpq_index_matches_inplan_and_incremental_ingest(
 
 def test_ivf_index_compact_preserves_search(spark, tmp_path):
     """Ingest-accreted small files compact into one bucketed rewrite;
-    searches stay bit-identical and the file count drops."""
+    searches stay bit-identical and the file count drops.
+
+    r12: appends are hash-CLUSTERED on the bucket column (one file per
+    touched bucket per generation), so contiguous vec_id ranges whose
+    buckets happen to be disjoint from the base's no longer fragment —
+    and compact over them is legitimately a no-op on the file count.
+    The ingests here are MODULO slices instead: every batch spreads
+    over the whole bucket space, so each generation adds files to the
+    same buckets and the compacted rewrite must strictly reduce."""
     import glob
 
     from bitcoin_datawarehouse_spark.operators.ivf_index import IvfIndex
@@ -1457,11 +1465,10 @@ def test_ivf_index_compact_preserves_search(spark, tmp_path):
     idx = IvfIndex(
         Warehouse(spark, str(tmp_path / "wh")), schema="ivf_t5", name="e"
     )
+    half = emb.filter(F.col("vec_id") >= n // 2)
     idx.build(emb.filter(F.col("vec_id") < n // 2))
-    for lo in range(n // 2, n, 50):
-        idx.ingest(
-            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50))
-        )
+    for r in range(4):
+        idx.ingest(half.filter(F.col("vec_id") % 4 == r))
     wdir = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
     before = len(glob.glob(f"{wdir}/{idx.lists_name.lower()}/*.parquet"))
     want = sorted(map(tuple, idx.search(queries).collect()))

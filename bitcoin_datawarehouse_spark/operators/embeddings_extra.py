@@ -284,108 +284,79 @@ def dedup_embedding_cosine_lsh_auto(
     pytest-pinned alongside."""
     if n_vectors is None:
         n_vectors = load_table(spark, sf_dir, "embeddings").count()
-    return _lsh_dedup(spark, sf_dir, bits=auto_lsh_bits(n_vectors))
+    return _lsh_dedup(
+        spark, sf_dir, bits=auto_lsh_bits(n_vectors), n_vectors=n_vectors
+    )
 
 
-#: widths past this use the candidate-join rerank instead of the
-#: per-bucket grid kernel: at ≥2^9 buckets/table most buckets are
-#: singletons or pairs, so the grid kernel's per-group pandas
-#: invocation overhead (measured 2.3 s of the wide variant's 2.9 s at
-#: sf0.1) exceeds the candidate-level fold it saves, while at narrow
-#: widths the buckets are large and the grid kernel wins 5×
-#: (measured 33 s → 6.6 s at sf1 8×5).  Either path emits identical
-#: double bits — same dim-ordered fold — so the choice is purely a
-#: physical one.
-_GRID_RERANK_MAX_BITS = 8
+#: target rows per grid-kernel group: the sub-bucket group count per
+#: table is ⌈N / this⌉ (floored at 2·cores/tables so the grid at
+#: least fills the cluster) — per-task state is then
+#: ~LSH_GRID_GROUP_ROWS·(d+3) doubles (≈17 MB at d=64) regardless of
+#: corpus size, and the applyInPandas group COUNT stays
+#: O(cores + N/32k) instead of O(2^bits·tables) (the CLAUDE.md
+#: group-count law: 15 876 tiny groups measured 165-200 s where ≤126
+#: coarse groups doing identical work took 63-72 s).
+LSH_GRID_GROUP_ROWS = 32_768
 
 
 def _lsh_dedup(
-    spark: SparkSession, sf_dir: str, bits: int = None
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Shared body of the LSH-candidate embedding dedup at a chosen
-    table width (see the two registered instances below).
+    table width (see the registered instances below).
 
-    Narrow widths (≤ :data:`_GRID_RERANK_MAX_BITS`): bucket
-    assignment → join each vector's embedding to its (tbl, bucket)
-    memberships → per-bucket ``applyInPandas`` grid scoring →
-    threshold filter in-kernel → one distinct to collapse pairs that
-    collide in several tables.  The kernel is the same dim-ordered
-    numpy accumulation as the exact block grid (bit-identical to the
-    JVM/DuckDB left fold), replacing a per-candidate interpreted HOF
-    fold — and each vector moves through Arrow once per table
-    membership (#tables copies) instead of once per candidate pair.
-    Per-task memory is bucket_size·d doubles — bounded by the width
-    choice, the same knob that bounds candidate volume.
+    One corpus pass, two exchanges, zero joins (r13 rewrite): the
+    signature kernel CARRIES each vector onto its #tables assignment
+    rows (``carry_vec`` — the vectors are already in the kernel, so
+    the old buckets⋈embeddings re-attach join and its exchanges were
+    pure overhead), the rows shuffle ONCE on a coarse
+    (tbl, bucket mod G) group key, and a numpy grid kernel loops the
+    buckets inside each group — per-doc-finish at the group level.
+    Scoring is the same dim-ordered accumulation as the exact block
+    grid (bit-identical to the JVM/DuckDB left fold); pairs ≥ τ are
+    emitted in-kernel and one distinct collapses multi-table
+    collisions (identical double bits in every copy).
 
-    Wide widths: bucket self-join for distinct candidate pairs, then
-    the codegen'd fold rerank — buckets are near-singleton there, so
-    candidates are few and per-group kernel overhead would dominate.
+    This replaced BOTH r12 tiers.  The narrow tier grouped by
+    (tbl, bucket) directly — group count 2^bits·tables, which is the
+    CLAUDE.md applyInPandas group-count wall at production widths.
+    The wide tier materialized candidate PAIRS through a bucket
+    self-join + distinct + two embedding joins and an interpreted
+    zip_with fold — measured at sf10 (200k vectors, auto 8×12):
+    59.3M distinct pairs, the second join shuffling ~530 B/pair
+    (~21 GB), 56-84 s end to end vs 6-7 s for this shape.  Candidate
+    VOLUME is unchanged (same buckets, same pairs scored — inside the
+    kernel); only the materialization is gone.  Per-task memory is
+    bounded by :data:`LSH_GRID_GROUP_ROWS`, scale-adaptive via
+    ``n_vectors`` (the auto variant's existing corpus count; the
+    fixture-pinned variants default to the parallelism floor).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     from bitcoin_datawarehouse_spark.operators.similarity import (
+        LSH_TABLES,
         lsh_bucket_assignments,
     )
 
-    buckets = lsh_bucket_assignments(spark, sf_dir, bits=bits)
-    # (no singleton-bucket pre-filter: a window-count + filter before
-    # the join measured 2.5-3.5× SLOWER end-to-end — it breaks the
-    # exchange reuse between the signature aggregate and the kernel's
-    # groupBy, and empty pandas groups are cheaper than the extra
-    # shuffles)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    assigned = lsh_bucket_assignments(
+        spark, sf_dir, bits=bits, carry_vec=True
     )
-
-    from bitcoin_datawarehouse_spark.operators.similarity import (
-        LSH_BITS_PER_TABLE,
+    cores = spark.sparkContext.defaultParallelism
+    g = max(
+        -(-int(n_vectors) // LSH_GRID_GROUP_ROWS) if n_vectors else 1,
+        -(-2 * cores // LSH_TABLES),
+        1,
     )
-
-    eff_bits = LSH_BITS_PER_TABLE if bits is None else bits
-    if eff_bits > _GRID_RERANK_MAX_BITS:
-        # wide tier: few, tiny buckets — candidate self-join + the
-        # codegen'd fold rerank (same double bits as the kernel path)
-        a = buckets.alias("a")
-        b = buckets.alias("b")
-        cands = (
-            a.join(
-                b,
-                (F.col("a.tbl") == F.col("b.tbl"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-            )
-            .distinct()
-        )
-        emn = emb.withColumn("nrm", norm_col(F.col("e")))
-        x = emn.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("e").alias("xe"),
-            F.col("nrm").alias("xn"),
-        )
-        y = emn.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("e").alias("ye"),
-            F.col("nrm").alias("yn"),
-        )
-        cos = dot_col(F.col("xe"), F.col("ye")) / (
-            F.col("xn") * F.col("yn")
-        )
-        return (
-            cands.join(x, "vec_a")
-            .join(y, "vec_b")
-            .select("vec_a", "vec_b", cos.alias("cosine"))
-            .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-        )
-
-    grouped = buckets.join(emb, "vec_id").select(
-        "tbl", "bucket", "vec_id", "e"
-    )
+    # (no singleton-bucket pre-filter: r12 measured a window-count +
+    # filter 2.5-3.5× slower end-to-end — extra shuffles beat empty
+    # numpy slices; the in-kernel bucket loop skips size<2 slices for
+    # free)
 
     out_schema = T.StructType(
         [
@@ -396,37 +367,54 @@ def _lsh_dedup(
     )
     thr = COSINE_DUP_THRESHOLD
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        buck = pdf["bucket"].to_numpy(dtype=np.int64)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)  # vec_a < vec_b within the bucket
-        ids = ids[order]
+        order = np.lexsort((ids, buck))  # vec_a < vec_b within bucket
+        buck, ids = buck[order], ids[order]
         mat = np.array(list(pdf["e"]), dtype=np.float64)[order]
-        nrm = np.zeros(n)
-        for j in range(mat.shape[1]):  # fold order identical to norm_col
-            nrm += mat[:, j] * mat[:, j]
-        nrm = np.sqrt(nrm)
-        acc = np.zeros((n, n))
-        for j in range(mat.shape[1]):  # dim-ordered, matches dot_col
-            acc += np.outer(mat[:, j], mat[:, j])
-        cos = acc / np.outer(nrm, nrm)
-        ai, bi = np.triu_indices(n, 1)
-        keep = cos[ai, bi] >= thr
+        starts = np.flatnonzero(np.r_[True, buck[1:] != buck[:-1]])
+        ends = np.r_[starts[1:], len(buck)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for s, t in zip(starts, ends):
+            n = t - s
+            if n < 2:
+                continue
+            sub = mat[s:t]
+            sid = ids[s:t]
+            nrm = np.zeros(n)
+            for j in range(sub.shape[1]):  # fold order = norm_col
+                nrm += sub[:, j] * sub[:, j]
+            nrm = np.sqrt(nrm)
+            acc = np.zeros((n, n))
+            for j in range(sub.shape[1]):  # dim-ordered, matches dot_col
+                acc += np.outer(sub[:, j], sub[:, j])
+            cos = acc / np.outer(nrm, nrm)
+            ai, bi = np.triu_indices(n, 1)
+            keep = cos[ai, bi] >= thr
+            out_a.append(sid[ai[keep]])
+            out_b.append(sid[bi[keep]])
+            out_c.append(cos[ai[keep], bi[keep]])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         return pd.DataFrame(
             {
-                "vec_a": ids[ai[keep]],
-                "vec_b": ids[bi[keep]],
-                "cosine": cos[ai[keep], bi[keep]],
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
             }
         )
 
-    # a pair colliding in k tables is emitted k times with the SAME
-    # double bits (identical fold in every copy) — distinct collapses
+    grouped = assigned.withColumn(
+        "grp", F.pmod(F.col("bucket"), F.lit(g)).cast("int")
+    )
     return (
-        grouped.groupBy("tbl", "bucket")
-        .applyInPandas(score_bucket, out_schema)
+        grouped.groupBy("tbl", "grp")
+        .applyInPandas(score_group, out_schema)
         .distinct()
     )
 

@@ -281,6 +281,7 @@ def lsh_bucket_assignments(
     sf_dir: str,
     tables: int = None,
     bits: int = None,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(vec_id, tbl, bucket) sign-LSH assignments at a chosen width.
 
@@ -308,6 +309,14 @@ def lsh_bucket_assignments(
     was N·d·nbits rows (245M at sf1 for 8×12 — the dominant cost of
     the wide variant); the kernel's output is just N·tables rows and
     its FLOPs are vectorized over the batch.
+
+    ``carry_vec=True`` additionally ships the (double-cast) vector on
+    every assignment row — the embedding-dedup grid kernel's input,
+    which removes the buckets⋈embeddings join (and its two exchanges)
+    from that path entirely: the kernel already holds the vectors, so
+    re-reading and re-shuffling the corpus to re-attach them is pure
+    overhead (guide §2.4).  Assignment-only consumers keep the narrow
+    3-column output.
     """
     import hashlib
 
@@ -344,15 +353,14 @@ def lsh_bucket_assignments(
             frames = []
             for t in range(tables):
                 blk = pos[:, t * bits:(t + 1) * bits]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": ids,
-                            "tbl": np.full(n, t, dtype=np.int32),
-                            "bucket": blk @ weights,
-                        }
-                    )
-                )
+                cols = {
+                    "vec_id": ids,
+                    "tbl": np.full(n, t, dtype=np.int32),
+                    "bucket": blk @ weights,
+                }
+                if carry_vec:
+                    cols["e"] = pdf["e"].reset_index(drop=True)
+                frames.append(pd.DataFrame(cols))
             yield pd.concat(frames, ignore_index=True)
 
     # spread the one-split fixture parquet across cores before the
@@ -364,7 +372,10 @@ def lsh_bucket_assignments(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     )
-    return emb.mapInPandas(gen, "vec_id long, tbl int, bucket long")
+    schema = "vec_id long, tbl int, bucket long"
+    if carry_vec:
+        schema += ", e array<double>"
+    return emb.mapInPandas(gen, schema)
 
 
 @query(

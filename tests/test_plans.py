@@ -102,24 +102,29 @@ def test_minhash_bucket_join_no_cartesian(plan_of):
 
 
 def test_embedding_lsh_narrow_uses_grid_kernel(plan_of):
-    # narrow width (fat buckets): the rerank is the per-bucket numpy
-    # grid kernel, one FlatMapGroupsInPandas over (tbl, bucket) — no
+    # the rerank is the coarse-grouped numpy grid kernel, one
+    # FlatMapGroupsInPandas over (tbl, bucket mod G) — no
     # candidate-pair self-join at all
     plan = plan_of("dedup_embedding_cosine_lsh")
     assert "FlatMapGroupsInPandas" in plan
     assert_no_cartesian(plan)
 
 
-def test_embedding_lsh_wide_uses_candidate_equi_join(plan_of):
-    # wide width (near-singleton buckets): candidate generation is a
-    # bucket-key equi-join and the rerank a codegen'd fold — never a
-    # cartesian/nested-loop, and no per-bucket kernel (its per-group
-    # overhead dominates at this width; see _GRID_RERANK_MAX_BITS)
+def test_embedding_lsh_wide_uses_grid_kernel_no_joins(plan_of):
+    # r13 re-pin (deliberate): the wide tier's candidate self-join +
+    # distinct + two embedding joins materialized 59M pairs at sf10
+    # (auto 8×12) and shuffled ~21 GB through the second join; it is
+    # replaced by the SAME coarse-grouped grid kernel as the narrow
+    # tier — the carry_vec assignment kernel ships each vector once,
+    # so the plan has NO join at all (the r12 "per-group overhead
+    # dominates at wide widths" rationale was an artifact of grouping
+    # by raw (tbl, bucket); grouping by (tbl, bucket mod G) bounds the
+    # group count by cores + N/32k at any width).
     plan = plan_of("dedup_embedding_cosine_lsh_wide")
     assert_no_cartesian(plan)
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "FlatMapGroupsInPandas" not in plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_range_join_is_hash_join_not_nested_loop(plan_of):

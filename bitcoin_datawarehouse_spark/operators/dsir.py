@@ -276,31 +276,50 @@ def trainprep_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_MODEL_SCHEMA = "models"
 
 
+def _fit_dsir_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Fit the DSIR model with the rank pass SHARED: returns
+    ``(parts, sel)`` where ``sel`` is the cache_tracked top-k
+    selection frame and the persisted threshold is derived FROM it
+    (``thr = MIN(weight_micro)`` over the selected set ≡ the weight at
+    rank k under the same total order).  One global rank pass serves
+    both the model constant and any caller that also needs the
+    selection itself (``trainprep_dsir_served`` — previously the fit
+    ranked the corpus for thr and the serve path ranked the identical
+    weights again; the persisted distributions ARE the fitted
+    distributions, so the serve-side weights are equal by
+    construction and re-deriving them was pure recompute)."""
+    feats = cache_tracked(doc_feature_counts(spark, sf_dir))
+    tcnt, rcnt, nt, nr = _dsir_distributions(spark, sf_dir, feats)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    k = (n_docs + SELECT_DENOM - 1) // SELECT_DENOM
+    # sel feeds two actions (the thr probe below + the caller's read)
+    # — k-row doc-sized cache, filled by the thr probe
+    sel = cache_tracked(
+        _select_top(_weights_from(feats, tcnt, rcnt, nt, nr), k)
+    )
+    # the threshold is a 1-row aggregate over the selection — the
+    # bounded-artifact collect pattern (never corpus-sized)
+    thr_row = sel.agg(F.min("weight_micro").alias("thr")).collect()[0]
+    thr = int(thr_row["thr"]) if thr_row["thr"] is not None else 0
+    parts = {
+        "target": tcnt,
+        "raw": rcnt,
+        "consts": local_rows_df(
+            spark, [(nt, nr, thr)], "nt long, nr long, thr_micro long"
+        ),
+    }
+    return parts, sel
+
+
 def fit_dsir_parts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Fit the DSIR model and return its parts as FRAMES —
     {"target", "raw", "consts"} (consts holds the exact totals AND
     the build-time selection threshold) — shared by
     :func:`save_dsir_model` (fixed table names) and the versioned
     ``pipeline.model_registry`` (atomic generations)."""
-    feats = cache_tracked(doc_feature_counts(spark, sf_dir))
-    tcnt, rcnt, nt, nr = _dsir_distributions(spark, sf_dir, feats)
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    k = (n_docs + SELECT_DENOM - 1) // SELECT_DENOM
-    # the threshold is a 1-row rank probe over the build corpus — the
-    # bounded-artifact collect pattern (never corpus-sized)
-    thr_row = (
-        _select_top(_weights_from(feats, tcnt, rcnt, nt, nr), k)
-        .agg(F.min("weight_micro").alias("thr"))
-        .collect()[0]
-    )
-    thr = int(thr_row["thr"]) if thr_row["thr"] is not None else 0
-    return {
-        "target": tcnt,
-        "raw": rcnt,
-        "consts": local_rows_df(spark, 
-            [(nt, nr, thr)], "nt long, nr long, thr_micro long"
-        ),
-    }
+    return _fit_dsir_shared(spark, sf_dir)[0]
 
 
 def save_dsir_model(
@@ -313,17 +332,25 @@ def save_dsir_model(
     crawl against FROZEN target/raw distributions and gates on the
     frozen threshold (the quality_classifier / lm_quality build/serve
     discipline, r9 VERDICT item 3)."""
-    parts = fit_dsir_parts(spark, sf_dir)
-    # the three part tables are independent outputs over the already-
-    # filled feats cache — overlap their write jobs from a small driver
-    # thread pool (guide §2.6: actions are only sequential because the
-    # driver calls them sequentially; write_atomic is path-based, so no
-    # catalog contention).  Each write stays atomic per table; the
-    # model contract (readers resolve whole generations through the
-    # registry / ensure-if-missing gates) is unchanged.
+    _save_dsir_parts(warehouse, fit_dsir_parts(spark, sf_dir), name)
+
+
+def _save_dsir_parts(
+    warehouse, parts: dict[str, DataFrame], name: str = "dsir"
+) -> None:
+    """Write the three part tables: target+raw overlapped from a
+    2-thread driver pool (guide §2.6: actions are only sequential
+    because the driver calls them sequentially; write_atomic is
+    path-based, so no catalog contention), consts strictly LAST —
+    for the fixed-name (non-registry) path consts is the de-facto
+    pointer: ``ensure_dsir_model``'s exists-all-three probe can only
+    see a complete model once consts lands, so a crash mid-save never
+    leaves a detectable-but-mixed model (fresh consts over stale
+    distributions).  Versioned callers get the stronger
+    generation+pointer protocol from ``pipeline.model_registry``."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
             pool.submit(
                 warehouse.write_atomic,
@@ -332,25 +359,32 @@ def save_dsir_model(
                 f"{name}_{part}",
                 coalesce=1,
             )
-            for part in ("target", "raw", "consts")
+            for part in ("target", "raw")
         ]
         for f in futs:
             f.result()
+    warehouse.write_atomic(
+        parts["consts"], DSIR_MODEL_SCHEMA, f"{name}_consts", coalesce=1
+    )
 
 
 def dsir_score_with(
-    warehouse, docs: DataFrame, name: str = "dsir"
+    warehouse, docs: DataFrame, name: str = "dsir", consts_row=None
 ) -> DataFrame:
     """Serve path: (doc_id, weight_micro) for ``docs`` (doc_id, text)
     under a PERSISTED DSIR model — no refitting; the corpus work is
     the feature kernel plus two ≤``N_BUCKETS``-row broadcast joins.
     Model tables are read WITH ``docs``' own session
     (``Warehouse.read_with``), so a foreachBatch caller's whole plan
-    lives on the micro-batch session."""
+    lives on the micro-batch session.  A caller that already collected
+    the 1-row consts table (e.g. for the threshold) passes it as
+    ``consts_row`` to skip the second driver round trip."""
     sess = docs.sparkSession
-    crow = warehouse.read_with(
-        sess, DSIR_MODEL_SCHEMA, f"{name}_consts"
-    ).collect()[0]
+    crow = consts_row
+    if crow is None:
+        crow = warehouse.read_with(
+            sess, DSIR_MODEL_SCHEMA, f"{name}_consts"
+        ).collect()[0]
     par = sess.sparkContext.defaultParallelism
     feats = _doc_feature_counts_frame(docs.repartition(par))
     tcnt = warehouse.read_with(sess, DSIR_MODEL_SCHEMA, f"{name}_target")
@@ -389,22 +423,27 @@ def dsir_threshold_resolved(model) -> int:
 
 @query("trainprep_dsir_served")
 def trainprep_dsir_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted-model serving round trip, driver-proven: fit →
-    Warehouse model tables → load → score → the same rank selection,
-    under the SAME oracle as ``trainprep_dsir_select`` (the persisted
-    distributions are the fitted distributions, so weights are
-    identical by construction — the persisted-twin discipline)."""
+    """The persisted-model round trip, driver-proven: fit → Warehouse
+    model tables → the rank selection, under the SAME oracle as
+    ``trainprep_dsir_select``.  The selection frame is the ONE rank
+    pass the fit already runs for its threshold constant
+    (:func:`_fit_dsir_shared`): the persisted distributions are the
+    fitted distributions, so re-featurizing and re-ranking the same
+    corpus through the loaded model reproduced identical weights at
+    double the cost (r12 verdict item 6 — the old trace ranked the
+    corpus twice and ran the feature kernel twice).  The frozen-model
+    LOAD path keeps its own driver-proven gate:
+    ``trainprep_dsir_serve_only`` scores strictly from the persisted
+    tables."""
     from bitcoin_datawarehouse_spark.pipeline.catalog import (
         Warehouse,
         scratch_root,
     )
 
     wh = Warehouse(spark, scratch_root("bds_dsir", sf_dir))
-    save_dsir_model(wh, spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    k = (n_docs + SELECT_DENOM - 1) // SELECT_DENOM
-    return _select_top(dsir_score_with(wh, docs), k)
+    parts, sel = _fit_dsir_shared(spark, sf_dir)
+    _save_dsir_parts(wh, parts)
+    return sel
 
 
 def _dsir_wts_ctes() -> str:
@@ -552,8 +591,13 @@ def trainprep_dsir_serve_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = Warehouse(spark, scratch_root("bds_dsir", sf_dir))
     ensure_dsir_model(wh, spark, sf_dir)
-    thr = dsir_threshold(wh, spark)
+    # one consts read serves both the frozen threshold and the scoring
+    # totals (was two 1-row collect actions over the same table)
+    crow = wh.read_with(
+        spark, DSIR_MODEL_SCHEMA, "dsir_consts"
+    ).collect()[0]
+    thr = int(crow["thr_micro"])
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_score_with(wh, docs).withColumn(
+    return dsir_score_with(wh, docs, consts_row=crow).withColumn(
         "kept", F.col("weight_micro") >= F.lit(thr)
     )

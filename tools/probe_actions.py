@@ -77,7 +77,9 @@ def main() -> int:
     )
     from bitcoin_datawarehouse_spark.tables import cache_tables
 
-    sf_dir = "/root/testdata/sf0.1"
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cache_tables(
         spark,
         sf_dir,

@@ -191,9 +191,11 @@ def _local_star_edges(e: DataFrame) -> DataFrame:
             # attach the larger root under the smaller: roots stay
             # component minima, matching the star fixed point
             parent[max(ra, rb)] = min(ra, rb)
-    rows = [
-        (v, find(v)) for v in list(parent) if find(v) != v
-    ]
+    # every key of ``parent`` is a non-root by construction (a vertex
+    # gains an entry only when attached UNDER a strictly smaller root,
+    # and parents only ever decrease), so find(v) != v is guaranteed —
+    # no guard, and one find per vertex (r12 ADVICE)
+    rows = [(v, find(v)) for v in list(parent)]
     return local_rows_df(e.sparkSession, rows, "hi long, lo long")
 
 

@@ -167,46 +167,71 @@ class IvfIndex:
                 F.col("e").alias("ce"),
             )
         cent = centroids.withColumn("cn", norm_col(F.col("ce")))
-        # codebook first: ingest/search read it from the warehouse
-        self.wh.write_atomic(
-            cent, self.schema, self.centroids_table, coalesce=1
-        )
-        if self.payload == "pq":
-            # the PQ sub-codebooks are part of the persisted model —
-            # default to the deterministic smallest-vec_ids seed (a
-            # per-subspace trained codebook passes in unchanged)
-            from bitcoin_datawarehouse_spark.operators.pq import (
-                _assign_and_encode,
-                _collect_subcodebooks,
-            )
+        # Overlap the small path-based model writes (codebook, PQ
+        # sub-codebooks) with the corpus-sized lists write from a
+        # 1-thread pool (guide §2.6: the writes were only sequential
+        # because the driver called them sequentially; write_atomic is
+        # path-based + uuid-temp-dir, so thread-safe).  The lists
+        # write stays on the MAIN thread because write_bucketed is a
+        # catalog (saveAsTable/Derby) op — the one class of action
+        # CLAUDE.md keeps single-threaded.  Both complete before build
+        # returns, so reader-visible ordering is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
 
-            cb = (
-                _collect_subcodebooks(emb)
-                if sub_codebooks is None
-                else sub_codebooks
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            model_futs = [
+                pool.submit(
+                    self.wh.write_atomic,
+                    cent,
+                    self.schema,
+                    self.centroids_table,
+                    coalesce=1,
+                )
+            ]
+            if self.payload == "pq":
+                # the PQ sub-codebooks are part of the persisted model —
+                # default to the deterministic smallest-vec_ids seed (a
+                # per-subspace trained codebook passes in unchanged);
+                # the collect itself runs on the main thread (it feeds
+                # the lists kernel), only the write overlaps
+                from bitcoin_datawarehouse_spark.operators.pq import (
+                    _assign_and_encode,
+                    _collect_subcodebooks,
+                )
+
+                cb = (
+                    _collect_subcodebooks(emb)
+                    if sub_codebooks is None
+                    else sub_codebooks
+                )
+                model_futs.append(
+                    pool.submit(
+                        self._write_pq_codebooks, emb.sparkSession, cb
+                    )
+                )
+                lists = _assign_and_encode(emb, cent, cb)
+                cols = ["centroid_id", "vec_id", "pq_code"]
+            else:
+                # (the kernel reads only (vec_id, e) from the corpus side
+                # — norms are computed in-kernel)
+                lists = _nearest_centroid_kernel_impl(
+                    emb, cent, keep_vec=True
+                )
+                cols = ["centroid_id", "vec_id", "e"]
+            # one bucket per centroid: a search probing p centroids reads
+            # exactly p buckets' files (SelectedBucketsCount pruning); at
+            # corpus scale use fewer buckets than centroids and pruning
+            # still cuts the scan by the same hash-membership logic
+            self.wh.write_bucketed(
+                lists.select(*cols),
+                self.schema,
+                self.lists_table,
+                bucket_cols=["centroid_id"],
+                n_buckets=self.n_centroids,
+                sort_cols=["centroid_id"],
             )
-            self._write_pq_codebooks(emb.sparkSession, cb)
-            lists = _assign_and_encode(emb, cent, cb)
-            cols = ["centroid_id", "vec_id", "pq_code"]
-        else:
-            # (the kernel reads only (vec_id, e) from the corpus side
-            # — norms are computed in-kernel)
-            lists = _nearest_centroid_kernel_impl(
-                emb, cent, keep_vec=True
-            )
-            cols = ["centroid_id", "vec_id", "e"]
-        # one bucket per centroid: a search probing p centroids reads
-        # exactly p buckets' files (SelectedBucketsCount pruning); at
-        # corpus scale use fewer buckets than centroids and pruning
-        # still cuts the scan by the same hash-membership logic
-        self.wh.write_bucketed(
-            lists.select(*cols),
-            self.schema,
-            self.lists_table,
-            bucket_cols=["centroid_id"],
-            n_buckets=self.n_centroids,
-            sort_cols=["centroid_id"],
-        )
+            for fut in model_futs:
+                fut.result()
 
     def _write_pq_codebooks(self, spark: SparkSession, cb) -> None:
         rows = [
@@ -472,6 +497,18 @@ class IvfIndex:
         GROUP before the rerank — the filter rides the candidate join,
         so the top-k slots are never wasted on in-group hits (a
         post-search filter would under-fill them).
+
+        ``n_queries``: OPTIONAL UPPER BOUND on ``queries``' row count.
+        When given, the broadcast-vs-shuffle gate for the probe side
+        skips its row-count job entirely.  Contract: the value must be
+        ≥ the true count — an over-estimate is always safe (it can
+        only push a broadcastable probe side onto the shuffle path),
+        but an UNDER-estimate makes the gate broadcast a probe frame
+        of ``true_count × nprobe`` rows regardless of its actual size,
+        which is an executor/driver memory hazard at large batch
+        sizes.  Pass it only for workloads whose size is statically
+        bounded (the gate queries, streaming triggers with a counted
+        batch); leave it ``None`` to let search count.
 
         Probe selection runs IN A KERNEL over the distributed query
         frame — the codebook (a model, not data) broadcasts into the

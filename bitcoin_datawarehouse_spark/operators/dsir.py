@@ -199,14 +199,24 @@ def _weights_from(
 ) -> DataFrame:
     """(doc_id, weight_micro) under FROZEN distribution tables — the
     scoring join shared by the in-plan trainer and the persisted-model
-    serve path.  The two tables are ≤``N_BUCKETS`` rows: the broadcast
-    hints here are the bounded-model kind, not the r9-ADVICE hazard."""
-    terms = (
-        feats.join(F.broadcast(tcnt), "bucket", "left")
-        .join(F.broadcast(rcnt), "bucket")
-        .select(
-            "doc_id",
-            "cnt",
+    serve path.  The tables are ≤``N_BUCKETS`` rows: the broadcast
+    hints here are the bounded-model kind, not the r9-ADVICE hazard.
+
+    r13: the per-bucket term is a pure function of the BUCKET, so it
+    is evaluated once per model bucket (≤256 rows) and carried as
+    exact integer micro-bits (:func:`functions.numeric.micro6`):
+    ``Σ term_micro·cnt`` in LONG equals the old
+    ``CAST(Σ dec(term)·cnt · 1e6 AS BIGINT)`` decimal surface
+    value-for-value, while the corpus-sized rows pay one broadcast
+    probe + long multiply-add instead of 4×log2 + round + a decimal
+    accumulate.  The inner join on rcnt keeps the old row-dropping
+    semantics for buckets the model never saw (term table rows come
+    FROM rcnt)."""
+    from bitcoin_datawarehouse_spark.functions.numeric import micro6
+
+    tm_tab = rcnt.join(tcnt, "bucket", "left").select(
+        "bucket",
+        micro6(
             F.round(
                 F.log2(
                     (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
@@ -215,20 +225,14 @@ def _weights_from(
                 - F.log2((F.col("cr") + 1).cast("double"))
                 + F.log2(F.lit(nr + N_BUCKETS).cast("double")),
                 6,
-            ).alias("term"),
-        )
+            )
+        ).alias("_tm"),
     )
     return (
-        terms.groupBy("doc_id")
-        .agg(
-            F.sum(F.col("term").cast("decimal(38,10)") * F.col("cnt")).alias(
-                "_w"
-            )
-        )
-        .select(
-            "doc_id",
-            F.expr("CAST(_w * 1000000 AS BIGINT)").alias("weight_micro"),
-        )
+        feats.join(F.broadcast(tm_tab), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("_tm") * F.col("cnt")).alias("weight_micro"))
+        .select("doc_id", "weight_micro")
     )
 
 

@@ -210,23 +210,30 @@ def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc bigram counts arrive FINISHED from the kernel (positions
     # are task-local per document — no corpus-wide position shuffle);
     # everything — bigram table, unigram table, vocabulary, per-doc
-    # scoring, token counts — derives from this one frame.  Persisted
-    # HASH-PARTITIONED BY w1: HashPartitioning(w1) satisfies the
-    # clustering required by groupBy(w1), groupBy(w1,w2), AND both
-    # terms joins below (partition keys ⊆ grouping/join keys on both
-    # sides), so the whole LM-training subgraph runs on this single
-    # shuffle with no further exchange.  Eager fill (the vocab count
-    # below materializes it): several plan subtrees read it, and
-    # un-cached each would re-run the Arrow tokenize kernel (CLAUDE.md
-    # multi-subtree rule).  docbig is aggregate-sized (distinct
-    # bigrams per doc), not corpus-sized.
+    # scoring, token counts — derives from this one frame.  Cached in
+    # KERNEL-OUTPUT partitioning (r13 — the r12 shape repartitioned it
+    # by w1 to serve the aggregates and joins off one exchange):  with
+    # the per-bigram term table (_score_docbig) the scoring joins are
+    # model-sized and broadcast, so the w1 exchange only served the
+    # two count aggregates — which partial (map-side) aggregation
+    # collapses to tasks×vocab rows anyway — while it SCATTERED each
+    # document's rows across all partitions, inflating the per-doc
+    # scoring aggregate's partial output from one row per doc to one
+    # per (task, doc).  Doc-local caching keeps every aggregate's
+    # partial collapse maximal: measured 20.9 → 14.6 s end-to-end at
+    # sf10 (same-session best-of-3).  If a corpus's count tables ever
+    # outgrow broadcast, the planner falls back to shuffling docbig
+    # for the joins — the same corpus-sized exchange the old shape
+    # always paid.  Eager fill (the vocab count below materializes
+    # it): several plan subtrees read it, and un-cached each would
+    # re-run the Arrow tokenize kernel (CLAUDE.md multi-subtree
+    # rule).  docbig is aggregate-sized (distinct bigrams per doc),
+    # not corpus-sized.
     from bitcoin_datawarehouse_spark.functions.cachereg import (
         cache_tracked,
     )
 
-    docbig = cache_tracked(
-        doc_bigram_counts(spark, sf_dir).repartition("w1")
-    )
+    docbig = cache_tracked(doc_bigram_counts(spark, sf_dir))
     uni = docbig.groupBy("w1").agg(F.sum("dcnt").alias("cu"))
     vocab = uni.count()  # one driver-side scalar (cf. tf-idf n_docs);
     # this action also fills the docbig cache eagerly
@@ -244,57 +251,83 @@ def _score_docbig(
 ) -> DataFrame:
     """Score per-doc bigram counts against an LM (count tables +
     vocabulary size) — shared by the in-plan gate and the
-    persisted-model serve path."""
+    persisted-model serve path.
+
+    r13: the per-position term ``ROUND(log2(cu+V) - log2(cb+1), 6)``
+    is a pure function of the BIGRAM, so it is evaluated once per
+    model bigram (|big| rows — the bigram vocabulary) instead of once
+    per corpus position row, and carried as exact integer micro-bits
+    (:func:`functions.numeric.micro6` — a 6-dp-rounded double IS
+    k·10⁻⁶ exactly, so ``Σ term_micro·dcnt`` in LONG equals the old
+    ``CAST(Σ dec(term)·dcnt · 1e6 AS BIGINT)`` decimal surface
+    value-for-value).  At sf10 this removed 26M log2+round+decimal
+    evaluations from the scoring pass (measured ~10.5 → ~3 s warm).
+    No broadcast hint on the term table: it is bigram-vocabulary-
+    sized (corpus-dependent), and both it and ``docbig`` ride the
+    hash(w1) partitioning when the planner declines to broadcast."""
+    from bitcoin_datawarehouse_spark.functions.numeric import micro6
+
+    # term table: one row per model bigram.  cb is never null here
+    # (rows come FROM big); cu left-coalesces for model-internal
+    # consistency with the old row-level formula.
+    tm_tab = big.join(uni, "w1", "left").select(
+        "w1",
+        "w2",
+        micro6(
+            F.round(
+                F.log2(
+                    (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(vocab)).cast(
+                        "double"
+                    )
+                )
+                - F.log2((F.col("cb") + F.lit(1)).cast("double")),
+                6,
+            )
+        ).alias("_tm"),
+    )
     # LEFT joins so the one w2-NULL row per document (its final token
     # position) rides along with term=NULL: n_tokens then falls out of
     # the SAME per-doc aggregate as the score — no separate base
-    # aggregate, no scores⋈base join.  (When the model was trained on
-    # this same corpus, left ≡ inner for w2-non-null rows — every key
-    # matches; the coalesces only bite when a PERSISTED model scores
-    # UNSEEN text: an unseen bigram smooths to count 0 on both
-    # tables.)
-    terms = (
-        docbig.join(big, ["w1", "w2"], "left")
-        .join(uni, "w1", "left")
-        .select(
-            "doc_id",
-            "dcnt",
-            "w2",
-            # the w2-NULL final-position row must KEEP term=NULL (it
-            # carries n_tokens only, never probability mass) — the
-            # coalesces apply to real bigram positions alone
-            F.when(
-                F.col("w2").isNotNull(),
+    # aggregate, no scores⋈base join.  When the model was trained on
+    # this same corpus every w2-non-null row hits the term table; the
+    # fallback branch below only evaluates when a PERSISTED model
+    # scores UNSEEN text (an unseen bigram smooths to count 0 on both
+    # tables: term = round(log2(coalesce(cu,0)+V) - log2(0+1), 6),
+    # computed per row exactly as before — only for the misses).
+    joined = docbig.join(tm_tab, ["w1", "w2"], "left").join(
+        uni, "w1", "left"
+    )
+    term_micro = F.when(
+        F.col("w2").isNotNull(),
+        F.coalesce(
+            F.col("_tm"),
+            micro6(
                 F.round(
                     F.log2(
                         (
                             F.coalesce(F.col("cu"), F.lit(0)) + F.lit(vocab)
                         ).cast("double")
-                    )
-                    - F.log2(
-                        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast(
-                            "double"
-                        )
                     ),
                     6,
-                ),
-            ).alias("term"),
-        )
+                )
+            ),
+        ),
     )
     # exact integer micro-bits with explicit half-up division: the
     # decimal mean rounded as a double can land exactly on a 1e-6
     # rounding boundary (observed on the fixture: mean 4.9050935),
     # where Spark and DuckDB round apart — integer arithmetic cannot
     scores = (
-        terms.groupBy("doc_id")
+        joined.select(
+            "doc_id", "dcnt", "w2", term_micro.alias("term_micro")
+        )
+        .groupBy("doc_id")
         .agg(
             F.sum("dcnt").cast("long").alias("n_tokens"),
             F.sum(F.when(F.col("w2").isNotNull(), F.col("dcnt")))
             .cast("long")
             .alias("n_bigrams"),
-            F.sum(
-                F.col("term").cast("decimal(38,10)") * F.col("dcnt")
-            ).alias("bits_sum"),
+            F.sum(F.col("term_micro") * F.col("dcnt")).alias("micro"),
         )
         .filter(F.col("n_bigrams").isNotNull())
         .select(
@@ -302,7 +335,7 @@ def _score_docbig(
             "n_tokens",
             "n_bigrams",
             F.expr(
-                "CAST((2 * CAST(bits_sum * 1000000 AS BIGINT) + n_bigrams)"
+                "CAST((2 * micro + n_bigrams)"
                 " DIV (2 * n_bigrams) AS DOUBLE) / 1000000.0"
             ).alias("bits_per_token"),
         )

@@ -184,24 +184,49 @@ def score_frame(
 ) -> DataFrame:
     """Score per-doc token counts against a trained model — shared by
     the in-plan gate and the persisted-model serve path."""
+    from bitcoin_datawarehouse_spark.functions.numeric import micro6
+
     npos, nneg, v = consts["npos"], consts["nneg"], consts["v"]
     dpos, dneg = consts["dpos"], consts["dneg"]
-    # per-token log-odds, ROUND(·,6) per term (the lm_quality float-
-    # parity pattern: all log2 arguments are exact integers cast to
-    # double, so both engines see identical inputs)
-    terms = dtc.join(cls.select("tok", "cpos", "cneg"), "tok", "left").select(
+    # r13: the per-token log-odds term is a pure function of the TOKEN
+    # — evaluate it once per model token (the vocabulary-sized cls
+    # table) as exact integer micro-bits (numeric.micro6: Σ tm·cnt in
+    # LONG ≡ the old CAST(Σ dec(term)·cnt · 1e6 AS BIGINT) decimal
+    # surface), instead of 2×log2 + round + a decimal accumulate per
+    # corpus token row.  ROUND(·,6) semantics per term are unchanged
+    # (the lm_quality float-parity pattern: all log2 arguments are
+    # exact integers cast to double, so both engines see identical
+    # inputs).
+    tm_tab = cls.select(
+        "tok",
+        micro6(
+            F.round(
+                F.log2((F.col("cpos") + 1).cast("double"))
+                - F.log2(F.lit(npos + v).cast("double"))
+                - F.log2((F.col("cneg") + 1).cast("double"))
+                + F.log2(F.lit(nneg + v).cast("double")),
+                6,
+            )
+        ).alias("_tm"),
+    )
+    # unseen-token fallback (a persisted model scoring new text):
+    # cpos = cneg = 0 → term = round(-log2(npos+v) + log2(nneg+v), 6)
+    # — a literal-only expression the optimizer constant-folds, so the
+    # per-row coalesce costs one comparison
+    unseen = micro6(
+        F.round(
+            F.log2(F.lit(nneg + v).cast("double"))
+            - F.log2(F.lit(npos + v).cast("double")),
+            6,
+        )
+    )
+    terms = dtc.join(tm_tab, "tok", "left").select(
         "doc_id",
         "cnt",
-        F.round(
-            F.log2((F.coalesce(F.col("cpos"), F.lit(0)) + 1).cast("double"))
-            - F.log2(F.lit(npos + v).cast("double"))
-            - F.log2((F.coalesce(F.col("cneg"), F.lit(0)) + 1).cast("double"))
-            + F.log2(F.lit(nneg + v).cast("double")),
-            6,
-        ).alias("term"),
+        F.coalesce(F.col("_tm"), unseen).alias("term_micro"),
     )
-    # exact integer micro-bits (decimal accumulation; the surface is
-    # BIGINT — no doubles anywhere in the output)
+    # exact integer micro-bits (the surface is BIGINT — no doubles
+    # anywhere in the output)
     prior_sql = (
         f"CAST(CAST(CAST(ROUND(log2(CAST({dpos} AS DOUBLE))"
         f" - log2(CAST({dneg} AS DOUBLE)), 6) AS STRING)"
@@ -211,16 +236,12 @@ def score_frame(
         terms.groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_tokens"),
-            F.sum(F.col("term").cast("decimal(38,10)") * F.col("cnt")).alias(
-                "_odds"
-            ),
+            F.sum(F.col("term_micro") * F.col("cnt")).alias("_odds"),
         )
         .select(
             "doc_id",
             "n_tokens",
-            F.expr(
-                f"CAST(_odds * 1000000 AS BIGINT) + {prior_sql}"
-            ).alias("score_micro"),
+            F.expr(f"_odds + {prior_sql}").alias("score_micro"),
         )
         .withColumn("pred_keep", F.col("score_micro") > 0)
     )

@@ -331,16 +331,27 @@ def shingle_sets_frame(docs: DataFrame, with_sig: bool = False) -> DataFrame:
     columnar-cheap; and candidate verification becomes an
     ``array_intersect`` over candidate pairs instead of two
     corpus-wide shingle-level joins.
-    """
-    import hashlib
-    import re
 
-    import pandas as pd
+    r13 kernel body: each Arrow batch is handed to an in-process
+    single-threaded DuckDB query (guide §4.2 — batches to vectorized
+    native libraries; DuckDB is already the repo's oracle engine) that
+    runs the ORACLE'S OWN shingle dialect (``_SQL_SHINGLES``) plus the
+    minhash/band algebra as 12 wide MIN columns over per-distinct-
+    shingle digests.  The per-document computation is batch-local, so
+    values are unchanged — now guaranteed by construction against the
+    oracle's tokenizer instead of by a parallel Python reimplementation
+    — and the per-row Python loop (12 md5 slices + a byte-compare min
+    per shingle per doc, profiled as the whole minhash family's sf10
+    wall) drops to C++ throughput: 13.8 → 3.4 s per 20k-doc batch
+    single-threaded, kernel 19.2 → ~5 s at sf10.  ``PRAGMA threads=1``
+    because ~32 Python workers each host one DuckDB — Spark owns the
+    parallelism.
+    """
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
-    pat = re.compile("[^a-z0-9]+")
     fields = [
         T.StructField("doc_id", T.LongType()),
         T.StructField("shs", T.StringType()),
@@ -352,83 +363,77 @@ def shingle_sets_frame(docs: DataFrame, with_sig: bool = False) -> DataFrame:
     schema = T.StructType(fields)
     n_seeds = MINHASH_SEEDS
     n_bands = MINHASH_SEEDS // MINHASH_BAND_SIZE
+    bsz = MINHASH_BAND_SIZE
+
+    # md5('{k}:' || sh) ≡ the oracle's md5(CAST(seed AS VARCHAR) || ':' || sh)
+    digs = ", ".join(f"md5('{k}:' || sh) AS h{k}" for k in range(n_seeds))
+    mins = ", ".join(f"MIN(d.h{k}) AS m{k}" for k in range(n_seeds))
+    band_cols = ", ".join(
+        "md5("
+        + " || ',' || ".join(f"m{b * bsz + j}" for j in range(bsz))
+        + ")"
+        for b in range(n_bands)
+    )
+    sig_col = (
+        ", " + " || ',' || ".join(f"m{k}" for k in range(n_seeds)) + " AS sig"
+        if with_sig
+        else ""
+    )
+    sql = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM batch
+    ),
+    shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_transform(generate_series(1, len(tk)-2),
+                                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                  ELSE [] END AS shs
+      FROM tok
+    ),
+    shing AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shingled),
+    digw AS (SELECT sh, {digs} FROM (SELECT DISTINCT sh FROM shing)),
+    agg AS (
+      SELECT s.doc_id,
+             string_agg(s.sh, chr(1) ORDER BY s.sh) AS shs,
+             CAST(COUNT(*) AS BIGINT) AS sz,
+             {mins}
+      FROM shing s JOIN digw d USING (sh)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, shs, sz, [{band_cols}] AS band_keys{sig_col}
+    FROM agg
+    """
+    out_fields = [
+        pa.field("doc_id", pa.int64()),
+        pa.field("shs", pa.string()),
+        pa.field("sz", pa.int64()),
+        pa.field("band_keys", pa.list_(pa.string())),
+    ]
+    if with_sig:
+        out_fields.append(pa.field("sig", pa.string()))
+    arrow_schema = pa.schema(out_fields)
 
     def gen(batches):
-        # Per-shingle minhash vectors memoize across documents within
-        # this worker: shingle vocabularies repeat heavily across a
-        # corpus (the very redundancy dedup exploits), and the hash of
-        # a shingle is a pure function of its text — identical values,
-        # 12× fewer md5 calls on every repeat.  Values are ONE packed
-        # bytes object (n_seeds × 16-byte digests) rather than a list
-        # of hex strings: ~250 B/entry vs ~1 KB, and the cap is sized
-        # to a realistic per-worker budget (~40 MB; several Python
-        # workers share an executor, so a 2 GB-permitting cap — the r4
-        # ADVICE finding — risked OOM long before it "bounded"
-        # anything).  Reset keeps values exact; it only forfeits reuse
-        # across the boundary.
-        memo: dict[str, bytes] = {}
-        memo_cap = 150_000
+        import duckdb
 
-        def shingle_hashes(s: str) -> bytes:
-            hs = memo.get(s)
-            if hs is None:
-                if len(memo) >= memo_cap:
-                    memo.clear()
-                hs = b"".join(
-                    hashlib.md5(f"{k}:{s}".encode()).digest()
-                    for k in range(n_seeds)
-                )
-                memo[s] = hs
-            return hs
-
-        for pdf in batches:
-            ids, sets, szs, bkeys, sigs = [], [], [], [], []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                tk = [t for t in pat.split(txt.lower()) if t]
-                seen = set()
-                for i in range(len(tk) - 2):
-                    seen.add(f"{tk[i]} {tk[i + 1]} {tk[i + 2]}")
-                if not seen:
-                    continue
-                # 16-byte digest slices compare lexicographically
-                # identically to their hex strings (hex digits are
-                # ASCII-monotone), so the mins — and every downstream
-                # band key — are value-identical to the hex-list form
-                mins: list[bytes | None] = [None] * n_seeds
-                for s in seen:
-                    packed = shingle_hashes(s)
-                    for k in range(n_seeds):
-                        h = packed[k * 16 : (k + 1) * 16]
-                        if mins[k] is None or h < mins[k]:
-                            mins[k] = h
-                ids.append(did)
-                sets.append(SH_SEP.join(sorted(seen)))
-                szs.append(len(seen))
-                bkeys.append(
-                    [
-                        hashlib.md5(
-                            ",".join(
-                                m.hex()
-                                for m in mins[
-                                    b * MINHASH_BAND_SIZE : (b + 1)
-                                    * MINHASH_BAND_SIZE
-                                ]
-                            ).encode()
-                        ).hexdigest()
-                        for b in range(n_bands)
-                    ]
-                )
-                if with_sig:
-                    sigs.append(",".join(m.hex() for m in mins))
-            out = {"doc_id": ids, "shs": sets, "sz": szs, "band_keys": bkeys}
-            if with_sig:
-                out["sig"] = sigs
-            yield pd.DataFrame(out)
+        con = duckdb.connect()  # once per task (guide §4.5)
+        con.execute("PRAGMA threads=1")
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            con.register("batch", tbl)
+            out = con.execute(sql).arrow()
+            con.unregister("batch")
+            if out.num_rows:
+                yield from out.cast(arrow_schema).to_batches()
 
     return (
         docs.repartition(par)
         .select("doc_id", "text")
-        .mapInPandas(gen, schema)
+        .mapInArrow(gen, schema)
     )
 
 
